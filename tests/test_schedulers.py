@@ -1,0 +1,231 @@
+"""Scheduler tests.
+
+The solvers integrate the flow-matching ODE dx/dsigma = v.  Two analytic
+oracles exercise every coefficient:
+
+1. Constant velocity: if the model returns a constant v, the exact solution is
+   x(sigma) = x0 + sigma*v, and *any* consistent solver must track it exactly
+   (predictor/corrector algebra must telescope).  This validates the full
+   UniPC/DPM++ coefficient tables to float tolerance.
+
+2. Linear ODE: v(x) = x has exact solution x(sigma) = x(1)*exp(sigma-1).
+   Order-2 solvers must beat Euler by a large factor at equal step count.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from wan2gp_tpu.schedulers import make_schedule, init_solver_state, solver_step
+
+SOLVERS = ["euler", "causvid", "lcm", "unipc", "dpm++"]
+
+
+def run_solver(schedule, velocity_fn, x_init):
+    x = jnp.asarray(x_init, dtype=jnp.float32)
+    state = init_solver_state(schedule, x)
+    for i in range(schedule.num_steps):
+        sigma = float(schedule.sigmas[i])
+        v = velocity_fn(x, sigma)
+        x, state = solver_step(schedule, i, schedule.per_step(i), v, x, state)
+    return np.asarray(x)
+
+
+@pytest.mark.parametrize("solver", SOLVERS)
+@pytest.mark.parametrize("shift", [1.0, 5.0])
+def test_constant_velocity_exact(solver, shift):
+    steps = 8 if solver in ("lcm", "causvid") else 12
+    sched = make_schedule(solver, steps, shift=shift)
+    rng = np.random.default_rng(0)
+    x0 = rng.standard_normal((4, 8)).astype(np.float32)
+    v_const = rng.standard_normal((4, 8)).astype(np.float32)
+    sigma_start = float(sched.sigmas[0])
+    sigma_end = float(sched.sigmas[-1])
+    x_start = x0 + sigma_start * v_const
+    x_final = run_solver(sched, lambda x, s: jnp.asarray(v_const), x_start)
+    expected = x0 + sigma_end * v_const
+    np.testing.assert_allclose(x_final, expected, rtol=2e-4, atol=2e-4)
+
+
+def test_sigma_schedule_shift_formula():
+    # unipc sigma grid: linspace(1-1/1000, 0, N+1)[:-1] then shift transform
+    sched = make_schedule("unipc", 4, shift=5.0)
+    base = np.linspace(0.999, 0.0, 5)[:-1]
+    expected = 5.0 * base / (1.0 + 4.0 * base)
+    np.testing.assert_allclose(np.asarray(sched.sigmas[:-1]), expected,
+                               rtol=1e-6)
+    assert float(sched.sigmas[-1]) == 0.0
+    # timesteps are int64-truncated in the reference
+    ts = np.asarray(sched.timesteps)
+    np.testing.assert_array_equal(ts, np.trunc(expected * 1000))
+
+
+def test_euler_timestep_transform():
+    sched = make_schedule("euler", 10, shift=5.0)
+    base = np.linspace(1000.0, 1.0, 10) / 1000.0
+    expected_t = 5.0 * base / (1.0 + 4.0 * base) * 1000.0
+    np.testing.assert_allclose(np.asarray(sched.timesteps), expected_t,
+                               rtol=1e-5)
+
+
+def test_causvid_fixed_table():
+    sched = make_schedule("causvid", 9)
+    np.testing.assert_array_equal(
+        np.asarray(sched.timesteps),
+        [1000, 934, 862, 756, 603, 410, 250, 140, 74])
+    assert float(sched.sigmas[-1]) == 0.0
+
+
+def test_lcm_clamps_to_8_steps():
+    sched = make_schedule("lcm", 50, shift=5.0)
+    assert sched.num_steps == 8
+    # final sigma is the shifted sigma_min, NOT zero (reference keeps it)
+    smin = 0.003 / 1.002
+    expected_last = 5.0 * smin / (1.0 + 4.0 * smin)
+    np.testing.assert_allclose(float(sched.sigmas[-1]), expected_last,
+                               rtol=1e-5)
+
+
+@pytest.mark.parametrize("solver", ["unipc", "dpm++"])
+def test_second_order_beats_euler_on_linear_ode(solver):
+    """dx/dsigma = x  =>  x(0) = x(sigma0) * exp(-sigma0)."""
+    steps = 20
+    x_start = np.full((2, 2), 1.7, dtype=np.float32)
+
+    def vel(x, sigma):
+        return x
+
+    sched2 = make_schedule(solver, steps, shift=1.0)
+    sched1 = make_schedule("euler", steps, shift=1.0)
+    sigma0_2 = float(sched2.sigmas[0])
+    sigma0_1 = float(sched1.sigmas[0])
+    exact2 = x_start * np.exp(0.0 - sigma0_2)
+    exact1 = x_start * np.exp(0.0 - sigma0_1)
+
+    err2 = np.abs(run_solver(sched2, vel, x_start) - exact2).max()
+    err1 = np.abs(run_solver(sched1, vel, x_start) - exact1).max()
+    assert err2 < err1 / 5, (err2, err1)
+    assert err2 < 2e-3
+
+
+def _lam(s):
+    with np.errstate(divide="ignore"):
+        return np.log1p(-s) - np.log(s)
+
+
+def _unipc_oracle(sigmas, outputs, x, solver_order=2):
+    """Generic-order numpy mirror of the reference FlowUniPCMultistepScheduler
+    step loop (fm_solvers_unipc.py:350-739), used as a parity oracle against
+    our precomputed-table implementation.  `outputs[i]` is the model velocity
+    at step i."""
+    N = len(sigmas) - 1
+    model_outputs = [None] * solver_order
+    lower_order_nums = 0
+    last_sample = None
+    this_order = None
+    for i in range(N):
+        m = x - sigmas[i] * outputs[i]
+        if i > 0 and last_sample is not None:
+            order = this_order
+            s_t, s_s0 = sigmas[i], sigmas[i - 1]
+            a_t = 1 - s_t
+            h = _lam(s_t) - _lam(s_s0)
+            rks, D1s = [], []
+            for j in range(1, order):
+                rk = (_lam(sigmas[i - (j + 1)]) - _lam(s_s0)) / h
+                rks.append(rk)
+                D1s.append((model_outputs[-(j + 1)] - model_outputs[-1]) / rk)
+            rks.append(1.0)
+            rks = np.array(rks)
+            hh = -h
+            h_phi_1 = np.expm1(hh)
+            h_phi_k = h_phi_1 / hh - 1
+            B_h = np.expm1(hh)
+            R, b = [], []
+            fact = 1
+            for j in range(1, order + 1):
+                R.append(rks ** (j - 1))
+                b.append(h_phi_k * fact / B_h)
+                fact *= j + 1
+                h_phi_k = h_phi_k / hh - 1 / fact
+            rhos_c = (np.array([0.5]) if order == 1
+                      else np.linalg.solve(np.array(R), np.array(b)))
+            m0 = model_outputs[-1]
+            x_t_ = s_t / s_s0 * last_sample - a_t * h_phi_1 * m0
+            corr = sum(rhos_c[j] * D1s[j] for j in range(len(D1s)))
+            x = x_t_ - a_t * B_h * (corr + rhos_c[-1] * (m - m0))
+        for j in range(solver_order - 1):
+            model_outputs[j] = model_outputs[j + 1]
+        model_outputs[-1] = m
+        this_order = min(solver_order, N - i, lower_order_nums + 1)
+        last_sample = x
+        s_t, s_s0 = sigmas[i + 1], sigmas[i]
+        a_t = 1 - s_t
+        h = _lam(s_t) - _lam(s_s0)
+        D1s = []
+        for j in range(1, this_order):
+            rk = (_lam(sigmas[i - j]) - _lam(s_s0)) / h
+            D1s.append((model_outputs[-(j + 1)] - m) / rk)
+        hh = -h
+        h_phi_1 = np.expm1(hh)
+        B_h = np.expm1(hh)
+        pred = 0.5 * D1s[0] if D1s else 0.0
+        ratio = s_t / s_s0 if s_s0 > 0 else 0.0
+        x = ratio * x - a_t * h_phi_1 * m - a_t * B_h * pred
+        if lower_order_nums < solver_order:
+            lower_order_nums += 1
+    return x
+
+
+def _dpm_oracle(sigmas, outputs, x):
+    """Numpy mirror of FlowDPMSolverMultistepScheduler (order 2, midpoint,
+    dpmsolver++, lower-order first/last) — fm_solvers.py:415-586,706-790."""
+    N = len(sigmas) - 1
+    m_prev = None
+    for i in range(N):
+        m = x - sigmas[i] * outputs[i]
+        s_t, s_s0 = sigmas[i + 1], sigmas[i]
+        a_t = 1 - s_t
+        h = _lam(s_t) - _lam(s_s0)
+        em1 = np.expm1(-h)
+        ratio = s_t / s_s0 if s_s0 > 0 else 0.0
+        if i == 0 or i == N - 1:
+            x = ratio * x - a_t * em1 * m
+        else:
+            r0 = (_lam(s_s0) - _lam(sigmas[i - 1])) / h
+            D1 = (m - m_prev) / r0
+            x = ratio * x - a_t * em1 * (m + 0.5 * D1)
+        m_prev = m
+    return x
+
+
+@pytest.mark.parametrize("solver,oracle", [("unipc", _unipc_oracle),
+                                           ("dpm++", _dpm_oracle)])
+@pytest.mark.parametrize("steps", [4, 10, 30])
+def test_multistep_matches_reference_oracle(solver, oracle, steps):
+    """Random per-step model outputs: our table-driven step must match a
+    direct numpy transcription of the reference algorithm."""
+    rng = np.random.default_rng(42)
+    shape = (2, 5)
+    outputs = [rng.standard_normal(shape).astype(np.float64)
+               for _ in range(steps)]
+    x_start = rng.standard_normal(shape).astype(np.float64)
+
+    sched = make_schedule(solver, steps, shift=5.0)
+    sigmas = np.asarray(sched.sigmas, dtype=np.float64)
+    expected = oracle(sigmas, outputs, x_start.copy())
+
+    x = jnp.asarray(x_start, dtype=jnp.float32)
+    state = init_solver_state(sched, x)
+    for i in range(steps):
+        v = jnp.asarray(outputs[i], dtype=jnp.float32)
+        x, state = solver_step(sched, i, sched.per_step(i), v, x, state)
+    np.testing.assert_allclose(np.asarray(x), expected, rtol=2e-3, atol=2e-3)
+
+
+def test_unipc_final_step_returns_x0_prediction():
+    """With sigma_N = 0 the last predictor step must output m = x - sigma*v."""
+    sched = make_schedule("unipc", 6, shift=3.0)
+    ci = sched.per_step(sched.num_steps - 1)
+    assert float(ci["Ap"]) == 0.0
+    np.testing.assert_allclose(float(ci["Bp"]), 1.0, rtol=1e-6)
+    assert float(ci["Cp"]) == 0.0

@@ -1,0 +1,346 @@
+"""Wan 2.1/2.2 diffusion transformer (DiT), TPU-native.
+
+Functional re-implementation of the reference WanModel
+(/root/reference/models/wan/modules/model.py:885): patch-embedding (1,2,2)
+conv as a reshape+matmul, 30/40 adaLN-zero blocks with RMSNorm-QK
+self-attention + 3D RoPE and text (+image for i2v) cross-attention, and an
+adaLN head with unpatchify.
+
+TPU-first design choices:
+  - Params are a pytree; all transformer blocks are STACKED on a leading
+    layer axis and the block loop is a `lax.scan` — one compiled block body,
+    fast compile, and sharding annotations apply uniformly per layer.
+  - Matmuls run in bf16 on the MXU; the residual stream / modulation math is
+    fp32, mirroring the reference's mixed-precision mode
+    (model.py lock_layers_dtypes + block forward: x fp32, attention bf16).
+  - No data-dependent Python control flow: everything is jit-compatible.
+
+Weight layout: all kernels are stored [in, out] (right-multiplication
+x @ W + b), transposed from torch's [out, in] at checkpoint load.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ...ops.attention import attention
+from ...ops.norms import rms_norm, layer_norm
+from ...ops.rope import apply_rope
+
+
+@dataclasses.dataclass(frozen=True)
+class WanDiTConfig:
+    """Architecture hyperparameters (reference: models/wan/configs/*.py)."""
+    dim: int = 1536
+    ffn_dim: int = 8960
+    freq_dim: int = 256
+    num_heads: int = 12
+    num_layers: int = 30
+    patch_size: tuple = (1, 2, 2)
+    in_dim: int = 16
+    out_dim: int = 16
+    text_dim: int = 4096
+    text_len: int = 512
+    eps: float = 1e-6
+    model_type: str = "t2v"          # 't2v' | 'i2v' (xlm-clip img branch)
+    compute_dtype: Any = jnp.bfloat16
+    residual_dtype: Any = jnp.float32
+
+    @property
+    def head_dim(self):
+        return self.dim // self.num_heads
+
+    @property
+    def i2v_cross_attn(self):
+        return self.model_type == "i2v"
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialization (random init; checkpoints overwrite these)
+# ---------------------------------------------------------------------------
+
+def _linear(key, d_in, d_out, dtype, bias=True, std=None):
+    kw, kb = jax.random.split(key)
+    if std is None:  # xavier uniform (reference init_weights, model.py:2048)
+        limit = math.sqrt(6.0 / (d_in + d_out))
+        w = jax.random.uniform(kw, (d_in, d_out), jnp.float32, -limit, limit)
+    else:
+        w = jax.random.normal(kw, (d_in, d_out), jnp.float32) * std
+    p = {"w": w.astype(dtype)}
+    if bias:
+        p["b"] = jnp.zeros((d_out,), dtype)
+    return p
+
+
+def init_wan_dit(key, cfg: WanDiTConfig, dtype=jnp.bfloat16) -> Dict[str, Any]:
+    keys = iter(jax.random.split(key, 64))
+    d = cfg.dim
+    pt, ph, pw = cfg.patch_size
+    patch_in = cfg.in_dim * pt * ph * pw
+
+    def stack(fn, n):
+        leaves = [fn(next(keys)) for _ in range(n)]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *leaves)
+
+    def attn_params(key, cross=False):
+        ks = iter(jax.random.split(key, 8))
+        p = {
+            "q": _linear(next(ks), d, d, dtype),
+            "k": _linear(next(ks), d, d, dtype),
+            "v": _linear(next(ks), d, d, dtype),
+            "o": _linear(next(ks), d, d, dtype),
+            "norm_q": jnp.ones((d,), jnp.float32),
+            "norm_k": jnp.ones((d,), jnp.float32),
+        }
+        if cross and cfg.i2v_cross_attn:
+            p["k_img"] = _linear(next(ks), d, d, dtype)
+            p["v_img"] = _linear(next(ks), d, d, dtype)
+            p["norm_k_img"] = jnp.ones((d,), jnp.float32)
+        return p
+
+    def block_params(key):
+        ks = iter(jax.random.split(key, 8))
+        return {
+            "self_attn": attn_params(next(ks)),
+            "cross_attn": attn_params(next(ks), cross=True),
+            "norm3": {"w": jnp.ones((d,), jnp.float32),
+                      "b": jnp.zeros((d,), jnp.float32)},
+            "ffn": {"fc1": _linear(next(ks), d, cfg.ffn_dim, dtype),
+                    "fc2": _linear(next(ks), cfg.ffn_dim, d, dtype)},
+            "modulation": (jax.random.normal(next(ks), (6, d), jnp.float32)
+                           / math.sqrt(d)),
+        }
+
+    params = {
+        "patch_embedding": _linear(next(keys), patch_in, d, jnp.float32),
+        "text_embedding": {
+            "fc1": _linear(next(keys), cfg.text_dim, d, dtype, std=0.02),
+            "fc2": _linear(next(keys), d, d, dtype, std=0.02),
+        },
+        "time_embedding": {
+            "fc1": _linear(next(keys), cfg.freq_dim, d, jnp.float32, std=0.02),
+            "fc2": _linear(next(keys), d, d, jnp.float32, std=0.02),
+        },
+        "time_projection": _linear(next(keys), d, 6 * d, jnp.float32),
+        "blocks": stack(block_params, cfg.num_layers),
+        "head": {
+            "head": _linear(next(keys), d,
+                            cfg.out_dim * pt * ph * pw, jnp.float32),
+            "modulation": (jax.random.normal(next(keys), (2, d), jnp.float32)
+                           / math.sqrt(d)),
+        },
+    }
+    if cfg.i2v_cross_attn:
+        # MLPProj (model.py:860): LN -> fc -> gelu -> fc -> LN
+        params["img_emb"] = {
+            "norm1": {"w": jnp.ones((1280,), jnp.float32),
+                      "b": jnp.zeros((1280,), jnp.float32)},
+            "fc1": _linear(next(keys), 1280, d, dtype),
+            "fc2": _linear(next(keys), d, d, dtype),
+            "norm2": {"w": jnp.ones((d,), jnp.float32),
+                      "b": jnp.zeros((d,), jnp.float32)},
+        }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _dense(x, p, dtype=None):
+    dtype = dtype or x.dtype
+    y = jnp.dot(x.astype(dtype), p["w"].astype(dtype),
+                preferred_element_type=jnp.float32)
+    if "b" in p:
+        y = y + p["b"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def sinusoidal_embedding_1d(dim: int, t):
+    """Reference model.py:31 — cat([cos, sin], -1), freq 10000^(-i/half)."""
+    half = dim // 2
+    t = t.astype(jnp.float32)
+    freqs = jnp.power(10000.0, -jnp.arange(half, dtype=jnp.float32) / half)
+    args = t[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+def patchify(latents, patch_size):
+    """[B, C, F, H, W] -> [B, L, C*pt*ph*pw], feature order (c, dt, dh, dw)
+    matching torch Conv3d(kernel=stride=patch) flattening."""
+    b, c, f, h, w = latents.shape
+    pt, ph, pw = patch_size
+    x = latents.reshape(b, c, f // pt, pt, h // ph, ph, w // pw, pw)
+    x = x.transpose(0, 2, 4, 6, 1, 3, 5, 7)  # b, f, h, w, c, pt, ph, pw
+    return x.reshape(b, (f // pt) * (h // ph) * (w // pw), c * pt * ph * pw)
+
+
+def unpatchify(x, grid, patch_size, out_dim):
+    """[B, L, out*pt*ph*pw] -> [B, out, F, H, W] (model.py:2013)."""
+    b = x.shape[0]
+    f, h, w = grid
+    pt, ph, pw = patch_size
+    x = x.reshape(b, f, h, w, pt, ph, pw, out_dim)
+    x = x.transpose(0, 7, 1, 4, 2, 5, 3, 6)  # b, c, f, pt, h, ph, w, pw
+    return x.reshape(b, out_dim, f * pt, h * ph, w * pw)
+
+
+def _qkv_heads(x, n):
+    b, l, d = x.shape
+    return x.reshape(b, l, n, d // n)
+
+
+def _self_attention(p, x, rope_cos, rope_sin, cfg, attn_backend):
+    cdt = cfg.compute_dtype
+    xc = x.astype(cdt)
+    q = _dense(xc, p["q"], cdt)
+    k = _dense(xc, p["k"], cdt)
+    v = _dense(xc, p["v"], cdt)
+    q = rms_norm(q, p["norm_q"], cfg.eps)
+    k = rms_norm(k, p["norm_k"], cfg.eps)
+    q = _qkv_heads(q, cfg.num_heads)
+    k = _qkv_heads(k, cfg.num_heads)
+    v = _qkv_heads(v, cfg.num_heads)
+    q = apply_rope(q, rope_cos, rope_sin)
+    k = apply_rope(k, rope_cos, rope_sin)
+    o = attention(q, k, v, backend=attn_backend)
+    o = o.reshape(*x.shape[:2], cfg.dim)
+    return _dense(o, p["o"], cdt)
+
+
+def _cross_attention(p, x, context, context_img, cfg, attn_backend):
+    cdt = cfg.compute_dtype
+    xc = x.astype(cdt)
+    q = rms_norm(_dense(xc, p["q"], cdt), p["norm_q"], cfg.eps)
+    k = rms_norm(_dense(context, p["k"], cdt), p["norm_k"], cfg.eps)
+    v = _dense(context, p["v"], cdt)
+    q = _qkv_heads(q, cfg.num_heads)
+    k = _qkv_heads(k, cfg.num_heads)
+    v = _qkv_heads(v, cfg.num_heads)
+    o = attention(q, k, v, backend=attn_backend)
+    if context_img is not None:
+        k_img = rms_norm(_dense(context_img, p["k_img"], cdt),
+                         p["norm_k_img"], cfg.eps)
+        v_img = _dense(context_img, p["v_img"], cdt)
+        k_img = _qkv_heads(k_img, cfg.num_heads)
+        v_img = _qkv_heads(v_img, cfg.num_heads)
+        o = o + attention(q, k_img, v_img, backend=attn_backend)
+    o = o.reshape(*x.shape[:2], cfg.dim)
+    return _dense(o, p["o"], cdt)
+
+
+def _ffn(p, y, cfg):
+    cdt = cfg.compute_dtype
+    h = _dense(y.astype(cdt), p["fc1"], cdt)
+    h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(cdt)
+    return _dense(h, p["fc2"], cdt)
+
+
+def _block(bp, x, e6, context, context_img, rope_cos, rope_sin, cfg,
+           attn_backend):
+    """One WanAttentionBlock (model.py:574-718).  x fp32 [B, L, C];
+    e6 fp32 [B, T_mod, 6, C] broadcast over tokens (T_mod=1 for scalar t)."""
+    rdt = cfg.residual_dtype
+    mod = bp["modulation"].astype(jnp.float32)  # [6, C]
+    e = e6 + mod[None, None]                    # [B, T, 6, C]
+    b, l, c = x.shape
+    t_mod = e.shape[1]
+    xr = x.reshape(b, t_mod, l // t_mod, c)
+
+    def emod(i):
+        return e[:, :, i][:, :, None, :]        # [B, T, 1, C]
+
+    # self-attention with adaLN-zero
+    y = layer_norm(xr.astype(jnp.float32), eps=cfg.eps)
+    y = (y * (1.0 + emod(1)) + emod(0)).reshape(b, l, c)
+    y = _self_attention(bp["self_attn"], y, rope_cos, rope_sin, cfg,
+                        attn_backend)
+    x = (xr + y.astype(jnp.float32).reshape(b, t_mod, -1, c) * emod(2))
+    x = x.reshape(b, l, c)
+
+    # cross-attention (norm3 has affine params; cross_attn_norm=True)
+    y = layer_norm(x.astype(jnp.float32), bp["norm3"]["w"], bp["norm3"]["b"],
+                   eps=cfg.eps)
+    x = x + _cross_attention(bp["cross_attn"], y, context, context_img, cfg,
+                             attn_backend).astype(jnp.float32)
+
+    # FFN with adaLN-zero
+    xr = x.reshape(b, t_mod, l // t_mod, c)
+    y = layer_norm(xr.astype(jnp.float32), eps=cfg.eps)
+    y = (y * (1.0 + emod(4)) + emod(3)).reshape(b, l, c)
+    y = _ffn(bp["ffn"], y, cfg)
+    x = (xr + y.astype(jnp.float32).reshape(b, t_mod, -1, c) * emod(5))
+    return x.reshape(b, l, c).astype(rdt)
+
+
+def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
+                    rope_cos, rope_sin, clip_fea=None, y=None,
+                    attn_backend: str = "auto"):
+    """Denoiser forward.
+
+    latents:  [B, C, F, H, W] noisy latents
+    t:        [B] or [B, F_lat] timesteps (0..1000 float)
+    context:  [B, text_len, text_dim] text-encoder states (zero-padded)
+    clip_fea: [B, 257, 1280] CLIP image features (i2v only)
+    y:        [B, C_y, F, H, W] conditioning latents concatenated on channels
+              (i2v mask+frames path, model.py:1576)
+    Returns velocity prediction [B, C_out, F, H, W] (fp32).
+    """
+    b = latents.shape[0]
+    pt, ph, pw = cfg.patch_size
+    grid = (latents.shape[2] // pt, latents.shape[3] // ph,
+            latents.shape[4] // pw)
+
+    x_in = latents if y is None else jnp.concatenate([latents, y], axis=1)
+    x = patchify(x_in.astype(jnp.float32), cfg.patch_size)
+    x = _dense(x, params["patch_embedding"], jnp.float32)
+    x = x.astype(cfg.residual_dtype)
+
+    # time embeddings (fp32 path, reference lock_layers_dtypes)
+    t_flat = t.reshape(-1)                       # [B*T_mod]
+    e = sinusoidal_embedding_1d(cfg.freq_dim, t_flat)
+    e = _dense(e, params["time_embedding"]["fc1"], jnp.float32)
+    e = _dense(jax.nn.silu(e), params["time_embedding"]["fc2"], jnp.float32)
+    e0 = _dense(jax.nn.silu(e), params["time_projection"], jnp.float32)
+    t_mod = t_flat.shape[0] // b
+    e6 = e0.reshape(b, t_mod, 6, cfg.dim)
+    e_head = e.reshape(b, t_mod, cfg.dim)
+
+    # text embedding: Linear -> gelu(tanh) -> Linear (model.py:1122)
+    cdt = cfg.compute_dtype
+    ctx = _dense(context.astype(cdt), params["text_embedding"]["fc1"], cdt)
+    ctx = jax.nn.gelu(ctx.astype(jnp.float32), approximate=True).astype(cdt)
+    ctx = _dense(ctx, params["text_embedding"]["fc2"], cdt)
+
+    ctx_img = None
+    if clip_fea is not None and cfg.i2v_cross_attn:
+        ie = params["img_emb"]
+        h = layer_norm(clip_fea.astype(jnp.float32), ie["norm1"]["w"],
+                       ie["norm1"]["b"])
+        h = _dense(h.astype(cdt), ie["fc1"], cdt)
+        h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(cdt)
+        h = _dense(h, ie["fc2"], cdt)
+        ctx_img = layer_norm(h.astype(jnp.float32), ie["norm2"]["w"],
+                             ie["norm2"]["b"]).astype(cdt)
+
+    def body(carry, bp):
+        out = _block(bp, carry, e6, ctx, ctx_img, rope_cos, rope_sin, cfg,
+                     attn_backend)
+        return out, None
+
+    x, _ = jax.lax.scan(body, x, params["blocks"])
+
+    # head (model.py Head.forward): adaLN with 2-way modulation, then linear
+    hp = params["head"]
+    mod = hp["modulation"].astype(jnp.float32)   # [2, C]
+    eh = e_head[:, :, None, :] + mod[None, None]  # [B, T, 2, C]
+    l = x.shape[1]
+    xr = x.reshape(b, t_mod, l // t_mod, cfg.dim).astype(jnp.float32)
+    xn = layer_norm(xr, eps=cfg.eps)
+    xn = xn * (1.0 + eh[:, :, 1][:, :, None, :]) + eh[:, :, 0][:, :, None, :]
+    out = _dense(xn.reshape(b, l, cfg.dim), hp["head"], jnp.float32)
+    return unpatchify(out, grid, cfg.patch_size, cfg.out_dim)

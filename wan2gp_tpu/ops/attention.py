@@ -1,0 +1,163 @@
+"""Attention ops: Pallas TPU flash-attention kernel + XLA reference path.
+
+This is the single attention entry point for every model in the framework —
+the TPU-native analog of the reference's `pay_attention` dispatcher
+(/root/reference/shared/attention.py:360).  Semantics: plain scaled dot-product
+attention over [B, L, N, D] tensors with softmax in fp32 and default scale
+1/sqrt(D), exactly what the reference's SDPA/flash/sage backends compute.
+
+The Pallas kernel is a classic online-softmax flash attention, blocked over
+(batch*heads, q-blocks, kv-blocks) with the kv axis innermost so the running
+max / denominator / accumulator live in VMEM scratch across kv iterations.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+                  *, scale, s_actual, block_kv):
+    kv_i = pl.program_id(2)
+    n_kv = pl.num_programs(2)
+
+    @pl.when(kv_i == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # [BQ, D]
+    k = k_ref[0]  # [BK, D]
+    v = v_ref[0]  # [BK, D]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # [BQ, BK]
+
+    col = kv_i * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < s_actual, s, _NEG_INF)
+
+    m_prev = m_scr[:, :1]                                   # [BQ, 1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)              # [BQ, 1]
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)                         # [BQ, 1]
+    p = jnp.exp(s - m_new)                                  # [BQ, BK]
+
+    l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc = acc_scr[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+    acc_scr[:] = acc
+
+    @pl.when(kv_i == n_kv - 1)
+    def _done():
+        denom = l_scr[:, :1]
+        denom = jnp.where(denom == 0.0, 1.0, denom)
+        o_ref[0] = (acc_scr[:] / denom).astype(o_ref.dtype)
+
+
+def _pad_to(x, axis, multiple):
+    size = x.shape[axis]
+    rem = size % multiple
+    if rem == 0:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, multiple - rem)
+    return jnp.pad(x, pad)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "block_q", "block_kv", "interpret"))
+def _flash_attention(q, k, v, scale: float, block_q: int, block_kv: int,
+                     interpret: bool = False):
+    """q: [BH, L, D], k/v: [BH, S, D] -> [BH, L, D]."""
+    bh, l_actual, d = q.shape
+    s_actual = k.shape[1]
+
+    block_q = min(block_q, max(128, 1 << (l_actual - 1).bit_length()))
+    block_kv = min(block_kv, max(128, 1 << (s_actual - 1).bit_length()))
+
+    q = _pad_to(q, 1, block_q)
+    k = _pad_to(k, 1, block_kv)
+    v = _pad_to(v, 1, block_kv)
+    l_pad, s_pad = q.shape[1], k.shape[1]
+
+    grid = (bh, l_pad // block_q, s_pad // block_kv)
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, s_actual=s_actual,
+                          block_kv=block_kv),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, l_pad, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * l_pad * s_pad * d,
+            bytes_accessed=(q.size + k.size + v.size + q.size) * q.dtype.itemsize,
+            transcendentals=bh * l_pad * s_pad,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    return out[:, :l_actual]
+
+
+def _xla_attention(q, k, v, scale):
+    """Reference path: einsum attention with fp32 softmax. q/k/v: [B,L,N,D]."""
+    s = jnp.einsum("blnd,bsnd->bnls", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bnls,bsnd->blnd", p.astype(v.dtype), v)
+    return out.astype(q.dtype)
+
+
+def _on_tpu():
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except RuntimeError:
+        return False
+
+
+def attention(q, k, v, scale: float | None = None, backend: str = "auto",
+              block_q: int = 512, block_kv: int = 512):
+    """Scaled dot-product attention.
+
+    q: [B, L, N, D]; k, v: [B, S, N, D] (same head count).
+    Returns [B, L, N, D] in q.dtype.  softmax accumulates in fp32.
+    backend: "auto" (pallas on TPU, xla elsewhere), "xla", "pallas",
+             "pallas_interpret" (for CPU testing of the kernel).
+    """
+    b, l, n, d = q.shape
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    interpret = backend == "pallas_interpret"
+    use_pallas = backend in ("pallas", "pallas_interpret") or (
+        backend == "auto" and _on_tpu())
+    if not use_pallas:
+        return _xla_attention(q, k, v, scale)
+
+    qf = q.transpose(0, 2, 1, 3).reshape(b * n, l, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * n, k.shape[1], d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * n, v.shape[1], d)
+    of = _flash_attention(qf, kf, vf, scale, block_q, block_kv,
+                          interpret=interpret)
+    return of.reshape(b, n, l, d).transpose(0, 2, 1, 3)

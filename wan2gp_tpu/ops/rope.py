@@ -1,0 +1,97 @@
+"""3D rotary position embeddings (Wan / HunyuanVideo convention).
+
+The reference builds per-axis 1D RoPE tables over the (t, h, w) token grid and
+concatenates them along the feature dim (rope_dim_list=[44,42,42] for
+head_dim=128), using the *interleaved-pair* convention with cos/sin tables
+repeat-interleaved by 2:
+
+    out[2i]   = x[2i]   * cos[2i]   - x[2i+1] * sin[2i]
+    out[2i+1] = x[2i+1] * cos[2i+1] + x[2i]   * sin[2i+1]
+
+(cos[2i] == cos[2i+1], likewise sin.)  See
+/root/reference/models/wan/modules/posemb_layers.py:346 (get_nd_rotary_pos_embed),
+:231 (_apply_rope_inplace_inner), :492 (get_rotary_pos_embed: patch (1,2,2),
+theta 10000, rope_dim_list [44,42,42]), and model.py:81 (rope_params_riflex).
+
+Instead of repeat-interleaved [S, D] tables we store compact [S, D/2] cos/sin
+tables and rotate (even, odd) lanes explicitly — fewer bytes of HBM traffic and
+a layout Pallas kernels can consume directly.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def _axis_freqs(dim: int, positions: np.ndarray, theta: float = 10000.0,
+                riflex_k: int | None = None, riflex_L: int | None = None):
+    """Per-axis inverse frequencies and angle table [len(positions), dim//2]."""
+    assert dim % 2 == 0
+    inv = 1.0 / (theta ** (np.arange(0, dim, 2, dtype=np.float64) / dim))
+    if riflex_k is not None:
+        # RIFLEx: pin the intrinsic frequency so one period covers ~90% of L.
+        inv[riflex_k - 1] = 0.9 * 2.0 * np.pi / riflex_L
+    return np.outer(positions.astype(np.float64), inv)
+
+
+def build_rope_3d(grid_fhw, head_dim: int = 128, theta: float = 10000.0,
+                  enable_riflex: bool = False, riflex_k: int = 6,
+                  dtype=jnp.float32):
+    """Build compact cos/sin RoPE tables for a 3D token grid.
+
+    grid_fhw: (F, H, W) token-grid sizes (after patchification).
+    Returns (cos, sin), each [F*H*W, head_dim//2] in `dtype`.
+
+    Feature-dim split per reference: t-axis gets head_dim//2 - 2*(head_dim//6
+    rounded to even pairs) -> for 128: [44, 42, 42] (see posemb_layers.py:492
+    with rope_dim_list default [44, 42, 42]).
+    """
+    f, h, w = (int(v) for v in grid_fhw)
+    if head_dim == 128:
+        dims = (44, 42, 42)
+    else:
+        # General split mirroring the [D-4*(D//6 rounded), 2*(..), 2*(..)] shape.
+        d_sp = 2 * ((head_dim // 6) // 2) * 2  # even, pairs of 2
+        dims = (head_dim - 2 * d_sp, d_sp, d_sp)
+    assert sum(dims) == head_dim
+
+    tf = _axis_freqs(dims[0], np.arange(f), theta,
+                     riflex_k=riflex_k if enable_riflex else None,
+                     riflex_L=f if enable_riflex else None)  # [F, d0/2]
+    th = _axis_freqs(dims[1], np.arange(h), theta)            # [H, d1/2]
+    tw = _axis_freqs(dims[2], np.arange(w), theta)            # [W, d2/2]
+
+    # Broadcast to the full grid and concatenate along feature dim.
+    full = np.concatenate([
+        np.broadcast_to(tf[:, None, None, :], (f, h, w, tf.shape[-1])),
+        np.broadcast_to(th[None, :, None, :], (f, h, w, th.shape[-1])),
+        np.broadcast_to(tw[None, None, :, :], (f, h, w, tw.shape[-1])),
+    ], axis=-1).reshape(f * h * w, head_dim // 2)
+
+    return (jnp.asarray(np.cos(full), dtype=dtype),
+            jnp.asarray(np.sin(full), dtype=dtype))
+
+
+def apply_rope(x, cos, sin):
+    """Apply interleaved-pair RoPE.
+
+    x:   [B, L, N, D] (or any shape with L in axis 1 and D last)
+    cos: [L, D//2], sin: [L, D//2]
+
+    Computation in fp32 (matches reference USE_FP32_ROPE_FREQS=True path,
+    posemb_layers.py:262-270), output cast back to x.dtype.
+    """
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    x_pairs = xf.reshape(*xf.shape[:-1], -1, 2)
+    x0 = x_pairs[..., 0]
+    x1 = x_pairs[..., 1]
+    # Broadcast tables over batch/head dims: [L, D/2] -> [1, L, 1, D/2]
+    extra = x0.ndim - 2
+    shape = (1, cos.shape[0]) + (1,) * (extra - 1) + (cos.shape[1],)
+    c = cos.astype(jnp.float32).reshape(shape)
+    s = sin.astype(jnp.float32).reshape(shape)
+    y0 = x0 * c - x1 * s
+    y1 = x1 * c + x0 * s
+    y = jnp.stack([y0, y1], axis=-1).reshape(xf.shape)
+    return y.astype(dtype)

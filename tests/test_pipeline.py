@@ -1,0 +1,100 @@
+"""End-to-end pipeline test on tiny configs (random weights): the full
+denoise scan + VAE decode must compile and produce finite outputs, and the
+joint-CFG path must reduce to the guided combination of separate passes."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from wan2gp_tpu.models.wan.dit import WanDiTConfig, init_wan_dit, wan_dit_forward
+from wan2gp_tpu.models.wan.vae import WanVAEConfig, init_wan_vae
+from wan2gp_tpu.models.wan.pipeline import (
+    WanPipeline, SamplingConfig, denoise_scan)
+from wan2gp_tpu.schedulers import make_schedule
+from wan2gp_tpu.ops.rope import build_rope_3d
+
+DIT = WanDiTConfig(dim=96, ffn_dim=192, num_heads=4, num_layers=2,
+                   freq_dim=32, text_dim=48, text_len=16)
+VAE = WanVAEConfig(dim=8, num_res_blocks=1)
+
+
+def _setup():
+    dit_params = init_wan_dit(jax.random.key(0), DIT)
+    vae_params = init_wan_vae(jax.random.key(1), VAE)
+    return WanPipeline(dit_params, DIT, vae_params=vae_params, vae_cfg=VAE,
+                       attn_backend="xla")
+
+
+def test_generate_end_to_end_tiny():
+    pipe = _setup()
+    rng = np.random.default_rng(0)
+    ctx = jnp.asarray(rng.standard_normal((1, 16, 48)), jnp.float32)
+    ctxn = jnp.asarray(rng.standard_normal((1, 16, 48)), jnp.float32)
+    sampling = SamplingConfig(solver="unipc", steps=4, shift=5.0,
+                              guide_scale=3.0)
+    video = pipe.generate("x", width=32, height=32, frame_num=5,
+                          sampling=sampling, seed=7, context=ctx,
+                          context_null=ctxn)
+    assert video.shape == (5, 32, 32, 3)
+    v = np.asarray(video)
+    assert np.isfinite(v).all() and np.abs(v).max() <= 1.0
+
+
+def test_denoise_scan_matches_python_loop():
+    """The scan must equal an eager per-step loop with explicit CFG."""
+    from wan2gp_tpu.schedulers import init_solver_state, solver_step
+    from wan2gp_tpu.guidance import cfg_combine
+
+    dit_params = init_wan_dit(jax.random.key(0), DIT)
+    rng = np.random.default_rng(1)
+    lat = jnp.asarray(rng.standard_normal((1, 16, 2, 8, 8)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 16, 48)), jnp.float32)
+    ctxn = jnp.asarray(rng.standard_normal((1, 16, 48)), jnp.float32)
+    cos, sin = build_rope_3d((2, 4, 4), head_dim=DIT.head_dim)
+    sampling = SamplingConfig(solver="euler", steps=3, guide_scale=2.0)
+    sched = make_schedule("euler", 3, shift=5.0)
+
+    got = denoise_scan(dit_params, DIT, sched, lat, ctx, ctxn, sampling,
+                       cos, sin, attn_backend="xla")
+
+    x = lat
+    state = init_solver_state(sched, x)
+    for i in range(3):
+        t = jnp.broadcast_to(sched.timesteps[i], (1,))
+        vc = wan_dit_forward(dit_params, DIT, x, t, ctx, cos, sin,
+                             attn_backend="xla")
+        vu = wan_dit_forward(dit_params, DIT, x, t, ctxn, cos, sin,
+                             attn_backend="xla")
+        pred = vu + 2.0 * (vc - vu)
+        x, state = solver_step(sched, i, sched.per_step(i), pred, x, state)
+    # bf16 matmuls: joint-batched vs separate passes differ in rounding
+    np.testing.assert_allclose(np.asarray(got), np.asarray(x), rtol=1e-2,
+                               atol=1e-2)
+
+
+def test_no_guidance_single_pass():
+    pipe = _setup()
+    rng = np.random.default_rng(2)
+    ctx = jnp.asarray(rng.standard_normal((1, 16, 48)), jnp.float32)
+    sampling = SamplingConfig(solver="causvid", steps=3, guide_scale=1.0)
+    lat = pipe.generate("x", width=16, height=16, frame_num=1,
+                        sampling=sampling, seed=1, context=ctx,
+                        return_latents=True)
+    assert lat.shape == (1, 16, 1, 2, 2)
+    assert np.isfinite(np.asarray(lat)).all()
+
+
+def test_cfg_star_and_apg_paths_compile():
+    pipe = _setup()
+    rng = np.random.default_rng(3)
+    ctx = jnp.asarray(rng.standard_normal((1, 16, 48)), jnp.float32)
+    ctxn = jnp.asarray(rng.standard_normal((1, 16, 48)), jnp.float32)
+    for sampling in (
+        SamplingConfig(solver="dpm++", steps=3, guide_scale=4.0,
+                       cfg_star_switch=True, cfg_zero_step=0),
+        SamplingConfig(solver="euler", steps=3, guide_scale=4.0,
+                       apg_switch=True),
+    ):
+        lat = pipe.generate("x", width=16, height=16, frame_num=5,
+                            sampling=sampling, seed=2, context=ctx,
+                            context_null=ctxn, return_latents=True)
+        assert np.isfinite(np.asarray(lat)).all()

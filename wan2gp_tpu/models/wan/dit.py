@@ -135,12 +135,13 @@ def init_wan_dit(key, cfg: WanDiTConfig, dtype=jnp.bfloat16) -> Dict[str, Any]:
         },
     }
     if cfg.i2v_cross_attn:
-        # MLPProj (model.py:860): LN -> fc -> gelu -> fc -> LN
+        # MLPProj (model.py:862-870): LN(1280) -> Linear(1280,1280) ->
+        # GELU(exact) -> Linear(1280,dim) -> LN(dim)
         params["img_emb"] = {
             "norm1": {"w": jnp.ones((1280,), jnp.float32),
                       "b": jnp.zeros((1280,), jnp.float32)},
-            "fc1": _linear(next(keys), 1280, d, dtype),
-            "fc2": _linear(next(keys), d, d, dtype),
+            "fc1": _linear(next(keys), 1280, 1280, dtype),
+            "fc2": _linear(next(keys), 1280, d, dtype),
             "norm2": {"w": jnp.ones((d,), jnp.float32),
                       "b": jnp.zeros((d,), jnp.float32)},
         }
@@ -322,7 +323,7 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
         h = layer_norm(clip_fea.astype(jnp.float32), ie["norm1"]["w"],
                        ie["norm1"]["b"])
         h = _dense(h.astype(cdt), ie["fc1"], cdt)
-        h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(cdt)
+        h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(cdt)
         h = _dense(h, ie["fc2"], cdt)
         ctx_img = layer_norm(h.astype(jnp.float32), ie["norm2"]["w"],
                              ie["norm2"]["b"]).astype(cdt)

@@ -1,0 +1,71 @@
+"""GSPMD sharding rules for the Wan DiT.
+
+Tensor-parallel layout (Megatron-style column/row split, expressed as
+NamedShardings — XLA inserts the psum on the row-parallel outputs):
+
+  q/k/v kernels  [L, dim, dim]      -> shard output dim over 'tp' (heads)
+  o kernel       [L, dim, dim]      -> shard input dim over 'tp'
+  ffn fc1        [L, dim, ffn]      -> shard ffn over 'tp'
+  ffn fc2        [L, ffn, dim]      -> shard ffn (input) over 'tp'
+  q/k/v biases   [L, dim]           -> shard over 'tp'
+  everything else                    -> replicated
+
+Activations:
+  latents/tokens [B, ...]           -> batch over 'dp', tokens over 'cp'
+  context        [B, text_len, d]   -> batch over 'dp' (text is short)
+"""
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _spec_for_path(path: str) -> P:
+    """PartitionSpec for a Wan DiT param, keyed by its tree path."""
+    if "blocks" not in path:
+        return P()
+    for name in ("q", "k", "v"):
+        if path.endswith(f"{name}/w"):       # [L, dim, dim] column-parallel
+            return P(None, None, "tp")
+        if path.endswith(f"{name}/b"):       # [L, dim]
+            return P(None, "tp")
+    if path.endswith("o/w"):                 # [L, dim, dim] row-parallel
+        return P(None, "tp", None)
+    if path.endswith("ffn/fc1/w"):
+        return P(None, None, "tp")
+    if path.endswith("ffn/fc1/b"):
+        return P(None, "tp")
+    if path.endswith("ffn/fc2/w"):
+        return P(None, "tp", None)
+    return P()
+
+
+def _path_str(path) -> str:
+    parts = []
+    for e in path:
+        if isinstance(e, jax.tree_util.DictKey):
+            parts.append(str(e.key))
+        else:
+            parts.append(str(e))
+    return "/".join(parts)
+
+
+def wan_dit_param_specs(params):
+    """Pytree of PartitionSpecs matching `params`."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: _spec_for_path(_path_str(path)), params)
+
+
+def shard_wan_dit_params(params, mesh: Mesh):
+    specs = wan_dit_param_specs(params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
+
+
+def dit_data_shardings(mesh: Mesh):
+    """(latents, t, context) NamedShardings for the denoiser inputs."""
+    return (
+        NamedSharding(mesh, P("dp", None, None, "cp", None)),  # B,C,F,H,W
+        NamedSharding(mesh, P("dp")),                          # t
+        NamedSharding(mesh, P("dp", None, None)),              # context
+    )

@@ -55,17 +55,18 @@ def main():
     context = jnp.zeros((batch, cfg.text_len, cfg.text_dim), jnp.bfloat16)
     rope_cos, rope_sin = build_rope_3d(grid, head_dim=cfg.head_dim)
 
+    # .sum() -> scalar host fetch: block_until_ready alone can return early
+    # through remote-execution relays, under-measuring the step time.
     fwd = jax.jit(lambda p, x, tt, c: wan_dit_forward(
-        p, cfg, x, tt, c, rope_cos, rope_sin))
+        p, cfg, x, tt, c, rope_cos, rope_sin).sum())
 
-    out = fwd(params, latents, t, context)
-    out.block_until_ready()                      # compile
+    np.asarray(fwd(params, latents, t, context))  # compile + sync
 
     n_iter = 5
     start = time.perf_counter()
     for _ in range(n_iter):
         out = fwd(params, latents, t, context)
-    out.block_until_ready()
+    np.asarray(out)
     dt = (time.perf_counter() - start) / n_iter
 
     steps_per_sec = 1.0 / dt

@@ -1,0 +1,129 @@
+"""Flux family tests on tiny configs."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from wan2gp_tpu.models.flux.dit import (
+    FluxConfig, init_flux, flux_forward, rope_from_ids, make_img_ids,
+    pack_latent, unpack_latent, timestep_embedding)
+from wan2gp_tpu.models.flux.vae import (
+    FluxVAEConfig, init_flux_vae, flux_vae_encode, flux_vae_decode)
+from wan2gp_tpu.models.flux.clip import (
+    ClipTextConfig, init_clip_text, clip_text_encode)
+from wan2gp_tpu.models.flux.pipeline import (
+    FluxPipeline, FluxSamplingConfig, flux_schedule)
+
+TINY = FluxConfig(in_channels=64, out_channels=64, vec_in_dim=16,
+                  context_in_dim=32, hidden_size=64, mlp_ratio=2.0,
+                  num_heads=4, depth=2, depth_single_blocks=2,
+                  axes_dim=(4, 6, 6))
+
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 16, 8, 12)), jnp.float32)
+    packed = pack_latent(x)
+    assert packed.shape == (2, 4 * 6, 64)
+    back = unpack_latent(packed, 8, 12)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_flux_schedule_shift():
+    ts = flux_schedule(4, 4096, shift=True)
+    assert ts[0] == pytest.approx(1.0) and ts[-1] == 0.0
+    # mu at 4096 tokens = max_shift -> exp(1.15)/(exp(1.15)+1/t-1)
+    mu = 1.15
+    expected = np.exp(mu) / (np.exp(mu) + (1 / 0.75 - 1))
+    assert ts[1] == pytest.approx(expected, rel=1e-6)
+    ts_ns = flux_schedule(4, 4096, shift=False)
+    np.testing.assert_allclose(ts_ns, [1.0, 0.75, 0.5, 0.25, 0.0])
+
+
+def test_timestep_embedding_shape():
+    e = timestep_embedding(jnp.asarray([0.5]), 256)
+    assert e.shape == (1, 256)
+    # t=0 -> cos(0)=1, sin(0)=0
+    e0 = np.asarray(timestep_embedding(jnp.asarray([0.0]), 8))
+    np.testing.assert_allclose(e0, [[1, 1, 1, 1, 0, 0, 0, 0]], atol=1e-6)
+
+
+def test_flux_forward_shapes():
+    params = init_flux(jax.random.key(0), TINY)
+    rng = np.random.default_rng(0)
+    h_tok, w_tok, txt_len = 4, 4, 8
+    img = jnp.asarray(rng.standard_normal((1, h_tok * w_tok, 64)), jnp.float32)
+    txt = jnp.asarray(rng.standard_normal((1, txt_len, 32)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((1, 16)), jnp.float32)
+    ids = np.concatenate([np.zeros((txt_len, 3)), make_img_ids(h_tok, w_tok)])
+    cos, sin = rope_from_ids(ids, TINY.axes_dim, TINY.theta)
+    out = flux_forward(params, TINY, img, txt, y, jnp.asarray([0.5]),
+                       cos, sin, attn_backend="xla")
+    assert out.shape == (1, 16, 64)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_flux_guidance_embed_branch():
+    cfg = FluxConfig(in_channels=64, out_channels=64, vec_in_dim=16,
+                     context_in_dim=32, hidden_size=64, mlp_ratio=2.0,
+                     num_heads=4, depth=1, depth_single_blocks=1,
+                     axes_dim=(4, 6, 6), guidance_embed=True)
+    params = init_flux(jax.random.key(1), cfg)
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.standard_normal((1, 16, 64)), jnp.float32)
+    txt = jnp.asarray(rng.standard_normal((1, 4, 32)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((1, 16)), jnp.float32)
+    ids = np.concatenate([np.zeros((4, 3)), make_img_ids(4, 4)])
+    cos, sin = rope_from_ids(ids, cfg.axes_dim, cfg.theta)
+    o1 = flux_forward(params, cfg, img, txt, y, jnp.asarray([0.5]), cos, sin,
+                      guidance=jnp.asarray([1.0]), attn_backend="xla")
+    o2 = flux_forward(params, cfg, img, txt, y, jnp.asarray([0.5]), cos, sin,
+                      guidance=jnp.asarray([5.0]), attn_backend="xla")
+    assert np.abs(np.asarray(o1) - np.asarray(o2)).max() > 1e-5
+
+
+def test_flux_vae_roundtrip_shapes():
+    cfg = FluxVAEConfig(ch=16, ch_mult=(1, 2, 2), num_res_blocks=1,
+                        z_channels=4)
+    params = init_flux_vae(jax.random.key(0), cfg)
+    rng = np.random.default_rng(2)
+    img = jnp.asarray(rng.uniform(-1, 1, (1, 32, 32, 3)), jnp.float32)
+    z = flux_vae_encode(params, cfg, img)
+    assert z.shape == (1, 8, 8, 4)
+    out = flux_vae_decode(params, cfg, z)
+    assert out.shape == (1, 32, 32, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_clip_text_encoder():
+    cfg = ClipTextConfig(vocab_size=100, dim=32, num_heads=4, num_layers=2,
+                         mlp_dim=64, max_len=16, eos_token_id=99)
+    params = init_clip_text(jax.random.key(0), cfg)
+    ids = jnp.asarray([[5, 7, 99, 99, 99, 99, 99, 99]], jnp.int32)
+    hidden, pooled = clip_text_encode(params, cfg, ids)
+    assert hidden.shape == (1, 8, 32) and pooled.shape == (1, 32)
+    # causal: changing a later token must not affect earlier hidden states
+    ids2 = ids.at[0, 5].set(42)
+    h2, _ = clip_text_encode(params, cfg, ids2)
+    np.testing.assert_allclose(np.asarray(hidden[:, :5]),
+                               np.asarray(h2[:, :5]), atol=1e-5)
+    # pooled = hidden at first EOT position (index 2)
+    np.testing.assert_allclose(np.asarray(pooled), np.asarray(hidden[:, 2]),
+                               atol=1e-6)
+
+
+def test_flux_pipeline_end_to_end_tiny():
+    dit_params = init_flux(jax.random.key(0), TINY)
+    vae_cfg = FluxVAEConfig(ch=16, ch_mult=(1, 1, 2, 2), num_res_blocks=1,
+                            z_channels=16)  # 3 downsamples -> factor 8
+    vae_params = init_flux_vae(jax.random.key(1), vae_cfg)
+    pipe = FluxPipeline(dit_params, TINY, vae_params, vae_cfg,
+                        attn_backend="xla")
+    rng = np.random.default_rng(3)
+    ctx = jnp.asarray(rng.standard_normal((1, 8, 32)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((1, 16)), jnp.float32)
+    img = pipe.generate(width=32, height=32,
+                        sampling=FluxSamplingConfig(steps=2),
+                        context=ctx, vec_y=y)
+    assert img.shape == (32, 32, 3)
+    assert np.isfinite(np.asarray(img)).all()

@@ -1,0 +1,319 @@
+"""FLUX.1 rectified-flow image DiT (schnell/dev), TPU-native.
+
+Functional re-implementation of the reference Flux transformer
+(/root/reference/models/flux/model.py:57, modules/layers.py): double-stream
+(img/txt) MMDiT blocks followed by single-stream blocks, joint attention with
+multi-axis RoPE over (index, y, x) ids (axes_dim [16,56,56], theta 10000,
+math.py:88), adaLN modulation from time (+guidance for dev) + CLIP-pooled
+vector, and a final adaLN linear head.
+
+TPU-first: double and single blocks are each one `lax.scan` over stacked
+params; qkv stays fused; RoPE tables are compact [L, D/2] cos/sin consumed by
+the shared `apply_rope` (interleaved-pair convention, same as the reference's
+2x2 rotation matrices).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ...ops.attention import attention
+from ...ops.norms import rms_norm, layer_norm
+from ...ops.rope import apply_rope
+
+
+@dataclasses.dataclass(frozen=True)
+class FluxConfig:
+    """flux-schnell/dev (reference models/flux/util.py:474-504)."""
+    in_channels: int = 64
+    out_channels: int = 64
+    vec_in_dim: int = 768
+    context_in_dim: int = 4096
+    hidden_size: int = 3072
+    mlp_ratio: float = 4.0
+    num_heads: int = 24
+    depth: int = 19
+    depth_single_blocks: int = 38
+    axes_dim: Sequence[int] = (16, 56, 56)
+    theta: int = 10000
+    qkv_bias: bool = True
+    guidance_embed: bool = False
+    compute_dtype: Any = jnp.bfloat16
+
+    @property
+    def head_dim(self):
+        return self.hidden_size // self.num_heads
+
+    @property
+    def mlp_hidden(self):
+        return int(self.hidden_size * self.mlp_ratio)
+
+
+def rope_from_ids(ids, axes_dim, theta):
+    """ids: [L, n_axes] float/int positions -> (cos, sin) [L, sum(axes)/2].
+
+    Per-axis 1D RoPE tables concatenated along features (math.py:88 +
+    EmbedND layers.py:36)."""
+    ids = np.asarray(ids, dtype=np.float64)
+    parts = []
+    for i, dim in enumerate(axes_dim):
+        omega = 1.0 / (theta ** (np.arange(0, dim, 2, dtype=np.float64) / dim))
+        parts.append(np.outer(ids[:, i], omega))
+    ang = np.concatenate(parts, axis=-1)
+    return (jnp.asarray(np.cos(ang), jnp.float32),
+            jnp.asarray(np.sin(ang), jnp.float32))
+
+
+def make_img_ids(h_tok: int, w_tok: int, index: int = 0) -> np.ndarray:
+    """[h*w, 3] ids = (index, y, x) (reference sampling.py prepare)."""
+    ids = np.zeros((h_tok, w_tok, 3), dtype=np.float64)
+    ids[..., 0] = index
+    ids[..., 1] = np.arange(h_tok)[:, None]
+    ids[..., 2] = np.arange(w_tok)[None, :]
+    return ids.reshape(-1, 3)
+
+
+def timestep_embedding(t, dim: int, max_period: float = 10000.0,
+                       time_factor: float = 1000.0):
+    """layers.py:68 — freqs exp(-ln(P)*i/half), emb = cat([cos, sin])."""
+    half = dim // 2
+    t = t.astype(jnp.float32) * time_factor
+    freqs = jnp.exp(-math.log(max_period)
+                    * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t[:, None] * freqs[None]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def _linear(key, d_in, d_out, dtype, bias=True):
+    limit = math.sqrt(6.0 / (d_in + d_out))
+    p = {"w": jax.random.uniform(key, (d_in, d_out), jnp.float32,
+                                 -limit, limit).astype(dtype)}
+    if bias:
+        p["b"] = jnp.zeros((d_out,), dtype)
+    return p
+
+
+def _mlp_embedder(key, d_in, d_hidden, dtype):
+    k1, k2 = jax.random.split(key)
+    return {"in": _linear(k1, d_in, d_hidden, dtype),
+            "out": _linear(k2, d_hidden, d_hidden, dtype)}
+
+
+def init_flux(key, cfg: FluxConfig, dtype=jnp.bfloat16) -> Dict[str, Any]:
+    keys = iter(jax.random.split(key, 16))
+    h = cfg.hidden_size
+    hd = cfg.head_dim
+
+    def stack(fn, n):
+        ks = jax.random.split(next(keys), n)
+        leaves = [fn(k) for k in ks]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *leaves)
+
+    def stream(key):
+        ks = iter(jax.random.split(key, 8))
+        return {
+            "mod": _linear(next(ks), h, 6 * h, dtype),
+            "qkv": _linear(next(ks), h, 3 * h, dtype, bias=cfg.qkv_bias),
+            "norm_q": jnp.ones((hd,), jnp.float32),
+            "norm_k": jnp.ones((hd,), jnp.float32),
+            "proj": _linear(next(ks), h, h, dtype),
+            "mlp1": _linear(next(ks), h, cfg.mlp_hidden, dtype),
+            "mlp2": _linear(next(ks), cfg.mlp_hidden, h, dtype),
+        }
+
+    def double_block(key):
+        k1, k2 = jax.random.split(key)
+        return {"img": stream(k1), "txt": stream(k2)}
+
+    def single_block(key):
+        ks = iter(jax.random.split(key, 4))
+        return {
+            "mod": _linear(next(ks), h, 3 * h, dtype),
+            "linear1": _linear(next(ks), h, 3 * h + cfg.mlp_hidden, dtype),
+            "linear2": _linear(next(ks), h + cfg.mlp_hidden, h, dtype),
+            "norm_q": jnp.ones((hd,), jnp.float32),
+            "norm_k": jnp.ones((hd,), jnp.float32),
+        }
+
+    params = {
+        "img_in": _linear(next(keys), cfg.in_channels, h, dtype),
+        "txt_in": _linear(next(keys), cfg.context_in_dim, h, dtype),
+        "time_in": _mlp_embedder(next(keys), 256, h, jnp.float32),
+        "vector_in": _mlp_embedder(next(keys), cfg.vec_in_dim, h, jnp.float32),
+        "double_blocks": stack(double_block, cfg.depth),
+        "single_blocks": stack(single_block, cfg.depth_single_blocks),
+        "final": {
+            "mod": _linear(next(keys), h, 2 * h, jnp.float32),
+            "linear": _linear(next(keys), h, cfg.out_channels, jnp.float32),
+        },
+    }
+    if cfg.guidance_embed:
+        params["guidance_in"] = _mlp_embedder(next(keys), 256, h, jnp.float32)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _dense(x, p, dtype=None):
+    dtype = dtype or x.dtype
+    y = jnp.dot(x.astype(dtype), p["w"].astype(dtype),
+                preferred_element_type=jnp.float32)
+    if "b" in p:
+        y = y + p["b"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def _embed(p, x):
+    h = _dense(x, p["in"], jnp.float32)
+    return _dense(jax.nn.silu(h), p["out"], jnp.float32)
+
+
+def _qk_headnorm(x, w, eps=1e-6):
+    return rms_norm(x, w, eps)
+
+
+def _heads(x, n):
+    b, l, d = x.shape
+    return x.reshape(b, l, n, d // n)
+
+
+def _stream_qkv(p, x, cfg):
+    cdt = cfg.compute_dtype
+    qkv = _dense(x.astype(cdt), p["qkv"], cdt)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = _heads(q, cfg.num_heads)
+    k = _heads(k, cfg.num_heads)
+    v = _heads(v, cfg.num_heads)
+    q = _qk_headnorm(q, p["norm_q"])
+    k = _qk_headnorm(k, p["norm_k"])
+    return q, k, v
+
+
+def _mod6(p, vec):
+    m = _dense(jax.nn.silu(vec.astype(jnp.float32)), p["mod"], jnp.float32)
+    return jnp.split(m[:, None, :], 6, axis=-1)  # each [B,1,h]
+
+
+def _double_block(bp, img, txt, vec, cos, sin, txt_len, cfg, attn_backend):
+    cdt = cfg.compute_dtype
+    i_shift, i_scale, i_gate, i_shift2, i_scale2, i_gate2 = _mod6(bp["img"], vec)
+    t_shift, t_scale, t_gate, t_shift2, t_scale2, t_gate2 = _mod6(bp["txt"], vec)
+
+    img_mod = layer_norm(img) * (1 + i_scale) + i_shift
+    txt_mod = layer_norm(txt) * (1 + t_scale) + t_shift
+    iq, ik, iv = _stream_qkv(bp["img"], img_mod, cfg)
+    tq, tk, tv = _stream_qkv(bp["txt"], txt_mod, cfg)
+
+    q = jnp.concatenate([tq, iq], axis=1)
+    k = jnp.concatenate([tk, ik], axis=1)
+    v = jnp.concatenate([tv, iv], axis=1)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    attn = attention(q, k, v, backend=attn_backend)
+    attn = attn.reshape(*attn.shape[:2], cfg.hidden_size)
+    txt_attn, img_attn = attn[:, :txt_len], attn[:, txt_len:]
+
+    img = img + i_gate * _dense(img_attn, bp["img"]["proj"], cdt).astype(jnp.float32)
+    y = layer_norm(img) * (1 + i_scale2) + i_shift2
+    y = _dense(y.astype(cdt), bp["img"]["mlp1"], cdt)
+    y = jax.nn.gelu(y.astype(jnp.float32), approximate=True).astype(cdt)
+    img = img + i_gate2 * _dense(y, bp["img"]["mlp2"], cdt).astype(jnp.float32)
+
+    txt = txt + t_gate * _dense(txt_attn, bp["txt"]["proj"], cdt).astype(jnp.float32)
+    y = layer_norm(txt) * (1 + t_scale2) + t_shift2
+    y = _dense(y.astype(cdt), bp["txt"]["mlp1"], cdt)
+    y = jax.nn.gelu(y.astype(jnp.float32), approximate=True).astype(cdt)
+    txt = txt + t_gate2 * _dense(y, bp["txt"]["mlp2"], cdt).astype(jnp.float32)
+    return img, txt
+
+
+def _single_block(bp, x, vec, cos, sin, cfg, attn_backend):
+    cdt = cfg.compute_dtype
+    m = _dense(jax.nn.silu(vec.astype(jnp.float32)), bp["mod"], jnp.float32)
+    shift, scale, gate = jnp.split(m[:, None, :], 3, axis=-1)
+    x_mod = layer_norm(x) * (1 + scale) + shift
+    h1 = _dense(x_mod.astype(cdt), bp["linear1"], cdt)
+    qkv = h1[..., :3 * cfg.hidden_size]
+    mlp = h1[..., 3 * cfg.hidden_size:]
+    q, k, v = (_heads(t, cfg.num_heads) for t in jnp.split(qkv, 3, axis=-1))
+    q = _qk_headnorm(q, bp["norm_q"])
+    k = _qk_headnorm(k, bp["norm_k"])
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    attn = attention(q, k, v, backend=attn_backend)
+    attn = attn.reshape(*x.shape[:2], cfg.hidden_size)
+    act = jax.nn.gelu(mlp.astype(jnp.float32), approximate=True).astype(cdt)
+    out = _dense(jnp.concatenate([attn, act], axis=-1), bp["linear2"], cdt)
+    return x + gate * out.astype(jnp.float32)
+
+
+def flux_forward(params, cfg: FluxConfig, img, txt, vec_y, t,
+                 rope_cos, rope_sin, guidance=None,
+                 attn_backend: str = "auto"):
+    """img: [B, L_img, in_channels] packed 2x2 latent patches;
+    txt: [B, L_txt, context_in_dim]; vec_y: [B, vec_in_dim] CLIP pooled;
+    t: [B] in [0, 1]; rope tables cover txt+img sequence.
+    Returns [B, L_img, out_channels] velocity (fp32)."""
+    cdt = cfg.compute_dtype
+    txt_len = txt.shape[1]
+
+    vec = _embed(params["time_in"], timestep_embedding(t, 256))
+    if cfg.guidance_embed:
+        assert guidance is not None
+        vec = vec + _embed(params["guidance_in"],
+                           timestep_embedding(guidance, 256))
+    vec = vec + _embed(params["vector_in"], vec_y.astype(jnp.float32))
+
+    img = _dense(img.astype(cdt), params["img_in"], cdt).astype(jnp.float32)
+    txt = _dense(txt.astype(cdt), params["txt_in"], cdt).astype(jnp.float32)
+
+    def dbody(carry, bp):
+        img, txt = carry
+        img, txt = _double_block(bp, img, txt, vec, rope_cos, rope_sin,
+                                 txt_len, cfg, attn_backend)
+        return (img, txt), None
+
+    (img, txt), _ = jax.lax.scan(dbody, (img, txt), params["double_blocks"])
+
+    x = jnp.concatenate([txt, img], axis=1)
+
+    def sbody(x, bp):
+        return _single_block(bp, x, vec, rope_cos, rope_sin, cfg,
+                             attn_backend), None
+
+    x, _ = jax.lax.scan(sbody, x, params["single_blocks"])
+    x = x[:, txt_len:]
+
+    fm = _dense(jax.nn.silu(vec), params["final"]["mod"], jnp.float32)
+    shift, scale = jnp.split(fm[:, None, :], 2, axis=-1)
+    x = layer_norm(x) * (1 + scale) + shift
+    return _dense(x, params["final"]["linear"], jnp.float32)
+
+
+def pack_latent(x):
+    """[B, C, H, W] -> [B, (H/2)(W/2), C*4] (reference sampling.py pack:
+    rearrange 'b c (h ph) (w pw) -> b (h w) (c ph pw)')."""
+    b, c, h, w = x.shape
+    x = x.reshape(b, c, h // 2, 2, w // 2, 2)
+    x = x.transpose(0, 2, 4, 1, 3, 5)
+    return x.reshape(b, (h // 2) * (w // 2), c * 4)
+
+
+def unpack_latent(x, h: int, w: int):
+    """Inverse of pack_latent: [B, L, C*4] -> [B, C, H, W]."""
+    b, l, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, h // 2, w // 2, c, 2, 2)
+    x = x.transpose(0, 3, 1, 4, 2, 5)
+    return x.reshape(b, c, h, w)

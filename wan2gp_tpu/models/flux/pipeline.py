@@ -1,0 +1,117 @@
+"""FLUX.1 image generation pipeline (schnell / dev).
+
+Rectified-flow Euler sampling with the resolution-dependent shifted schedule
+(reference models/flux/sampling.py:493 get_schedule, :512 denoise), run as a
+jit-compiled lax.scan.  schnell is guidance-distilled CFG-free; dev embeds a
+guidance scalar (guidance_embed).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Any, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .dit import (FluxConfig, flux_forward, rope_from_ids, make_img_ids,
+                  pack_latent, unpack_latent)
+from .vae import FluxVAEConfig, flux_vae_decode
+
+
+def flux_schedule(num_steps: int, image_seq_len: int, shift: bool = True,
+                  base_shift: float = 0.5, max_shift: float = 1.15):
+    """Timesteps [N+1] from 1 to 0 (sampling.py:493)."""
+    ts = np.linspace(1.0, 0.0, num_steps + 1, dtype=np.float64)
+    if shift:
+        m = (max_shift - base_shift) / (4096 - 256)
+        mu = m * image_seq_len + (base_shift - m * 256)
+        with np.errstate(divide="ignore"):
+            ts = np.exp(mu) / (np.exp(mu) + (1.0 / ts - 1.0) ** 1.0)
+        ts[-1] = 0.0
+    return ts
+
+
+@dataclasses.dataclass(frozen=True)
+class FluxSamplingConfig:
+    steps: int = 4                    # schnell default
+    guidance: float = 3.5             # embedded guidance (dev only)
+    shift: bool = False               # True for dev
+
+
+def flux_denoise_scan(params, cfg: FluxConfig, img, txt, vec_y, timesteps,
+                      guidance: float, rope_cos, rope_sin,
+                      attn_backend: str = "auto"):
+    """img: [B, L_img, C] packed latents.  timesteps: [N+1] descending."""
+    ts = jnp.asarray(timesteps, jnp.float32)
+    g = jnp.full((img.shape[0],), guidance, jnp.float32)
+
+    def body(x, i):
+        t = jnp.broadcast_to(ts[i], (x.shape[0],))
+        pred = flux_forward(params, cfg, x, txt, vec_y, t, rope_cos, rope_sin,
+                            guidance=g if cfg.guidance_embed else None,
+                            attn_backend=attn_backend)
+        return x + (ts[i + 1] - ts[i]) * pred, None
+
+    x, _ = jax.lax.scan(body, img.astype(jnp.float32),
+                        jnp.arange(len(timesteps) - 1))
+    return x
+
+
+class FluxPipeline:
+    def __init__(self, dit_params, dit_cfg: FluxConfig,
+                 vae_params=None, vae_cfg: Optional[FluxVAEConfig] = None,
+                 t5_encode_fn=None, clip_encode_fn=None,
+                 attn_backend: str = "auto"):
+        self.dit_params = dit_params
+        self.dit_cfg = dit_cfg
+        self.vae_params = vae_params
+        self.vae_cfg = vae_cfg or FluxVAEConfig()
+        self.t5_encode_fn = t5_encode_fn       # prompts -> [B, L, 4096]
+        self.clip_encode_fn = clip_encode_fn   # prompts -> [B, 768]
+        self.attn_backend = attn_backend
+        self._cache: Dict[Any, Any] = {}
+
+    def generate(self, prompt: str = "", width: int = 1280, height: int = 720,
+                 sampling: FluxSamplingConfig = FluxSamplingConfig(),
+                 seed: int = 0, context: Optional[jnp.ndarray] = None,
+                 vec_y: Optional[jnp.ndarray] = None,
+                 return_latents: bool = False):
+        """Returns image [H, W, 3] float32 in [-1, 1]."""
+        if context is None:
+            context = self.t5_encode_fn([prompt])
+        if vec_y is None:
+            vec_y = self.clip_encode_fn([prompt])
+
+        h_lat, w_lat = height // 8, width // 8
+        h_tok, w_tok = h_lat // 2, w_lat // 2
+        seq = h_tok * w_tok
+
+        key = jax.random.key(seed)
+        latent = jax.random.normal(key, (1, 16, h_lat, w_lat), jnp.float32)
+        img = pack_latent(latent)
+
+        txt_len = context.shape[1]
+        ids = np.concatenate([np.zeros((txt_len, 3)),
+                              make_img_ids(h_tok, w_tok)], axis=0)
+        cos, sin = rope_from_ids(ids, self.dit_cfg.axes_dim,
+                                 self.dit_cfg.theta)
+        ts = flux_schedule(sampling.steps, seq, shift=sampling.shift)
+
+        sig = (sampling, img.shape, context.shape)
+        fn = self._cache.get(sig)
+        if fn is None:
+            fn = jax.jit(functools.partial(
+                flux_denoise_scan, cfg=self.dit_cfg, timesteps=ts,
+                guidance=sampling.guidance, rope_cos=cos, rope_sin=sin,
+                attn_backend=self.attn_backend))
+            self._cache[sig] = fn
+        x = fn(self.dit_params, img=img, txt=context, vec_y=vec_y)
+        z = unpack_latent(x, h_lat, w_lat)
+        if return_latents:
+            return z
+        img_out = flux_vae_decode(self.vae_params, self.vae_cfg,
+                                  z.transpose(0, 2, 3, 1))
+        return jnp.clip(img_out[0], -1.0, 1.0)

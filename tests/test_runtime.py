@@ -1,0 +1,138 @@
+"""Runtime tests: registry, queue, media IO, service + API end-to-end with
+tiny random-weight models (monkeypatched architecture table)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from wan2gp_tpu.config.registry import ModelRegistry
+from wan2gp_tpu.families import build_handler_map
+from wan2gp_tpu.families.wan import _ARCH as WAN_ARCH, WanFamilyHandler
+from wan2gp_tpu.runtime.queue import TaskQueue
+from wan2gp_tpu.runtime.service import GenerationService
+from wan2gp_tpu.runtime.api import Session, GenerationResult
+from wan2gp_tpu.utils import media
+
+
+@pytest.fixture()
+def tiny_wan_arch(monkeypatch):
+    monkeypatch.setitem(WAN_ARCH, "t2v_1.3B", dict(
+        dim=64, ffn_dim=128, num_heads=4, num_layers=2, model_type="t2v",
+        vae_stride=(4, 8, 8)))
+    # tiny VAE for speed
+    import wan2gp_tpu.families.wan as wan_family
+    from wan2gp_tpu.models.wan.vae import WanVAEConfig
+    monkeypatch.setattr(wan_family, "WanVAEConfig",
+                        lambda: WanVAEConfig(dim=8, num_res_blocks=1))
+    yield
+
+
+def test_registry_loads_builtin_defs():
+    reg = ModelRegistry(build_handler_map())
+    types = reg.model_types()
+    assert "t2v_1.3B" in types and "flux_schnell" in types
+    d = reg.get("t2v_1.3B")
+    assert d["architecture"] == "t2v_1.3B"
+    assert reg.base_model_type("t2v_1.3B") == "t2v_1.3B"
+    settings = reg.default_settings("ti2v_2_2")
+    assert settings["video_length"] == 121
+    assert settings["model_type"] == "ti2v_2_2"
+    # wan_5B_class flag from handler arch defaults
+    assert reg.get("ti2v_2_2")["wan_5B_class"] is True
+    assert reg.get("ti2v_2_2")["vae_stride"] == (4, 16, 16)
+
+
+def test_registry_finetune_overlay(tmp_path):
+    ft = tmp_path / "finetunes"
+    ft.mkdir()
+    (ft / "t2v_1.3B.json").write_text(json.dumps(
+        {"model": {"name": "My finetune"}, "num_inference_steps": 12}))
+    reg = ModelRegistry(build_handler_map(), finetunes_dir=str(ft))
+    d = reg.get("t2v_1.3B")
+    assert d["name"] == "My finetune"
+    assert d["architecture"] == "t2v_1.3B"   # inherited
+    assert reg.default_settings("t2v_1.3B")["num_inference_steps"] == 12
+
+
+def test_recursive_prop(tmp_path):
+    ft = tmp_path / "finetunes"
+    ft.mkdir()
+    (ft / "my_ft.json").write_text(json.dumps(
+        {"model": {"architecture": "t2v_1.3B", "URLs": "t2v_1.3B"}}))
+    reg = ModelRegistry(build_handler_map(), finetunes_dir=str(ft))
+    urls = reg.get_recursive_prop("my_ft", "URLs")
+    assert urls and urls[0].startswith("https://")
+
+
+def test_task_queue_basics(tmp_path):
+    q = TaskQueue()
+    t1 = q.add({"prompt": "a"})
+    t2 = q.add({"prompt": "b"})
+    t3 = q.add({"prompt": "c"}, priority=True)
+    assert [t.id for t in q.tasks()] == [t3.id, t1.id, t2.id]
+    assert q.next_pending().id == t3.id
+    assert q.move(t2.id, -1)
+    assert q.edit(t1.id, {"prompt": "a2"})
+    assert q.get(t1.id).settings["prompt"] == "a2"
+    assert q.remove(t3.id)
+    path = str(tmp_path / "queue.json")
+    q.save(path)
+    q2 = TaskQueue()
+    q2.load(path)
+    assert q2.pending_count() == 2
+
+
+def test_media_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    img = rng.uniform(-1, 1, (16, 16, 3)).astype(np.float32)
+    p = str(tmp_path / "img.png")
+    media.save_image(img, p, metadata={"prompt": "x", "seed": 3})
+    meta = media.read_image_metadata(p)
+    assert meta == {"prompt": "x", "seed": 3}
+
+    # smooth gradient (JPEG-friendly; random noise is worst-case for DCT)
+    y, x = np.mgrid[0:16, 0:16].astype(np.float32) / 16.0
+    frame = np.stack([y, x, (x + y) / 2], axis=-1) * 2 - 1
+    frames = np.stack([frame * s for s in (1.0, 0.8, 0.6, 0.4)])
+    vp = str(tmp_path / "vid.avi")
+    media.save_video(frames, vp, fps=8, metadata={"prompt": "y"})
+    assert media.read_video_metadata(vp) == {"prompt": "y"}
+    decoded = media.read_mjpeg_avi(vp)
+    assert decoded.shape == (4, 16, 16, 3)
+    assert np.abs(decoded.astype(np.int32)
+                  - media.to_uint8(frames).astype(np.int32)).mean() < 8
+
+
+def test_service_end_to_end_video(tiny_wan_arch, tmp_path):
+    svc = GenerationService(output_dir=str(tmp_path),
+                            attn_backend="xla", init_random_weights=True)
+    # tiny model has no text encoder -> use precomputed context
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    ctx = jnp.asarray(rng.standard_normal((1, 512, 4096)), jnp.float32)
+    outs = svc.generate({
+        "model_type": "t2v_1.3B", "resolution": "64x64", "video_length": 5,
+        "num_inference_steps": 2, "guidance_scale": 1.0, "seed": 5,
+        "_context": ctx})
+    assert len(outs) == 1 and outs[0].endswith(".avi")
+    assert os.path.exists(outs[0])
+    meta = media.read_video_metadata(outs[0])
+    assert meta["seed"] == 5 and meta["model_type"] == "t2v_1.3B"
+
+
+def test_session_api(tiny_wan_arch, tmp_path):
+    import jax.numpy as jnp
+    rng = np.random.default_rng(1)
+    ctx = jnp.asarray(rng.standard_normal((1, 512, 4096)), jnp.float32)
+    session = Session(output_dir=str(tmp_path), attn_backend="xla",
+                      init_random_weights=True)
+    tid = session.submit_task({
+        "model_type": "t2v_1.3B", "resolution": "64x64", "video_length": 5,
+        "num_inference_steps": 2, "guidance_scale": 1.0, "seed": 1,
+        "_context": ctx})
+    results = session.wait()
+    assert len(results) == 1
+    assert results[0].ok, results[0].error
+    assert results[0].task_id == tid
+    assert results[0].outputs[0].endswith(".avi")

@@ -1,0 +1,4 @@
+from .runtime.cli import main
+import sys
+
+sys.exit(main())

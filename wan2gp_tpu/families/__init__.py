@@ -1,0 +1,20 @@
+"""Family handler registry.
+
+Each model family exposes a static handler class — the plugin contract
+between the orchestrator and the models (the TPU analog of the reference's
+`family_handler` classes, e.g. models/wan/wan_handler.py:69), trimmed to the
+runtime concerns: query_supported_types / query_model_def / query_model_files
+/ load_model / default_settings.
+"""
+from .wan import WanFamilyHandler
+from .flux import FluxFamilyHandler
+
+_HANDLER_CLASSES = [WanFamilyHandler, FluxFamilyHandler]
+
+
+def build_handler_map():
+    handlers = {}
+    for cls in _HANDLER_CLASSES:
+        for t in cls.query_supported_types():
+            handlers[t] = cls
+    return handlers

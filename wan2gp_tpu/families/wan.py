@@ -1,0 +1,140 @@
+"""Wan 2.1 / 2.2 family handler.
+
+Architecture constants per base model type (reference:
+models/wan/configs/wan_t2v_1_3B.py, wan_t2v_14B.py, wan_i2v_14B.py; the 5B
+ti2v_2_2 dims come from its checkpoint config — dim 3072, ffn 14336,
+24 heads, 30 layers, in/out 48, VAE stride (4,16,16)).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.wan.dit import WanDiTConfig, init_wan_dit
+from ..models.wan.vae import WanVAEConfig, init_wan_vae
+from ..models.wan.t5 import T5Config, init_t5_encoder
+from ..models.wan.pipeline import WanPipeline
+
+_ARCH: Dict[str, Dict[str, Any]] = {
+    "t2v_1.3B": dict(dim=1536, ffn_dim=8960, num_heads=12, num_layers=30,
+                     model_type="t2v", vae_stride=(4, 8, 8)),
+    "t2v": dict(dim=5120, ffn_dim=13824, num_heads=40, num_layers=40,
+                model_type="t2v", vae_stride=(4, 8, 8)),
+    "t2v_2_2": dict(dim=5120, ffn_dim=13824, num_heads=40, num_layers=40,
+                    model_type="t2v", vae_stride=(4, 8, 8), experts=2),
+    "i2v": dict(dim=5120, ffn_dim=13824, num_heads=40, num_layers=40,
+                model_type="i2v", in_dim=36, vae_stride=(4, 8, 8)),
+    "i2v_2_2": dict(dim=5120, ffn_dim=13824, num_heads=40, num_layers=40,
+                    model_type="t2v", in_dim=36, vae_stride=(4, 8, 8),
+                    experts=2),
+    "ti2v_2_2": dict(dim=3072, ffn_dim=14336, num_heads=24, num_layers=30,
+                     model_type="t2v", in_dim=48, out_dim=48,
+                     vae_stride=(4, 16, 16)),
+}
+
+
+class WanFamilyHandler:
+    family = "wan"
+
+    @staticmethod
+    def query_supported_types() -> List[str]:
+        return list(_ARCH.keys())
+
+    @staticmethod
+    def query_family_infos():
+        return {"wan": (0, "Wan2.1"), "wan2_2": (1, "Wan2.2")}
+
+    @staticmethod
+    def query_model_def(base_model_type: str,
+                        model_def: Dict[str, Any]) -> Dict[str, Any]:
+        arch = _ARCH[base_model_type]
+        return {
+            "image_outputs": False,
+            "vae_stride": arch["vae_stride"],
+            "i2v_class": arch.get("model_type") == "i2v",
+            "wan_5B_class": base_model_type == "ti2v_2_2",
+            "multiple_submodels": arch.get("experts", 1) > 1,
+            "sliding_window": True,
+            "tea_cache": arch.get("experts", 1) == 1,
+            "mag_cache": True,
+        }
+
+    @staticmethod
+    def default_settings(base_model_type: str) -> Dict[str, Any]:
+        return {
+            "prompt": "", "negative_prompt": "",
+            "resolution": "832x480", "video_length": 81,
+            "num_inference_steps": 30, "guidance_scale": 5.0,
+            "flow_shift": 5.0, "sample_solver": "unipc", "seed": -1,
+        }
+
+    @staticmethod
+    def dit_config(base_model_type: str,
+                   dtype=jnp.bfloat16) -> WanDiTConfig:
+        arch = _ARCH[base_model_type]
+        return WanDiTConfig(
+            dim=arch["dim"], ffn_dim=arch["ffn_dim"],
+            num_heads=arch["num_heads"], num_layers=arch["num_layers"],
+            in_dim=arch.get("in_dim", 16), out_dim=arch.get("out_dim", 16),
+            model_type=arch["model_type"], compute_dtype=dtype)
+
+    @staticmethod
+    def query_model_files(base_model_type: str,
+                          model_def: Dict[str, Any]) -> List[Dict[str, Any]]:
+        files = [{"role": "transformer", "urls": model_def.get("URLs", [])}]
+        if model_def.get("URLs2"):
+            files.append({"role": "transformer2",
+                          "urls": model_def["URLs2"]})
+        files.append({"role": "text_encoder", "urls": [
+            "https://huggingface.co/DeepBeepMeep/Wan2.1/resolve/main/"
+            "models_t5_umt5-xxl-enc-bf16.safetensors"]})
+        vae = ("Wan2.2_VAE.safetensors" if base_model_type == "ti2v_2_2"
+               else "Wan2.1_VAE.safetensors")
+        files.append({"role": "vae", "urls": [
+            f"https://huggingface.co/DeepBeepMeep/Wan2.1/resolve/main/{vae}"]})
+        return files
+
+    @classmethod
+    def load_model(cls, base_model_type: str, model_def: Dict[str, Any],
+                   checkpoints: Optional[Dict[str, str]] = None,
+                   dtype=jnp.bfloat16, attn_backend: str = "auto",
+                   init_random: bool = False, tokenizer=None,
+                   seed: int = 0) -> WanPipeline:
+        """checkpoints: {"transformer": path, "text_encoder": path,
+        "vae": path, ...}.  init_random builds random weights (tests/bench)."""
+        from ..io.safetensors_reader import load_safetensors
+        from ..io.wan_checkpoint import (
+            normalize_wan_sd, load_wan_dit_params, load_t5_params,
+            load_wan_vae_params)
+
+        dit_cfg = cls.dit_config(base_model_type, dtype)
+        t5_cfg = T5Config()
+        vae_cfg = WanVAEConfig()
+        arch = _ARCH[base_model_type]
+
+        if init_random:
+            key = jax.random.key(seed)
+            dit_params = init_wan_dit(key, dit_cfg, dtype)
+            t5_params = None
+            vae_params = init_wan_vae(jax.random.key(seed + 1), vae_cfg)
+        else:
+            sd = normalize_wan_sd(load_safetensors(checkpoints["transformer"]))
+            dit_params, left = load_wan_dit_params(sd, dit_cfg, dtype)
+            if left:
+                raise ValueError(f"unconsumed transformer keys: {left[:8]}")
+            t5_params = None
+            if checkpoints.get("text_encoder"):
+                t5_sd = load_safetensors(checkpoints["text_encoder"])
+                t5_params, _ = load_t5_params(t5_sd, t5_cfg, dtype)
+            vae_params = None
+            if checkpoints.get("vae"):
+                vae_sd = load_safetensors(checkpoints["vae"])
+                vae_params, _ = load_wan_vae_params(vae_sd, vae_cfg)
+
+        return WanPipeline(dit_params, dit_cfg, t5_params=t5_params,
+                           t5_cfg=t5_cfg, vae_params=vae_params,
+                           vae_cfg=vae_cfg, tokenizer=tokenizer,
+                           vae_stride=arch["vae_stride"],
+                           attn_backend=attn_backend)

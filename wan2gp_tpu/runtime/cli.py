@@ -1,0 +1,124 @@
+"""Headless CLI (the reference's `wgp.py --process` path, wgp.py:8488
+process_tasks_cli + shared/cli_args.py flags).
+
+Usage:
+  python -m wan2gp_tpu --model t2v_1.3B --prompt "a cat" --steps 30
+  python -m wan2gp_tpu --process queue.json
+  python -m wan2gp_tpu --process queue.json --dry-run
+  python -m wan2gp_tpu --list-models
+
+Exit codes: 0 success, 1 task error, 130 interrupted (docs/CLI.md:76-81).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .queue import TaskQueue
+from .service import GenerationService
+from .api import Session, GenerationResult, ProgressUpdate
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("wan2gp_tpu",
+                                description="TPU-native WanGP-class runner")
+    p.add_argument("--process", metavar="QUEUE",
+                   help="headless: process a queue .json and exit")
+    p.add_argument("--dry-run", action="store_true",
+                   help="validate the queue without generating")
+    p.add_argument("--list-models", action="store_true")
+    p.add_argument("--model", default=None, help="model type for one-shot")
+    p.add_argument("--prompt", default=None)
+    p.add_argument("--negative-prompt", default="")
+    p.add_argument("--resolution", default=None, help="e.g. 832x480")
+    p.add_argument("--frames", type=int, default=None)
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--guidance-scale", type=float, default=None)
+    p.add_argument("--flow-shift", type=float, default=None)
+    p.add_argument("--solver", default=None,
+                   choices=["unipc", "dpm++", "euler", "causvid", "lcm"])
+    p.add_argument("--seed", type=int, default=-1)
+    p.add_argument("--output-dir", default="outputs")
+    p.add_argument("--attention", default="auto",
+                   choices=["auto", "pallas", "xla"])
+    p.add_argument("--random-weights", action="store_true",
+                   help="run with randomly initialized weights (smoke test)")
+    p.add_argument("--checkpoints-dir", default="ckpts")
+    p.add_argument("--verbose", type=int, default=1)
+    return p
+
+
+def _settings_from_args(args) -> dict:
+    s = {"model_type": args.model or "t2v_1.3B"}
+    if args.prompt is not None:
+        s["prompt"] = args.prompt
+    if args.negative_prompt:
+        s["negative_prompt"] = args.negative_prompt
+    if args.resolution:
+        s["resolution"] = args.resolution
+    if args.frames is not None:
+        s["video_length"] = args.frames
+    if args.steps is not None:
+        s["num_inference_steps"] = args.steps
+    if args.guidance_scale is not None:
+        s["guidance_scale"] = args.guidance_scale
+    if args.flow_shift is not None:
+        s["flow_shift"] = args.flow_shift
+    if args.solver:
+        s["sample_solver"] = args.solver
+    s["seed"] = args.seed
+    return s
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    service = GenerationService(output_dir=args.output_dir,
+                                attn_backend=args.attention,
+                                init_random_weights=args.random_weights)
+
+    if args.list_models:
+        for mt in service.registry.model_types():
+            d = service.registry.get(mt)
+            print(f"{mt:24s} {d.get('name', '')}")
+        return 0
+
+    q = TaskQueue()
+    if args.process:
+        q.load(args.process)
+        if args.dry_run:
+            errors = 0
+            for t in q.tasks():
+                mt = t.settings.get("model_type", "t2v_1.3B")
+                if mt not in service.registry.models_def:
+                    print(f"task {t.id}: unknown model_type {mt!r}")
+                    errors += 1
+            print(f"{len(q.tasks())} task(s), {errors} error(s)")
+            return 1 if errors else 0
+    else:
+        if args.prompt is None and not args.random_weights:
+            print("nothing to do: pass --prompt / --process / --list-models")
+            return 0
+        q.add(_settings_from_args(args))
+
+    def on_event(kind, data):
+        if args.verbose < 1:
+            return
+        if kind == "task_start":
+            print(f"[task {data.id}] start: "
+                  f"{data.settings.get('model_type')}")
+        elif kind == "task_done":
+            print(f"[task {data.id}] done -> {', '.join(data.outputs)}")
+        elif kind == "task_error":
+            print(f"[task {data.id}] ERROR: {data.error}", file=sys.stderr)
+        elif kind == "status":
+            print(f"  {data}")
+
+    try:
+        return service.process_queue(q, on_event=on_event)
+    except KeyboardInterrupt:
+        return 130
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,174 @@
+"""GenerationService: settings dict -> media outputs.
+
+Decomposition of the reference's 1,700-line `generate_media` megafunction
+(wgp.py:6436): model resolution + pipeline cache, settings normalization,
+generation dispatch per output kind, and saving with embedded metadata.
+Settings keys are compatible with the reference task format (prompt,
+negative_prompt, resolution "WxH", video_length, num_inference_steps,
+guidance_scale, flow_shift, sample_solver, seed, model_type, ...).
+"""
+from __future__ import annotations
+
+import os
+import random
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+
+from ..config.registry import ModelRegistry
+from ..families import build_handler_map
+from ..utils import media
+
+
+def parse_resolution(res: str):
+    w, h = res.lower().split("x")
+    return int(w), int(h)
+
+
+class GenerationService:
+    def __init__(self, registry: Optional[ModelRegistry] = None,
+                 output_dir: str = "outputs", attn_backend: str = "auto",
+                 init_random_weights: bool = False,
+                 checkpoints_resolver: Optional[Callable] = None):
+        self.registry = registry or ModelRegistry(build_handler_map())
+        self.output_dir = output_dir
+        self.attn_backend = attn_backend
+        self.init_random_weights = init_random_weights
+        self.checkpoints_resolver = checkpoints_resolver
+        self._pipelines: Dict[str, Any] = {}
+        self._interrupt = False
+
+    # -- model management ----------------------------------------------
+
+    def get_pipeline(self, model_type: str):
+        pipe = self._pipelines.get(model_type)
+        if pipe is None:
+            model_def = self.registry.get(model_type)
+            handler = self.registry.handler_for(model_type)
+            base = self.registry.base_model_type(model_type)
+            ckpts = None
+            if not self.init_random_weights:
+                if self.checkpoints_resolver is None:
+                    raise RuntimeError(
+                        "no checkpoints_resolver configured; pass "
+                        "init_random_weights=True for synthetic runs")
+                ckpts = self.checkpoints_resolver(model_type, handler, base,
+                                                  model_def)
+            pipe = handler.load_model(
+                base, model_def, checkpoints=ckpts,
+                attn_backend=self.attn_backend,
+                init_random=self.init_random_weights)
+            self._pipelines[model_type] = pipe
+        return pipe
+
+    def release_model(self, model_type: Optional[str] = None):
+        if model_type is None:
+            self._pipelines.clear()
+        else:
+            self._pipelines.pop(model_type, None)
+
+    # -- generation -------------------------------------------------------
+
+    def generate(self, settings: Dict[str, Any],
+                 on_progress: Optional[Callable] = None) -> List[str]:
+        """Run one task; returns list of output file paths."""
+        s = dict(settings)
+        model_type = s.get("model_type") or "t2v_1.3B"
+        defaults = self.registry.default_settings(model_type)
+        merged = {**defaults, **s}
+        model_def = self.registry.get(model_type)
+        image_outputs = bool(model_def.get("image_outputs"))
+
+        seed = int(merged.get("seed", -1))
+        if seed < 0:
+            seed = random.randint(0, 2 ** 31 - 1)
+            merged["seed"] = seed
+        width, height = parse_resolution(merged.get("resolution", "832x480"))
+
+        pipe = self.get_pipeline(model_type)
+        os.makedirs(self.output_dir, exist_ok=True)
+        stamp = time.strftime("%Y%m%d_%H%M%S")
+
+        if on_progress:
+            on_progress("status", f"generating with {model_type}")
+
+        if image_outputs:
+            from ..models.flux.pipeline import FluxSamplingConfig
+            sampling = FluxSamplingConfig(
+                steps=int(merged.get("num_inference_steps", 4)),
+                guidance=float(merged.get("embedded_guidance_scale", 3.5)),
+                shift=bool(model_def.get("flux-model", "").endswith("dev")))
+            img = pipe.generate(prompt=merged.get("prompt", ""),
+                                width=width, height=height,
+                                sampling=sampling, seed=seed,
+                                context=merged.get("_context"),
+                                vec_y=merged.get("_vec_y"))
+            path = os.path.join(self.output_dir,
+                                f"{model_type}_{stamp}_{seed}.png")
+            media.save_image(np.asarray(img), path,
+                             metadata=_clean_settings(merged))
+            return [path]
+
+        from ..models.wan.pipeline import SamplingConfig
+        sampling = SamplingConfig(
+            solver=merged.get("sample_solver", "unipc") or "unipc",
+            steps=int(merged.get("num_inference_steps", 30)),
+            shift=float(merged.get("flow_shift", 5.0)),
+            guide_scale=float(merged.get("guidance_scale", 5.0)),
+            cfg_star_switch=bool(merged.get("cfg_star_switch", False)),
+            cfg_zero_step=int(merged.get("cfg_zero_step", -1)),
+            apg_switch=bool(merged.get("apg_switch", False)))
+        video = pipe.generate(
+            prompt=merged.get("prompt", ""),
+            n_prompt=merged.get("negative_prompt", ""),
+            width=width, height=height,
+            frame_num=int(merged.get("video_length", 81)),
+            sampling=sampling, seed=seed,
+            context=merged.get("_context"),
+            context_null=merged.get("_context_null"))
+        path = os.path.join(self.output_dir,
+                            f"{model_type}_{stamp}_{seed}.avi")
+        media.save_video(np.asarray(video), path,
+                         fps=int(merged.get("fps", 16)),
+                         metadata=_clean_settings(merged))
+        return [path]
+
+    # -- queue worker ------------------------------------------------------
+
+    def process_queue(self, queue, on_event: Optional[Callable] = None):
+        """Drain the queue (the reference's process_tasks_cli loop,
+        wgp.py:8488).  Returns exit code: 0 ok, 1 a task errored."""
+        code = 0
+        while not self._interrupt:
+            task = queue.next_pending()
+            if task is None:
+                break
+            task.status = "running"
+            if on_event:
+                on_event("task_start", task)
+            try:
+                task.outputs = self.generate(
+                    task.settings,
+                    on_progress=(lambda kind, data:
+                                 on_event(kind, data) if on_event else None))
+                task.status = "done"
+            except Exception as e:  # noqa: BLE001 — task errors abort queue
+                task.status = "error"
+                task.error = str(e)
+                code = 1
+                if on_event:
+                    on_event("task_error", task)
+                break
+            if on_event:
+                on_event("task_done", task)
+        return code
+
+
+def _clean_settings(settings: Dict[str, Any]) -> Dict[str, Any]:
+    return {k: v for k, v in settings.items()
+            if not k.startswith("_") and _jsonable(v)}
+
+
+def _jsonable(v):
+    return isinstance(v, (str, int, float, bool, list, dict, type(None)))

@@ -278,9 +278,18 @@ def _block(bp, x, e6, context, context_img, rope_cos, rope_sin, cfg,
     return x.reshape(b, l, c).astype(rdt)
 
 
+def time_embedding_vec(params, cfg: WanDiTConfig, t):
+    """Time-embedding e (pre-projection) — the TeaCache signature signal
+    (model.py:1895: previous_modulated_input).  t: [B] -> [B, dim] fp32."""
+    e = sinusoidal_embedding_1d(cfg.freq_dim, t.reshape(-1))
+    e = _dense(e, params["time_embedding"]["fc1"], jnp.float32)
+    return _dense(jax.nn.silu(e), params["time_embedding"]["fc2"],
+                  jnp.float32)
+
+
 def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
                     rope_cos, rope_sin, clip_fea=None, y=None,
-                    attn_backend: str = "auto"):
+                    attn_backend: str = "auto", skip_state=None):
     """Denoiser forward.
 
     latents:  [B, C, F, H, W] noisy latents
@@ -333,7 +342,21 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
                      attn_backend)
         return out, None
 
-    x, _ = jax.lax.scan(body, x, params["blocks"])
+    def run_blocks(x):
+        out, _ = jax.lax.scan(body, x, params["blocks"])
+        return out
+
+    new_residual = None
+    if skip_state is None:
+        x = run_blocks(x)
+    else:
+        # TeaCache/MagCache skip: reuse the cached block-stack residual
+        # (model.py:1917-1921); decision precomputed per step (caches.py).
+        should_calc, prev_residual = skip_state
+        x0 = x
+        x = jax.lax.cond(should_calc, run_blocks,
+                         lambda x: x + prev_residual.astype(x.dtype), x)
+        new_residual = jnp.where(should_calc, x - x0, prev_residual)
 
     # head (model.py Head.forward): adaLN with 2-way modulation, then linear
     hp = params["head"]
@@ -344,4 +367,7 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
     xn = layer_norm(xr, eps=cfg.eps)
     xn = xn * (1.0 + eh[:, :, 1][:, :, None, :]) + eh[:, :, 0][:, :, None, :]
     out = _dense(xn.reshape(b, l, cfg.dim), hp["head"], jnp.float32)
-    return unpatchify(out, grid, cfg.patch_size, cfg.out_dim)
+    out = unpatchify(out, grid, cfg.patch_size, cfg.out_dim)
+    if skip_state is not None:
+        return out, new_residual
+    return out

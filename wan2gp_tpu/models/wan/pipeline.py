@@ -45,12 +45,17 @@ class SamplingConfig:
     apg_momentum: float = -0.75
     apg_norm_threshold: float = 55.0
     enable_riflex: bool = False
+    # step-skipping cache: "" | "tea" | "mag" (caches.py)
+    cache_type: str = ""
+    cache_threshold: float = 0.0      # 0 -> auto from cache_speed_factor
+    cache_speed_factor: float = 1.75
+    cache_start_step: int = 0
 
 
 def denoise_scan(dit_params, dit_cfg: WanDiTConfig, schedule: Schedule,
                  latents, context, context_null, sampling: SamplingConfig,
                  rope_cos, rope_sin, y=None, clip_fea=None,
-                 attn_backend: str = "auto"):
+                 attn_backend: str = "auto", skip_schedule=None):
     """Run the full denoising loop as one lax.scan.  Returns final latents.
 
     latents:      [B, C, F, H, W] initial noise (fp32)
@@ -74,20 +79,27 @@ def denoise_scan(dit_params, dit_cfg: WanDiTConfig, schedule: Schedule,
     else:
         ctx_both, y_both, clip_both = context, y, clip_fea
 
-    def forward(x, t):
+    use_skip = skip_schedule is not None
+
+    def forward(x, t, skip_state):
         xb = jnp.concatenate([x, x], axis=0) if any_guidance else x
         tb = jnp.broadcast_to(t, (xb.shape[0],))
-        v = wan_dit_forward(dit_params, dit_cfg, xb, tb, ctx_both,
-                            rope_cos, rope_sin, clip_fea=clip_both,
-                            y=y_both, attn_backend=attn_backend)
+        out = wan_dit_forward(dit_params, dit_cfg, xb, tb, ctx_both,
+                              rope_cos, rope_sin, clip_fea=clip_both,
+                              y=y_both, attn_backend=attn_backend,
+                              skip_state=skip_state)
+        v, residual = out if use_skip else (out, None)
         if any_guidance:
-            return v[:b], v[b:]
-        return v, None
+            return v[:b], v[b:], residual
+        return v, None, residual
 
     def body(carry, xs):
-        x, sstate, apg_buf = carry
-        t, coeffs_i, alpha_i, i = xs
-        v_cond, v_uncond = forward(x, t)
+        x, sstate, apg_buf, residual = carry
+        t, coeffs_i, alpha_i, i, should_calc = xs
+        skip_state = (should_calc, residual) if use_skip else None
+        v_cond, v_uncond, new_res = forward(x, t, skip_state)
+        if use_skip:
+            residual = new_res
         if not any_guidance:
             pred = v_cond
         elif sampling.apg_switch:
@@ -99,14 +111,27 @@ def denoise_scan(dit_params, dit_cfg: WanDiTConfig, schedule: Schedule,
         else:
             pred = cfg_combine(v_cond, v_uncond, g, alpha_i)
         x, sstate = solver_step(schedule, i, coeffs_i, pred, x, sstate)
-        return (x, sstate, apg_buf), None
+        return (x, sstate, apg_buf, residual), None
+
+    if use_skip:
+        # block-stack residual buffer in token space [B_eff, L, dim]
+        pt, ph, pw = dit_cfg.patch_size
+        l_tok = ((latents.shape[2] // pt) * (latents.shape[3] // ph)
+                 * (latents.shape[4] // pw))
+        b_eff = 2 * b if any_guidance else b
+        residual0 = jnp.zeros((b_eff, l_tok, dit_cfg.dim),
+                              dit_cfg.residual_dtype)
+        skip_flags = jnp.asarray(np.asarray(skip_schedule, bool))
+    else:
+        residual0 = jnp.zeros((), jnp.float32)
+        skip_flags = jnp.ones((n,), bool)
 
     carry0 = (latents.astype(jnp.float32),
               init_solver_state(schedule, latents),
-              jnp.zeros_like(latents, dtype=jnp.float32))
+              jnp.zeros_like(latents, dtype=jnp.float32), residual0)
     xs = (schedule.timesteps, schedule.coeffs, use_alpha,
-          jnp.arange(n, dtype=jnp.int32))
-    (x, _, _), _ = jax.lax.scan(body, carry0, xs)
+          jnp.arange(n, dtype=jnp.int32), skip_flags)
+    (x, _, _, _), _ = jax.lax.scan(body, carry0, xs)
     return x
 
 
@@ -122,9 +147,11 @@ class WanPipeline:
                  t5_params=None, t5_cfg: Optional[T5Config] = None,
                  vae_params=None, vae_cfg: Optional[WanVAEConfig] = None,
                  tokenizer=None, vae_stride=(4, 8, 8),
-                 attn_backend: str = "auto"):
+                 attn_backend: str = "auto",
+                 base_model_type: str = "t2v_1.3B"):
         self.dit_params = dit_params
         self.dit_cfg = dit_cfg
+        self.base_model_type = base_model_type
         self.t5_params = t5_params
         self.t5_cfg = t5_cfg or T5Config()
         self.vae_params = vae_params
@@ -158,10 +185,49 @@ class WanPipeline:
         return build_rope_3d(grid, head_dim=self.dit_cfg.head_dim,
                              enable_riflex=enable_riflex)
 
+    # -- step-skip caches -------------------------------------------------
+
+    def skip_schedule(self, sampling: SamplingConfig, schedule,
+                      width: int, height: int):
+        """Host-side TeaCache/MagCache skip plan (caches.py)."""
+        if not sampling.cache_type:
+            return None
+        import numpy as np
+        from ... import caches
+        from .dit import time_embedding_vec
+        if sampling.cache_type == "tea":
+            coeffs = caches.teacache_coefficients(
+                self.base_model_type, self.dit_cfg.i2v_cross_attn,
+                width * height)
+            e_list = [np.asarray(time_embedding_vec(
+                self.dit_params, self.dit_cfg, t[None]))
+                for t in schedule.timesteps]
+            thresh = sampling.cache_threshold or caches.teacache_auto_threshold(
+                e_list, coeffs, sampling.cache_speed_factor,
+                sampling.cache_start_step)
+            return caches.teacache_schedule(e_list, coeffs, thresh,
+                                            sampling.cache_start_step)
+        if sampling.cache_type == "mag":
+            table = caches.MAGCACHE_DEF_RATIOS.get(
+                self.base_model_type,
+                caches.MAGCACHE_DEF_RATIOS["t2v_1.3B"
+                                           if "1.3B" in self.base_model_type
+                                           else "t2v_14B"])
+            ratios = caches.magcache_interp_ratios(table, schedule.num_steps)
+            thresh = sampling.cache_threshold or caches.magcache_auto_threshold(
+                ratios, sampling.cache_speed_factor,
+                start_step=sampling.cache_start_step)
+            return caches.magcache_schedule(
+                ratios, thresh, start_step=sampling.cache_start_step,
+                branches=2 if sampling.guide_scale != 1 else 1)
+        raise ValueError(f"unknown cache_type {sampling.cache_type!r}")
+
     # -- denoise ------------------------------------------------------------
 
-    def _get_denoise(self, sampling: SamplingConfig, has_y, has_clip):
-        key = (sampling, has_y, has_clip)
+    def _get_denoise(self, sampling: SamplingConfig, has_y, has_clip,
+                     skip_schedule=None):
+        key = (sampling, has_y, has_clip,
+               None if skip_schedule is None else tuple(skip_schedule))
         fn = self._denoise_cache.get(key)
         if fn is None:
             schedule = make_schedule(sampling.solver, sampling.steps,
@@ -174,7 +240,8 @@ class WanPipeline:
                                     latents, context, context_null, sampling,
                                     rope_cos, rope_sin, y=y,
                                     clip_fea=clip_fea,
-                                    attn_backend=self.attn_backend)
+                                    attn_backend=self.attn_backend,
+                                    skip_schedule=skip_schedule)
             self._denoise_cache[key] = fn
         return fn
 
@@ -200,7 +267,12 @@ class WanPipeline:
         latents = jax.random.normal(jax.random.key(seed), lat_shape,
                                     jnp.float32)
         rope_cos, rope_sin = self._rope(lat_shape, sampling.enable_riflex)
-        fn = self._get_denoise(sampling, False, False)
+        skip = None
+        if sampling.cache_type:
+            schedule = make_schedule(sampling.solver, sampling.steps,
+                                     sampling.shift)
+            skip = self.skip_schedule(sampling, schedule, width, height)
+        fn = self._get_denoise(sampling, False, False, skip_schedule=skip)
         x = fn(self.dit_params, latents, context, context_null,
                rope_cos, rope_sin)
         if return_latents:

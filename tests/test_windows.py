@@ -1,0 +1,124 @@
+"""Sliding-window engine + multi-phase guidance tests."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from wan2gp_tpu.windows import (
+    plan_windows, window_count, parse_window_prompt, stitch_windows,
+    latent_overlap, quantize_frames)
+from wan2gp_tpu.models.wan.dit import WanDiTConfig, init_wan_dit
+from wan2gp_tpu.models.wan.vae import WanVAEConfig, init_wan_vae
+from wan2gp_tpu.models.wan.pipeline import (
+    WanPipeline, SamplingConfig, plan_phases)
+from wan2gp_tpu.schedulers import make_schedule
+
+TINY = WanDiTConfig(dim=64, ffn_dim=128, num_heads=4, num_layers=2,
+                    freq_dim=32, text_dim=32, text_len=8)
+TINY_VAE = WanVAEConfig(dim=8, num_res_blocks=1)
+
+
+def test_quantize_and_window_count():
+    assert quantize_frames(81) == 81
+    assert quantize_frames(80) == 77
+    # reference formula: 1 + ceil((161-81+0)/(81-0-5)) = 1 + ceil(80/76) = 3
+    assert window_count(161, 81, 0, 5) == 3
+    assert window_count(81, 81, 0, 5) == 1
+
+
+def test_parse_window_prompt():
+    text, opts = parse_window_prompt("a cat /duration 33 /overlap 9")
+    assert text == "a cat"
+    assert opts == {"duration": 33, "overlap": 9}
+    text, opts = parse_window_prompt("dog /duration 2s /new_shot", fps=16)
+    assert opts["duration"] == 32 and opts["new_shot"] is True
+
+
+def test_plan_windows_covers_total():
+    plans = plan_windows(161, 81, 5)
+    assert plans[0].overlap == 0
+    total = sum(p.new_frames for p in plans)
+    assert total >= 161
+    assert all((p.size - 1) % 4 == 0 for p in plans)
+    assert all(p.overlap == 0 or (p.overlap - 1) % 4 == 0 for p in plans)
+
+
+def test_plan_windows_per_prompt():
+    plans = plan_windows(37, 21, 5, prompts=["a /duration 21", "b"])
+    assert plans[0].prompt == "a"
+    assert plans[1].prompt == "b"
+    assert plans[1].overlap == 5
+
+
+def test_stitch_blends_overlap():
+    a = np.zeros((8, 2, 2, 3), np.float32)
+    b = np.ones((8, 2, 2, 3), np.float32)
+    out = stitch_windows([a, b], [0, 4])
+    assert out.shape == (12, 2, 2, 3)
+    assert out[3].max() == 0.0
+    # blended region strictly increasing toward 1
+    mids = out[4:8, 0, 0, 0]
+    assert (np.diff(mids) > 0).all()
+    assert out[8:].min() == 1.0
+
+
+def test_latent_overlap():
+    assert latent_overlap(0) == 0
+    assert latent_overlap(1) == 1
+    assert latent_overlap(5) == 2
+    assert latent_overlap(9) == 3
+
+
+def test_plan_phases_segments():
+    sched = make_schedule("unipc", 10, shift=5.0)
+    ts = np.asarray(sched.timesteps)
+    s = SamplingConfig(steps=10, guide_phases=2, guide_scale=4.0,
+                       guide2_scale=3.0, switch_threshold=float(ts[4]))
+    segs = plan_phases(ts, s, has_expert2=True)
+    assert len(segs) == 2
+    (s0, e0, g0, x0), (s1, e1, g1, x1) = segs
+    assert (s0, g0, x0) == (0, 4.0, 0)
+    assert e0 == s1 and e1 == 10
+    assert (g1, x1) == (3.0, 1)
+    # single phase
+    segs = plan_phases(ts, SamplingConfig(steps=10), has_expert2=False)
+    assert segs == [(0, 10, 5.0, 0)]
+
+
+def test_two_expert_denoise_runs():
+    p1 = init_wan_dit(jax.random.key(0), TINY)
+    p2 = init_wan_dit(jax.random.key(1), TINY)
+    pipe = WanPipeline(p1, TINY, dit_params2=p2, attn_backend="xla")
+    rng = np.random.default_rng(0)
+    ctx = jnp.asarray(rng.standard_normal((1, 8, 32)), jnp.float32)
+    ctxn = jnp.asarray(rng.standard_normal((1, 8, 32)), jnp.float32)
+    sched = make_schedule("unipc", 4, shift=5.0)
+    s = SamplingConfig(solver="unipc", steps=4, guide_phases=2,
+                       guide_scale=3.0, guide2_scale=2.0,
+                       switch_threshold=float(sched.timesteps[2]))
+    lat = pipe.generate("x", width=32, height=32, frame_num=5, sampling=s,
+                        seed=0, context=ctx, context_null=ctxn,
+                        return_latents=True)
+    assert np.isfinite(np.asarray(lat)).all()
+    # result must differ from single-expert run
+    pipe1 = WanPipeline(p1, TINY, attn_backend="xla")
+    lat1 = pipe1.generate("x", width=32, height=32, frame_num=5, sampling=s,
+                          seed=0, context=ctx, context_null=ctxn,
+                          return_latents=True)
+    assert np.abs(np.asarray(lat) - np.asarray(lat1)).max() > 1e-4
+
+
+def test_generate_sliding_end_to_end():
+    p1 = init_wan_dit(jax.random.key(0), TINY)
+    vae = init_wan_vae(jax.random.key(1), TINY_VAE)
+    pipe = WanPipeline(p1, TINY, vae_params=vae, vae_cfg=TINY_VAE,
+                       attn_backend="xla")
+    rng = np.random.default_rng(2)
+    ctx = jnp.asarray(rng.standard_normal((1, 8, 32)), jnp.float32)
+    s = SamplingConfig(solver="euler", steps=2, guide_scale=1.0)
+    video = pipe.generate_sliding("x", width=32, height=32, frame_num=17,
+                                  window_size=13, overlap=5, sampling=s,
+                                  seed=0, context=ctx)
+    assert video.shape[0] >= 17
+    assert video.shape[1:] == (32, 32, 3)
+    assert np.isfinite(video).all()

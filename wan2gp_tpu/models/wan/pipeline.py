@@ -1,9 +1,14 @@
 """Wan text/image-to-video generation pipeline.
 
-The denoising loop — scheduler step + CFG + guidance included — is a single
-jit-compiled `lax.scan` (per-step coefficient tables are the scan xs), the
-TPU-native replacement for the reference's Python-stepped loop
+The denoising loop — scheduler step + CFG + guidance included — runs as
+jit-compiled `lax.scan` segments (per-step coefficient tables are the scan
+xs), the TPU-native replacement for the reference's Python-stepped loop
 (/root/reference/models/wan/any2video.py:1455-1706).
+
+Segmentation: guidance phases / MoE expert switching (any2video.py:1402-1408
+update_guidance; Wan2.2 high-noise -> low-noise expert) and piecewise LoRA
+multiplier changes all happen at host-static step boundaries, so the loop is
+split into scan segments with the solver/APG/cache state carried across.
 
 CFG runs as a joint pass: cond/uncond stacked on the batch axis, one forward
 per step (reference joint_pass, any2video.py:1591-1602).
@@ -12,7 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Dict, Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 import jax
@@ -39,6 +44,13 @@ class SamplingConfig:
     steps: int = 50
     shift: float = 5.0
     guide_scale: float = 5.0
+    # multi-phase guidance (any2video.py:1402; Wan2.2 MoE switch)
+    guide2_scale: float = 5.0
+    guide3_scale: float = 5.0
+    guide_phases: int = 1
+    switch_threshold: float = 0.0
+    switch2_threshold: float = 0.0
+    model_switch_phase: int = 1
     cfg_star_switch: bool = False
     cfg_zero_step: int = -1
     apg_switch: bool = False
@@ -52,23 +64,62 @@ class SamplingConfig:
     cache_start_step: int = 0
 
 
-def denoise_scan(dit_params, dit_cfg: WanDiTConfig, schedule: Schedule,
-                 latents, context, context_null, sampling: SamplingConfig,
-                 rope_cos, rope_sin, y=None, clip_fea=None,
-                 attn_backend: str = "auto", skip_schedule=None):
-    """Run the full denoising loop as one lax.scan.  Returns final latents.
+def plan_phases(timesteps: np.ndarray, sampling: SamplingConfig,
+                has_expert2: bool) -> List[Tuple[int, int, float, int]]:
+    """[(start, end, guide_scale, expert_idx)] — host-static segmentation.
 
-    latents:      [B, C, F, H, W] initial noise (fp32)
-    context:      [B, text_len, text_dim]
-    context_null: same, negative prompt (ignored when guide_scale == 1)
+    A phase starts at the first step whose t <= its switch threshold
+    (update_guidance, any2video.py:1403-1408); the second expert takes over
+    at the start of phase model_switch_phase+1."""
+    ts = np.asarray(timesteps)
+    n = len(ts)
+    boundaries = [0]
+    scales = [sampling.guide_scale]
+    if sampling.guide_phases >= 2:
+        s = int(np.argmax(ts <= sampling.switch_threshold)) \
+            if (ts <= sampling.switch_threshold).any() else n
+        boundaries.append(s)
+        scales.append(sampling.guide2_scale)
+    if sampling.guide_phases >= 3:
+        s = int(np.argmax(ts <= sampling.switch2_threshold)) \
+            if (ts <= sampling.switch2_threshold).any() else n
+        boundaries.append(max(s, boundaries[-1]))
+        scales.append(sampling.guide3_scale)
+    boundaries.append(n)
+
+    segments = []
+    for p in range(len(scales)):
+        start, end = boundaries[p], boundaries[p + 1]
+        if start >= end:
+            continue
+        expert = 1 if (has_expert2 and p >= sampling.model_switch_phase) else 0
+        segments.append((start, end, scales[p], expert))
+    return segments
+
+
+def denoise_segment(dit_params, dit_cfg: WanDiTConfig, schedule: Schedule,
+                    carry, context, context_null, sampling: SamplingConfig,
+                    guide_scale: float, rope_cos, rope_sin,
+                    step_start: int, step_end: int,
+                    y=None, clip_fea=None, attn_backend: str = "auto",
+                    skip_schedule=None, overlap_latents=None,
+                    overlap_sigma_scale: float = 1.0, noise_key=None):
+    """One scan segment over steps [step_start, step_end).
+
+    carry: (x, solver_state, apg_buf) threaded across segments.
+    overlap_latents: [B, C, F_ov, H, W] sliding-window prefix latents that
+    are re-noised to the current sigma each step (any2video.py:1482-1491).
+    Returns updated carry.
     """
-    b = latents.shape[0]
-    g = sampling.guide_scale
+    x0, sstate0, apg0 = carry
+    b = x0.shape[0]
+    g = guide_scale
     any_guidance = g != 1.0
-    n = schedule.num_steps
+    seg = slice(step_start, step_end)
+    n_seg = step_end - step_start
 
     use_alpha = jnp.asarray(
-        (np.arange(n) > sampling.cfg_zero_step)
+        (np.arange(step_start, step_end) > sampling.cfg_zero_step)
         & bool(sampling.cfg_star_switch), dtype=jnp.bool_)
 
     if any_guidance:
@@ -80,6 +131,13 @@ def denoise_scan(dit_params, dit_cfg: WanDiTConfig, schedule: Schedule,
         ctx_both, y_both, clip_both = context, y, clip_fea
 
     use_skip = skip_schedule is not None
+    use_overlap = overlap_latents is not None
+    if use_overlap:
+        ov = overlap_latents.shape[2]
+        keys = jax.random.split(
+            noise_key if noise_key is not None else jax.random.key(0), n_seg)
+    else:
+        keys = jnp.zeros((n_seg, 2), jnp.uint32)
 
     def forward(x, t, skip_state):
         xb = jnp.concatenate([x, x], axis=0) if any_guidance else x
@@ -95,7 +153,13 @@ def denoise_scan(dit_params, dit_cfg: WanDiTConfig, schedule: Schedule,
 
     def body(carry, xs):
         x, sstate, apg_buf, residual = carry
-        t, coeffs_i, alpha_i, i, should_calc = xs
+        t, coeffs_i, alpha_i, i, should_calc, key = xs
+        if use_overlap:
+            # re-noise the overlap prefix to the current noise level
+            sigma = t / 1000.0 * overlap_sigma_scale
+            noise = jax.random.normal(key, overlap_latents.shape, jnp.float32)
+            pinned = overlap_latents * (1.0 - sigma) + noise * sigma
+            x = x.at[:, :, :ov].set(pinned)
         skip_state = (should_calc, residual) if use_skip else None
         v_cond, v_uncond, new_res = forward(x, t, skip_state)
         if use_skip:
@@ -114,33 +178,51 @@ def denoise_scan(dit_params, dit_cfg: WanDiTConfig, schedule: Schedule,
         return (x, sstate, apg_buf, residual), None
 
     if use_skip:
-        # block-stack residual buffer in token space [B_eff, L, dim]
         pt, ph, pw = dit_cfg.patch_size
-        l_tok = ((latents.shape[2] // pt) * (latents.shape[3] // ph)
-                 * (latents.shape[4] // pw))
+        l_tok = ((x0.shape[2] // pt) * (x0.shape[3] // ph)
+                 * (x0.shape[4] // pw))
         b_eff = 2 * b if any_guidance else b
         residual0 = jnp.zeros((b_eff, l_tok, dit_cfg.dim),
                               dit_cfg.residual_dtype)
-        skip_flags = jnp.asarray(np.asarray(skip_schedule, bool))
+        flags = np.asarray(skip_schedule, bool)[seg].copy()
+        flags[0] = True  # segment boundary: residual reset forces a calc
+        skip_flags = jnp.asarray(flags)
     else:
         residual0 = jnp.zeros((), jnp.float32)
-        skip_flags = jnp.ones((n,), bool)
+        skip_flags = jnp.ones((n_seg,), bool)
 
-    carry0 = (latents.astype(jnp.float32),
-              init_solver_state(schedule, latents),
-              jnp.zeros_like(latents, dtype=jnp.float32), residual0)
-    xs = (schedule.timesteps, schedule.coeffs, use_alpha,
-          jnp.arange(n, dtype=jnp.int32), skip_flags)
-    (x, _, _, _), _ = jax.lax.scan(body, carry0, xs)
-    return x
+    carry0 = (x0.astype(jnp.float32), sstate0, apg0, residual0)
+    xs = (schedule.timesteps[seg],
+          {k: v[seg] for k, v in schedule.coeffs.items()},
+          use_alpha, jnp.arange(step_start, step_end, dtype=jnp.int32),
+          skip_flags, keys)
+    (x, sstate, apg_buf, _), _ = jax.lax.scan(body, carry0, xs)
+    return (x, sstate, apg_buf)
+
+
+def denoise_scan(dit_params, dit_cfg: WanDiTConfig, schedule: Schedule,
+                 latents, context, context_null, sampling: SamplingConfig,
+                 rope_cos, rope_sin, y=None, clip_fea=None,
+                 attn_backend: str = "auto", skip_schedule=None):
+    """Single-segment convenience wrapper.  Returns final latents."""
+    carry = (latents.astype(jnp.float32),
+             init_solver_state(schedule, latents),
+             jnp.zeros_like(latents, dtype=jnp.float32))
+    carry = denoise_segment(dit_params, dit_cfg, schedule, carry, context,
+                            context_null, sampling, sampling.guide_scale,
+                            rope_cos, rope_sin, 0, schedule.num_steps,
+                            y=y, clip_fea=clip_fea,
+                            attn_backend=attn_backend,
+                            skip_schedule=skip_schedule)
+    return carry[0]
 
 
 class WanPipeline:
     """End-to-end Wan T2V/I2V generation.
 
     Holds params + configs; `generate` runs text encoding, the jitted
-    denoise scan, and VAE decode.  Denoise functions are cached per
-    (shape, sampling) signature.
+    denoise scan segments (phases / experts / LoRA segments), and VAE
+    decode.  Compiled segment functions are cached per signature.
     """
 
     def __init__(self, dit_params, dit_cfg: WanDiTConfig,
@@ -148,8 +230,10 @@ class WanPipeline:
                  vae_params=None, vae_cfg: Optional[WanVAEConfig] = None,
                  tokenizer=None, vae_stride=(4, 8, 8),
                  attn_backend: str = "auto",
-                 base_model_type: str = "t2v_1.3B"):
+                 base_model_type: str = "t2v_1.3B",
+                 dit_params2=None):
         self.dit_params = dit_params
+        self.dit_params2 = dit_params2   # low-noise expert (Wan2.2 MoE)
         self.dit_cfg = dit_cfg
         self.base_model_type = base_model_type
         self.t5_params = t5_params
@@ -192,7 +276,6 @@ class WanPipeline:
         """Host-side TeaCache/MagCache skip plan (caches.py)."""
         if not sampling.cache_type:
             return None
-        import numpy as np
         from ... import caches
         from .dit import time_embedding_vec
         if sampling.cache_type == "tea":
@@ -224,26 +307,67 @@ class WanPipeline:
 
     # -- denoise ------------------------------------------------------------
 
-    def _get_denoise(self, sampling: SamplingConfig, has_y, has_clip,
-                     skip_schedule=None):
-        key = (sampling, has_y, has_clip,
-               None if skip_schedule is None else tuple(skip_schedule))
+    def _get_segment_fn(self, sampling: SamplingConfig, guide_scale: float,
+                        step_start: int, step_end: int, has_y, has_clip,
+                        has_overlap, skip_key):
+        key = (sampling, guide_scale, step_start, step_end, has_y, has_clip,
+               has_overlap, skip_key)
         fn = self._denoise_cache.get(key)
-        if fn is None:
-            schedule = make_schedule(sampling.solver, sampling.steps,
-                                     sampling.shift)
+        if fn is not None:
+            return fn
+        schedule = make_schedule(sampling.solver, sampling.steps,
+                                 sampling.shift)
+        skip = None if skip_key is None else np.asarray(skip_key, bool)
 
-            @functools.partial(jax.jit, static_argnames=())
-            def fn(dit_params, latents, context, context_null, rope_cos,
-                   rope_sin, y=None, clip_fea=None):
-                return denoise_scan(dit_params, self.dit_cfg, schedule,
-                                    latents, context, context_null, sampling,
-                                    rope_cos, rope_sin, y=y,
-                                    clip_fea=clip_fea,
-                                    attn_backend=self.attn_backend,
-                                    skip_schedule=skip_schedule)
-            self._denoise_cache[key] = fn
+        @jax.jit
+        def fn(dit_params, carry, context, context_null, rope_cos, rope_sin,
+               y=None, clip_fea=None, overlap_latents=None, noise_key=None):
+            return denoise_segment(
+                dit_params, self.dit_cfg, schedule, carry, context,
+                context_null, sampling, guide_scale, rope_cos, rope_sin,
+                step_start, step_end, y=y, clip_fea=clip_fea,
+                attn_backend=self.attn_backend, skip_schedule=skip,
+                overlap_latents=overlap_latents, noise_key=noise_key)
+        self._denoise_cache[key] = fn
         return fn
+
+    def denoise(self, latents, context, context_null,
+                sampling: SamplingConfig, y=None, clip_fea=None,
+                overlap_latents=None, seed: int = 0,
+                enable_riflex: bool = False, width: int = 0, height: int = 0):
+        """Run all phases/segments; returns final latents."""
+        schedule = make_schedule(sampling.solver, sampling.steps,
+                                 sampling.shift)
+        skip = self.skip_schedule(sampling, schedule, width or 832,
+                                  height or 480) \
+            if sampling.cache_type else None
+        skip_key = None if skip is None else tuple(bool(v) for v in skip)
+        segments = plan_phases(np.asarray(schedule.timesteps), sampling,
+                               self.dit_params2 is not None)
+        rope_cos, rope_sin = self._rope(latents.shape, enable_riflex)
+        carry = (latents.astype(jnp.float32),
+                 init_solver_state(schedule, latents),
+                 jnp.zeros_like(latents, dtype=jnp.float32))
+        for start, end, g, expert in segments:
+            params = self.dit_params2 if expert == 1 else self.dit_params
+            fn = self._get_segment_fn(sampling, g, start, end,
+                                      y is not None, clip_fea is not None,
+                                      overlap_latents is not None, skip_key)
+            kwargs = {}
+            if y is not None:
+                kwargs["y"] = y
+            if clip_fea is not None:
+                kwargs["clip_fea"] = clip_fea
+            if overlap_latents is not None:
+                kwargs["overlap_latents"] = overlap_latents
+                kwargs["noise_key"] = jax.random.key(seed + 1000 + start)
+            carry = fn(params, carry, context, context_null, rope_cos,
+                       rope_sin, **kwargs)
+        x = carry[0]
+        if overlap_latents is not None:
+            # final pin (any2video.py:1726-1728)
+            x = x.at[:, :, :overlap_latents.shape[2]].set(overlap_latents)
+        return x
 
     # -- end-to-end ---------------------------------------------------------
 
@@ -252,31 +376,88 @@ class WanPipeline:
                  sampling: SamplingConfig = SamplingConfig(), seed: int = 0,
                  context: Optional[jnp.ndarray] = None,
                  context_null: Optional[jnp.ndarray] = None,
+                 overlap_latents: Optional[jnp.ndarray] = None,
                  return_latents: bool = False):
         """T2V generation.  Returns video [T, H, W, 3] float32 in [-1, 1]
         (or latents if return_latents)."""
+        any_guidance = (sampling.guide_scale != 1.0
+                        or (sampling.guide_phases >= 2
+                            and sampling.guide2_scale != 1.0)
+                        or (sampling.guide_phases >= 3
+                            and sampling.guide3_scale != 1.0))
         if context is None:
             context = self.encode_text([prompt])
-        if context_null is None and sampling.guide_scale != 1.0:
+        if context_null is None and any_guidance:
             context_null = self.encode_text(
                 [n_prompt or DEFAULT_NEGATIVE_PROMPT])
         if context_null is None:
-            context_null = context  # unused when guide_scale == 1
+            context_null = context  # unused when guidance off
 
         lat_shape = self.latent_shape(frame_num, height, width)
         latents = jax.random.normal(jax.random.key(seed), lat_shape,
                                     jnp.float32)
-        rope_cos, rope_sin = self._rope(lat_shape, sampling.enable_riflex)
-        skip = None
-        if sampling.cache_type:
-            schedule = make_schedule(sampling.solver, sampling.steps,
-                                     sampling.shift)
-            skip = self.skip_schedule(sampling, schedule, width, height)
-        fn = self._get_denoise(sampling, False, False, skip_schedule=skip)
-        x = fn(self.dit_params, latents, context, context_null,
-               rope_cos, rope_sin)
+        x = self.denoise(latents, context, context_null, sampling,
+                         overlap_latents=overlap_latents, seed=seed,
+                         enable_riflex=sampling.enable_riflex,
+                         width=width, height=height)
         if return_latents:
             return x
         video = vae_decode(self.vae_params, self.vae_cfg,
                            x.transpose(0, 2, 3, 4, 1))  # -> NDHWC
         return video[0]
+
+    def generate_sliding(self, prompt: str, n_prompt: str = "",
+                         width: int = 832, height: int = 480,
+                         frame_num: int = 161, window_size: int = 81,
+                         overlap: int = 5, discard: int = 0,
+                         sampling: SamplingConfig = SamplingConfig(),
+                         seed: int = 0,
+                         context: Optional[jnp.ndarray] = None,
+                         context_null: Optional[jnp.ndarray] = None):
+        """Sliding-window long-video generation (wgp.py window loop +
+        windows.py planning).  prompt may hold one line per window with
+        /duration /overlap /new_shot commands.  Returns [T, H, W, 3]."""
+        from ...windows import (plan_windows, latent_overlap, stitch_windows)
+        st = self.vae_stride[0]
+        prompts = [p for p in prompt.split("\n") if p.strip()] or [""]
+        plans = plan_windows(frame_num, window_size, overlap,
+                             discard=discard, prompts=prompts,
+                             quantum=st)
+        if context_null is None and sampling.guide_scale != 1.0 \
+                and context is None:
+            context_null = self.encode_text(
+                [n_prompt or DEFAULT_NEGATIVE_PROMPT])
+
+        segments, overlaps = [], []
+        prev_latents = None
+        ctx_cache: Dict[str, Any] = {}
+        for k, plan in enumerate(plans):
+            if context is not None:
+                ctx = context
+                ctxn = context_null if context_null is not None else context
+            else:
+                if plan.prompt not in ctx_cache:
+                    ctx_cache[plan.prompt] = self.encode_text([plan.prompt])
+                ctx = ctx_cache[plan.prompt]
+                ctxn = context_null if context_null is not None else ctx
+
+            ov_lat = 0
+            overlap_latents = None
+            if k > 0 and plan.overlap > 0 and not plan.new_shot:
+                ov_lat = latent_overlap(plan.overlap, st)
+                overlap_latents = prev_latents[:, :, -ov_lat:]
+
+            lat_shape = self.latent_shape(plan.size, height, width)
+            latents = jax.random.normal(jax.random.key(seed + k), lat_shape,
+                                        jnp.float32)
+            x = self.denoise(latents, ctx, ctxn, sampling,
+                             overlap_latents=overlap_latents, seed=seed + k,
+                             width=width, height=height)
+            prev_latents = x
+            frames = vae_decode(self.vae_params, self.vae_cfg,
+                                x.transpose(0, 2, 3, 4, 1))[0]
+            if plan.discard > 0:
+                frames = frames[:-plan.discard]
+            segments.append(np.asarray(frames))
+            overlaps.append(plan.overlap if not plan.new_shot else 0)
+        return stitch_windows(segments, overlaps)

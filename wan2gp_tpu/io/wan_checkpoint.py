@@ -50,9 +50,18 @@ def normalize_wan_sd(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
 
 
 def _lin(sd, prefix, dtype, bias=True):
-    p = {"w": jnp.asarray(_t(np.asarray(sd.pop(f"{prefix}.weight"),
-                                        dtype=np.float32)).astype(
-        ml_dtypes.bfloat16 if dtype == jnp.bfloat16 else np.float32))}
+    if f"{prefix}.weight._data" in sd:
+        # quanto-int8 checkpoint: weight._data int8 [out, in] +
+        # weight._scale [out, 1] (reference *_quanto_*_int8.safetensors)
+        data = np.asarray(sd.pop(f"{prefix}.weight._data"))
+        scale = np.asarray(sd.pop(f"{prefix}.weight._scale"),
+                           np.float32).reshape(-1)
+        p = {"w_q": jnp.asarray(np.ascontiguousarray(data.T)),
+             "scale": jnp.asarray(scale)}
+    else:
+        p = {"w": jnp.asarray(_t(np.asarray(sd.pop(f"{prefix}.weight"),
+                                            dtype=np.float32)).astype(
+            ml_dtypes.bfloat16 if dtype == jnp.bfloat16 else np.float32))}
     if bias and f"{prefix}.bias" in sd:
         p["b"] = _as(np.asarray(sd.pop(f"{prefix}.bias"), np.float32), dtype)
     return p

@@ -154,6 +154,9 @@ def init_wan_dit(key, cfg: WanDiTConfig, dtype=jnp.bfloat16) -> Dict[str, Any]:
 
 def _dense(x, p, dtype=None):
     dtype = dtype or x.dtype
+    if "w_q" in p:  # int8 weights -> Pallas dequant-fused matmul (ops/quant)
+        from ...ops.quant import dense_quant
+        return dense_quant(x, p, dtype)
     y = jnp.dot(x.astype(dtype), p["w"].astype(dtype),
                 preferred_element_type=jnp.float32)
     if "b" in p:

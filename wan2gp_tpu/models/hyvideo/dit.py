@@ -1,0 +1,396 @@
+"""Hunyuan Video diffusion transformer (HV1 + HV1.5), TPU-native.
+
+Functional re-implementation of the reference HYVideoDiffusionTransformer
+(/root/reference/models/hyvideo/modules/models.py:510): MMDiT double-stream
+blocks (img/txt with separate 6-way adaLN modulation, models.py:34) plus
+single-stream blocks (flux-style fused linear1/linear2), 3D RoPE over the
+video token grid applied to IMG tokens only (txt tokens un-roped,
+models.py:231-255), a 2-block token refiner projecting LLM text states
+(token_refiner.py:165 SingleTokenRefiner), CLIP pooled vector + optional
+embedded guidance in the modulation vec.
+
+Variants (models.py:1280 HUNYUAN_VIDEO_CONFIG):
+  HYVideo-T/2[-cfgdistill]: 20 double + 40 single, hidden 3072, 24 heads
+  HYVideo-1_5:              54 double + 0 single,  hidden 2048, 16 heads
+
+Blocks are stacked and scanned (lax.scan) like the other families.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ...ops.attention import attention
+from ...ops.norms import rms_norm, layer_norm
+from ...ops.rope import apply_rope
+from ..flux.dit import timestep_embedding  # same sinusoidal convention
+
+
+@dataclasses.dataclass(frozen=True)
+class HunyuanConfig:
+    hidden_size: int = 3072
+    heads_num: int = 24
+    mm_double_blocks_depth: int = 20
+    mm_single_blocks_depth: int = 40
+    rope_dim_list: Sequence[int] = (16, 56, 56)
+    mlp_ratio: float = 4.0
+    patch_size: Sequence[int] = (1, 2, 2)
+    in_channels: int = 16
+    out_channels: int = 16
+    text_states_dim: int = 4096
+    text_states_dim_2: int = 768     # CLIP pooled ("vector_in")
+    guidance_embed: bool = False
+    text_pool: bool = True           # False for HV1.5 (text_pool_type None)
+    refiner_depth: int = 2
+    compute_dtype: Any = jnp.bfloat16
+
+    @property
+    def head_dim(self):
+        return self.hidden_size // self.heads_num
+
+    @property
+    def mlp_hidden(self):
+        return int(self.hidden_size * self.mlp_ratio)
+
+
+HUNYUAN_VIDEO_CONFIGS = {
+    "hunyuan": dict(guidance_embed=True),                     # T/2-cfgdistill
+    "hunyuan_i2v": dict(guidance_embed=True, in_channels=33),
+    "hunyuan_1_5_t2v": dict(hidden_size=2048, heads_num=16,
+                            mm_double_blocks_depth=54,
+                            mm_single_blocks_depth=0, text_pool=False,
+                            in_channels=32, out_channels=32),
+    "hunyuan_1_5_i2v": dict(hidden_size=2048, heads_num=16,
+                            mm_double_blocks_depth=54,
+                            mm_single_blocks_depth=0, text_pool=False,
+                            in_channels=65, out_channels=32),
+}
+
+
+def make_hunyuan_config(base_model_type: str, **overrides) -> HunyuanConfig:
+    kw = dict(HUNYUAN_VIDEO_CONFIGS.get(base_model_type, {}))
+    kw.update(overrides)
+    return HunyuanConfig(**kw)
+
+
+def build_hunyuan_rope(grid_fhw, rope_dim_list=(16, 56, 56),
+                       txt_len: int = 0, theta: float = 10000.0):
+    """cos/sin [img_len + txt_len, head_dim/2]; txt rows are identity
+    (cos=1, sin=0) — HV applies RoPE to img tokens only."""
+    f, h, w = grid_fhw
+    parts = []
+    for dim, n, idx in zip(rope_dim_list, (f, h, w), range(3)):
+        omega = 1.0 / (theta ** (np.arange(0, dim, 2, np.float64) / dim))
+        pos = np.arange((f, h, w)[idx], dtype=np.float64)
+        parts.append(np.outer(pos, omega))
+    ang = np.concatenate([
+        np.broadcast_to(parts[0][:, None, None, :],
+                        (f, h, w, parts[0].shape[-1])),
+        np.broadcast_to(parts[1][None, :, None, :],
+                        (f, h, w, parts[1].shape[-1])),
+        np.broadcast_to(parts[2][None, None, :, :],
+                        (f, h, w, parts[2].shape[-1])),
+    ], axis=-1).reshape(f * h * w, -1)
+    cos = np.concatenate([np.cos(ang), np.ones((txt_len, ang.shape[1]))])
+    sin = np.concatenate([np.sin(ang), np.zeros((txt_len, ang.shape[1]))])
+    return jnp.asarray(cos, jnp.float32), jnp.asarray(sin, jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def _linear(key, d_in, d_out, dtype, bias=True):
+    limit = math.sqrt(6.0 / (d_in + d_out))
+    p = {"w": jax.random.uniform(key, (d_in, d_out), jnp.float32,
+                                 -limit, limit).astype(dtype)}
+    if bias:
+        p["b"] = jnp.zeros((d_out,), dtype)
+    return p
+
+
+def _mlp_embedder(key, d_in, d_h, dtype):
+    k1, k2 = jax.random.split(key)
+    return {"in": _linear(k1, d_in, d_h, dtype),
+            "out": _linear(k2, d_h, d_h, dtype)}
+
+
+def init_hunyuan(key, cfg: HunyuanConfig, dtype=jnp.bfloat16):
+    keys = iter(jax.random.split(key, 24))
+    h = cfg.hidden_size
+    hd = cfg.head_dim
+
+    def stream(key):
+        ks = iter(jax.random.split(key, 8))
+        return {
+            "mod": _linear(next(ks), h, 6 * h, dtype),
+            "qkv": _linear(next(ks), h, 3 * h, dtype),
+            "norm_q": jnp.ones((hd,), jnp.float32),
+            "norm_k": jnp.ones((hd,), jnp.float32),
+            "proj": _linear(next(ks), h, h, dtype),
+            "mlp1": _linear(next(ks), h, cfg.mlp_hidden, dtype),
+            "mlp2": _linear(next(ks), cfg.mlp_hidden, h, dtype),
+        }
+
+    def double_block(key):
+        k1, k2 = jax.random.split(key)
+        return {"img": stream(k1), "txt": stream(k2)}
+
+    def single_block(key):
+        ks = iter(jax.random.split(key, 4))
+        return {
+            "mod": _linear(next(ks), h, 3 * h, dtype),
+            "linear1": _linear(next(ks), h, 3 * h + cfg.mlp_hidden, dtype),
+            "linear2": _linear(next(ks), h + cfg.mlp_hidden, h, dtype),
+            "norm_q": jnp.ones((hd,), jnp.float32),
+            "norm_k": jnp.ones((hd,), jnp.float32),
+        }
+
+    def refiner_block(key):
+        ks = iter(jax.random.split(key, 6))
+        return {
+            "norm1": {"w": jnp.ones((h,), jnp.float32),
+                      "b": jnp.zeros((h,), jnp.float32)},
+            "qkv": _linear(next(ks), h, 3 * h, dtype),
+            "proj": _linear(next(ks), h, h, dtype),
+            "norm2": {"w": jnp.ones((h,), jnp.float32),
+                      "b": jnp.zeros((h,), jnp.float32)},
+            "mlp1": _linear(next(ks), h, cfg.mlp_hidden, dtype),
+            "mlp2": _linear(next(ks), cfg.mlp_hidden, h, dtype),
+            "ada": _linear(next(ks), h, 2 * h, jnp.float32),
+        }
+
+    def stack(fn, n):
+        if n == 0:
+            return None
+        ks = jax.random.split(next(keys), n)
+        return jax.tree.map(lambda *xs: jnp.stack(xs),
+                            *[fn(k) for k in ks])
+
+    pt, ph, pw = cfg.patch_size
+    params = {
+        "img_in": _linear(next(keys),
+                          cfg.in_channels * pt * ph * pw, h, jnp.float32),
+        "time_in": _mlp_embedder(next(keys), 256, h, jnp.float32),
+        "txt_refiner": {
+            "input_embedder": _linear(next(keys), cfg.text_states_dim, h,
+                                      dtype),
+            "t_embedder": _mlp_embedder(next(keys), 256, h, jnp.float32),
+            "c_embedder": _mlp_embedder(next(keys), cfg.text_states_dim, h,
+                                        jnp.float32),
+            "blocks": stack(refiner_block, cfg.refiner_depth),
+        },
+        "double_blocks": stack(double_block, cfg.mm_double_blocks_depth),
+        "single_blocks": stack(single_block, cfg.mm_single_blocks_depth),
+        "final": {
+            "mod": _linear(next(keys), h, 2 * h, jnp.float32),
+            "linear": _linear(next(keys), h,
+                              cfg.out_channels * pt * ph * pw, jnp.float32),
+        },
+    }
+    if cfg.text_pool:
+        params["vector_in"] = _mlp_embedder(next(keys),
+                                            cfg.text_states_dim_2, h,
+                                            jnp.float32)
+    if cfg.guidance_embed:
+        params["guidance_in"] = _mlp_embedder(next(keys), 256, h,
+                                              jnp.float32)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _dense(x, p, dtype=None):
+    dtype = dtype or x.dtype
+    if "w_q" in p:
+        from ...ops.quant import dense_quant
+        return dense_quant(x, p, dtype)
+    y = jnp.dot(x.astype(dtype), p["w"].astype(dtype),
+                preferred_element_type=jnp.float32)
+    if "b" in p:
+        y = y + p["b"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def _embed(p, x):
+    h = _dense(x, p["in"], jnp.float32)
+    return _dense(jax.nn.silu(h), p["out"], jnp.float32)
+
+
+def _heads(x, n):
+    b, l, d = x.shape
+    return x.reshape(b, l, n, d // n)
+
+
+def _refine_text(params, cfg, text_states, text_mask, t):
+    """SingleTokenRefiner (token_refiner.py:165): c = t_emb + c_emb(masked
+    mean of text states); 2 pre-norm blocks with adaLN output gates."""
+    rp = params["txt_refiner"]
+    cdt = cfg.compute_dtype
+    mask = text_mask[..., None].astype(jnp.float32)
+    pooled = (text_states * mask).sum(1) / jnp.maximum(mask.sum(1), 1.0)
+    c = _embed(rp["t_embedder"], timestep_embedding(t, 256, time_factor=1.0))
+    c = c + _embed(rp["c_embedder"], pooled.astype(jnp.float32))
+    x = _dense(text_states.astype(cdt), rp["input_embedder"], cdt)
+    x = x.astype(jnp.float32)
+    bias = jnp.where(text_mask[:, None, None, :] > 0, 0.0,
+                     jnp.finfo(jnp.float32).min)
+    n, hd = cfg.heads_num, cfg.head_dim
+
+    def body(x, bp):
+        gates = _dense(jax.nn.silu(c), bp["ada"], jnp.float32)
+        gate_msa, gate_mlp = jnp.split(gates[:, None, :], 2, axis=-1)
+        y = layer_norm(x, bp["norm1"]["w"], bp["norm1"]["b"])
+        qkv = _dense(y.astype(cdt), bp["qkv"], cdt)
+        q, k, v = (_heads(u, n) for u in jnp.split(qkv, 3, axis=-1))
+        s = jnp.einsum("blnd,bsnd->bnls", q, k,
+                       preferred_element_type=jnp.float32) / np.sqrt(hd)
+        p_attn = jax.nn.softmax(s + bias, axis=-1).astype(cdt)
+        o = jnp.einsum("bnls,bsnd->blnd", p_attn, v).reshape(*x.shape[:2], -1)
+        x = x + (_dense(o, bp["proj"], cdt) * gate_msa).astype(jnp.float32)
+        y = layer_norm(x, bp["norm2"]["w"], bp["norm2"]["b"]).astype(cdt)
+        y = _dense(y, bp["mlp1"], cdt)
+        y = jax.nn.silu(y.astype(jnp.float32)).astype(cdt)
+        y = _dense(y, bp["mlp2"], cdt)
+        x = x + (y * gate_mlp).astype(jnp.float32)
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, rp["blocks"])
+    return x
+
+
+def _mod6(p, vec):
+    m = _dense(jax.nn.silu(vec.astype(jnp.float32)), p["mod"], jnp.float32)
+    return jnp.split(m[:, None, :], 6, axis=-1)
+
+
+def _stream_qkv(p, x, cfg):
+    cdt = cfg.compute_dtype
+    qkv = _dense(x.astype(cdt), p["qkv"], cdt)
+    q, k, v = (_heads(u, cfg.heads_num) for u in jnp.split(qkv, 3, axis=-1))
+    q = rms_norm(q, p["norm_q"], 1e-6)
+    k = rms_norm(k, p["norm_k"], 1e-6)
+    return q, k, v
+
+
+def _mlp(p, y, cfg):
+    cdt = cfg.compute_dtype
+    h = _dense(y.astype(cdt), p["mlp1"], cdt)
+    h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(cdt)
+    return _dense(h, p["mlp2"], cdt)
+
+
+def _double_block(bp, img, txt, vec, cos, sin, img_len, cfg, attn_backend):
+    cdt = cfg.compute_dtype
+    i_s1, i_sc1, i_g1, i_s2, i_sc2, i_g2 = _mod6(bp["img"], vec)
+    t_s1, t_sc1, t_g1, t_s2, t_sc2, t_g2 = _mod6(bp["txt"], vec)
+
+    img_mod = layer_norm(img) * (1 + i_sc1) + i_s1
+    txt_mod = layer_norm(txt) * (1 + t_sc1) + t_s1
+    iq, ik, iv = _stream_qkv(bp["img"], img_mod, cfg)
+    tq, tk, tv = _stream_qkv(bp["txt"], txt_mod, cfg)
+
+    # img FIRST, rope on img only (identity rows cover txt)
+    q = jnp.concatenate([iq, tq], axis=1)
+    k = jnp.concatenate([ik, tk], axis=1)
+    v = jnp.concatenate([iv, tv], axis=1)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    attn = attention(q, k, v, backend=attn_backend)
+    attn = attn.reshape(*attn.shape[:2], cfg.hidden_size)
+    img_attn, txt_attn = attn[:, :img_len], attn[:, img_len:]
+
+    img = img + i_g1 * _dense(img_attn, bp["img"]["proj"], cdt
+                              ).astype(jnp.float32)
+    y = layer_norm(img) * (1 + i_sc2) + i_s2
+    img = img + i_g2 * _mlp(bp["img"], y, cfg).astype(jnp.float32)
+
+    txt = txt + t_g1 * _dense(txt_attn, bp["txt"]["proj"], cdt
+                              ).astype(jnp.float32)
+    y = layer_norm(txt) * (1 + t_sc2) + t_s2
+    txt = txt + t_g2 * _mlp(bp["txt"], y, cfg).astype(jnp.float32)
+    return img, txt
+
+
+def _single_block(bp, x, vec, cos, sin, cfg, attn_backend):
+    cdt = cfg.compute_dtype
+    m = _dense(jax.nn.silu(vec.astype(jnp.float32)), bp["mod"], jnp.float32)
+    shift, scale, gate = jnp.split(m[:, None, :], 3, axis=-1)
+    x_mod = layer_norm(x) * (1 + scale) + shift
+    h1 = _dense(x_mod.astype(cdt), bp["linear1"], cdt)
+    qkv = h1[..., :3 * cfg.hidden_size]
+    mlp = h1[..., 3 * cfg.hidden_size:]
+    q, k, v = (_heads(u, cfg.heads_num) for u in jnp.split(qkv, 3, axis=-1))
+    q = rms_norm(q, bp["norm_q"], 1e-6)
+    k = rms_norm(k, bp["norm_k"], 1e-6)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    attn = attention(q, k, v, backend=attn_backend)
+    attn = attn.reshape(*x.shape[:2], cfg.hidden_size)
+    act = jax.nn.gelu(mlp.astype(jnp.float32), approximate=True).astype(cdt)
+    out = _dense(jnp.concatenate([attn, act], axis=-1), bp["linear2"], cdt)
+    return x + gate * out.astype(jnp.float32)
+
+
+def hunyuan_forward(params, cfg: HunyuanConfig, latents, t, text_states,
+                    text_mask, text_pooled=None, guidance=None,
+                    rope_cos=None, rope_sin=None, attn_backend="auto"):
+    """latents: [B, C, F, H, W]; t: [B] in 0..1000 (reference feeds t
+    directly to sinusoidal embedding); text_states: [B, L, 4096];
+    text_pooled: [B, 768] CLIP pooled (HV1); guidance: [B] cfg_scale*1000.
+    Returns velocity [B, C_out, F, H, W] fp32."""
+    from ..wan.dit import patchify, unpatchify
+    b = latents.shape[0]
+    pt, ph, pw = cfg.patch_size
+    grid = (latents.shape[2] // pt, latents.shape[3] // ph,
+            latents.shape[4] // pw)
+    img = patchify(latents.astype(jnp.float32), cfg.patch_size)
+    img = _dense(img, params["img_in"], jnp.float32)
+    img_len = img.shape[1]
+    txt_len = text_states.shape[1]
+    if rope_cos is None:
+        rope_cos, rope_sin = build_hunyuan_rope(grid, cfg.rope_dim_list,
+                                                txt_len)
+
+    vec = _embed(params["time_in"], timestep_embedding(t, 256,
+                                                       time_factor=1.0))
+    if cfg.text_pool and text_pooled is not None:
+        vec = vec + _embed(params["vector_in"],
+                           text_pooled.astype(jnp.float32))
+    if cfg.guidance_embed and guidance is not None:
+        vec = vec + _embed(params["guidance_in"],
+                           timestep_embedding(guidance, 256,
+                                              time_factor=1.0))
+
+    txt = _refine_text(params, cfg, text_states, text_mask, t)
+
+    def dbody(carry, bp):
+        img, txt = carry
+        img, txt = _double_block(bp, img, txt, vec, rope_cos, rope_sin,
+                                 img_len, cfg, attn_backend)
+        return (img, txt), None
+
+    (img, txt), _ = jax.lax.scan(dbody, (img, txt), params["double_blocks"])
+
+    if params.get("single_blocks") is not None:
+        x = jnp.concatenate([img, txt], axis=1)
+
+        def sbody(x, bp):
+            return _single_block(bp, x, vec, rope_cos, rope_sin, cfg,
+                                 attn_backend), None
+
+        x, _ = jax.lax.scan(sbody, x, params["single_blocks"])
+        img = x[:, :img_len]
+
+    fm = _dense(jax.nn.silu(vec), params["final"]["mod"], jnp.float32)
+    shift, scale = jnp.split(fm[:, None, :], 2, axis=-1)
+    img = layer_norm(img) * (1 + scale) + shift
+    out = _dense(img, params["final"]["linear"], jnp.float32)
+    return unpatchify(out, grid, cfg.patch_size, cfg.out_channels)

@@ -1,0 +1,134 @@
+"""Hunyuan Video generation pipeline.
+
+FlowMatchDiscrete scheduler (reference models/hyvideo/diffusion/schedulers/
+scheduling_flow_match_discrete.py: sigmas = linspace(1, 0, N+1) with SD3
+time shift t' = shift*t/(1+(shift-1)*t), Euler update) run as a jitted
+lax.scan with optional joint CFG (HV1.5) or embedded guidance (HV1
+cfg-distilled: guidance = cfg_scale * 1000, models.py:956).
+
+The LLM text encoders (LLaVA-llama3 for HV1, Qwen for HV1.5 —
+models/hyvideo/text_encoder/) are external; the pipeline takes precomputed
+text states + mask (+ CLIP pooled for HV1).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .dit import HunyuanConfig, hunyuan_forward, build_hunyuan_rope
+from ...guidance import cfg_combine
+
+
+def hunyuan_schedule(num_steps: int, shift: float = 7.0):
+    """sigmas [N+1] (scheduling_flow_match_discrete.py:142-149)."""
+    sigmas = np.linspace(1.0, 0.0, num_steps + 1, dtype=np.float64)
+    sigmas = shift * sigmas / (1.0 + (shift - 1.0) * sigmas)
+    return sigmas
+
+
+@dataclasses.dataclass(frozen=True)
+class HunyuanSamplingConfig:
+    steps: int = 30
+    shift: float = 7.0
+    guide_scale: float = 1.0           # true CFG (HV1.5)
+    embedded_guidance: float = 6.0     # HV1 distilled guidance
+    cfg_star_switch: bool = False
+
+
+def hunyuan_denoise_scan(params, cfg: HunyuanConfig, latents, text_states,
+                         text_mask, text_states_null=None,
+                         text_mask_null=None, text_pooled=None,
+                         sampling: HunyuanSamplingConfig = HunyuanSamplingConfig(),
+                         attn_backend: str = "auto"):
+    b = latents.shape[0]
+    sigmas = jnp.asarray(hunyuan_schedule(sampling.steps, sampling.shift),
+                         jnp.float32)
+    g = sampling.guide_scale
+    any_guidance = g != 1.0
+    pt, ph, pw = cfg.patch_size
+    grid = (latents.shape[2] // pt, latents.shape[3] // ph,
+            latents.shape[4] // pw)
+    cos, sin = build_hunyuan_rope(grid, cfg.rope_dim_list,
+                                  text_states.shape[1])
+
+    if any_guidance:
+        ctx = jnp.concatenate([text_states, text_states_null], axis=0)
+        msk = jnp.concatenate([text_mask, text_mask_null], axis=0)
+        pooled = (None if text_pooled is None
+                  else jnp.concatenate([text_pooled, text_pooled], axis=0))
+    else:
+        ctx, msk, pooled = text_states, text_mask, text_pooled
+
+    guidance = None
+    if cfg.guidance_embed:
+        guidance = jnp.full((2 * b if any_guidance else b,),
+                            sampling.embedded_guidance * 1000.0, jnp.float32)
+
+    def body(x, i):
+        t = jnp.broadcast_to(sigmas[i] * 1000.0,
+                             (2 * b if any_guidance else b,))
+        xb = jnp.concatenate([x, x], axis=0) if any_guidance else x
+        v = hunyuan_forward(params, cfg, xb, t, ctx, msk,
+                            text_pooled=pooled, guidance=guidance,
+                            rope_cos=cos, rope_sin=sin,
+                            attn_backend=attn_backend)
+        if any_guidance:
+            pred = cfg_combine(v[:b], v[b:], g,
+                               jnp.asarray(sampling.cfg_star_switch))
+        else:
+            pred = v
+        # Euler flow step toward sigma=0 (scheduler step: x += v * dsigma)
+        return x + pred * (sigmas[i + 1] - sigmas[i]), None
+
+    x, _ = jax.lax.scan(body, latents.astype(jnp.float32),
+                        jnp.arange(sampling.steps))
+    return x
+
+
+class HunyuanPipeline:
+    def __init__(self, dit_params, dit_cfg: HunyuanConfig,
+                 vae_decode_fn=None, text_encode_fn=None,
+                 vae_stride=(4, 8, 8), attn_backend: str = "auto"):
+        self.dit_params = dit_params
+        self.dit_cfg = dit_cfg
+        self.vae_decode_fn = vae_decode_fn
+        self.text_encode_fn = text_encode_fn
+        self.vae_stride = vae_stride
+        self.attn_backend = attn_backend
+        self._cache: Dict[Any, Any] = {}
+
+    def generate(self, prompt: str = "", width: int = 832, height: int = 480,
+                 frame_num: int = 97, seed: int = 0,
+                 sampling: HunyuanSamplingConfig = HunyuanSamplingConfig(),
+                 text_states=None, text_mask=None, text_states_null=None,
+                 text_mask_null=None, text_pooled=None,
+                 return_latents: bool = False):
+        if text_states is None:
+            text_states, text_mask, text_pooled = self.text_encode_fn(prompt)
+        st, sh, sw = self.vae_stride
+        f_lat = (frame_num - 1) // st + 1
+        lat = jax.random.normal(
+            jax.random.key(seed),
+            (1, self.dit_cfg.in_channels, f_lat, height // sh, width // sw),
+            jnp.float32)
+        sig = (sampling, lat.shape, text_states.shape)
+        fn = self._cache.get(sig)
+        if fn is None:
+            fn = jax.jit(functools.partial(
+                hunyuan_denoise_scan, cfg=self.dit_cfg, sampling=sampling,
+                attn_backend=self.attn_backend))
+            self._cache[sig] = fn
+        kwargs = dict(text_states=text_states, text_mask=text_mask,
+                      text_pooled=text_pooled)
+        if sampling.guide_scale != 1.0:
+            kwargs.update(text_states_null=text_states_null,
+                          text_mask_null=text_mask_null)
+        x = fn(self.dit_params, latents=lat, **kwargs)
+        if return_latents or self.vae_decode_fn is None:
+            return x
+        return self.vae_decode_fn(x)

@@ -8,8 +8,10 @@ runtime concerns: query_supported_types / query_model_def / query_model_files
 """
 from .wan import WanFamilyHandler
 from .flux import FluxFamilyHandler
+from .hyvideo import HunyuanFamilyHandler
 
-_HANDLER_CLASSES = [WanFamilyHandler, FluxFamilyHandler]
+_HANDLER_CLASSES = [WanFamilyHandler, FluxFamilyHandler,
+                    HunyuanFamilyHandler]
 
 
 def build_handler_map():

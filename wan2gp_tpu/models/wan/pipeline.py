@@ -28,6 +28,7 @@ from ...schedulers import Schedule, make_schedule, init_solver_state, solver_ste
 from ...ops.rope import build_rope_3d
 from .dit import WanDiTConfig, wan_dit_forward
 from .vae import WanVAEConfig, vae_decode, vae_encode
+from .vae_scan import vae_decode_chunked
 from .t5 import T5Config, t5_encode
 
 # reference default negative prompt (models/wan/configs/shared_config.py:17)
@@ -369,6 +370,15 @@ class WanPipeline:
             x = x.at[:, :, :overlap_latents.shape[2]].set(overlap_latents)
         return x
 
+    def decode(self, latents_bcfhw, mode: str = "auto"):
+        """VAE decode [B, C, F, H, W] -> [B, T, H, W, 3].  mode auto uses
+        the memory-bounded chunked scan for clips beyond a few latent
+        frames (vae_scan.py), numerically identical to the full decode."""
+        z = latents_bcfhw.transpose(0, 2, 3, 4, 1)
+        if mode == "chunked" or (mode == "auto" and z.shape[1] > 4):
+            return vae_decode_chunked(self.vae_params, self.vae_cfg, z)
+        return vae_decode(self.vae_params, self.vae_cfg, z)
+
     # -- end-to-end ---------------------------------------------------------
 
     def generate(self, prompt: str, n_prompt: str = "",
@@ -402,8 +412,7 @@ class WanPipeline:
                          width=width, height=height)
         if return_latents:
             return x
-        video = vae_decode(self.vae_params, self.vae_cfg,
-                           x.transpose(0, 2, 3, 4, 1))  # -> NDHWC
+        video = self.decode(x)
         return video[0]
 
     def generate_sliding(self, prompt: str, n_prompt: str = "",
@@ -454,8 +463,7 @@ class WanPipeline:
                              overlap_latents=overlap_latents, seed=seed + k,
                              width=width, height=height)
             prev_latents = x
-            frames = vae_decode(self.vae_params, self.vae_cfg,
-                                x.transpose(0, 2, 3, 4, 1))[0]
+            frames = self.decode(x)[0]
             if plan.discard > 0:
                 frames = frames[:-plan.discard]
             segments.append(np.asarray(frames))

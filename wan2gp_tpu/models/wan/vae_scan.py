@@ -1,0 +1,158 @@
+"""Memory-bounded Wan VAE decode: lax.scan over latent frames.
+
+The reference decodes one latent frame per iteration, carrying per-conv
+feature caches of the last CACHE_T=2 input frames (vae.py:643-672 decode +
+the feat_cache logic in CausalConv3d/Resample).  This module is the same
+algorithm as a jax scan: the first latent frame (temporal passthrough at
+every upsample) is traced separately, then frames 1..T-1 run through a scan
+whose carry is the cache pytree — activations never exceed one 4-frame
+chunk, so 720p long videos decode in bounded memory.
+
+Verified equivalent to the full-sequence `vae_decode` (tests/test_vae_scan).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .vae import (WanVAEConfig, VAE_MEAN, VAE_STD, decoder_plan,
+                  causal_conv3d, conv2d, vae_rms_norm, _attnblock, _up2d,
+                  _upsample_nearest2x)
+
+
+# ---------------------------------------------------------------------------
+# cached primitives: caches hold the last 2 *input* frames of each causal
+# conv (zero-filled before the clip starts)
+# ---------------------------------------------------------------------------
+
+def _cached_conv(x, p, cache):
+    """kt=3 causal conv with explicit 2-frame input history."""
+    ext = jnp.concatenate([cache, x], axis=1)
+    y = causal_conv3d(ext, p["w"], p["b"], time_pad=0)
+    return y, ext[:, -2:]
+
+
+def _res_cached(p, x, caches, idx):
+    h = vae_rms_norm(x, p["norm1"])
+    h = jax.nn.silu(h)
+    h, new1 = _cached_conv(h, p["conv1"], caches[idx])
+    caches[idx] = new1
+    idx += 1
+    h = vae_rms_norm(h, p["norm2"])
+    h = jax.nn.silu(h)
+    h, new2 = _cached_conv(h, p["conv2"], caches[idx])
+    caches[idx] = new2
+    idx += 1
+    if "shortcut" in p:
+        x = causal_conv3d(x, p["shortcut"]["w"], p["shortcut"]["b"])
+    return x + h, idx
+
+
+def _up3d_cached(p, x, caches, idx, first: bool):
+    """Temporal-doubling upsample.  first: chunk 0 passthrough ('Rep'
+    sentinel, vae.py:150-190) — no time conv; the first frame is replaced by
+    ZERO in all later conv windows, so the cache stays zero-initialized."""
+    b, t, h, w, c = x.shape
+    if first:
+        idx += 1
+        return _up2d(p, x), idx
+    ext = jnp.concatenate([caches[idx], x], axis=1)
+    rest = causal_conv3d(ext, p["time_conv"]["w"], p["time_conv"]["b"],
+                         time_pad=0)                  # [B, t, H, W, 2c]
+    caches[idx] = ext[:, -2:]
+    idx += 1
+    rest = rest.reshape(b, t, h, w, 2, c)
+    rest = rest.transpose(0, 1, 4, 2, 3, 5).reshape(b, 2 * t, h, w, c)
+    return _up2d(p, rest), idx
+
+
+def _mid_cached(params, x, caches, idx):
+    x, idx = _res_cached(params[0], x, caches, idx)
+    x = _attnblock(params[1], x)
+    x, idx = _res_cached(params[2], x, caches, idx)
+    return x, idx
+
+
+def _decode_chunk(params, cfg: WanVAEConfig, z, caches, first: bool):
+    """Decode one latent chunk [B, 1, h, w, z] -> pixels ([B, 1 or 4, ...]).
+
+    caches: flat list in deterministic walk order; None entries on the first
+    call are initialized as zero history."""
+    dec = params["decoder"]
+    idx = 0
+    x, new = _cached_conv(z, dec["conv1"], caches[idx])
+    caches[idx] = new
+    idx += 1
+    x, idx = _mid_cached(dec["mid"], x, caches, idx)
+    for (op, _, _), p in zip(decoder_plan(cfg), dec["up"]):
+        if op == "res":
+            x, idx = _res_cached(p, x, caches, idx)
+        elif op == "up2d":
+            x = _up2d(p, x)
+        else:  # up3d
+            x, idx = _up3d_cached(p, x, caches, idx, first)
+    x = vae_rms_norm(x, dec["head_norm"])
+    x = jax.nn.silu(x)
+    x, new = _cached_conv(x, dec["head_conv"], caches[idx])
+    caches[idx] = new
+    idx += 1
+    return jnp.clip(x, -1.0, 1.0), caches
+
+
+def _init_caches(params, cfg: WanVAEConfig, b, h_lat, w_lat, dtype):
+    """Zero caches with the right shapes, in walk order."""
+    caches = []
+    # conv1: input z channels at latent res
+    caches.append(jnp.zeros((b, 2, h_lat, w_lat, cfg.z_dim), dtype))
+    big = cfg.dim * cfg.dim_mult[-1]
+
+    def res_caches(cin, cout, h, w):
+        caches.append(jnp.zeros((b, 2, h, w, cin), dtype))
+        caches.append(jnp.zeros((b, 2, h, w, cout), dtype))
+
+    h = w = None
+    h, w = h_lat, w_lat
+    res_caches(big, big, h, w)   # mid res1
+    res_caches(big, big, h, w)   # mid res2
+    for (op, din, dout) in decoder_plan(cfg):
+        if op == "res":
+            res_caches(din, dout, h, w)
+        elif op == "up3d":
+            # time_conv input is the PRE-upsample channel width (din)
+            caches.append(jnp.zeros((b, 2, h, w, din), dtype))
+            h, w = 2 * h, 2 * w
+        elif op == "up2d":
+            h, w = 2 * h, 2 * w
+    caches.append(jnp.zeros((b, 2, h, w, cfg.dim), dtype))  # head conv
+    return caches
+
+
+def vae_decode_chunked(params, cfg: WanVAEConfig, latents):
+    """latents: [B, T_lat, h, w, 16] normalized -> video
+    [B, 1+4*(T_lat-1), 8h, 8w, 3], numerically equal to vae_decode."""
+    b, t_lat, h_lat, w_lat, _ = latents.shape
+    z = latents * VAE_STD + VAE_MEAN
+    z = causal_conv3d(z, params["conv2"]["w"], params["conv2"]["b"])
+
+    caches = _init_caches(params, cfg, b, h_lat, w_lat, latents.dtype)
+    first_out, caches = _decode_chunk(params, cfg, z[:, :1], caches,
+                                      first=True)
+    if t_lat == 1:
+        return first_out
+
+    def body(caches, z_t):
+        out, caches = _decode_chunk(params, cfg, z_t[:, None], caches,
+                                    first=False)
+        return caches, out
+
+    # scan over remaining latent frames: xs [T-1, B, h, w, z]
+    zs = z[:, 1:].transpose(1, 0, 2, 3, 4)
+    _, outs = jax.lax.scan(body, caches, zs)
+    # outs: [T-1, B, 4, H, W, 3] -> [B, 4*(T-1), H, W, 3]
+    t1 = outs.shape[0]
+    outs = outs.transpose(1, 0, 2, 3, 4, 5).reshape(
+        b, t1 * 4, *outs.shape[3:])
+    return jnp.concatenate([first_out, outs], axis=1)

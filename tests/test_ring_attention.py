@@ -1,0 +1,33 @@
+"""Ring attention vs full attention under shard_map on the virtual mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from wan2gp_tpu.parallel.ring_attention import ring_attention
+from wan2gp_tpu.ops.attention import attention
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 4,
+                                reason="needs 4 virtual devices")
+
+
+@pytest.mark.parametrize("n_cp", [2, 4])
+def test_ring_matches_full(n_cp):
+    mesh = Mesh(np.asarray(jax.devices()[:n_cp]).reshape(n_cp), ("cp",))
+    rng = np.random.default_rng(0)
+    b, l, n, d = 2, 8 * n_cp, 3, 16
+    q = jnp.asarray(rng.standard_normal((b, l, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, l, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, l, n, d)), jnp.float32)
+
+    ref = attention(q, k, v, backend="xla")
+
+    fn = shard_map(lambda q, k, v: ring_attention(q, k, v, axis_name="cp"),
+                   mesh=mesh,
+                   in_specs=(P(None, "cp"), P(None, "cp"), P(None, "cp")),
+                   out_specs=P(None, "cp"))
+    got = jax.jit(fn)(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4,
+                               atol=2e-4)

@@ -232,7 +232,7 @@ class WanPipeline:
                  tokenizer=None, vae_stride=(4, 8, 8),
                  attn_backend: str = "auto",
                  base_model_type: str = "t2v_1.3B",
-                 dit_params2=None):
+                 dit_params2=None, clip_params=None, clip_cfg=None):
         self.dit_params = dit_params
         self.dit_params2 = dit_params2   # low-noise expert (Wan2.2 MoE)
         self.dit_cfg = dit_cfg
@@ -244,6 +244,8 @@ class WanPipeline:
         self.tokenizer = tokenizer
         self.vae_stride = vae_stride
         self.attn_backend = attn_backend
+        self.clip_params = clip_params
+        self.clip_cfg = clip_cfg
         self._denoise_cache: Dict[Any, Any] = {}
 
     # -- text ---------------------------------------------------------------
@@ -370,6 +372,42 @@ class WanPipeline:
             x = x.at[:, :, :overlap_latents.shape[2]].set(overlap_latents)
         return x
 
+    def build_i2v_conditioning(self, image_start, frame_num: int,
+                               height: int, width: int):
+        """Build the i2v channel conditioning y = [mask(4) || lat_y(16)]
+        and CLIP image features.
+
+        Reference any2video.py:693-766: pixels = [start frame, zeros...] ->
+        VAE encode; mask = 1 for the first pixel frame else 0, first frame
+        repeated 4x then folded into the latent temporal grid (:343-352).
+        Returns (y [1, 20, f_lat, h, w], clip_fea [1, 257, 1280] | None).
+        """
+        st, sh, sw = self.vae_stride
+        f_lat = (frame_num - 1) // st + 1
+        lat_h, lat_w = height // sh, width // sw
+        img = jnp.asarray(image_start, jnp.float32)
+        if img.shape[:2] != (height, width):
+            img = jax.image.resize(img, (height, width, 3), "bicubic")
+        enc = jnp.concatenate(
+            [img[None, None], jnp.zeros((1, frame_num - 1, height, width, 3),
+                                        jnp.float32)], axis=1)
+        lat_y = vae_encode(self.vae_params, self.vae_cfg, enc)  # [1,f,h,w,16]
+        lat_y = lat_y.transpose(0, 4, 1, 2, 3)                  # -> [1,16,f,..]
+
+        msk = np.zeros((frame_num, lat_h, lat_w), np.float32)
+        msk[0] = 1.0
+        msk = np.concatenate([np.repeat(msk[:1], st, axis=0), msk[1:]])
+        msk = msk.reshape(f_lat, st, lat_h, lat_w).transpose(1, 0, 2, 3)
+        y = jnp.concatenate([jnp.asarray(msk)[None], lat_y], axis=1)
+
+        clip_fea = None
+        if self.clip_params is not None:
+            from .clip_vision import preprocess_image, clip_vision_encode
+            pixels = preprocess_image(img, self.clip_cfg.image_size)
+            clip_fea = clip_vision_encode(self.clip_params, self.clip_cfg,
+                                          pixels).astype(jnp.float32)
+        return y, clip_fea
+
     def decode(self, latents_bcfhw, mode: str = "auto"):
         """VAE decode [B, C, F, H, W] -> [B, T, H, W, 3].  mode auto uses
         the memory-bounded chunked scan for clips beyond a few latent
@@ -387,9 +425,10 @@ class WanPipeline:
                  context: Optional[jnp.ndarray] = None,
                  context_null: Optional[jnp.ndarray] = None,
                  overlap_latents: Optional[jnp.ndarray] = None,
-                 return_latents: bool = False):
-        """T2V generation.  Returns video [T, H, W, 3] float32 in [-1, 1]
-        (or latents if return_latents)."""
+                 image_start=None, return_latents: bool = False):
+        """T2V / I2V generation.  image_start: [H, W, 3] in [-1, 1] enables
+        the i2v conditioning path.  Returns video [T, H, W, 3] float32 in
+        [-1, 1] (or latents if return_latents)."""
         any_guidance = (sampling.guide_scale != 1.0
                         or (sampling.guide_phases >= 2
                             and sampling.guide2_scale != 1.0)
@@ -403,10 +442,15 @@ class WanPipeline:
         if context_null is None:
             context_null = context  # unused when guidance off
 
+        y = clip_fea = None
+        if image_start is not None:
+            y, clip_fea = self.build_i2v_conditioning(image_start, frame_num,
+                                                      height, width)
         lat_shape = self.latent_shape(frame_num, height, width)
         latents = jax.random.normal(jax.random.key(seed), lat_shape,
                                     jnp.float32)
         x = self.denoise(latents, context, context_null, sampling,
+                         y=y, clip_fea=clip_fea,
                          overlap_latents=overlap_latents, seed=seed,
                          enable_riflex=sampling.enable_riflex,
                          width=width, height=height)

@@ -264,7 +264,10 @@ class WanPipeline:
     def latent_shape(self, frame_num, height, width, batch=1):
         st, sh, sw = self.vae_stride
         f_lat = (frame_num - 1) // st + 1
-        return (batch, self.dit_cfg.in_dim, f_lat, height // sh, width // sw)
+        # noise latents carry out_dim channels; in_dim additionally counts
+        # the i2v conditioning channels concatenated in the DiT (y)
+        return (batch, self.dit_cfg.out_dim, f_lat,
+                height // sh, width // sw)
 
     def _rope(self, lat_shape, enable_riflex=False):
         pt, ph, pw = self.dit_cfg.patch_size

@@ -9,9 +9,10 @@ runtime concerns: query_supported_types / query_model_def / query_model_files
 from .wan import WanFamilyHandler
 from .flux import FluxFamilyHandler
 from .hyvideo import HunyuanFamilyHandler
+from .ltxv import LTXVFamilyHandler
 
 _HANDLER_CLASSES = [WanFamilyHandler, FluxFamilyHandler,
-                    HunyuanFamilyHandler]
+                    HunyuanFamilyHandler, LTXVFamilyHandler]
 
 
 def build_handler_map():

@@ -1,0 +1,63 @@
+"""LTX-Video family handler (0.9.x 2B / 13B)."""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.ltxv.dit import LTXVConfig, init_ltxv
+from ..models.ltxv.pipeline import LTXVPipeline
+
+_ARCH: Dict[str, Dict[str, Any]] = {
+    # LTXV 0.9.x (reference models/ltx_video/configs/*.yaml checkpoints)
+    "ltxv_2B": dict(inner_dim=2048, num_heads=32, num_layers=28),
+    "ltxv_13B": dict(inner_dim=4096, num_heads=32, num_layers=48),
+    "ltxv_distilled": dict(inner_dim=4096, num_heads=32, num_layers=48,
+                           distilled=True),
+}
+
+
+class LTXVFamilyHandler:
+    family = "ltxv"
+
+    @staticmethod
+    def query_supported_types() -> List[str]:
+        return list(_ARCH.keys())
+
+    @staticmethod
+    def query_family_infos():
+        return {"ltxv": (10, "LTX Video")}
+
+    @staticmethod
+    def query_model_def(base_model_type, model_def):
+        return {"image_outputs": False, "group": "ltxv",
+                "vae_stride": (8, 32, 32),
+                "distilled": _ARCH[base_model_type].get("distilled", False)}
+
+    @staticmethod
+    def default_settings(base_model_type: str) -> Dict[str, Any]:
+        distilled = _ARCH[base_model_type].get("distilled", False)
+        return {"prompt": "", "resolution": "768x512", "video_length": 97,
+                "num_inference_steps": 8 if distilled else 30,
+                "guidance_scale": 1.0 if distilled else 3.0, "seed": -1}
+
+    @staticmethod
+    def query_model_files(base_model_type, model_def):
+        return [{"role": "transformer", "urls": model_def.get("URLs", [])}]
+
+    @classmethod
+    def load_model(cls, base_model_type: str, model_def: Dict[str, Any],
+                   checkpoints: Optional[Dict[str, str]] = None,
+                   dtype=jnp.bfloat16, attn_backend: str = "auto",
+                   init_random: bool = False, tokenizer=None,
+                   seed: int = 0) -> LTXVPipeline:
+        arch = {k: v for k, v in _ARCH[base_model_type].items()
+                if k != "distilled"}
+        cfg = LTXVConfig(compute_dtype=dtype, **arch)
+        if init_random:
+            params = init_ltxv(jax.random.key(seed), cfg, dtype)
+        else:
+            raise NotImplementedError(
+                "ltxv checkpoint key-mapping lands with its loader")
+        return LTXVPipeline(params, cfg, attn_backend=attn_backend)

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from ..models.wan.dit import WanDiTConfig, init_wan_dit
 from ..models.wan.vae import WanVAEConfig, init_wan_vae
+from ..models.wan.vae2_2 import Wan22VAEConfig, init_wan22_vae
 from ..models.wan.t5 import T5Config, init_t5_encoder
 from ..models.wan.pipeline import WanPipeline
 
@@ -111,14 +112,18 @@ class WanFamilyHandler:
 
         dit_cfg = cls.dit_config(base_model_type, dtype)
         t5_cfg = T5Config()
-        vae_cfg = WanVAEConfig()
         arch = _ARCH[base_model_type]
+        is_22_vae = arch["vae_stride"] == (4, 16, 16)
+        vae_cfg = Wan22VAEConfig() if is_22_vae else WanVAEConfig()
 
         if init_random:
             key = jax.random.key(seed)
             dit_params = init_wan_dit(key, dit_cfg, dtype)
             t5_params = None
-            vae_params = init_wan_vae(jax.random.key(seed + 1), vae_cfg)
+            vae_params = (init_wan22_vae(jax.random.key(seed + 1), vae_cfg)
+                          if is_22_vae
+                          else init_wan_vae(jax.random.key(seed + 1),
+                                            vae_cfg))
         else:
             sd = normalize_wan_sd(load_safetensors(checkpoints["transformer"]))
             dit_params, left = load_wan_dit_params(sd, dit_cfg, dtype)
@@ -137,4 +142,5 @@ class WanFamilyHandler:
                            t5_cfg=t5_cfg, vae_params=vae_params,
                            vae_cfg=vae_cfg, tokenizer=tokenizer,
                            vae_stride=arch["vae_stride"],
-                           attn_backend=attn_backend)
+                           attn_backend=attn_backend,
+                           base_model_type=base_model_type)

@@ -394,7 +394,11 @@ class WanPipeline:
         enc = jnp.concatenate(
             [img[None, None], jnp.zeros((1, frame_num - 1, height, width, 3),
                                         jnp.float32)], axis=1)
-        lat_y = vae_encode(self.vae_params, self.vae_cfg, enc)  # [1,f,h,w,16]
+        from .vae2_2 import Wan22VAEConfig, wan22_vae_encode
+        if isinstance(self.vae_cfg, Wan22VAEConfig):
+            lat_y = wan22_vae_encode(self.vae_params, self.vae_cfg, enc)
+        else:
+            lat_y = vae_encode(self.vae_params, self.vae_cfg, enc)
         lat_y = lat_y.transpose(0, 4, 1, 2, 3)                  # -> [1,16,f,..]
 
         msk = np.zeros((frame_num, lat_h, lat_w), np.float32)
@@ -416,6 +420,9 @@ class WanPipeline:
         the memory-bounded chunked scan for clips beyond a few latent
         frames (vae_scan.py), numerically identical to the full decode."""
         z = latents_bcfhw.transpose(0, 2, 3, 4, 1)
+        from .vae2_2 import Wan22VAEConfig, wan22_vae_decode
+        if isinstance(self.vae_cfg, Wan22VAEConfig):
+            return wan22_vae_decode(self.vae_params, self.vae_cfg, z)
         if mode == "chunked" or (mode == "auto" and z.shape[1] > 4):
             return vae_decode_chunked(self.vae_params, self.vae_cfg, z)
         return vae_decode(self.vae_params, self.vae_cfg, z)

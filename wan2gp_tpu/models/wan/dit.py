@@ -216,16 +216,38 @@ def _self_attention(p, x, rope_cos, rope_sin, cfg, attn_backend):
     return _dense(o, p["o"], cdt)
 
 
-def _cross_attention(p, x, context, context_img, cfg, attn_backend):
+def _nag_combine(x_pos, x_neg, nag):
+    """Negative attention guidance (model.py:276-292): extrapolate in
+    attention-output space, clamp by L1-norm ratio tau, blend by alpha."""
+    scale, tau, alpha = nag
+    x_pos = x_pos.astype(jnp.float32)
+    x_neg = x_neg.astype(jnp.float32)
+    x_g = scale * x_pos + (1.0 - scale) * x_neg
+    norm_pos = jnp.sum(jnp.abs(x_pos), axis=-1, keepdims=True)
+    norm_g = jnp.sum(jnp.abs(x_g), axis=-1, keepdims=True)
+    ratio = jnp.nan_to_num(norm_g / norm_pos, nan=10.0)
+    factor = norm_pos * tau / (norm_g + 1e-7)
+    x_g = jnp.where(ratio > tau, x_g * factor, x_g)
+    return alpha * x_g + (1.0 - alpha) * x_pos
+
+
+def _cross_attention(p, x, context, context_img, cfg, attn_backend,
+                     context_neg=None, nag=None):
     cdt = cfg.compute_dtype
     xc = x.astype(cdt)
     q = rms_norm(_dense(xc, p["q"], cdt), p["norm_q"], cfg.eps)
-    k = rms_norm(_dense(context, p["k"], cdt), p["norm_k"], cfg.eps)
-    v = _dense(context, p["v"], cdt)
     q = _qkv_heads(q, cfg.num_heads)
-    k = _qkv_heads(k, cfg.num_heads)
-    v = _qkv_heads(v, cfg.num_heads)
-    o = attention(q, k, v, backend=attn_backend)
+
+    def text_attn(ctx):
+        k = rms_norm(_dense(ctx, p["k"], cdt), p["norm_k"], cfg.eps)
+        v = _dense(ctx, p["v"], cdt)
+        return attention(q, _qkv_heads(k, cfg.num_heads),
+                         _qkv_heads(v, cfg.num_heads), backend=attn_backend)
+
+    o = text_attn(context)
+    if nag is not None and context_neg is not None:
+        o_neg = text_attn(context_neg)
+        o = _nag_combine(o, o_neg, nag).astype(o.dtype)
     if context_img is not None:
         k_img = rms_norm(_dense(context_img, p["k_img"], cdt),
                          p["norm_k_img"], cfg.eps)
@@ -245,7 +267,7 @@ def _ffn(p, y, cfg):
 
 
 def _block(bp, x, e6, context, context_img, rope_cos, rope_sin, cfg,
-           attn_backend):
+           attn_backend, context_neg=None, nag=None):
     """One WanAttentionBlock (model.py:574-718).  x fp32 [B, L, C];
     e6 fp32 [B, T_mod, 6, C] broadcast over tokens (T_mod=1 for scalar t)."""
     rdt = cfg.residual_dtype
@@ -270,7 +292,8 @@ def _block(bp, x, e6, context, context_img, rope_cos, rope_sin, cfg,
     y = layer_norm(x.astype(jnp.float32), bp["norm3"]["w"], bp["norm3"]["b"],
                    eps=cfg.eps)
     x = x + _cross_attention(bp["cross_attn"], y, context, context_img, cfg,
-                             attn_backend).astype(jnp.float32)
+                             attn_backend, context_neg=context_neg,
+                             nag=nag).astype(jnp.float32)
 
     # FFN with adaLN-zero
     xr = x.reshape(b, t_mod, l // t_mod, c)
@@ -292,7 +315,8 @@ def time_embedding_vec(params, cfg: WanDiTConfig, t):
 
 def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
                     rope_cos, rope_sin, clip_fea=None, y=None,
-                    attn_backend: str = "auto", skip_state=None):
+                    attn_backend: str = "auto", skip_state=None,
+                    context_neg=None, nag=None):
     """Denoiser forward.
 
     latents:  [B, C, F, H, W] noisy latents
@@ -325,9 +349,13 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
 
     # text embedding: Linear -> gelu(tanh) -> Linear (model.py:1122)
     cdt = cfg.compute_dtype
-    ctx = _dense(context.astype(cdt), params["text_embedding"]["fc1"], cdt)
-    ctx = jax.nn.gelu(ctx.astype(jnp.float32), approximate=True).astype(cdt)
-    ctx = _dense(ctx, params["text_embedding"]["fc2"], cdt)
+    def embed_text(c):
+        h = _dense(c.astype(cdt), params["text_embedding"]["fc1"], cdt)
+        h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(cdt)
+        return _dense(h, params["text_embedding"]["fc2"], cdt)
+
+    ctx = embed_text(context)
+    ctx_neg = embed_text(context_neg) if context_neg is not None else None
 
     ctx_img = None
     if clip_fea is not None and cfg.i2v_cross_attn:
@@ -342,7 +370,7 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
 
     def body(carry, bp):
         out = _block(bp, carry, e6, ctx, ctx_img, rope_cos, rope_sin, cfg,
-                     attn_backend)
+                     attn_backend, context_neg=ctx_neg, nag=nag)
         return out, None
 
     def run_blocks(x):

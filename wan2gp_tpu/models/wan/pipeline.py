@@ -63,6 +63,10 @@ class SamplingConfig:
     cache_threshold: float = 0.0      # 0 -> auto from cache_speed_factor
     cache_speed_factor: float = 1.75
     cache_start_step: int = 0
+    # NAG negative-attention guidance (model.py:244-306); active when > 1
+    nag_scale: float = 0.0
+    nag_tau: float = 3.5
+    nag_alpha: float = 0.5
 
 
 def plan_phases(timesteps: np.ndarray, sampling: SamplingConfig,
@@ -140,13 +144,24 @@ def denoise_segment(dit_params, dit_cfg: WanDiTConfig, schedule: Schedule,
     else:
         keys = jnp.zeros((n_seg, 2), jnp.uint32)
 
+    use_nag = sampling.nag_scale > 1.0
+    if use_nag:
+        # NAG on the cond branch; the uncond branch pairs with itself,
+        # which collapses the guidance to identity (x_pos == x_neg)
+        ctx_neg_both = (jnp.concatenate([context_null, context_null], axis=0)
+                        if any_guidance else context_null)
+        nag = (sampling.nag_scale, sampling.nag_tau, sampling.nag_alpha)
+    else:
+        ctx_neg_both, nag = None, None
+
     def forward(x, t, skip_state):
         xb = jnp.concatenate([x, x], axis=0) if any_guidance else x
         tb = jnp.broadcast_to(t, (xb.shape[0],))
         out = wan_dit_forward(dit_params, dit_cfg, xb, tb, ctx_both,
                               rope_cos, rope_sin, clip_fea=clip_both,
                               y=y_both, attn_backend=attn_backend,
-                              skip_state=skip_state)
+                              skip_state=skip_state,
+                              context_neg=ctx_neg_both, nag=nag)
         v, residual = out if use_skip else (out, None)
         if any_guidance:
             return v[:b], v[b:], residual
@@ -443,7 +458,8 @@ class WanPipeline:
                         or (sampling.guide_phases >= 2
                             and sampling.guide2_scale != 1.0)
                         or (sampling.guide_phases >= 3
-                            and sampling.guide3_scale != 1.0))
+                            and sampling.guide3_scale != 1.0)
+                        or sampling.nag_scale > 1.0)
         if context is None:
             context = self.encode_text([prompt])
         if context_null is None and any_guidance:

@@ -75,9 +75,27 @@ def main():
     peak = PEAK_BF16.get(kind, 197e12)
     mfu = fl / dt / peak
 
+    # VAE decode fps (chunked scan decode, 480x832, bounded memory)
+    from wan2gp_tpu.models.wan.vae import WanVAEConfig, init_wan_vae
+    from wan2gp_tpu.models.wan.vae_scan import vae_decode_chunked
+    vae_cfg = WanVAEConfig()
+    vae_params = init_wan_vae(jax.random.key(1), vae_cfg)
+    z = jnp.zeros((1, lat_f, lat_h, lat_w, 16), jnp.float32)
+    dec = jax.jit(lambda p, z: vae_decode_chunked(p, vae_cfg, z).sum())
+    np.asarray(dec(vae_params, z))  # compile + sync
+    start = time.perf_counter()
+    np.asarray(dec(vae_params, z))
+    vae_dt = time.perf_counter() - start
+    frames = (lat_f - 1) * 4 + 1
+    vae_fps = frames / vae_dt
+
+    steps = 30
+    e2e = steps * dt + vae_dt
     print(json.dumps({
         "metric": "wan2.1-1.3B 832x480x81f denoise steps/sec/chip "
-                  f"(joint-CFG, {kind}, MFU={mfu:.3f})",
+                  f"(joint-CFG, {kind}, MFU={mfu:.3f}; "
+                  f"VAE decode {vae_fps:.1f} fps; "
+                  f"e2e 30 steps+decode ~{e2e:.0f}s)",
         "value": round(steps_per_sec, 4),
         "unit": "steps/sec",
         "vs_baseline": round(mfu / 0.40, 4),

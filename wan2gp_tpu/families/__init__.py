@@ -10,9 +10,11 @@ from .wan import WanFamilyHandler
 from .flux import FluxFamilyHandler
 from .hyvideo import HunyuanFamilyHandler
 from .ltxv import LTXVFamilyHandler
+from .qwen import QwenImageFamilyHandler
 
 _HANDLER_CLASSES = [WanFamilyHandler, FluxFamilyHandler,
-                    HunyuanFamilyHandler, LTXVFamilyHandler]
+                    HunyuanFamilyHandler, LTXVFamilyHandler,
+                    QwenImageFamilyHandler]
 
 
 def build_handler_map():

@@ -1,0 +1,165 @@
+"""Flux checkpoint conversion tests (synthetic BFL/HF-layout state dicts)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from wan2gp_tpu.io.flux_checkpoint import (
+    load_flux_params, load_flux_vae_params, load_clip_text_params,
+    normalize_flux_sd)
+from wan2gp_tpu.models.flux.dit import (
+    FluxConfig, flux_forward, rope_from_ids, make_img_ids)
+from wan2gp_tpu.models.flux.vae import (
+    FluxVAEConfig, flux_vae_decode, flux_vae_encode)
+from wan2gp_tpu.models.flux.clip import ClipTextConfig, clip_text_encode
+
+TINY = FluxConfig(in_channels=16, out_channels=16, vec_in_dim=8,
+                  context_in_dim=12, hidden_size=32, mlp_ratio=2.0,
+                  num_heads=4, depth=2, depth_single_blocks=2,
+                  axes_dim=(4, 2, 2), guidance_embed=True)
+
+
+def _rand_flux_sd(cfg, rng):
+    sd = {}
+
+    def lin(name, din, dout, bias=True):
+        sd[f"{name}.weight"] = rng.standard_normal(
+            (dout, din)).astype(np.float32) * 0.05
+        if bias:
+            sd[f"{name}.bias"] = np.zeros(dout, np.float32)
+
+    h = cfg.hidden_size
+    lin("img_in", cfg.in_channels, h)
+    lin("txt_in", cfg.context_in_dim, h)
+    for name, din in (("time_in", 256), ("vector_in", cfg.vec_in_dim),
+                      ("guidance_in", 256)):
+        lin(f"{name}.in_layer", din, h)
+        lin(f"{name}.out_layer", h, h)
+    for i in range(cfg.depth):
+        for s in ("img", "txt"):
+            lin(f"double_blocks.{i}.{s}_mod.lin", h, 6 * h)
+            lin(f"double_blocks.{i}.{s}_attn.qkv", h, 3 * h)
+            sd[f"double_blocks.{i}.{s}_attn.norm.query_norm.scale"] = \
+                np.ones(cfg.head_dim, np.float32)
+            sd[f"double_blocks.{i}.{s}_attn.norm.key_norm.scale"] = \
+                np.ones(cfg.head_dim, np.float32)
+            lin(f"double_blocks.{i}.{s}_attn.proj", h, h)
+            lin(f"double_blocks.{i}.{s}_mlp.0", h, cfg.mlp_hidden)
+            lin(f"double_blocks.{i}.{s}_mlp.2", cfg.mlp_hidden, h)
+    for i in range(cfg.depth_single_blocks):
+        lin(f"single_blocks.{i}.modulation.lin", h, 3 * h)
+        lin(f"single_blocks.{i}.linear1", h, 3 * h + cfg.mlp_hidden)
+        lin(f"single_blocks.{i}.linear2", h + cfg.mlp_hidden, h)
+        sd[f"single_blocks.{i}.norm.query_norm.scale"] = \
+            np.ones(cfg.head_dim, np.float32)
+        sd[f"single_blocks.{i}.norm.key_norm.scale"] = \
+            np.ones(cfg.head_dim, np.float32)
+    lin("final_layer.adaLN_modulation.1", h, 2 * h)
+    lin("final_layer.linear", h, cfg.out_channels)
+    return sd
+
+
+def test_flux_dit_loader():
+    rng = np.random.default_rng(0)
+    sd = {"model.diffusion_model." + k: v
+          for k, v in _rand_flux_sd(TINY, rng).items()}
+    params, leftover = load_flux_params(normalize_flux_sd(sd), TINY)
+    assert leftover == []
+    img = jnp.asarray(rng.standard_normal((1, 4, 16)), jnp.float32)
+    txt = jnp.asarray(rng.standard_normal((1, 3, 12)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((1, 8)), jnp.float32)
+    ids = np.concatenate([np.zeros((3, 3)), make_img_ids(2, 2)])
+    cos, sin = rope_from_ids(ids, TINY.axes_dim, TINY.theta)
+    out = flux_forward(params, TINY, img, txt, y, jnp.asarray([0.5]),
+                       cos, sin, guidance=jnp.asarray([3.5]),
+                       attn_backend="xla")
+    assert out.shape == (1, 4, 16)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_flux_vae_loader():
+    cfg = FluxVAEConfig(ch=8, ch_mult=(1, 2), num_res_blocks=1, z_channels=4)
+    rng = np.random.default_rng(1)
+    sd = {}
+
+    def conv(name, cin, cout, k=3):
+        sd[f"{name}.weight"] = rng.standard_normal(
+            (cout, cin, k, k)).astype(np.float32) * 0.05
+        sd[f"{name}.bias"] = np.zeros(cout, np.float32)
+
+    def norm(name, c):
+        sd[f"{name}.weight"] = np.ones(c, np.float32)
+        sd[f"{name}.bias"] = np.zeros(c, np.float32)
+
+    def res(name, cin, cout):
+        norm(f"{name}.norm1", cin)
+        conv(f"{name}.conv1", cin, cout)
+        norm(f"{name}.norm2", cout)
+        conv(f"{name}.conv2", cout, cout)
+        if cin != cout:
+            conv(f"{name}.nin_shortcut", cin, cout, k=1)
+
+    def attn(name, c):
+        norm(f"{name}.norm", c)
+        for m in ("q", "k", "v", "proj_out"):
+            conv(f"{name}.{m}", c, c, k=1)
+
+    conv("encoder.conv_in", 3, 8)
+    res("encoder.down.0.block.0", 8, 8)
+    conv("encoder.down.0.downsample.conv", 8, 8)
+    res("encoder.down.1.block.0", 8, 16)
+    res("encoder.mid.block_1", 16, 16)
+    attn("encoder.mid.attn_1", 16)
+    res("encoder.mid.block_2", 16, 16)
+    norm("encoder.norm_out", 16)
+    conv("encoder.conv_out", 16, 8)
+    conv("decoder.conv_in", 4, 16)
+    res("decoder.mid.block_1", 16, 16)
+    attn("decoder.mid.attn_1", 16)
+    res("decoder.mid.block_2", 16, 16)
+    res("decoder.up.1.block.0", 16, 16)
+    res("decoder.up.1.block.1", 16, 16)
+    conv("decoder.up.1.upsample.conv", 16, 16)
+    res("decoder.up.0.block.0", 16, 8)
+    res("decoder.up.0.block.1", 8, 8)
+    norm("decoder.norm_out", 8)
+    conv("decoder.conv_out", 8, 3)
+
+    params, leftover = load_flux_vae_params(sd, cfg)
+    assert leftover == []
+    img = jnp.asarray(rng.uniform(-1, 1, (1, 8, 8, 3)), jnp.float32)
+    z = flux_vae_encode(params, cfg, img)
+    assert z.shape == (1, 4, 4, 4)
+    out = flux_vae_decode(params, cfg, z)
+    assert out.shape == (1, 8, 8, 3)
+
+
+def test_clip_text_loader():
+    cfg = ClipTextConfig(vocab_size=50, dim=16, num_heads=2, num_layers=2,
+                         mlp_dim=32, max_len=10, eos_token_id=49)
+    rng = np.random.default_rng(2)
+    sd = {"text_model.embeddings.token_embedding.weight":
+          rng.standard_normal((50, 16)).astype(np.float32),
+          "text_model.embeddings.position_embedding.weight":
+          rng.standard_normal((10, 16)).astype(np.float32),
+          "text_model.final_layer_norm.weight": np.ones(16, np.float32),
+          "text_model.final_layer_norm.bias": np.zeros(16, np.float32)}
+    for i in range(2):
+        pre = f"text_model.encoder.layers.{i}"
+        for m in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            sd[f"{pre}.self_attn.{m}.weight"] = rng.standard_normal(
+                (16, 16)).astype(np.float32) * 0.05
+            sd[f"{pre}.self_attn.{m}.bias"] = np.zeros(16, np.float32)
+        for ln in ("layer_norm1", "layer_norm2"):
+            sd[f"{pre}.{ln}.weight"] = np.ones(16, np.float32)
+            sd[f"{pre}.{ln}.bias"] = np.zeros(16, np.float32)
+        sd[f"{pre}.mlp.fc1.weight"] = rng.standard_normal(
+            (32, 16)).astype(np.float32) * 0.05
+        sd[f"{pre}.mlp.fc1.bias"] = np.zeros(32, np.float32)
+        sd[f"{pre}.mlp.fc2.weight"] = rng.standard_normal(
+            (16, 32)).astype(np.float32) * 0.05
+        sd[f"{pre}.mlp.fc2.bias"] = np.zeros(16, np.float32)
+    params, leftover = load_clip_text_params(sd, cfg)
+    assert leftover == []
+    ids = jnp.asarray([[3, 5, 49, 49]], jnp.int32)
+    hidden, pooled = clip_text_encode(params, cfg, ids)
+    assert hidden.shape == (1, 4, 16) and pooled.shape == (1, 16)

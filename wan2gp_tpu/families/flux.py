@@ -59,13 +59,22 @@ class FluxFamilyHandler:
                    dtype=jnp.bfloat16, attn_backend: str = "auto",
                    init_random: bool = False, tokenizer=None,
                    seed: int = 0) -> FluxPipeline:
+        from ..io.safetensors_reader import load_safetensors
+        from ..io.flux_checkpoint import (
+            normalize_flux_sd, load_flux_params, load_flux_vae_params)
         dit_cfg = cls.dit_config(base_model_type, dtype)
         vae_cfg = FluxVAEConfig()
         if init_random:
             dit_params = init_flux(jax.random.key(seed), dit_cfg, dtype)
             vae_params = init_flux_vae(jax.random.key(seed + 1), vae_cfg)
         else:
-            raise NotImplementedError(
-                "flux checkpoint key-mapping lands with the flux loader")
+            sd = normalize_flux_sd(load_safetensors(checkpoints["transformer"]))
+            dit_params, left = load_flux_params(sd, dit_cfg, dtype)
+            if left:
+                raise ValueError(f"unconsumed flux keys: {left[:8]}")
+            vae_params = None
+            if checkpoints.get("vae"):
+                vae_sd = load_safetensors(checkpoints["vae"])
+                vae_params, _ = load_flux_vae_params(vae_sd, vae_cfg)
         return FluxPipeline(dit_params, dit_cfg, vae_params, vae_cfg,
                             attn_backend=attn_backend)

@@ -123,6 +123,42 @@ def load_wan_dit_params(sd: Dict[str, np.ndarray], cfg,
         "modulation": jnp.asarray(
             np.asarray(sd.pop(head_mod_key), np.float32).reshape(2, -1)),
     }
+    if "vace_patch_embedding.weight" in sd:
+        vw = np.asarray(sd.pop("vace_patch_embedding.weight"), np.float32)
+        p["vace_patch_embedding"] = {
+            "w": jnp.asarray(vw.reshape(vw.shape[0], -1).T),
+            "b": _vec(sd, "vace_patch_embedding.bias"),
+        }
+        n_vace = len({k.split(".")[1] for k in sd
+                      if k.startswith("vace_blocks.")})
+
+        def vace_block(i):
+            b = {
+                "self_attn": attn_v(i, "self_attn"),
+                "cross_attn": attn_v(i, "cross_attn"),
+                "norm3": {"w": _vec(sd, f"vace_blocks.{i}.norm3.weight"),
+                          "b": _vec(sd, f"vace_blocks.{i}.norm3.bias")},
+                "ffn": {"fc1": _lin(sd, f"vace_blocks.{i}.ffn.0", dtype),
+                        "fc2": _lin(sd, f"vace_blocks.{i}.ffn.2", dtype)},
+                "modulation": jnp.asarray(np.asarray(
+                    sd.pop(f"vace_blocks.{i}.modulation"
+                           if f"vace_blocks.{i}.modulation" in sd
+                           else f"vace_blocks.{i}.modulation.weight"),
+                    np.float32).reshape(6, -1)),
+                "after_proj": _lin(sd, f"vace_blocks.{i}.after_proj", dtype),
+            }
+            return b
+
+        def attn_v(i, name):
+            pre = f"vace_blocks.{i}.{name}"
+            a = {k: _lin(sd, f"{pre}.{k}", dtype)
+                 for k in ("q", "k", "v", "o")}
+            a["norm_q"] = _vec(sd, f"{pre}.norm_q.weight")
+            a["norm_k"] = _vec(sd, f"{pre}.norm_k.weight")
+            return a
+
+        p["vace_before_proj"] = _lin(sd, "vace_blocks.0.before_proj", dtype)
+        p["vace_blocks"] = _stack([vace_block(i) for i in range(n_vace)])
     if "img_emb.proj.1.weight" in sd:
         p["img_emb"] = {
             "norm1": {"w": _vec(sd, "img_emb.proj.0.weight"),

@@ -47,8 +47,14 @@ class WanDiTConfig:
     text_len: int = 512
     eps: float = 1e-6
     model_type: str = "t2v"          # 't2v' | 'i2v' (xlm-clip img branch)
+    vace: bool = False               # VACE control branch (even layers)
+    vace_in_dim: int = 96
     compute_dtype: Any = jnp.bfloat16
     residual_dtype: Any = jnp.float32
+
+    @property
+    def vace_layers(self):
+        return tuple(range(0, self.num_layers, 2)) if self.vace else ()
 
     @property
     def head_dim(self):
@@ -134,6 +140,19 @@ def init_wan_dit(key, cfg: WanDiTConfig, dtype=jnp.bfloat16) -> Dict[str, Any]:
                            / math.sqrt(d)),
         },
     }
+    if cfg.vace:
+        # VACE control branch (model.py:787-822 VaceWanAttentionBlock):
+        # parallel blocks at even layers; block 0 gets before_proj, every
+        # vace block emits an after_proj skip added to the main stream.
+        n_vace = len(cfg.vace_layers)
+        params["vace_patch_embedding"] = _linear(
+            next(keys), cfg.vace_in_dim * pt * ph * pw, d, jnp.float32)
+        params["vace_blocks"] = stack(block_params, n_vace)
+        params["vace_blocks"]["after_proj"] = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[_linear(k, d, d, dtype)
+              for k in jax.random.split(next(keys), n_vace)])
+        params["vace_before_proj"] = _linear(next(keys), d, d, dtype)
     if cfg.i2v_cross_attn:
         # MLPProj (model.py:862-870): LN(1280) -> Linear(1280,1280) ->
         # GELU(exact) -> Linear(1280,dim) -> LN(dim)
@@ -316,7 +335,8 @@ def time_embedding_vec(params, cfg: WanDiTConfig, t):
 def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
                     rope_cos, rope_sin, clip_fea=None, y=None,
                     attn_backend: str = "auto", skip_state=None,
-                    context_neg=None, nag=None):
+                    context_neg=None, nag=None,
+                    vace_context=None, vace_scale: float = 1.0):
     """Denoiser forward.
 
     latents:  [B, C, F, H, W] noisy latents
@@ -368,13 +388,38 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
         ctx_img = layer_norm(h.astype(jnp.float32), ie["norm2"]["w"],
                              ie["norm2"]["b"]).astype(cdt)
 
-    def body(carry, bp):
+    # VACE control branch: run the parallel hint stack first, collect the
+    # per-layer skip additions (zeros at non-vace layers).
+    if vace_context is not None and cfg.vace:
+        c = patchify(vace_context.astype(jnp.float32), cfg.patch_size)
+        c = _dense(c, params["vace_patch_embedding"], jnp.float32)
+        c = _dense(c.astype(cfg.compute_dtype),
+                   params["vace_before_proj"]).astype(jnp.float32)
+        c = jnp.broadcast_to(c, x.shape) + x
+
+        def vbody(c, bp):
+            blk = {k: v for k, v in bp.items() if k != "after_proj"}
+            c = _block(blk, c, e6, ctx, ctx_img, rope_cos, rope_sin, cfg,
+                       attn_backend).astype(jnp.float32)
+            skip = _dense(c.astype(cfg.compute_dtype), bp["after_proj"])
+            return c, skip
+
+        _, skips = jax.lax.scan(vbody, c, params["vace_blocks"])
+        hints = jnp.zeros((cfg.num_layers, *skips.shape[1:]),
+                          cfg.compute_dtype)
+        hints = hints.at[::2].set(skips.astype(cfg.compute_dtype)
+                                  * vace_scale)
+    else:
+        hints = jnp.zeros((cfg.num_layers, 1, 1, 1), jnp.float32)
+
+    def body(carry, xs):
+        bp, hint = xs
         out = _block(bp, carry, e6, ctx, ctx_img, rope_cos, rope_sin, cfg,
                      attn_backend, context_neg=ctx_neg, nag=nag)
-        return out, None
+        return out + hint.astype(out.dtype), None
 
     def run_blocks(x):
-        out, _ = jax.lax.scan(body, x, params["blocks"])
+        out, _ = jax.lax.scan(body, x, (params["blocks"], hints))
         return out
 
     new_residual = None

@@ -108,7 +108,8 @@ def denoise_segment(dit_params, dit_cfg: WanDiTConfig, schedule: Schedule,
                     step_start: int, step_end: int,
                     y=None, clip_fea=None, attn_backend: str = "auto",
                     skip_schedule=None, overlap_latents=None,
-                    overlap_sigma_scale: float = 1.0, noise_key=None):
+                    overlap_sigma_scale: float = 1.0, noise_key=None,
+                    vace_context=None, vace_scale: float = 1.0):
     """One scan segment over steps [step_start, step_end).
 
     carry: (x, solver_state, apg_buf) threaded across segments.
@@ -161,7 +162,9 @@ def denoise_segment(dit_params, dit_cfg: WanDiTConfig, schedule: Schedule,
                               rope_cos, rope_sin, clip_fea=clip_both,
                               y=y_both, attn_backend=attn_backend,
                               skip_state=skip_state,
-                              context_neg=ctx_neg_both, nag=nag)
+                              context_neg=ctx_neg_both, nag=nag,
+                              vace_context=vace_context,
+                              vace_scale=vace_scale)
         v, residual = out if use_skip else (out, None)
         if any_guidance:
             return v[:b], v[b:], residual
@@ -330,9 +333,10 @@ class WanPipeline:
 
     def _get_segment_fn(self, sampling: SamplingConfig, guide_scale: float,
                         step_start: int, step_end: int, has_y, has_clip,
-                        has_overlap, skip_key):
+                        has_overlap, skip_key, has_vace=False,
+                        vace_scale=1.0):
         key = (sampling, guide_scale, step_start, step_end, has_y, has_clip,
-               has_overlap, skip_key)
+               has_overlap, skip_key, has_vace, vace_scale)
         fn = self._denoise_cache.get(key)
         if fn is not None:
             return fn
@@ -342,20 +346,23 @@ class WanPipeline:
 
         @jax.jit
         def fn(dit_params, carry, context, context_null, rope_cos, rope_sin,
-               y=None, clip_fea=None, overlap_latents=None, noise_key=None):
+               y=None, clip_fea=None, overlap_latents=None, noise_key=None,
+               vace_context=None):
             return denoise_segment(
                 dit_params, self.dit_cfg, schedule, carry, context,
                 context_null, sampling, guide_scale, rope_cos, rope_sin,
                 step_start, step_end, y=y, clip_fea=clip_fea,
                 attn_backend=self.attn_backend, skip_schedule=skip,
-                overlap_latents=overlap_latents, noise_key=noise_key)
+                overlap_latents=overlap_latents, noise_key=noise_key,
+                vace_context=vace_context, vace_scale=vace_scale)
         self._denoise_cache[key] = fn
         return fn
 
     def denoise(self, latents, context, context_null,
                 sampling: SamplingConfig, y=None, clip_fea=None,
                 overlap_latents=None, seed: int = 0,
-                enable_riflex: bool = False, width: int = 0, height: int = 0):
+                enable_riflex: bool = False, width: int = 0, height: int = 0,
+                vace_context=None, vace_scale: float = 1.0):
         """Run all phases/segments; returns final latents."""
         schedule = make_schedule(sampling.solver, sampling.steps,
                                  sampling.shift)
@@ -373,12 +380,16 @@ class WanPipeline:
             params = self.dit_params2 if expert == 1 else self.dit_params
             fn = self._get_segment_fn(sampling, g, start, end,
                                       y is not None, clip_fea is not None,
-                                      overlap_latents is not None, skip_key)
+                                      overlap_latents is not None, skip_key,
+                                      has_vace=vace_context is not None,
+                                      vace_scale=vace_scale)
             kwargs = {}
             if y is not None:
                 kwargs["y"] = y
             if clip_fea is not None:
                 kwargs["clip_fea"] = clip_fea
+            if vace_context is not None:
+                kwargs["vace_context"] = vace_context
             if overlap_latents is not None:
                 kwargs["overlap_latents"] = overlap_latents
                 kwargs["noise_key"] = jax.random.key(seed + 1000 + start)
@@ -429,6 +440,96 @@ class WanPipeline:
             clip_fea = clip_vision_encode(self.clip_params, self.clip_cfg,
                                           pixels).astype(jnp.float32)
         return y, clip_fea
+
+    def build_vace_conditioning(self, frames, masks=None, ref_images=None,
+                                context_scale: float = 1.0):
+        """Build the 96-channel VACE control context (any2video.py:270-331
+        vace_encode_frames + vace_encode_masks):
+
+          frames: [T, H, W, 3] control video in [-1, 1]
+          masks:  [T, H, W] in {0, 1} (1 = area to regenerate) or None
+          ref_images: list of [H, W, 3] reference images prepended in time
+
+        Returns (vace_context [1, 96, f(+refs), h, w], ref_count)."""
+        from .vae2_2 import Wan22VAEConfig, wan22_vae_encode
+        is22 = isinstance(self.vae_cfg, Wan22VAEConfig)
+        enc = (lambda v: (wan22_vae_encode if is22 else vae_encode)(
+            self.vae_params, self.vae_cfg, v))
+        st, sh, sw = self.vae_stride
+        frames = jnp.asarray(frames, jnp.float32)[None]      # [1,T,H,W,3]
+        t_pix, height, width = frames.shape[1:4]
+
+        if masks is None:
+            lat = enc(frames).transpose(0, 4, 1, 2, 3)       # [1,16,f,h,w]
+            lat = jnp.concatenate([lat, jnp.zeros_like(lat)], axis=1)
+            msk64 = jnp.ones((1, sh * sw, lat.shape[2],
+                              height // sh, width // sw), jnp.float32)
+        else:
+            m = jnp.asarray(masks, jnp.float32)[None, ..., None]
+            inactive = enc(frames * (1 - m)).transpose(0, 4, 1, 2, 3)
+            reactive = enc(frames * m).transpose(0, 4, 1, 2, 3)
+            lat = jnp.concatenate([inactive, reactive], axis=1)
+            # mask 8x8 space-to-depth then nearest resize over time
+            # (vace_encode_masks, any2video.py:302-330)
+            mm = jnp.asarray(masks, jnp.float32)
+            h_l, w_l = height // sh, width // sw
+            mm = mm[:, :h_l * sh, :w_l * sw]
+            mm = mm.reshape(t_pix, h_l, sh, w_l, sw)
+            mm = mm.transpose(2, 4, 0, 1, 3).reshape(sh * sw, t_pix,
+                                                     h_l, w_l)
+            f_lat = lat.shape[2]
+            idx = jnp.clip((jnp.arange(f_lat) * t_pix) // f_lat, 0,
+                           t_pix - 1)
+            msk64 = mm[:, idx][None]
+        ref_count = 0
+        if ref_images:
+            refs = []
+            for ref in ref_images:
+                r = jnp.asarray(ref, jnp.float32)
+                if r.shape[:2] != (height, width):
+                    r = jax.image.resize(r, (height, width, 3), "bicubic")
+                rl = enc(r[None, None]).transpose(0, 4, 1, 2, 3)
+                refs.append(jnp.concatenate([rl, jnp.zeros_like(rl)],
+                                            axis=1))
+            ref_lat = jnp.concatenate(refs, axis=2)
+            ref_count = ref_lat.shape[2]
+            lat = jnp.concatenate([ref_lat, lat], axis=2)
+            msk64 = jnp.concatenate(
+                [jnp.zeros((*msk64.shape[:2], ref_count, *msk64.shape[3:]),
+                           msk64.dtype), msk64], axis=2)
+        return jnp.concatenate([lat, msk64], axis=1), ref_count
+
+    def generate_vace(self, prompt: str, frames, masks=None, ref_images=None,
+                      n_prompt: str = "", sampling=None, seed: int = 0,
+                      context=None, context_null=None,
+                      context_scale: float = 1.0,
+                      return_latents: bool = False):
+        """VACE controlled generation.  frames: [T, H, W, 3] control video."""
+        sampling = sampling or SamplingConfig()
+        t_pix, height, width = np.asarray(frames).shape[:3]
+        vace_ctx, ref_count = self.build_vace_conditioning(
+            frames, masks, ref_images, context_scale)
+        if context is None:
+            context = self.encode_text([prompt])
+        if context_null is None and sampling.guide_scale != 1.0:
+            context_null = self.encode_text(
+                [n_prompt or DEFAULT_NEGATIVE_PROMPT])
+        if context_null is None:
+            context_null = context
+        f_total = vace_ctx.shape[2]
+        lat_shape = (1, self.dit_cfg.out_dim, f_total,
+                     height // self.vae_stride[1],
+                     width // self.vae_stride[2])
+        latents = jax.random.normal(jax.random.key(seed), lat_shape,
+                                    jnp.float32)
+        x = self.denoise(latents, context, context_null, sampling,
+                         seed=seed, width=width, height=height,
+                         vace_context=vace_ctx, vace_scale=context_scale)
+        if ref_count:
+            x = x[:, :, ref_count:]
+        if return_latents:
+            return x
+        return self.decode(x)[0]
 
     def decode(self, latents_bcfhw, mode: str = "auto"):
         """VAE decode [B, C, F, H, W] -> [B, T, H, W, 3].  mode auto uses

@@ -33,6 +33,10 @@ _ARCH: Dict[str, Dict[str, Any]] = {
     "ti2v_2_2": dict(dim=3072, ffn_dim=14336, num_heads=24, num_layers=30,
                      model_type="t2v", in_dim=48, out_dim=48,
                      vae_stride=(4, 16, 16)),
+    "vace_1.3B": dict(dim=1536, ffn_dim=8960, num_heads=12, num_layers=30,
+                      model_type="t2v", vae_stride=(4, 8, 8), vace=True),
+    "vace_14B": dict(dim=5120, ffn_dim=13824, num_heads=40, num_layers=40,
+                     model_type="t2v", vae_stride=(4, 8, 8), vace=True),
 }
 
 
@@ -56,6 +60,7 @@ class WanFamilyHandler:
             "vae_stride": arch["vae_stride"],
             "i2v_class": arch.get("model_type") == "i2v",
             "wan_5B_class": base_model_type == "ti2v_2_2",
+            "vace_class": arch.get("vace", False),
             "multiple_submodels": arch.get("experts", 1) > 1,
             "sliding_window": True,
             "tea_cache": arch.get("experts", 1) == 1,
@@ -79,7 +84,8 @@ class WanFamilyHandler:
             dim=arch["dim"], ffn_dim=arch["ffn_dim"],
             num_heads=arch["num_heads"], num_layers=arch["num_layers"],
             in_dim=arch.get("in_dim", 16), out_dim=arch.get("out_dim", 16),
-            model_type=arch["model_type"], compute_dtype=dtype)
+            model_type=arch["model_type"], vace=arch.get("vace", False),
+            compute_dtype=dtype)
 
     @staticmethod
     def query_model_files(base_model_type: str,

@@ -116,17 +116,67 @@ class GenerationService:
             steps=int(merged.get("num_inference_steps", 30)),
             shift=float(merged.get("flow_shift", 5.0)),
             guide_scale=float(merged.get("guidance_scale", 5.0)),
+            guide2_scale=float(merged.get("guidance2_scale",
+                                          merged.get("guidance_scale", 5.0))),
+            guide3_scale=float(merged.get("guidance3_scale",
+                                          merged.get("guidance_scale", 5.0))),
+            guide_phases=int(merged.get("guidance_phases", 1)),
+            switch_threshold=float(merged.get("switch_threshold", 0)),
+            switch2_threshold=float(merged.get("switch2_threshold", 0)),
+            model_switch_phase=int(merged.get("model_switch_phase", 1)),
             cfg_star_switch=bool(merged.get("cfg_star_switch", False)),
             cfg_zero_step=int(merged.get("cfg_zero_step", -1)),
-            apg_switch=bool(merged.get("apg_switch", False)))
-        video = pipe.generate(
-            prompt=merged.get("prompt", ""),
-            n_prompt=merged.get("negative_prompt", ""),
-            width=width, height=height,
-            frame_num=int(merged.get("video_length", 81)),
-            sampling=sampling, seed=seed,
-            context=merged.get("_context"),
-            context_null=merged.get("_context_null"))
+            apg_switch=bool(merged.get("apg_switch", False)),
+            nag_scale=float(merged.get("NAG_scale", 0.0)),
+            nag_tau=float(merged.get("NAG_tau", 3.5)),
+            nag_alpha=float(merged.get("NAG_alpha", 0.5)),
+            cache_type=str(merged.get("cache_type", "") or ""),
+            cache_threshold=float(merged.get("cache_threshold", 0.0)),
+            cache_speed_factor=float(merged.get("cache_speed_factor", 1.75)),
+            enable_riflex=bool(merged.get("RIFLEx_setting", 0)))
+
+        # LoRA merge (constant multipliers merge into weights; piecewise
+        # multipliers re-merge between scan segments — lora.py)
+        loras = merged.get("loras") or merged.get("activated_loras") or []
+        if loras:
+            from ..lora import (convert_lora_sd, merge_loras,
+                                parse_lora_multipliers)
+            from ..io.safetensors_reader import load_safetensors
+            sched = parse_lora_multipliers(
+                merged.get("loras_multipliers", ""), len(loras),
+                sampling.steps)
+            lora_dicts = [convert_lora_sd(load_safetensors(p))
+                          for p in loras]
+            pipe.dit_params, unmatched = merge_loras(
+                pipe.dit_params, lora_dicts, [float(m[0]) for m in sched])
+            if unmatched and on_progress:
+                on_progress("status",
+                            f"{len(unmatched)} unmatched LoRA keys")
+
+        frame_num = int(merged.get("video_length", 81))
+        window_size = int(merged.get("sliding_window_size", 0) or 0)
+        if window_size and frame_num > window_size:
+            video = pipe.generate_sliding(
+                prompt=merged.get("prompt", ""),
+                n_prompt=merged.get("negative_prompt", ""),
+                width=width, height=height, frame_num=frame_num,
+                window_size=window_size,
+                overlap=int(merged.get("sliding_window_overlap", 5)),
+                discard=int(merged.get(
+                    "sliding_window_discard_last_frames", 0)),
+                sampling=sampling, seed=seed,
+                context=merged.get("_context"),
+                context_null=merged.get("_context_null"))
+        else:
+            video = pipe.generate(
+                prompt=merged.get("prompt", ""),
+                n_prompt=merged.get("negative_prompt", ""),
+                width=width, height=height,
+                frame_num=frame_num,
+                sampling=sampling, seed=seed,
+                context=merged.get("_context"),
+                context_null=merged.get("_context_null"),
+                image_start=merged.get("_image_start"))
         path = os.path.join(self.output_dir,
                             f"{model_type}_{stamp}_{seed}.avi")
         media.save_video(np.asarray(video), path,

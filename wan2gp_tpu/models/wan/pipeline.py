@@ -441,6 +441,120 @@ class WanPipeline:
                                           pixels).astype(jnp.float32)
         return y, clip_fea
 
+    def plan_sub_parallel(self, f_lat: int, window_frames: int,
+                          overlap_frames: int):
+        """Uniform latent windows for joint per-step denoising
+        (any2video.py:1164-1299 sub-parallel windows): [(start, end)],
+        all length win_lat, last window pinned to the end."""
+        st = self.vae_stride[0]
+        win = min(f_lat, (window_frames - 1) // st + 1)
+        ov = min(win - 1, (overlap_frames - 1) // st + 1
+                 if overlap_frames > 0 else 0)
+        step = max(1, win - ov)
+        starts = list(range(0, max(f_lat - win, 0) + 1, step))
+        if starts[-1] + win < f_lat:
+            starts.append(f_lat - win)
+        return [(s0, s0 + win) for s0 in starts], win, ov
+
+    def denoise_sub_parallel(self, latents, context, context_null,
+                             sampling: SamplingConfig,
+                             window_frames: int, overlap_frames: int):
+        """All windows denoised jointly each step as a batch; predictions
+        blended with linear ramp weights (any2video.py:1290-1352), one
+        solver step on the full latents."""
+        b, cch, f_lat, hh, ww = latents.shape
+        assert b == 1, "sub-parallel windows expect batch 1"
+        windows, win, ov = self.plan_sub_parallel(f_lat, window_frames,
+                                                  overlap_frames)
+        n_win = len(windows)
+        pt, ph, pw = self.dit_cfg.patch_size
+        grid_w = (win // pt, hh // ph, ww // pw)
+
+        # per-window rope tables with the window's absolute frame offset
+        from ...ops.rope import build_rope_3d
+        full_cos, full_sin = build_rope_3d(
+            (f_lat // pt, hh // ph, ww // pw),
+            head_dim=self.dit_cfg.head_dim)
+        tok_per_frame = (hh // ph) * (ww // pw)
+        cos_list, sin_list = [], []
+        for s0, e0 in windows:
+            sl = slice(s0 * tok_per_frame, e0 * tok_per_frame)
+            cos_list.append(full_cos[sl])
+            sin_list.append(full_sin[sl])
+        cos_w = jnp.stack(cos_list)
+        sin_w = jnp.stack(sin_list)
+
+        # blend weights per window (linear ramps on interior edges)
+        weights = np.ones((n_win, win), np.float32)
+        for i, (s0, e0) in enumerate(windows):
+            if ov > 0 and s0 > 0:
+                weights[i, :ov] = np.linspace(1e-6, 1, ov)
+            if ov > 0 and e0 < f_lat:
+                weights[i, -ov:] = np.linspace(1, 1e-6, ov)
+        wsum = np.zeros((f_lat,), np.float32)
+        for i, (s0, e0) in enumerate(windows):
+            wsum[s0:e0] += weights[i]
+        weights_j = jnp.asarray(weights)[:, None, :, None, None]
+
+        g = sampling.guide_scale
+        any_guidance = g != 1.0
+        schedule = make_schedule(sampling.solver, sampling.steps,
+                                 sampling.shift)
+        ctx = jnp.broadcast_to(context, (n_win, *context.shape[1:]))
+        if any_guidance:
+            ctxn = jnp.broadcast_to(context_null,
+                                    (n_win, *context_null.shape[1:]))
+            ctx_both = jnp.concatenate([ctx, ctxn], axis=0)
+            cos_b = jnp.concatenate([cos_w, cos_w], axis=0)
+            sin_b = jnp.concatenate([sin_w, sin_w], axis=0)
+        else:
+            ctx_both, cos_b, sin_b = ctx, cos_w, sin_w
+
+        starts = np.asarray([s0 for s0, _ in windows])
+
+        @jax.jit
+        def run(latents):
+            def body(carry, xs):
+                x, sstate = carry
+                t, coeffs_i, i = xs
+                # gather window slices -> batch
+                slices = jnp.stack([
+                    jax.lax.dynamic_slice_in_dim(x[0], int(s0), win, axis=1)
+                    for s0 in starts])                 # [n_win, C, win, H, W]
+                xb = jnp.concatenate([slices, slices], axis=0)                     if any_guidance else slices
+                tb = jnp.broadcast_to(t, (xb.shape[0],))
+                v = wan_dit_forward(self.dit_params, self.dit_cfg, xb, tb,
+                                    ctx_both, cos_b, sin_b,
+                                    attn_backend=self.attn_backend)
+                if any_guidance:
+                    pred_w = cfg_combine(v[:n_win], v[n_win:], g,
+                                         jnp.asarray(False))
+                else:
+                    pred_w = v
+                # weighted scatter back to full length
+                pred = jnp.zeros_like(x[0])
+                for i_w, s0 in enumerate(starts):
+                    pred = jax.lax.dynamic_update_slice_in_dim(
+                        pred,
+                        jax.lax.dynamic_slice_in_dim(pred, int(s0), win,
+                                                     axis=1)
+                        + pred_w[i_w] * weights_j[i_w],
+                        int(s0), axis=1)
+                pred = pred / jnp.asarray(np.maximum(wsum, 1e-6)
+                                          )[None, :, None, None]
+                x, sstate = solver_step(schedule, i, coeffs_i, pred[None],
+                                        x, sstate)
+                return (x, sstate), None
+
+            carry0 = (latents.astype(jnp.float32),
+                      init_solver_state(schedule, latents))
+            xs = (schedule.timesteps, schedule.coeffs,
+                  jnp.arange(schedule.num_steps, dtype=jnp.int32))
+            (x, _), _ = jax.lax.scan(body, carry0, xs)
+            return x
+
+        return run(latents)
+
     def build_vace_conditioning(self, frames, masks=None, ref_images=None,
                                 context_scale: float = 1.0):
         """Build the 96-channel VACE control context (any2video.py:270-331

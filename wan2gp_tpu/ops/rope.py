@@ -76,7 +76,8 @@ def apply_rope(x, cos, sin):
     """Apply interleaved-pair RoPE.
 
     x:   [B, L, N, D] (or any shape with L in axis 1 and D last)
-    cos: [L, D//2], sin: [L, D//2]
+    cos: [L, D//2] shared, or [B, L, D//2] per-batch-element tables
+         (sub-parallel windows use different frame offsets per window)
 
     Computation in fp32 (matches reference USE_FP32_ROPE_FREQS=True path,
     posemb_layers.py:262-270), output cast back to x.dtype.
@@ -86,9 +87,12 @@ def apply_rope(x, cos, sin):
     x_pairs = xf.reshape(*xf.shape[:-1], -1, 2)
     x0 = x_pairs[..., 0]
     x1 = x_pairs[..., 1]
-    # Broadcast tables over batch/head dims: [L, D/2] -> [1, L, 1, D/2]
     extra = x0.ndim - 2
-    shape = (1, cos.shape[0]) + (1,) * (extra - 1) + (cos.shape[1],)
+    if cos.ndim == 3:  # [B, L, D/2] -> [B, L, 1, D/2]
+        shape = (cos.shape[0], cos.shape[1]) + (1,) * (extra - 1) \
+            + (cos.shape[2],)
+    else:              # [L, D/2] -> [1, L, 1, D/2]
+        shape = (1, cos.shape[0]) + (1,) * (extra - 1) + (cos.shape[1],)
     c = cos.astype(jnp.float32).reshape(shape)
     s = sin.astype(jnp.float32).reshape(shape)
     y0 = x0 * c - x1 * s

@@ -4,7 +4,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from wan2gp_tpu.parallel.ring_attention import ring_attention
 from wan2gp_tpu.ops.attention import attention

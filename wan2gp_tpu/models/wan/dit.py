@@ -252,6 +252,10 @@ def _nag_combine(x_pos, x_neg, nag):
 
 def _cross_attention(p, x, context, context_img, cfg, attn_backend,
                      context_neg=None, nag=None):
+    # ring (context-parallel) applies to self-attention only: cross-attn
+    # kv (text) is replicated, so per-shard plain attention is exact
+    if attn_backend.startswith("ring"):
+        attn_backend = "xla"
     cdt = cfg.compute_dtype
     xc = x.astype(cdt)
     q = rms_norm(_dense(xc, p["q"], cdt), p["norm_q"], cfg.eps)

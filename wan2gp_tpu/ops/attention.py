@@ -160,6 +160,12 @@ def attention(q, k, v, scale: float | None = None, backend: str = "auto",
     """
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
+    if backend.startswith("ring"):
+        # context-parallel ring attention inside shard_map; backend
+        # "ring" or "ring:<axis>" (default axis 'cp')
+        from ..parallel.ring_attention import ring_attention
+        axis = backend.split(":", 1)[1] if ":" in backend else "cp"
+        return ring_attention(q, k, v, axis_name=axis, scale=scale)
     interpret = backend == "pallas_interpret"
     use_pallas = backend in ("pallas", "pallas_interpret") or (
         backend == "auto" and _on_tpu())

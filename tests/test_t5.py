@@ -46,3 +46,37 @@ def test_t5_batch_independence():
     solo = t5_encode(params, TINY, ids[:1], mask[:1])
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(solo[0]),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_t5_shared_pos_variant():
+    """T5 v1.1 mode: one relative-position table shared by all layers."""
+    import jax.numpy as jnp
+    from wan2gp_tpu.models.wan.t5 import T5Config, t5_encode
+    from wan2gp_tpu.io.wan_checkpoint import load_hf_t5_params
+    cfg = T5Config(vocab_size=50, dim=16, dim_attn=16, dim_ffn=32,
+                   num_heads=2, num_layers=2, shared_pos=True,
+                   compute_dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    sd = {"shared.weight": rng.standard_normal((50, 16)).astype(np.float32),
+          "encoder.final_layer_norm.weight": np.ones(16, np.float32),
+          "encoder.block.0.layer.0.SelfAttention.relative_attention_bias."
+          "weight": rng.standard_normal((32, 2)).astype(np.float32) * 0.05}
+    for i in range(2):
+        pre = f"encoder.block.{i}"
+        for m in ("q", "k", "v", "o"):
+            sd[f"{pre}.layer.0.SelfAttention.{m}.weight"] = \
+                rng.standard_normal((16, 16)).astype(np.float32) * 0.05
+        sd[f"{pre}.layer.0.layer_norm.weight"] = np.ones(16, np.float32)
+        sd[f"{pre}.layer.1.layer_norm.weight"] = np.ones(16, np.float32)
+        sd[f"{pre}.layer.1.DenseReluDense.wi_0.weight"] = \
+            rng.standard_normal((32, 16)).astype(np.float32) * 0.05
+        sd[f"{pre}.layer.1.DenseReluDense.wi_1.weight"] = \
+            rng.standard_normal((32, 16)).astype(np.float32) * 0.05
+        sd[f"{pre}.layer.1.DenseReluDense.wo.weight"] = \
+            rng.standard_normal((16, 32)).astype(np.float32) * 0.05
+    params, leftover = load_hf_t5_params(sd, cfg, dtype=jnp.float32)
+    assert leftover == []
+    ids = jnp.asarray(rng.integers(0, 50, (1, 6)), jnp.int32)
+    out = t5_encode(params, cfg, ids, jnp.ones((1, 6), jnp.int32))
+    assert out.shape == (1, 6, 16)
+    assert np.isfinite(np.asarray(out)).all()

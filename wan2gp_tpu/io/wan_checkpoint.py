@@ -299,3 +299,42 @@ def load_wan_vae_params(sd: Dict[str, np.ndarray], cfg):
         },
     }
     return p, sorted(sd.keys())
+
+
+def load_hf_t5_params(sd: Dict[str, np.ndarray], cfg, dtype=jnp.bfloat16):
+    """HF T5 v1.1 encoder (google/t5-v1_1-xxl, used by Flux/LTXV/Hunyuan
+    pipelines): encoder.block.N.layer.0.SelfAttention.{q,k,v,o} +
+    layer.1.DenseReluDense.{wi_0 gate, wi_1 fc1, wo}, shared rel-pos bias on
+    block 0, `shared` token embeddings.  cfg must have shared_pos=True."""
+    sd = {k[len("encoder."):] if k.startswith("encoder.") else k: v
+          for k, v in sd.items()}
+
+    def lin(prefix):
+        return {"w": _as(_t(np.asarray(sd.pop(f"{prefix}.weight"),
+                                       np.float32)), dtype)}
+
+    def block(i):
+        pre = f"block.{i}"
+        return {
+            "norm1": _vec(sd, f"{pre}.layer.0.layer_norm.weight"),
+            "attn": {k: lin(f"{pre}.layer.0.SelfAttention.{k}")
+                     for k in ("q", "k", "v", "o")},
+            "norm2": _vec(sd, f"{pre}.layer.1.layer_norm.weight"),
+            "ffn": {"gate": lin(f"{pre}.layer.1.DenseReluDense.wi_0"),
+                    "fc1": lin(f"{pre}.layer.1.DenseReluDense.wi_1"),
+                    "fc2": lin(f"{pre}.layer.1.DenseReluDense.wo")},
+        }
+
+    emb_key = "shared.weight" if "shared.weight" in sd else \
+        "embed_tokens.weight"
+    p = {
+        "token_embedding": _as(np.asarray(sd.pop(emb_key), np.float32),
+                               dtype),
+        "shared_pos_emb": jnp.asarray(np.asarray(sd.pop(
+            "block.0.layer.0.SelfAttention.relative_attention_bias.weight"),
+            np.float32)),
+        "blocks": _stack([block(i) for i in range(cfg.num_layers)]),
+        "norm": _vec(sd, "final_layer_norm.weight"),
+    }
+    sd.pop("embed_tokens.weight", None)
+    return p, sorted(sd.keys())

@@ -34,6 +34,8 @@ class T5Config:
     num_layers: int = 24
     num_buckets: int = 32
     max_dist: int = 128
+    shared_pos: bool = False   # True: T5 v1.1 (one rel-pos table, layer 0);
+                               # False: UMT5 (per-layer tables)
     compute_dtype: Any = jnp.bfloat16
 
     @property
@@ -141,9 +143,17 @@ def t5_encode(params, cfg: T5Config, ids, mask):
     mask_bias = jnp.where(mask[:, None, None, :] > 0, 0.0,
                           jnp.finfo(jnp.float32).min)  # [B,1,1,L]
 
+    shared_bias = None
+    if cfg.shared_pos:
+        shared_bias = params["shared_pos_emb"][buckets].transpose(2, 0, 1)[
+            None] + mask_bias
+
     def body(x, bp):
-        pos_bias = bp["pos_emb"][buckets]            # [L, L, N]
-        bias = pos_bias.transpose(2, 0, 1)[None] + mask_bias
+        if cfg.shared_pos:
+            bias = shared_bias
+        else:
+            pos_bias = bp["pos_emb"][buckets]        # [L, L, N]
+            bias = pos_bias.transpose(2, 0, 1)[None] + mask_bias
         y = _t5_norm(x, bp["norm1"])
         x = x + _t5_attention(bp["attn"], y, bias, cfg)
         y = _t5_norm(x, bp["norm2"])

@@ -340,7 +340,8 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
                     rope_cos, rope_sin, clip_fea=None, y=None,
                     attn_backend: str = "auto", skip_state=None,
                     context_neg=None, nag=None,
-                    vace_context=None, vace_scale: float = 1.0):
+                    vace_context=None, vace_scale: float = 1.0,
+                    fbc_state=None, fbc_threshold: float = 0.08):
     """Denoiser forward.
 
     latents:  [B, C, F, H, W] noisy latents
@@ -427,7 +428,37 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
         return out
 
     new_residual = None
-    if skip_state is None:
+    new_fbc = None
+    if fbc_state is not None:
+        # First-block cache (reference models/minimax_h3/first_block_cache.py
+        # :6-54): run block 0, compare its output signature to the cached
+        # one; below threshold reuse the cached block-stack tail residual.
+        prev_sig, tail_res, allow_skip = fbc_state
+        bp0 = jax.tree.map(lambda a: a[0], params["blocks"])
+        hint0 = hints[0]
+        x0_in = x
+        x = _block(bp0, x, e6, ctx, ctx_img, rope_cos, rope_sin, cfg,
+                   attn_backend, context_neg=ctx_neg, nag=nag)
+        x = x + hint0.astype(x.dtype)
+        sig = x
+        diff = jnp.abs(sig.astype(jnp.float32)
+                       - prev_sig.astype(jnp.float32)).mean()
+        ref = jnp.maximum(
+            jnp.abs(prev_sig.astype(jnp.float32)).mean(), 1e-8)
+        should_calc = jnp.logical_or(diff / ref > fbc_threshold,
+                                     jnp.logical_not(allow_skip))
+
+        def run_tail(x):
+            blocks_tail = jax.tree.map(lambda a: a[1:], params["blocks"])
+            out, _ = jax.lax.scan(body, x, (blocks_tail, hints[1:]))
+            return out
+
+        x_head = x
+        x = jax.lax.cond(should_calc, run_tail,
+                         lambda x: x + tail_res.astype(x.dtype), x)
+        new_tail = jnp.where(should_calc, x - x_head, tail_res)
+        new_fbc = (sig, new_tail)
+    elif skip_state is None:
         x = run_blocks(x)
     else:
         # TeaCache/MagCache skip: reuse the cached block-stack residual
@@ -448,6 +479,8 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
     xn = xn * (1.0 + eh[:, :, 1][:, :, None, :]) + eh[:, :, 0][:, :, None, :]
     out = _dense(xn.reshape(b, l, cfg.dim), hp["head"], jnp.float32)
     out = unpatchify(out, grid, cfg.patch_size, cfg.out_dim)
+    if fbc_state is not None:
+        return out, new_fbc
     if skip_state is not None:
         return out, new_residual
     return out

@@ -137,6 +137,9 @@ def denoise_segment(dit_params, dit_cfg: WanDiTConfig, schedule: Schedule,
         ctx_both, y_both, clip_both = context, y, clip_fea
 
     use_skip = skip_schedule is not None
+    use_fbc = sampling.cache_type == "fbc"
+    fbc_threshold = (sampling.cache_threshold
+                     if sampling.cache_threshold > 0 else 0.05)
     use_overlap = overlap_latents is not None
     if use_overlap:
         ov = overlap_latents.shape[2]
@@ -155,7 +158,7 @@ def denoise_segment(dit_params, dit_cfg: WanDiTConfig, schedule: Schedule,
     else:
         ctx_neg_both, nag = None, None
 
-    def forward(x, t, skip_state):
+    def forward(x, t, skip_state, fbc_state=None):
         xb = jnp.concatenate([x, x], axis=0) if any_guidance else x
         tb = jnp.broadcast_to(t, (xb.shape[0],))
         out = wan_dit_forward(dit_params, dit_cfg, xb, tb, ctx_both,
@@ -164,8 +167,10 @@ def denoise_segment(dit_params, dit_cfg: WanDiTConfig, schedule: Schedule,
                               skip_state=skip_state,
                               context_neg=ctx_neg_both, nag=nag,
                               vace_context=vace_context,
-                              vace_scale=vace_scale)
-        v, residual = out if use_skip else (out, None)
+                              vace_scale=vace_scale,
+                              fbc_state=fbc_state,
+                              fbc_threshold=fbc_threshold)
+        v, residual = out if (use_skip or use_fbc) else (out, None)
         if any_guidance:
             return v[:b], v[b:], residual
         return v, None, residual
@@ -180,8 +185,11 @@ def denoise_segment(dit_params, dit_cfg: WanDiTConfig, schedule: Schedule,
             pinned = overlap_latents * (1.0 - sigma) + noise * sigma
             x = x.at[:, :, :ov].set(pinned)
         skip_state = (should_calc, residual) if use_skip else None
-        v_cond, v_uncond, new_res = forward(x, t, skip_state)
-        if use_skip:
+        fbc_state = ((*residual, jnp.logical_not(should_calc))
+                     if use_fbc else None)
+        v_cond, v_uncond, new_res = forward(x, t, skip_state,
+                                            fbc_state=fbc_state)
+        if use_skip or use_fbc:
             residual = new_res
         if not any_guidance:
             pred = v_cond
@@ -196,15 +204,26 @@ def denoise_segment(dit_params, dit_cfg: WanDiTConfig, schedule: Schedule,
         x, sstate = solver_step(schedule, i, coeffs_i, pred, x, sstate)
         return (x, sstate, apg_buf, residual), None
 
-    if use_skip:
+    if use_skip or use_fbc:
         pt, ph, pw = dit_cfg.patch_size
         l_tok = ((x0.shape[2] // pt) * (x0.shape[3] // ph)
                  * (x0.shape[4] // pw))
         b_eff = 2 * b if any_guidance else b
+    if use_skip:
         residual0 = jnp.zeros((b_eff, l_tok, dit_cfg.dim),
                               dit_cfg.residual_dtype)
         flags = np.asarray(skip_schedule, bool)[seg].copy()
         flags[0] = True  # segment boundary: residual reset forces a calc
+        skip_flags = jnp.asarray(flags)
+    elif use_fbc:
+        # first-block cache: carry (block-0 signature, tail residual);
+        # should_calc=True forces a recompute (first step of each segment
+        # and every step before cache_start_step)
+        residual0 = (
+            jnp.zeros((b_eff, l_tok, dit_cfg.dim), dit_cfg.compute_dtype),
+            jnp.zeros((b_eff, l_tok, dit_cfg.dim), dit_cfg.residual_dtype))
+        flags = (np.arange(step_start, step_end)
+                 < max(sampling.cache_start_step, step_start + 1))
         skip_flags = jnp.asarray(flags)
     else:
         residual0 = jnp.zeros((), jnp.float32)
@@ -298,7 +317,9 @@ class WanPipeline:
     def skip_schedule(self, sampling: SamplingConfig, schedule,
                       width: int, height: int):
         """Host-side TeaCache/MagCache skip plan (caches.py)."""
-        if not sampling.cache_type:
+        if not sampling.cache_type or sampling.cache_type == "fbc":
+            # first-block cache decides in-graph (data-dependent rel-L1 on
+            # the first block's output; first_block_cache.py:6-54)
             return None
         from ... import caches
         from .dit import time_embedding_vec

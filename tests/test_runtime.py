@@ -136,3 +136,49 @@ def test_session_api(tiny_wan_arch, tmp_path):
     assert results[0].ok, results[0].error
     assert results[0].task_id == tid
     assert results[0].outputs[0].endswith(".avi")
+
+
+def test_queue_zip_roundtrip(tmp_path):
+    """queue.zip save/load in the reference manifest format (wgp.py:1596)."""
+    from wan2gp_tpu.runtime.queue import TaskQueue
+    img = tmp_path / "start.png"
+    img.write_bytes(b"\x89PNG\r\n\x1a\nfake")
+    q = TaskQueue()
+    q.add({"prompt": "a cat", "model_type": "t2v",
+           "image_start": str(img), "image_refs": [str(img)]})
+    q.add({"prompt": "a dog", "model_type": "t2v"})
+    zpath = tmp_path / "queue.zip"
+    assert q.save_zip(str(zpath))
+
+    import zipfile, json
+    with zipfile.ZipFile(zpath) as zf:
+        names = zf.namelist()
+        assert "queue.json" in names
+        manifest = json.loads(zf.read("queue.json"))
+    assert len(manifest) == 2
+    assert manifest[0]["params"]["prompt"] == "a cat"
+    assert manifest[0]["params"]["settings_version"] > 2
+    # attachment rewritten to in-zip name, media embedded, deduped
+    in_zip = manifest[0]["params"]["image_start"]
+    assert in_zip in names
+    assert manifest[0]["params"]["image_refs"] == [in_zip]
+    assert len([n for n in names if n != "queue.json"]) == 1
+
+    q2 = TaskQueue()
+    q2.load(str(zpath))
+    tasks = q2.tasks()
+    assert len(tasks) == 2
+    assert tasks[0].settings["prompt"] == "a cat"
+    p = tasks[0].settings["image_start"]
+    import os
+    assert os.path.isfile(p) and open(p, "rb").read().startswith(b"\x89PNG")
+
+
+def test_queue_zip_rejects_missing_manifest(tmp_path):
+    from wan2gp_tpu.runtime.queue import TaskQueue
+    import zipfile, pytest
+    zpath = tmp_path / "bad.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.writestr("other.json", "{}")
+    with pytest.raises(ValueError):
+        TaskQueue().load_zip(str(zpath))

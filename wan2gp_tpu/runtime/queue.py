@@ -14,6 +14,15 @@ import threading
 import time
 from typing import Any, Callable, Dict, List, Optional
 
+# media-bearing settings keys packed into queue.zip (wgp.py:166)
+ATTACHMENT_KEYS = [
+    "image_start", "image_end", "image_refs", "image_guide", "image_mask",
+    "video_guide", "video_guide2", "video_mask", "video_source",
+    "audio_guide", "audio_guide2", "audio_source",
+    "replace_voice_sample", "replace_voice_sample2", "custom_guide",
+]
+SETTINGS_VERSION = 2.73  # wgp.py:151
+
 
 class Task:
     def __init__(self, settings: Dict[str, Any], task_id: int):
@@ -105,6 +114,8 @@ class TaskQueue:
     # -- persistence ------------------------------------------------------
 
     def save(self, path: str):
+        if path.endswith(".zip"):
+            return self.save_zip(path)
         with self._lock:
             data = [t.to_json() for t in self._tasks
                     if t.status in ("queued", "running")]
@@ -112,14 +123,97 @@ class TaskQueue:
             json.dump({"version": 1, "tasks": data}, f, indent=1)
 
     def load(self, path: str):
+        if path.endswith(".zip"):
+            return self.load_zip(path)
         with open(path) as f:
             data = json.load(f)
         tasks = data["tasks"] if isinstance(data, dict) else data
         with self._lock:
             for d in tasks:
-                if "settings" not in d:       # bare settings dict
+                if "params" in d and "settings" not in d:
+                    # reference manifest entry {"id", "params"}
+                    d = {"settings": d["params"], "id": d.get("id")}
+                elif "settings" not in d:     # bare settings dict
                     d = {"settings": d}
                 self._tasks.append(Task.from_json(d, self._counter))
+
+    def save_zip(self, path: str) -> bool:
+        """Reference-compatible queue.zip: a `queue.json` manifest of
+        [{"id", "params"}] entries plus the attachment media files, with
+        the attachment params rewritten to in-zip names
+        (wgp.py:1596 _save_queue_to_zip).
+        """
+        import zipfile
+        with self._lock:
+            live = [t for t in self._tasks
+                    if t.status in ("queued", "running")]
+            if not live:
+                return False
+            manifest = []
+            in_zip: Dict[str, str] = {}   # source path -> name in zip
+            with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+                for t in live:
+                    params = dict(t.settings)
+                    for key in ATTACHMENT_KEYS:
+                        value = params.get(key)
+                        if value is None:
+                            continue
+                        is_list = isinstance(value, list)
+                        items = value if is_list else [value]
+                        names = []
+                        for idx, item in enumerate(items):
+                            if not isinstance(item, str):
+                                continue
+                            if item in in_zip:
+                                names.append(in_zip[item])
+                                continue
+                            if not os.path.isfile(item):
+                                continue
+                            ext = os.path.splitext(item)[1]
+                            name = f"task{t.id}_{key}_{idx}{ext}"
+                            zf.write(item, arcname=name)
+                            in_zip[item] = name
+                            names.append(name)
+                        if names:
+                            params[key] = names if is_list else names[0]
+                    params["settings_version"] = SETTINGS_VERSION
+                    manifest.append({"id": t.id, "params": params})
+                zf.writestr("queue.json", json.dumps(manifest, indent=4))
+        return True
+
+    def load_zip(self, path: str, cache_dir: Optional[str] = None):
+        """Load a reference-format queue.zip (wgp.py:1915): extract the
+        media attachments into cache_dir (default: `<path>_cache/`) and
+        rewrite attachment params to the extracted file paths."""
+        import zipfile
+        if cache_dir is None:
+            cache_dir = os.path.splitext(path)[0] + "_cache"
+        with zipfile.ZipFile(path) as zf:
+            names = set(zf.namelist())
+            if "queue.json" not in names:
+                raise ValueError("queue.json not found in zip file")
+            manifest = json.loads(zf.read("queue.json").decode("utf-8"))
+            media = names - {"queue.json"}
+            if media:
+                os.makedirs(cache_dir, exist_ok=True)
+                for n in media:
+                    zf.extract(n, cache_dir)
+        with self._lock:
+            for entry in manifest:
+                params = dict(entry.get("params", entry))
+                for key in ATTACHMENT_KEYS:
+                    value = params.get(key)
+                    if value is None:
+                        continue
+                    is_list = isinstance(value, list)
+                    items = value if is_list else [value]
+                    resolved = [os.path.join(cache_dir, it)
+                                if isinstance(it, str)
+                                and os.path.isfile(os.path.join(cache_dir, it))
+                                else it for it in items]
+                    params[key] = resolved if is_list else resolved[0]
+                t = Task(params, entry.get("id") or next(self._counter))
+                self._tasks.append(t)
 
     def install_autosave(self, path: str):
         import atexit

@@ -127,3 +127,85 @@ def test_flux_pipeline_end_to_end_tiny():
                         context=ctx, vec_y=y)
     assert img.shape == (32, 32, 3)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_flux_handler_text_encoders(tmp_path):
+    """T5 + CLIP text-encoder wiring through the flux family handler."""
+    import numpy as np
+    import jax.numpy as jnp
+    from wan2gp_tpu.families.flux import FluxFamilyHandler
+    from wan2gp_tpu.io.safetensors_reader import save_safetensors
+    from wan2gp_tpu.models.flux.clip import ClipTextConfig
+
+    rng = np.random.default_rng(0)
+    t5_kw = dict(vocab_size=64, dim=16, dim_attn=16, dim_ffn=32,
+                 num_heads=2, num_layers=2, shared_pos=True)
+    sd = {"shared.weight": rng.standard_normal((64, 16)).astype(np.float32),
+          "encoder.final_layer_norm.weight": np.ones(16, np.float32),
+          "encoder.block.0.layer.0.SelfAttention.relative_attention_bias."
+          "weight": rng.standard_normal((32, 2)).astype(np.float32) * 0.05}
+    for i in range(2):
+        pre = f"encoder.block.{i}"
+        for m in ("q", "k", "v", "o"):
+            sd[f"{pre}.layer.0.SelfAttention.{m}.weight"] = \
+                rng.standard_normal((16, 16)).astype(np.float32) * 0.05
+        sd[f"{pre}.layer.0.layer_norm.weight"] = np.ones(16, np.float32)
+        sd[f"{pre}.layer.1.layer_norm.weight"] = np.ones(16, np.float32)
+        for w, shape in (("wi_0", (32, 16)), ("wi_1", (32, 16)),
+                         ("wo", (16, 32))):
+            sd[f"{pre}.layer.1.DenseReluDense.{w}.weight"] = \
+                rng.standard_normal(shape).astype(np.float32) * 0.05
+    t5_path = str(tmp_path / "t5.safetensors")
+    save_safetensors(t5_path, sd)
+
+    ccfg = ClipTextConfig(vocab_size=64, dim=8, num_heads=2, num_layers=1,
+                          mlp_dim=16, max_len=16, eos_token_id=63)
+    csd = {"text_model.embeddings.token_embedding.weight":
+           rng.standard_normal((64, 8)).astype(np.float32) * 0.02,
+           "text_model.embeddings.position_embedding.weight":
+           rng.standard_normal((16, 8)).astype(np.float32) * 0.02,
+           "text_model.final_layer_norm.weight": np.ones(8, np.float32),
+           "text_model.final_layer_norm.bias": np.zeros(8, np.float32)}
+    pre = "text_model.encoder.layers.0"
+    for m, (di, do) in (("self_attn.q_proj", (8, 8)),
+                        ("self_attn.k_proj", (8, 8)),
+                        ("self_attn.v_proj", (8, 8)),
+                        ("self_attn.out_proj", (8, 8)),
+                        ("mlp.fc1", (8, 16)), ("mlp.fc2", (16, 8))):
+        csd[f"{pre}.{m}.weight"] = \
+            rng.standard_normal((do, di)).astype(np.float32) * 0.05
+        csd[f"{pre}.{m}.bias"] = np.zeros(do, np.float32)
+    for ln in ("layer_norm1", "layer_norm2"):
+        csd[f"{pre}.{ln}.weight"] = np.ones(8, np.float32)
+        csd[f"{pre}.{ln}.bias"] = np.zeros(8, np.float32)
+    clip_path = str(tmp_path / "clip.safetensors")
+    save_safetensors(clip_path, csd)
+
+    from wan2gp_tpu.utils.tokenizer import HashTokenizer
+    t5_fn, clip_fn = FluxFamilyHandler._load_text_encoders(
+        "flux_schnell", {"text_encoder": t5_path, "clip": clip_path},
+        HashTokenizer(64), jnp.float32, t5_cfg_kw=t5_kw, clip_cfg=ccfg)
+    ctx = t5_fn(["a cat", "a dog"])
+    assert ctx.shape == (2, 256, 16)
+    assert np.isfinite(np.asarray(ctx)).all()
+    # clip closure uses its own tokenizer (HashTokenizer fallback has a
+    # larger vocab; indexing clamps in jax, output must still be finite)
+    pooled = clip_fn(["a cat"])
+    assert pooled.shape == (1, 8)
+    assert np.isfinite(np.asarray(pooled)).all()
+
+
+def test_flux_random_text_encoders_deterministic():
+    import numpy as np
+    from wan2gp_tpu.families.flux import FluxFamilyHandler
+    from wan2gp_tpu.models.flux.dit import FluxConfig
+    cfg = FluxConfig(hidden_size=32, num_heads=2, depth=1, depth_single_blocks=1,
+                     context_in_dim=16, vec_in_dim=8)
+    t5_fn, clip_fn = FluxFamilyHandler._random_text_encoders(cfg, seed=0)
+    a = np.asarray(t5_fn(["x"]))
+    b = np.asarray(t5_fn(["x"]))
+    c = np.asarray(t5_fn(["y"]))
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
+    assert a.shape == (1, 128, 16)
+    assert np.asarray(clip_fn(["x"])).shape == (1, 8)

@@ -48,10 +48,24 @@ class FluxFamilyHandler:
 
     @staticmethod
     def query_model_files(base_model_type, model_def):
+        base = "https://huggingface.co/DeepBeepMeep/Flux/resolve/main/"
         return [{"role": "transformer", "urls": model_def.get("URLs", [])},
-                {"role": "vae", "urls": [
-                    "https://huggingface.co/DeepBeepMeep/Flux/resolve/main/"
-                    "flux_vae.safetensors"]}]
+                {"role": "vae", "urls": [base + "flux_vae.safetensors"]},
+                {"role": "text_encoder", "urls": [
+                    base + "T5_xxl_1.1_enc_bf16.safetensors"]},
+                {"role": "clip", "urls": [
+                    base + "clip_vit_large_patch14.safetensors"]}]
+
+    # T5 v1.1 XXL encoder (HFEmbedder "google/t5-v1_1-xxl",
+    # models/flux/modules/conditioner.py): shared rel-pos table, vocab 32128
+    T5_CFG_KW = dict(vocab_size=32128, dim=4096, dim_attn=4096,
+                     dim_ffn=10240, num_heads=64, num_layers=24,
+                     shared_pos=True)
+
+    @staticmethod
+    def text_seq_len(base_model_type: str) -> int:
+        # schnell: max_length 256; dev: 512 (models/flux/util.py load_t5)
+        return 256 if base_model_type == "flux_schnell" else 512
 
     @classmethod
     def load_model(cls, base_model_type: str, model_def: Dict[str, Any],
@@ -64,9 +78,11 @@ class FluxFamilyHandler:
             normalize_flux_sd, load_flux_params, load_flux_vae_params)
         dit_cfg = cls.dit_config(base_model_type, dtype)
         vae_cfg = FluxVAEConfig()
+        t5_fn = clip_fn = None
         if init_random:
             dit_params = init_flux(jax.random.key(seed), dit_cfg, dtype)
             vae_params = init_flux_vae(jax.random.key(seed + 1), vae_cfg)
+            t5_fn, clip_fn = cls._random_text_encoders(dit_cfg, seed)
         else:
             sd = normalize_flux_sd(load_safetensors(checkpoints["transformer"]))
             dit_params, left = load_flux_params(sd, dit_cfg, dtype)
@@ -76,5 +92,67 @@ class FluxFamilyHandler:
             if checkpoints.get("vae"):
                 vae_sd = load_safetensors(checkpoints["vae"])
                 vae_params, _ = load_flux_vae_params(vae_sd, vae_cfg)
+            t5_fn, clip_fn = cls._load_text_encoders(
+                base_model_type, checkpoints, tokenizer, dtype)
         return FluxPipeline(dit_params, dit_cfg, vae_params, vae_cfg,
+                            t5_encode_fn=t5_fn, clip_encode_fn=clip_fn,
                             attn_backend=attn_backend)
+
+    @classmethod
+    def _load_text_encoders(cls, base_model_type, checkpoints, tokenizer,
+                            dtype, t5_cfg_kw=None, clip_cfg=None):
+        """Build prompt->embedding closures from T5-XXL + CLIP-L checkpoints
+        (conditioner.py HFEmbedder pair: t5 last_hidden_state, clip
+        pooler_output)."""
+        from ..io.safetensors_reader import load_safetensors
+        from ..io.wan_checkpoint import load_hf_t5_params
+        from ..io.flux_checkpoint import load_clip_text_params
+        from ..models.wan.t5 import T5Config, t5_encode
+        from ..models.flux.clip import ClipTextConfig, clip_text_encode
+        from ..utils.tokenizer import load_tokenizer
+        t5_fn = clip_fn = None
+        seq_len = cls.text_seq_len(base_model_type)
+        if checkpoints.get("text_encoder"):
+            t5_cfg = T5Config(**(t5_cfg_kw or cls.T5_CFG_KW),
+                              compute_dtype=dtype)
+            t5_params, _ = load_hf_t5_params(
+                load_safetensors(checkpoints["text_encoder"]), t5_cfg, dtype)
+            tok = tokenizer or load_tokenizer(checkpoints.get("tokenizer"))
+
+            def t5_fn(prompts):
+                ids, mask = tok(prompts, seq_len)
+                # flux feeds unmasked T5 states (conditioner.py:32
+                # attention_mask unused downstream); padded ids are fine
+                return t5_encode(t5_params, t5_cfg, jnp.asarray(ids),
+                                 jnp.asarray(mask)).astype(jnp.float32)
+        if checkpoints.get("clip"):
+            clip_cfg = clip_cfg or ClipTextConfig()
+            clip_params, _ = load_clip_text_params(
+                load_safetensors(checkpoints["clip"]), clip_cfg)
+            ctok = load_tokenizer(checkpoints.get("tokenizer_clip"))
+
+            def clip_fn(prompts):
+                ids, _ = ctok(prompts, clip_cfg.max_len)
+                _, pooled = clip_text_encode(clip_params, clip_cfg,
+                                             jnp.asarray(ids))
+                return pooled.astype(jnp.float32)
+        return t5_fn, clip_fn
+
+    @classmethod
+    def _random_text_encoders(cls, dit_cfg, seed):
+        """Deterministic synthetic embeddings for --random-weights runs:
+        exercise the full prompt->embedding->DiT path without the 4096-dim
+        T5 checkpoint."""
+        def t5_fn(prompts, _seed=seed):
+            keys = [jax.random.key(hash((p, _seed)) & 0x7FFFFFFF)
+                    for p in prompts]
+            return jnp.stack([jax.random.normal(
+                k, (128, dit_cfg.context_in_dim), jnp.float32)
+                for k in keys])
+
+        def clip_fn(prompts, _seed=seed):
+            keys = [jax.random.key(hash((p, _seed, 1)) & 0x7FFFFFFF)
+                    for p in prompts]
+            return jnp.stack([jax.random.normal(
+                k, (dit_cfg.vec_in_dim,), jnp.float32) for k in keys])
+        return t5_fn, clip_fn

@@ -1,0 +1,101 @@
+"""Web UI HTTP API tests (stub service — no model load)."""
+import json
+import http.client
+
+import pytest
+
+from wan2gp_tpu.runtime.api import Session
+from wan2gp_tpu.runtime.webui import WebUI
+
+
+class StubRegistry:
+    def model_types(self):
+        return ["t2v_1.3B", "flux_schnell"]
+
+    def get(self, mt):
+        return {"model": {"name": mt}}
+
+    def default_settings(self, mt):
+        return {"prompt": "", "num_inference_steps": 30, "model_type": mt}
+
+
+class StubService:
+    def __init__(self):
+        self.registry = StubRegistry()
+        self.processed = []
+
+    def process_queue(self, queue, on_event=None):
+        while True:
+            t = queue.next_pending()
+            if t is None:
+                return 0
+            t.status = "done"
+            t.outputs = [f"out_{t.id}.png"]
+            self.processed.append(t.id)
+            if on_event:
+                on_event("task_done", t)
+
+
+@pytest.fixture()
+def ui(tmp_path):
+    sess = Session(service=StubService())
+    ui = WebUI(session=sess, save_path=str(tmp_path))
+    yield ui
+    ui.shutdown()
+
+
+def test_webui_routes_inline(ui):
+    status, ctype, body = ui.handle("GET", "/")
+    assert status == 200 and b"Wan2GP" in body
+    status, _, body = ui.handle("GET", "/api/models")
+    assert status == 200 and json.loads(body) == ["t2v_1.3B", "flux_schnell"]
+    status, _, body = ui.handle("GET", "/api/defaults?model=t2v_1.3B")
+    assert json.loads(body)["num_inference_steps"] == 30
+
+    status, _, body = ui.handle(
+        "POST", "/api/generate",
+        json.dumps({"model_type": "t2v_1.3B", "prompt": "hi"}).encode())
+    assert status == 200
+    tid = json.loads(body)["id"]
+    ui.session.wait()
+    status, _, body = ui.handle("GET", "/api/queue")
+    tasks = json.loads(body)
+    assert tasks[0]["id"] == tid and tasks[0]["status"] == "done"
+    assert tasks[0]["outputs"] == [f"out_{tid}.png"]
+
+    # bad requests
+    status, _, _ = ui.handle("POST", "/api/generate",
+                             json.dumps({"prompt": "no model"}).encode())
+    assert status == 400
+    status, _, _ = ui.handle("GET", "/api/nope")
+    assert status == 404
+
+
+def test_webui_http_server(ui, tmp_path):
+    (tmp_path / "x.png").write_bytes(b"\x89PNGdata")
+    host, port = ui.serve(background=True, port=0)
+    conn = http.client.HTTPConnection(host, port, timeout=10)
+    conn.request("POST", "/api/generate",
+                 json.dumps({"model_type": "flux_schnell",
+                             "prompt": "a"}).encode())
+    assert conn.getresponse().status == 200
+    ui.session.wait()
+    conn.request("GET", "/api/queue")
+    r = conn.getresponse()
+    tasks = json.loads(r.read())
+    assert tasks and tasks[0]["status"] == "done"
+    conn.request("GET", "/outputs/x.png")
+    r = conn.getresponse()
+    assert r.status == 200 and r.read() == b"\x89PNGdata"
+    assert r.getheader("Content-Type") == "image/png"
+    conn.close()
+
+
+def test_webui_queue_zip_download(ui, tmp_path):
+    ui.session.queue.add({"prompt": "queued", "model_type": "t2v"})
+    status, ctype, body = ui.handle("GET", "/api/queue/save")
+    assert status == 200 and ctype == "application/zip"
+    import zipfile, io
+    with zipfile.ZipFile(io.BytesIO(body)) as zf:
+        manifest = json.loads(zf.read("queue.json"))
+    assert manifest[0]["params"]["prompt"] == "queued"

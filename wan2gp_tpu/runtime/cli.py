@@ -46,6 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run with randomly initialized weights (smoke test)")
     p.add_argument("--checkpoints-dir", default="ckpts")
     p.add_argument("--verbose", type=int, default=1)
+    p.add_argument("--server", action="store_true",
+                   help="serve the web UI instead of running headless")
+    p.add_argument("--listen", default="127.0.0.1",
+                   help="web UI bind address (use 0.0.0.0 to share)")
+    p.add_argument("--server-port", type=int, default=7860)
     return p
 
 
@@ -76,6 +81,13 @@ def main(argv=None) -> int:
     service = GenerationService(output_dir=args.output_dir,
                                 attn_backend=args.attention,
                                 init_random_weights=args.random_weights)
+
+    if args.server:
+        from .webui import WebUI
+        from .api import Session
+        WebUI(session=Session(service=service),
+              save_path=args.output_dir).serve(args.listen, args.server_port)
+        return 0
 
     if args.list_models:
         for mt in service.registry.model_types():

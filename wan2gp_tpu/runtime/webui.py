@@ -1,0 +1,221 @@
+"""Minimal web UI + HTTP API over the generation queue.
+
+The TPU stand-in for the reference's Gradio app (wgp.py `create_ui`,
+shared/api.py server surface): a stdlib http.server serving a single-page
+queue console plus a JSON API.  Gradio isn't in the image, and the heavy
+UI layer is orthogonal to the TPU compute path — the API surface is the
+part tools integrate against (mirrors the MCP tool set in mcp_server.py).
+
+Endpoints:
+  GET  /                      single-page UI
+  GET  /api/models            model types
+  GET  /api/defaults?model=T  default settings for a model
+  GET  /api/queue             task list (id/status/settings/outputs/error)
+  POST /api/generate          body: settings JSON -> {"id": task_id}
+  POST /api/queue/remove      body: {"id": N}
+  POST /api/queue/move        body: {"id": N, "delta": +-1}
+  GET  /api/queue/save        download queue.zip (reference manifest format)
+  POST /api/queue/load        body: {"path": "..."} load queue.zip/json
+  GET  /outputs/<name>        serve a generated media file
+"""
+from __future__ import annotations
+
+import io
+import json
+import os
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, Optional
+
+from .api import Session
+
+_PAGE = """<!doctype html>
+<html><head><meta charset="utf-8"><title>Wan2GP-TPU</title>
+<style>
+body{font-family:system-ui,sans-serif;margin:2em;max-width:60em}
+fieldset{border:1px solid #ccc;margin-bottom:1em}
+table{border-collapse:collapse;width:100%}
+td,th{border:1px solid #ddd;padding:4px 8px;text-align:left;font-size:14px}
+.done{color:#080}.error{color:#b00}.running{color:#06c}
+textarea{width:100%}button{margin-right:.5em}
+</style></head><body>
+<h2>Wan2GP-TPU</h2>
+<fieldset><legend>New task</legend>
+<p>Model: <select id="model"></select>
+ Resolution: <input id="res" value="832x480" size="9">
+ Frames: <input id="frames" value="81" size="4">
+ Steps: <input id="steps" value="30" size="4">
+ Seed: <input id="seed" value="-1" size="8"></p>
+<p><textarea id="prompt" rows="3" placeholder="prompt"></textarea></p>
+<p><button onclick="submitTask()">Generate</button>
+<button onclick="saveQueue()">Save queue.zip</button></p>
+</fieldset>
+<table id="queue"><tr><th>id</th><th>status</th><th>prompt</th>
+<th>outputs</th><th></th></tr></table>
+<script>
+async function j(u,opt){const r=await fetch(u,opt);return r.json()}
+async function loadModels(){const ms=await j('/api/models');
+ const s=document.getElementById('model');
+ s.innerHTML=ms.map(m=>`<option>${m}</option>`).join('')}
+async function submitTask(){
+ const g=id=>document.getElementById(id).value;
+ await j('/api/generate',{method:'POST',body:JSON.stringify({
+  model_type:g('model'),prompt:g('prompt'),resolution:g('res'),
+  video_length:+g('frames'),num_inference_steps:+g('steps'),
+  seed:+g('seed')})});refresh()}
+async function removeTask(id){await j('/api/queue/remove',
+ {method:'POST',body:JSON.stringify({id})});refresh()}
+function saveQueue(){location.href='/api/queue/save'}
+async function refresh(){const ts=await j('/api/queue');
+ const rows=ts.map(t=>`<tr><td>${t.id}</td>
+  <td class="${t.status}">${t.status}</td>
+  <td>${(t.settings.prompt||'').slice(0,80)}</td>
+  <td>${(t.outputs||[]).map(o=>`<a href="/outputs/${
+    o.split('/').pop()}">${o.split('/').pop()}</a>`).join(' ')}
+   ${t.error||''}</td>
+  <td><button onclick="removeTask(${t.id})">x</button></td></tr>`);
+ document.getElementById('queue').innerHTML=
+  '<tr><th>id</th><th>status</th><th>prompt</th><th>outputs</th><th></th></tr>'
+  +rows.join('')}
+loadModels();refresh();setInterval(refresh,2000);
+</script></body></html>"""
+
+_MEDIA_TYPES = {".png": "image/png", ".jpg": "image/jpeg",
+                ".avi": "video/x-msvideo", ".mp4": "video/mp4",
+                ".json": "application/json", ".zip": "application/zip",
+                ".wav": "audio/wav"}
+
+
+class WebUI:
+    def __init__(self, session: Optional[Session] = None,
+                 save_path: str = "outputs", **session_kwargs):
+        self.session = session or Session(**session_kwargs)
+        self.save_path = save_path
+        self._server: Optional[ThreadingHTTPServer] = None
+
+    # -- request handling (returns (status, content_type, bytes)) ----------
+
+    def handle(self, method: str, path: str, body: bytes = b""):
+        url = urllib.parse.urlparse(path)
+        route = url.path.rstrip("/") or "/"
+        qs = urllib.parse.parse_qs(url.query)
+        try:
+            if method == "GET":
+                return self._get(route, qs)
+            if method == "POST":
+                payload = json.loads(body.decode("utf-8")) if body else {}
+                return self._post(route, payload)
+        except (KeyError, ValueError) as e:
+            return 400, "application/json", json.dumps(
+                {"error": str(e)}).encode()
+        return 405, "text/plain", b"method not allowed"
+
+    def _get(self, route, qs):
+        ok = lambda obj: (200, "application/json",
+                          json.dumps(obj).encode("utf-8"))
+        if route == "/":
+            return 200, "text/html; charset=utf-8", _PAGE.encode()
+        if route == "/api/models":
+            return ok(self.session.list_models())
+        if route == "/api/defaults":
+            return ok(self.session.default_settings(qs["model"][0]))
+        if route == "/api/queue":
+            return ok([{"id": t.id, "status": t.status,
+                        "settings": t.settings, "outputs": t.outputs,
+                        "error": t.error}
+                       for t in self.session.queue.tasks()])
+        if route == "/api/queue/save":
+            path = os.path.join(self.save_path, "_ui_queue.zip")
+            os.makedirs(self.save_path, exist_ok=True)
+            if not self.session.queue.save_zip(path):
+                return 404, "text/plain", b"queue is empty"
+            with open(path, "rb") as f:
+                return 200, "application/zip", f.read()
+        if route.startswith("/outputs/"):
+            name = os.path.basename(route[len("/outputs/"):])
+            fpath = os.path.join(self.save_path, name)
+            if not os.path.isfile(fpath):
+                return 404, "text/plain", b"not found"
+            ctype = _MEDIA_TYPES.get(os.path.splitext(name)[1],
+                                     "application/octet-stream")
+            with open(fpath, "rb") as f:
+                return 200, ctype, f.read()
+        return 404, "text/plain", b"not found"
+
+    def _post(self, route, payload: Dict[str, Any]):
+        ok = lambda obj: (200, "application/json",
+                          json.dumps(obj).encode("utf-8"))
+        if route == "/api/generate":
+            if not isinstance(payload, dict) or "model_type" not in payload:
+                raise ValueError("settings must include model_type")
+            return ok({"id": self.session.submit_task(payload)})
+        if route == "/api/queue/remove":
+            return ok({"removed": self.session.queue.remove(
+                int(payload["id"]))})
+        if route == "/api/queue/move":
+            return ok({"moved": self.session.queue.move(
+                int(payload["id"]), int(payload.get("delta", 0)))})
+        if route == "/api/queue/load":
+            self.session.queue.load(payload["path"])
+            if self.session.queue.pending_count():
+                self.session._ensure_worker()
+            return ok({"tasks": len(self.session.queue.tasks())})
+        return 404, "text/plain", b"not found"
+
+    # -- server lifecycle ---------------------------------------------------
+
+    def serve(self, host: str = "127.0.0.1", port: int = 7860,
+              background: bool = False):
+        ui = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):   # quiet
+                pass
+
+            def _dispatch(self, method):
+                n = int(self.headers.get("Content-Length") or 0)
+                body = self.rfile.read(n) if n else b""
+                status, ctype, data = ui.handle(method, self.path, body)
+                self.send_response(status)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                self._dispatch("GET")
+
+            def do_POST(self):
+                self._dispatch("POST")
+
+        self._server = ThreadingHTTPServer((host, port), Handler)
+        if background:
+            threading.Thread(target=self._server.serve_forever,
+                             daemon=True).start()
+            return self._server.server_address
+        print(f"wan2gp-tpu web UI on http://{host}:{port}")
+        try:
+            self._server.serve_forever()
+        except KeyboardInterrupt:
+            pass
+
+    def shutdown(self):
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
+            self._server = None
+
+
+def main(argv=None):
+    import argparse
+    ap = argparse.ArgumentParser(description="wan2gp-tpu web UI")
+    ap.add_argument("--listen", default="127.0.0.1")
+    ap.add_argument("--server-port", type=int, default=7860)
+    ap.add_argument("--save-path", default="outputs")
+    args = ap.parse_args(argv)
+    WebUI(save_path=args.save_path).serve(args.listen, args.server_port)
+
+
+if __name__ == "__main__":
+    main()

@@ -52,3 +52,30 @@ def test_pallas_flash_bf16():
     got = np.asarray(attention(qb, kb, vb, backend="pallas_interpret",
                                block_q=128, block_kv=128)).astype(np.float32)
     np.testing.assert_allclose(got, ref, rtol=0.1, atol=0.05)
+
+
+def test_kv_mask_xla_vs_pallas_interpret():
+    import numpy as np
+    import jax.numpy as jnp
+    from wan2gp_tpu.ops.attention import attention
+    rng = np.random.default_rng(7)
+    b, l, s, n, d = 2, 16, 24, 2, 8
+    q = jnp.asarray(rng.standard_normal((b, l, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, n, d)), jnp.float32)
+    mask = np.ones((b, s), bool)
+    mask[0, 5:9] = False      # interior padding (packed txt segment)
+    mask[1, -6:] = False
+    mask = jnp.asarray(mask)
+
+    ref = attention(q, k, v, backend="xla", kv_mask=mask)
+    got = attention(q, k, v, backend="pallas_interpret", kv_mask=mask,
+                    block_q=8, block_kv=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    # masked keys must not influence: perturb masked k/v rows
+    k2 = k.at[0, 6].set(100.0)
+    v2 = v.at[0, 6].set(-50.0)
+    got2 = attention(q, k2, v2, backend="xla", kv_mask=mask)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)

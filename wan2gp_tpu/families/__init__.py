@@ -11,10 +11,11 @@ from .flux import FluxFamilyHandler
 from .hyvideo import HunyuanFamilyHandler
 from .ltxv import LTXVFamilyHandler
 from .qwen import QwenImageFamilyHandler
+from .krea2 import Krea2FamilyHandler
 
 _HANDLER_CLASSES = [WanFamilyHandler, FluxFamilyHandler,
                     HunyuanFamilyHandler, LTXVFamilyHandler,
-                    QwenImageFamilyHandler]
+                    QwenImageFamilyHandler, Krea2FamilyHandler]
 
 
 def build_handler_map():

@@ -98,6 +98,19 @@ class FluxFamilyHandler:
                             t5_encode_fn=t5_fn, clip_encode_fn=clip_fn,
                             attn_backend=attn_backend)
 
+    @staticmethod
+    def generate_image(pipe, merged, width, height, seed):
+        from ..models.flux.pipeline import FluxSamplingConfig
+        sampling = FluxSamplingConfig(
+            steps=int(merged.get("num_inference_steps", 4)),
+            guidance=float(merged.get("embedded_guidance_scale", 3.5)),
+            shift=pipe.dit_cfg.guidance_embed)
+        return pipe.generate(prompt=merged.get("prompt", ""),
+                             width=width, height=height,
+                             sampling=sampling, seed=seed,
+                             context=merged.get("_context"),
+                             vec_y=merged.get("_vec_y"))
+
     @classmethod
     def _load_text_encoders(cls, base_model_type, checkpoints, tokenizer,
                             dtype, t5_cfg_kw=None, clip_cfg=None):

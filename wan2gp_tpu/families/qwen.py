@@ -48,3 +48,15 @@ class QwenImageFamilyHandler:
             raise NotImplementedError(
                 "qwen checkpoint key-mapping lands with its loader")
         return QwenImagePipeline(params, cfg, attn_backend=attn_backend)
+
+    @staticmethod
+    def generate_image(pipe, merged, width, height, seed):
+        from ..models.qwen.pipeline import QwenSamplingConfig
+        sampling = QwenSamplingConfig(
+            steps=int(merged.get("num_inference_steps", 25)),
+            true_cfg_scale=float(merged.get("guidance_scale", 4.0)))
+        return pipe.generate(prompt=merged.get("prompt", ""),
+                             width=width, height=height,
+                             sampling=sampling, seed=seed,
+                             text=merged.get("_context"),
+                             text_null=merged.get("_context_null"))

@@ -73,6 +73,51 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
         o_ref[0] = (acc_scr[:] / denom).astype(o_ref.dtype)
 
 
+def _flash_kernel_kvmask(q_ref, k_ref, v_ref, kvm_ref, o_ref,
+                         m_scr, l_scr, acc_scr):
+    """Flash attention with an explicit per-key validity mask [1, BK]."""
+    kv_i = pl.program_id(2)
+    n_kv = pl.num_programs(2)
+
+    @pl.when(kv_i == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    s = jnp.where(kvm_ref[0][None, :] > 0, s, _NEG_INF)
+
+    m_prev = m_scr[:, :1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    # fully-masked block: m_new stays _NEG_INF and p would be exp(0)=1
+    p = jnp.where(m_new > _NEG_INF / 2, p, 0.0)
+
+    l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc = acc_scr[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+    acc_scr[:] = acc
+
+    @pl.when(kv_i == n_kv - 1)
+    def _done():
+        denom = l_scr[:, :1]
+        denom = jnp.where(denom == 0.0, 1.0, denom)
+        o_ref[0] = (acc_scr[:] / denom).astype(o_ref.dtype)
+
+
 def _pad_to(x, axis, multiple):
     size = x.shape[axis]
     rem = size % multiple
@@ -86,8 +131,11 @@ def _pad_to(x, axis, multiple):
 @functools.partial(jax.jit,
                    static_argnames=("scale", "block_q", "block_kv", "interpret"))
 def _flash_attention(q, k, v, scale: float, block_q: int, block_kv: int,
-                     interpret: bool = False):
-    """q: [B, L, N, D], k/v: [B, S, N, D] -> [B, L, N, D]."""
+                     interpret: bool = False, kv_mask=None):
+    """q: [B, L, N, D], k/v: [B, S, N, D] -> [B, L, N, D].
+
+    kv_mask: optional [B, S] bool/int key-validity mask (False = padded key,
+    e.g. padded text positions inside a packed [txt, img] sequence)."""
     b, l_actual, n, d = q.shape
     s_actual = k.shape[1]
 
@@ -107,36 +155,57 @@ def _flash_attention(q, k, v, scale: float, block_q: int, block_kv: int,
 
     grid = (b * n, l_pad // block_q, s_pad // block_kv)
 
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, s_actual=s_actual,
-                          block_kv=block_kv, masked=s_pad != s_actual),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda g, i, j: (g, i, 0)),
-            pl.BlockSpec((1, block_kv, d), lambda g, i, j: (g, j, 0)),
-            pl.BlockSpec((1, block_kv, d), lambda g, i, j: (g, j, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda g, i, j: (g, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * n, l_pad, d), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * n * l_pad * s_pad * d,
-            bytes_accessed=(q.size + k.size + v.size + q.size) * q.dtype.itemsize,
-            transcendentals=b * n * l_pad * s_pad,
-        ),
-        interpret=interpret,
-    )(qf, kf, vf)
+    scratch = [
+        pltpu.VMEM((block_q, 128), jnp.float32),
+        pltpu.VMEM((block_q, 128), jnp.float32),
+        pltpu.VMEM((block_q, d), jnp.float32),
+    ]
+    cost = pl.CostEstimate(
+        flops=4 * b * n * l_pad * s_pad * d,
+        bytes_accessed=(q.size + k.size + v.size + q.size) * q.dtype.itemsize,
+        transcendentals=b * n * l_pad * s_pad,
+    )
+    out_spec = pl.BlockSpec((1, block_q, d), lambda g, i, j: (g, i, 0))
+    qkv_specs = [
+        pl.BlockSpec((1, block_q, d), lambda g, i, j: (g, i, 0)),
+        pl.BlockSpec((1, block_kv, d), lambda g, i, j: (g, j, 0)),
+        pl.BlockSpec((1, block_kv, d), lambda g, i, j: (g, j, 0)),
+    ]
+
+    if kv_mask is not None:
+        kvm = _pad_to(kv_mask.astype(jnp.int8), 1, block_kv)
+        out = pl.pallas_call(
+            _flash_kernel_kvmask,
+            grid=grid,
+            in_specs=qkv_specs + [
+                pl.BlockSpec((1, block_kv), lambda g, i, j, n=n: (g // n, j))],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((b * n, l_pad, d), q.dtype),
+            scratch_shapes=scratch,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(qf, kf, vf, kvm)
+    else:
+        out = pl.pallas_call(
+            functools.partial(_flash_kernel, s_actual=s_actual,
+                              block_kv=block_kv, masked=s_pad != s_actual),
+            grid=grid,
+            in_specs=qkv_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((b * n, l_pad, d), q.dtype),
+            scratch_shapes=scratch,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(qf, kf, vf)
     return out.reshape(b, n, l_pad, d).transpose(0, 2, 1, 3)[:, :l_actual]
 
 
-def _xla_attention(q, k, v, scale):
+def _xla_attention(q, k, v, scale, kv_mask=None):
     """Reference path: einsum attention with fp32 softmax. q/k/v: [B,L,N,D]."""
     s = jnp.einsum("blnd,bsnd->bnls", q, k,
                    preferred_element_type=jnp.float32) * scale
+    if kv_mask is not None:
+        s = jnp.where(kv_mask[:, None, None, :] > 0, s, _NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
     out = jnp.einsum("bnls,bsnd->blnd", p.astype(v.dtype), v)
     return out.astype(q.dtype)
@@ -150,19 +219,23 @@ def _on_tpu():
 
 
 def attention(q, k, v, scale: float | None = None, backend: str = "auto",
-              block_q: int = 1024, block_kv: int = 1024):
+              block_q: int = 1024, block_kv: int = 1024, kv_mask=None):
     """Scaled dot-product attention.
 
     q: [B, L, N, D]; k, v: [B, S, N, D] (same head count).
     Returns [B, L, N, D] in q.dtype.  softmax accumulates in fp32.
     backend: "auto" (pallas on TPU, xla elsewhere), "xla", "pallas",
              "pallas_interpret" (for CPU testing of the kernel).
+    kv_mask: optional [B, S] key-validity mask (False = padded key);
+             not supported by the ring backend.
     """
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     if backend.startswith("ring"):
         # context-parallel ring attention inside shard_map; backend
         # "ring" or "ring:<axis>" (default axis 'cp')
+        if kv_mask is not None:
+            raise NotImplementedError("kv_mask with ring attention")
         from ..parallel.ring_attention import ring_attention
         axis = backend.split(":", 1)[1] if ":" in backend else "cp"
         return ring_attention(q, k, v, axis_name=axis, scale=scale)
@@ -170,6 +243,6 @@ def attention(q, k, v, scale: float | None = None, backend: str = "auto",
     use_pallas = backend in ("pallas", "pallas_interpret") or (
         backend == "auto" and _on_tpu())
     if not use_pallas:
-        return _xla_attention(q, k, v, scale)
+        return _xla_attention(q, k, v, scale, kv_mask=kv_mask)
     return _flash_attention(q, k, v, scale, block_q, block_kv,
-                            interpret=interpret)
+                            interpret=interpret, kv_mask=kv_mask)

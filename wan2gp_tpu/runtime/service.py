@@ -94,16 +94,8 @@ class GenerationService:
             on_progress("status", f"generating with {model_type}")
 
         if image_outputs:
-            from ..models.flux.pipeline import FluxSamplingConfig
-            sampling = FluxSamplingConfig(
-                steps=int(merged.get("num_inference_steps", 4)),
-                guidance=float(merged.get("embedded_guidance_scale", 3.5)),
-                shift=bool(model_def.get("flux-model", "").endswith("dev")))
-            img = pipe.generate(prompt=merged.get("prompt", ""),
-                                width=width, height=height,
-                                sampling=sampling, seed=seed,
-                                context=merged.get("_context"),
-                                vec_y=merged.get("_vec_y"))
+            handler = self.registry.handler_for(model_type)
+            img = handler.generate_image(pipe, merged, width, height, seed)
             path = os.path.join(self.output_dir,
                                 f"{model_type}_{stamp}_{seed}.png")
             media.save_image(np.asarray(img), path,

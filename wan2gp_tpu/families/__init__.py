@@ -12,10 +12,12 @@ from .hyvideo import HunyuanFamilyHandler
 from .ltxv import LTXVFamilyHandler
 from .qwen import QwenImageFamilyHandler
 from .krea2 import Krea2FamilyHandler
+from .zimage import ZImageFamilyHandler
 
 _HANDLER_CLASSES = [WanFamilyHandler, FluxFamilyHandler,
                     HunyuanFamilyHandler, LTXVFamilyHandler,
-                    QwenImageFamilyHandler, Krea2FamilyHandler]
+                    QwenImageFamilyHandler, Krea2FamilyHandler,
+                    ZImageFamilyHandler]
 
 
 def build_handler_map():

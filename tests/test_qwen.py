@@ -51,3 +51,65 @@ def test_pipeline_true_cfg():
                         text=text, text_null=textn, return_latents=True)
     assert lat.shape == (1, 16, 4, 4)
     assert np.isfinite(np.asarray(lat)).all()
+
+
+def test_qwen_checkpoint_roundtrip():
+    """Diffusers-layout state dict -> loader -> forward parity."""
+    from wan2gp_tpu.io.qwen_checkpoint import load_qwen_image_params
+    params = init_qwen_image(jax.random.key(9), TINY, jnp.float32)
+
+    def put_lin(sd, name, p, i=None):
+        g = (lambda x: np.asarray(x[i], np.float32)) if i is not None \
+            else (lambda x: np.asarray(x, np.float32))
+        sd[f"{name}.weight"] = g(p["w"]).T
+        if "b" in p:
+            sd[f"{name}.bias"] = g(p["b"])
+
+    sd = {}
+    put_lin(sd, "img_in", params["img_in"])
+    sd["txt_norm.weight"] = np.asarray(params["txt_norm"], np.float32)
+    put_lin(sd, "txt_in", params["txt_in"])
+    put_lin(sd, "time_text_embed.timestep_embedder.linear_1",
+            params["time_embed"]["in"])
+    put_lin(sd, "time_text_embed.timestep_embedder.linear_2",
+            params["time_embed"]["out"])
+    put_lin(sd, "norm_out.linear", params["norm_out"])
+    put_lin(sd, "proj_out", params["proj_out"])
+    bp = params["blocks"]
+    for i in range(TINY.num_layers):
+        pre = f"transformer_blocks.{i}"
+        put_lin(sd, f"{pre}.img_mod.1", bp["img_mod"], i)
+        put_lin(sd, f"{pre}.txt_mod.1", bp["txt_mod"], i)
+        for stream, hf in (("img_attn", ""), ("txt_attn", "add_")):
+            names = {"q": f"{hf}q_proj" if hf else "to_q",
+                     "k": f"{hf}k_proj" if hf else "to_k",
+                     "v": f"{hf}v_proj" if hf else "to_v"}
+            for m, hfname in names.items():
+                put_lin(sd, f"{pre}.attn.{hfname}", bp[stream][m], i)
+            nq = "norm_added_q" if hf else "norm_q"
+            nk = "norm_added_k" if hf else "norm_k"
+            sd[f"{pre}.attn.{nq}.weight"] = \
+                np.asarray(bp[stream]["norm_q"][i], np.float32)
+            sd[f"{pre}.attn.{nk}.weight"] = \
+                np.asarray(bp[stream]["norm_k"][i], np.float32)
+        put_lin(sd, f"{pre}.attn.to_out.0", bp["to_out"], i)
+        put_lin(sd, f"{pre}.attn.to_add_out", bp["to_add_out"], i)
+        put_lin(sd, f"{pre}.img_mlp.net.0.proj", bp["img_mlp1"], i)
+        put_lin(sd, f"{pre}.img_mlp.net.2", bp["img_mlp2"], i)
+        put_lin(sd, f"{pre}.txt_mlp.net.0.proj", bp["txt_mlp1"], i)
+        put_lin(sd, f"{pre}.txt_mlp.net.2", bp["txt_mlp2"], i)
+
+    loaded, left = load_qwen_image_params(sd, TINY, dtype=jnp.float32)
+    assert left == []
+    rng = np.random.default_rng(9)
+    tokens = jnp.asarray(rng.standard_normal((1, 16, TINY.in_channels)),
+                         jnp.float32)
+    text = jnp.asarray(rng.standard_normal(
+        (1, 5, TINY.joint_attention_dim)), jnp.float32)
+    cos, sin = qwen_rope((1, 4, 4), 5, TINY)
+    o1 = qwen_image_forward(params, TINY, tokens, jnp.asarray([0.5]),
+                            text, cos, sin, attn_backend="xla")
+    o2 = qwen_image_forward(loaded, TINY, tokens, jnp.asarray([0.5]),
+                            text, cos, sin, attn_backend="xla")
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
+                               rtol=1e-5, atol=1e-5)

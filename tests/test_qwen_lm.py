@@ -1,0 +1,106 @@
+"""Qwen causal-LM text encoder tests."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from wan2gp_tpu.models.qwen.text_encoder import (
+    QwenLMConfig, init_qwen_lm, qwen_lm_forward, load_qwen_lm_params,
+    make_qwen_text_encode_fn, QWEN25_VL_7B_TEXT, QWEN3_4B)
+
+TINY = QwenLMConfig(vocab_size=100, dim=32, n_layers=2, n_heads=4,
+                    n_kv_heads=2, head_dim=8, ffn_dim=64, qkv_bias=True,
+                    qk_norm=True, compute_dtype=jnp.float32)
+
+
+def test_presets_match_hf_configs():
+    assert QWEN25_VL_7B_TEXT["dim"] == 3584
+    assert QWEN25_VL_7B_TEXT["n_kv_heads"] == 4
+    assert QWEN3_4B["dim"] == 2560 and QWEN3_4B["qk_norm"]
+
+
+def test_forward_causal_and_masked():
+    params = init_qwen_lm(jax.random.key(0), TINY)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 100, (1, 8)), jnp.int32)
+    mask = jnp.asarray([[1, 1, 1, 1, 1, 0, 0, 0]], jnp.int32)
+    out = qwen_lm_forward(params, TINY, ids, mask)
+    assert out.shape == (1, 8, 32)
+    # causal: changing a future token must not change earlier outputs
+    ids2 = ids.at[0, 4].set(7)
+    out2 = qwen_lm_forward(params, TINY, ids2, mask)
+    np.testing.assert_allclose(np.asarray(out[:, :4]),
+                               np.asarray(out2[:, :4]), atol=1e-5)
+    assert not np.allclose(np.asarray(out[:, 4]), np.asarray(out2[:, 4]))
+    # masked padding must not change valid outputs
+    ids3 = ids.at[0, 6].set(3)
+    out3 = qwen_lm_forward(params, TINY, ids3, mask)
+    np.testing.assert_allclose(np.asarray(out[:, :5]),
+                               np.asarray(out3[:, :5]), atol=1e-5)
+
+
+def test_collect_layers():
+    params = init_qwen_lm(jax.random.key(1), TINY)
+    ids = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+    mask = jnp.ones((1, 4), jnp.int32)
+    final, stacked = qwen_lm_forward(params, TINY, ids, mask,
+                                     collect_layers=[0, 1, 2])
+    assert stacked.shape == (1, 4, 3, 32)
+    # index n_layers == final (with final norm)
+    np.testing.assert_allclose(np.asarray(stacked[:, :, 2]),
+                               np.asarray(final), atol=1e-6)
+    # index 0 == embeddings
+    np.testing.assert_allclose(np.asarray(stacked[:, :, 0]),
+                               np.asarray(params["embed_tokens"][ids]),
+                               atol=1e-6)
+
+
+def test_hf_loader_roundtrip():
+    params = init_qwen_lm(jax.random.key(2), TINY)
+    sd = {"model.embed_tokens.weight":
+          np.asarray(params["embed_tokens"], np.float32),
+          "model.norm.weight": np.asarray(params["norm"], np.float32),
+          "lm_head.weight": np.zeros((100, 32), np.float32)}
+    lp = params["layers"]
+    for i in range(TINY.n_layers):
+        pre = f"model.layers.{i}"
+        sd[f"{pre}.input_layernorm.weight"] = np.asarray(lp["input_norm"][i])
+        sd[f"{pre}.post_attention_layernorm.weight"] = \
+            np.asarray(lp["post_norm"][i])
+        for m, hf in (("q", "q_proj"), ("k", "k_proj"), ("v", "v_proj"),
+                      ("o", "o_proj")):
+            sd[f"{pre}.self_attn.{hf}.weight"] = \
+                np.asarray(lp[m]["w"][i], np.float32).T
+            if "b" in lp[m]:
+                sd[f"{pre}.self_attn.{hf}.bias"] = \
+                    np.asarray(lp[m]["b"][i], np.float32)
+        sd[f"{pre}.self_attn.q_norm.weight"] = np.asarray(lp["q_norm"][i])
+        sd[f"{pre}.self_attn.k_norm.weight"] = np.asarray(lp["k_norm"][i])
+        for m, hf in (("gate", "gate_proj"), ("up", "up_proj"),
+                      ("down", "down_proj")):
+            sd[f"{pre}.mlp.{hf}.weight"] = \
+                np.asarray(lp[m]["w"][i], np.float32).T
+    # lm_head.weight survives prefix-stripping as a leftover unless dropped
+    loaded, left = load_qwen_lm_params(sd, TINY, dtype=jnp.float32)
+    assert left == []
+    ids = jnp.asarray([[5, 6, 7]], jnp.int32)
+    mask = jnp.ones((1, 3), jnp.int32)
+    o1 = qwen_lm_forward(params, TINY, ids, mask)
+    o2 = qwen_lm_forward(loaded, TINY, ids, mask)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), atol=1e-5)
+
+
+def test_text_encode_fn_drops_template():
+    from wan2gp_tpu.utils.tokenizer import HashTokenizer
+    params = init_qwen_lm(jax.random.key(3), TINY)
+    fn = make_qwen_text_encode_fn(params, TINY, HashTokenizer(100),
+                                  template="sys {}", drop_idx=2, max_len=6)
+    emb, mask = fn(["hello world"])
+    assert emb.shape == (1, 6, 32)
+    assert mask.shape == (1, 6)
+    assert np.isfinite(np.asarray(emb)).all()
+    # collect mode for krea2-style stacked layers
+    fn2 = make_qwen_text_encode_fn(params, TINY, HashTokenizer(100),
+                                   template="sys {}", drop_idx=2, max_len=6,
+                                   collect_layers=[1, 2])
+    emb2, mask2 = fn2(["hello world"])
+    assert emb2.shape == (1, 6, 2, 32)

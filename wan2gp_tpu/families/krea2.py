@@ -66,8 +66,9 @@ class Krea2FamilyHandler:
                 load_safetensors(checkpoints["transformer"]), cfg, dtype)
             if left:
                 raise ValueError(f"unconsumed krea2 keys: {left[:8]}")
-            # Qwen3-VL text conditioner lands with its encoder; until then
-            # callers pass precomputed context via settings _context
+            if checkpoints.get("text_encoder"):
+                text_fn = cls._load_text_encoder(checkpoints, tokenizer,
+                                                 dtype)
         vae_fn = load_image_vae(checkpoints, init_random, seed)
         return Krea2Pipeline(params, cfg, vae_decode_fn=vae_fn,
                              text_encode_fn=text_fn,
@@ -87,6 +88,28 @@ class Krea2FamilyHandler:
             context_mask=merged.get("_context_mask"),
             context_neg=merged.get("_context_neg"),
             context_neg_mask=merged.get("_context_neg_mask"))
+
+    # Qwen3-VL-4B text stack: 12 selected hidden layers feed the text
+    # fusion transformer (krea2_main.py:27 _TEXT_ENCODER_SELECT_LAYERS)
+    SELECT_LAYERS = (2, 5, 8, 11, 14, 17, 20, 23, 26, 29, 32, 35)
+
+    @classmethod
+    def _load_text_encoder(cls, checkpoints, tokenizer, dtype):
+        from ..io.safetensors_reader import load_safetensors
+        from ..models.qwen.text_encoder import (
+            QwenLMConfig, load_qwen_lm_params, make_qwen_text_encode_fn,
+            QWEN3_4B)
+        from ..utils.tokenizer import load_tokenizer
+        lm_cfg = QwenLMConfig(**QWEN3_4B, compute_dtype=dtype)
+        lm_params, _ = load_qwen_lm_params(
+            load_safetensors(checkpoints["text_encoder"]), lm_cfg, dtype)
+        tok = tokenizer or load_tokenizer(checkpoints.get("tokenizer"))
+        return make_qwen_text_encode_fn(
+            lm_params, lm_cfg, tok,
+            template="<|im_start|>user\n{}<|im_end|>\n"
+                     "<|im_start|>assistant\n",
+            drop_idx=0, max_len=512,
+            collect_layers=list(cls.SELECT_LAYERS))
 
     @classmethod
     def _random_text_encoder(cls, cfg, seed):

@@ -75,8 +75,10 @@ class ZImageFamilyHandler:
                 load_safetensors(checkpoints["transformer"]), cfg, dtype)
             if left:
                 raise ValueError(f"unconsumed z_image keys: {left[:8]}")
-            # Qwen3-4B conditioner + diffusers-key VAE loaders land in a
-            # later round; precomputed context via settings _context
+            if checkpoints.get("text_encoder"):
+                text_fn = cls._load_text_encoder(checkpoints, tokenizer,
+                                                 dtype)
+            # diffusers-key VAE loader lands in a later round
         return ZImagePipeline(params, cfg, vae_decode_fn=vae_fn,
                               text_encode_fn=text_fn,
                               attn_backend=attn_backend)
@@ -95,6 +97,33 @@ class ZImageFamilyHandler:
             width=width, height=height, sampling=sampling, seed=seed,
             context=merged.get("_context"),
             context_neg=merged.get("_context_neg"))
+
+    @classmethod
+    def _load_text_encoder(cls, checkpoints, tokenizer, dtype):
+        """Qwen3-4B chat-template encoder, hidden_states[-2] (the last
+        pre-final-norm layer), masked tokens dropped -> variable-length
+        caption feats (pipeline_z_image.py:299-327)."""
+        from ..io.safetensors_reader import load_safetensors
+        from ..models.qwen.text_encoder import (
+            QwenLMConfig, load_qwen_lm_params, qwen_lm_forward, QWEN3_4B)
+        from ..utils.tokenizer import load_tokenizer
+        lm_cfg = QwenLMConfig(**QWEN3_4B, compute_dtype=dtype)
+        lm_params, _ = load_qwen_lm_params(
+            load_safetensors(checkpoints["text_encoder"]), lm_cfg, dtype)
+        tok = tokenizer or load_tokenizer(checkpoints.get("tokenizer"))
+        template = ("<|im_start|>user\n{}<|im_end|>\n"
+                    "<|im_start|>assistant\n<think>\n\n</think>\n\n")
+
+        def enc(prompts):
+            ids, mask = tok([template.format(p) for p in prompts], 512)
+            ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+            _, h = qwen_lm_forward(lm_params, lm_cfg, ids, mask,
+                                   collect_layers=[lm_cfg.n_layers - 1])
+            # zero out padded rows; the pipeline's pad-token substitution
+            # replaces anything past the real length anyway
+            return (h[:, :, 0] * (mask[:, :, None] > 0)
+                    ).astype(jnp.float32)
+        return enc
 
     @classmethod
     def _random_text_encoder(cls, cfg, seed):

@@ -1,0 +1,274 @@
+"""Qwen-family causal-LM text encoder (Qwen2.5-VL text / Qwen3 / Qwen3-VL).
+
+One TPU-native decoder stack serves every family that conditions on Qwen
+hidden states:
+- Qwen-Image: Qwen2.5-VL-7B last hidden state, chat template with
+  drop_idx 34 (/root/reference/models/qwen/pipeline_qwenimage.py:191-266)
+- Z-Image: Qwen3-4B caption features (cap_feat_dim 2560)
+- Krea2: Qwen3-VL-4B text stack, 12 selected hidden layers
+  (/root/reference/models/krea2/krea2_main.py:27,144)
+
+Architecture (HF Qwen2/Qwen3 decoder): RMSNorm pre-norm, GQA attention with
+NeoX-style half-rotation RoPE, optional per-head QK RMS-norm (Qwen3),
+optional qkv bias (Qwen2), SwiGLU MLP, final RMSNorm.  hidden_states[k]
+follows the HF convention: k=0 embeddings, k=i output of layer i, and the
+last entry has the final norm applied.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class QwenLMConfig:
+    vocab_size: int = 152064
+    dim: int = 3584
+    n_layers: int = 28
+    n_heads: int = 28
+    n_kv_heads: int = 4
+    head_dim: int = 128
+    ffn_dim: int = 18944
+    rope_theta: float = 1_000_000.0
+    qkv_bias: bool = True            # Qwen2.x: True; Qwen3: False
+    qk_norm: bool = False            # Qwen3: True
+    norm_eps: float = 1e-6
+    compute_dtype: Any = jnp.bfloat16
+
+
+# HF config values: Qwen/Qwen2.5-VL-7B-Instruct (text tower),
+# Qwen/Qwen3-4B, Qwen/Qwen3-VL-4B-Instruct (language model)
+QWEN25_VL_7B_TEXT = dict(vocab_size=152064, dim=3584, n_layers=28,
+                         n_heads=28, n_kv_heads=4, head_dim=128,
+                         ffn_dim=18944, qkv_bias=True, qk_norm=False)
+QWEN3_4B = dict(vocab_size=151936, dim=2560, n_layers=36, n_heads=32,
+                n_kv_heads=8, head_dim=128, ffn_dim=9728,
+                qkv_bias=False, qk_norm=True)
+
+
+def init_qwen_lm(key, cfg: QwenLMConfig, dtype=None) -> Dict[str, Any]:
+    dtype = dtype or cfg.compute_dtype
+    keys = iter(jax.random.split(key, 4))
+
+    def lin(key, din, dout, bias):
+        limit = math.sqrt(6.0 / (din + dout))
+        p = {"w": jax.random.uniform(key, (din, dout), jnp.float32,
+                                     -limit, limit).astype(dtype)}
+        if bias:
+            p["b"] = jnp.zeros((dout,), dtype)
+        return p
+
+    def layer(key):
+        ks = iter(jax.random.split(key, 8))
+        d, hd = cfg.dim, cfg.head_dim
+        p = {
+            "input_norm": jnp.ones((d,), jnp.float32),
+            "q": lin(next(ks), d, cfg.n_heads * hd, cfg.qkv_bias),
+            "k": lin(next(ks), d, cfg.n_kv_heads * hd, cfg.qkv_bias),
+            "v": lin(next(ks), d, cfg.n_kv_heads * hd, cfg.qkv_bias),
+            "o": lin(next(ks), cfg.n_heads * hd, d, False),
+            "post_norm": jnp.ones((d,), jnp.float32),
+            "gate": lin(next(ks), d, cfg.ffn_dim, False),
+            "up": lin(next(ks), d, cfg.ffn_dim, False),
+            "down": lin(next(ks), cfg.ffn_dim, d, False),
+        }
+        if cfg.qk_norm:
+            p["q_norm"] = jnp.ones((hd,), jnp.float32)
+            p["k_norm"] = jnp.ones((hd,), jnp.float32)
+        return p
+
+    layers = [layer(k) for k in jax.random.split(next(keys), cfg.n_layers)]
+    return {
+        "embed_tokens": (jax.random.normal(
+            next(keys), (cfg.vocab_size, cfg.dim), jnp.float32) * 0.02
+        ).astype(dtype),
+        "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
+        "norm": jnp.ones((cfg.dim,), jnp.float32),
+    }
+
+
+def _rms(x, w, eps):
+    x32 = x.astype(jnp.float32)
+    y = x32 * jax.lax.rsqrt(jnp.mean(x32 * x32, axis=-1, keepdims=True) + eps)
+    return (y * w).astype(x.dtype)
+
+
+def _dense(x, p):
+    y = jnp.dot(x, p["w"].astype(x.dtype))
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def _neox_rope_tables(seq_len: int, head_dim: int, theta: float):
+    """HF Llama/Qwen convention: cos/sin [L, D] with duplicated halves."""
+    inv = 1.0 / (theta ** (np.arange(0, head_dim, 2, dtype=np.float64)
+                           / head_dim))
+    ang = np.outer(np.arange(seq_len, dtype=np.float64), inv)   # [L, D/2]
+    ang = np.concatenate([ang, ang], axis=-1)
+    return (jnp.asarray(np.cos(ang), jnp.float32),
+            jnp.asarray(np.sin(ang), jnp.float32))
+
+
+def _apply_neox_rope(x, cos, sin):
+    """x: [B, L, N, D]; rotate_half convention (q*cos + rot_half(q)*sin)."""
+    d2 = x.shape[-1] // 2
+    x1, x2 = x[..., :d2], x[..., d2:]
+    rot = jnp.concatenate([-x2, x1], axis=-1)
+    c = cos[None, :, None, :].astype(jnp.float32)
+    s = sin[None, :, None, :].astype(jnp.float32)
+    return (x.astype(jnp.float32) * c + rot.astype(jnp.float32) * s
+            ).astype(x.dtype)
+
+
+def qwen_lm_forward(params, cfg: QwenLMConfig, ids, mask,
+                    collect_layers: Optional[Sequence[int]] = None):
+    """ids/mask: [B, L] int32.  Returns final hidden [B, L, dim] (post final
+    norm, == HF hidden_states[-1]); with collect_layers, also returns
+    [B, L, len(collect), dim] stacked per-layer hidden states (HF indexing:
+    k = output of layer k, k=0 embeddings; the final index includes the
+    final norm)."""
+    cdt = cfg.compute_dtype
+    b, l = ids.shape
+    x = params["embed_tokens"][ids].astype(cdt)
+
+    cos, sin = _neox_rope_tables(l, cfg.head_dim, cfg.rope_theta)
+    causal = jnp.tril(jnp.ones((l, l), bool))
+    valid = (mask[:, None, None, :] > 0) & causal[None, None]
+    bias = jnp.where(valid, 0.0, jnp.finfo(jnp.float32).min)
+
+    n, nkv, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+
+    def body(x, lp):
+        y = _rms(x, lp["input_norm"], cfg.norm_eps)
+        q = _dense(y, lp["q"]).reshape(b, l, n, hd)
+        k = _dense(y, lp["k"]).reshape(b, l, nkv, hd)
+        v = _dense(y, lp["v"]).reshape(b, l, nkv, hd)
+        if cfg.qk_norm:
+            q = _rms(q, lp["q_norm"], cfg.norm_eps)
+            k = _rms(k, lp["k_norm"], cfg.norm_eps)
+        q = _apply_neox_rope(q, cos, sin)
+        k = _apply_neox_rope(k, cos, sin)
+        if nkv != n:
+            k = jnp.repeat(k, n // nkv, axis=2)
+            v = jnp.repeat(v, n // nkv, axis=2)
+        s = jnp.einsum("blnd,bsnd->bnls", q, k,
+                       preferred_element_type=jnp.float32) / math.sqrt(hd)
+        p_attn = jax.nn.softmax(s + bias, axis=-1).astype(cdt)
+        o = jnp.einsum("bnls,bsnd->blnd", p_attn, v).reshape(b, l, n * hd)
+        x = x + _dense(o, lp["o"])
+        y = _rms(x, lp["post_norm"], cfg.norm_eps)
+        h = jax.nn.silu(_dense(y, lp["gate"]).astype(jnp.float32)
+                        ).astype(cdt) * _dense(y, lp["up"])
+        x = x + _dense(h, lp["down"])
+        return x, x
+
+    x, per_layer = jax.lax.scan(body, x, params["layers"])  # [NL, B, L, D]
+    final = _rms(x, params["norm"], cfg.norm_eps)
+    if collect_layers is None:
+        return final
+    # hidden_states[k]: k=0 embeddings; k=n_layers gets the final norm
+    emb = params["embed_tokens"][ids].astype(cdt)
+    stacked = [emb if k == 0 else final if k >= cfg.n_layers
+               else per_layer[k - 1] for k in collect_layers]
+    return final, jnp.stack(stacked, axis=2)   # [B, L, n_sel, D]
+
+
+# ---------------------------------------------------------------------------
+# HF checkpoint loading
+# ---------------------------------------------------------------------------
+
+def load_qwen_lm_params(sd: Dict[str, np.ndarray], cfg: QwenLMConfig,
+                        dtype=jnp.bfloat16) -> Tuple[dict, List[str]]:
+    """HF key space: model.layers.N.{input_layernorm, self_attn.{q,k,v,o}
+    _proj, post_attention_layernorm, mlp.{gate,up,down}_proj}, model.norm,
+    model.embed_tokens.  Accepts optional 'model.' / 'language_model.'
+    prefixes; lm_head is dropped."""
+    sd = dict(sd)
+    for pre in ("model.language_model.", "language_model.model.",
+                "language_model.", "model."):
+        if any(k.startswith(pre + "layers.") for k in sd):
+            sd = {k[len(pre):] if k.startswith(pre) else k: v
+                  for k, v in sd.items()}
+            break
+    sd.pop("lm_head.weight", None)
+
+    def lin(name):
+        w = np.asarray(sd.pop(f"{name}.weight"))
+        p = {"w": jnp.asarray(w.T.astype(np.float32)).astype(dtype)}
+        b = sd.pop(f"{name}.bias", None)
+        if b is not None:
+            p["b"] = jnp.asarray(np.asarray(b, np.float32)).astype(dtype)
+        return p
+
+    def w(name):
+        return jnp.asarray(np.asarray(sd.pop(f"{name}.weight"), np.float32))
+
+    layers = []
+    for i in range(cfg.n_layers):
+        pre = f"layers.{i}"
+        p = {
+            "input_norm": w(f"{pre}.input_layernorm"),
+            "q": lin(f"{pre}.self_attn.q_proj"),
+            "k": lin(f"{pre}.self_attn.k_proj"),
+            "v": lin(f"{pre}.self_attn.v_proj"),
+            "o": lin(f"{pre}.self_attn.o_proj"),
+            "post_norm": w(f"{pre}.post_attention_layernorm"),
+            "gate": lin(f"{pre}.mlp.gate_proj"),
+            "up": lin(f"{pre}.mlp.up_proj"),
+            "down": lin(f"{pre}.mlp.down_proj"),
+        }
+        if cfg.qk_norm:
+            p["q_norm"] = w(f"{pre}.self_attn.q_norm")
+            p["k_norm"] = w(f"{pre}.self_attn.k_norm")
+        layers.append(p)
+
+    params = {
+        "embed_tokens": jnp.asarray(np.asarray(
+            sd.pop("embed_tokens.weight"), np.float32)).astype(dtype),
+        "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
+        "norm": w("norm"),
+    }
+    return params, sorted(sd.keys())
+
+
+# ---------------------------------------------------------------------------
+# prompt -> embedding closures
+# ---------------------------------------------------------------------------
+
+QWEN_IMAGE_TEMPLATE = (
+    "<|im_start|>system\nDescribe the image by detailing the color, shape, "
+    "size, texture, quantity, text, spatial relationships of the objects "
+    "and background:<|im_end|>\n<|im_start|>user\n{}<|im_end|>\n"
+    "<|im_start|>assistant\n")
+QWEN_IMAGE_DROP_IDX = 34   # pipeline_qwenimage.py:192
+
+
+def make_qwen_text_encode_fn(params, cfg: QwenLMConfig, tokenizer,
+                             template: str = QWEN_IMAGE_TEMPLATE,
+                             drop_idx: int = QWEN_IMAGE_DROP_IDX,
+                             max_len: int = 1024,
+                             collect_layers: Optional[Sequence[int]] = None):
+    """Returns fn(prompts) -> (embeds [B, L, dim], mask [B, L]) mirroring
+    _get_qwen_prompt_embeds (template wrap, encode, drop template prefix).
+    With collect_layers: embeds is [B, L, n_sel, dim] (Krea2 conditioner)."""
+    def encode(prompts):
+        txt = [template.format(p) for p in prompts]
+        ids, mask = tokenizer(txt, max_len + drop_idx)
+        ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+        if collect_layers is None:
+            hidden = qwen_lm_forward(params, cfg, ids, mask)
+        else:
+            _, hidden = qwen_lm_forward(params, cfg, ids, mask,
+                                        collect_layers=collect_layers)
+        emb = hidden[:, drop_idx:]
+        out_mask = mask[:, drop_idx:]
+        emb = emb * (out_mask[:, :, None, None] > 0 if emb.ndim == 4
+                     else out_mask[:, :, None] > 0)
+        return emb.astype(jnp.float32), out_mask
+    return encode

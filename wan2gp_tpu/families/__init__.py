@@ -13,11 +13,12 @@ from .ltxv import LTXVFamilyHandler
 from .qwen import QwenImageFamilyHandler
 from .krea2 import Krea2FamilyHandler
 from .zimage import ZImageFamilyHandler
+from .kandinsky5 import Kandinsky5FamilyHandler
 
 _HANDLER_CLASSES = [WanFamilyHandler, FluxFamilyHandler,
                     HunyuanFamilyHandler, LTXVFamilyHandler,
                     QwenImageFamilyHandler, Krea2FamilyHandler,
-                    ZImageFamilyHandler]
+                    ZImageFamilyHandler, Kandinsky5FamilyHandler]
 
 
 def build_handler_map():

@@ -146,6 +146,17 @@ class GenerationService:
                             f"{len(unmatched)} unmatched LoRA keys")
 
         frame_num = int(merged.get("video_length", 81))
+        handler = self.registry.handler_for(model_type)
+        if hasattr(handler, "generate_video"):
+            # non-Wan video families own their sampling-config mapping
+            video = handler.generate_video(pipe, merged, width, height,
+                                           frame_num, seed)
+            path = os.path.join(self.output_dir,
+                                f"{model_type}_{stamp}_{seed}.avi")
+            media.save_video(np.asarray(video), path,
+                             fps=int(merged.get("fps", 24)),
+                             metadata=_clean_settings(merged))
+            return [path]
         window_size = int(merged.get("sliding_window_size", 0) or 0)
         if window_size and frame_num > window_size:
             video = pipe.generate_sliding(

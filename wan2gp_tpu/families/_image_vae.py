@@ -30,7 +30,7 @@ def load_image_vae(checkpoints, init_random: bool, seed: int = 0):
         params = init_wan_vae(jax.random.key(seed + 7), cfg)
         return make_image_vae_decode_fn(params, cfg)
     if checkpoints and checkpoints.get("vae"):
-        from ..io.safetensors_reader import load_safetensors
+        from ..io.safetensors_reader import load_weights as load_safetensors
         from ..io.wan_checkpoint import load_wan_vae_params
         params, _ = load_wan_vae_params(
             load_safetensors(checkpoints["vae"]), cfg)

@@ -73,7 +73,7 @@ class FluxFamilyHandler:
                    dtype=jnp.bfloat16, attn_backend: str = "auto",
                    init_random: bool = False, tokenizer=None,
                    seed: int = 0) -> FluxPipeline:
-        from ..io.safetensors_reader import load_safetensors
+        from ..io.safetensors_reader import load_weights as load_safetensors
         from ..io.flux_checkpoint import (
             normalize_flux_sd, load_flux_params, load_flux_vae_params)
         dit_cfg = cls.dit_config(base_model_type, dtype)
@@ -117,7 +117,7 @@ class FluxFamilyHandler:
         """Build prompt->embedding closures from T5-XXL + CLIP-L checkpoints
         (conditioner.py HFEmbedder pair: t5 last_hidden_state, clip
         pooler_output)."""
-        from ..io.safetensors_reader import load_safetensors
+        from ..io.safetensors_reader import load_weights as load_safetensors
         from ..io.wan_checkpoint import load_hf_t5_params
         from ..io.flux_checkpoint import load_clip_text_params
         from ..models.wan.t5 import T5Config, t5_encode

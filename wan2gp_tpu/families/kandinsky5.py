@@ -75,7 +75,7 @@ class Kandinsky5FamilyHandler:
             params = init_kandinsky5(jax.random.key(seed), cfg, dtype)
             text_fn = cls._random_text_encoder(cfg, seed)
         else:
-            from ..io.safetensors_reader import load_safetensors
+            from ..io.safetensors_reader import load_weights as load_safetensors
             from ..io.kandinsky_checkpoint import load_kandinsky5_params
             params, left = load_kandinsky5_params(
                 load_safetensors(checkpoints["transformer"]), cfg, dtype)
@@ -91,7 +91,7 @@ class Kandinsky5FamilyHandler:
     def _load_text_encoder(cls, checkpoints, tokenizer, dtype):
         """Qwen2.5-VL (last hidden state, chat template) + CLIP-L pooled
         (text_embedders.py:29-37,126-160)."""
-        from ..io.safetensors_reader import load_safetensors
+        from ..io.safetensors_reader import load_weights as load_safetensors
         from ..models.qwen.text_encoder import (
             QwenLMConfig, load_qwen_lm_params, make_qwen_text_encode_fn,
             QWEN25_VL_7B_TEXT)

@@ -60,7 +60,7 @@ class Krea2FamilyHandler:
             params = init_krea2(jax.random.key(seed), cfg, dtype)
             text_fn = cls._random_text_encoder(cfg, seed)
         else:
-            from ..io.safetensors_reader import load_safetensors
+            from ..io.safetensors_reader import load_weights as load_safetensors
             from ..io.krea2_checkpoint import load_krea2_params
             params, left = load_krea2_params(
                 load_safetensors(checkpoints["transformer"]), cfg, dtype)
@@ -95,7 +95,7 @@ class Krea2FamilyHandler:
 
     @classmethod
     def _load_text_encoder(cls, checkpoints, tokenizer, dtype):
-        from ..io.safetensors_reader import load_safetensors
+        from ..io.safetensors_reader import load_weights as load_safetensors
         from ..models.qwen.text_encoder import (
             QwenLMConfig, load_qwen_lm_params, make_qwen_text_encode_fn,
             QWEN3_4B)

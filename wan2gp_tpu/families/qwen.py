@@ -48,7 +48,7 @@ class QwenImageFamilyHandler:
             params = init_qwen_image(jax.random.key(seed), cfg, dtype)
             text_fn = cls._random_text_encoder(cfg, seed)
         else:
-            from ..io.safetensors_reader import load_safetensors
+            from ..io.safetensors_reader import load_weights as load_safetensors
             from ..io.qwen_checkpoint import load_qwen_image_params
             params, left = load_qwen_image_params(
                 load_safetensors(checkpoints["transformer"]), cfg, dtype)
@@ -67,7 +67,7 @@ class QwenImageFamilyHandler:
         """Qwen2.5-VL-7B text tower with the Qwen-Image chat template
         (pipeline_qwenimage.py:191-266: last hidden state, drop_idx 34).
         Returns fn(prompt) -> (text, text_null) for true-CFG sampling."""
-        from ..io.safetensors_reader import load_safetensors
+        from ..io.safetensors_reader import load_weights as load_safetensors
         from ..models.qwen.text_encoder import (
             QwenLMConfig, load_qwen_lm_params, make_qwen_text_encode_fn,
             QWEN25_VL_7B_TEXT)

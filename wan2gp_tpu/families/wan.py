@@ -111,7 +111,7 @@ class WanFamilyHandler:
                    seed: int = 0) -> WanPipeline:
         """checkpoints: {"transformer": path, "text_encoder": path,
         "vae": path, ...}.  init_random builds random weights (tests/bench)."""
-        from ..io.safetensors_reader import load_safetensors
+        from ..io.safetensors_reader import load_weights as load_safetensors
         from ..io.wan_checkpoint import (
             normalize_wan_sd, load_wan_dit_params, load_t5_params,
             load_wan_vae_params)

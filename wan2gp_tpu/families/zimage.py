@@ -69,7 +69,7 @@ class ZImageFamilyHandler:
                 img = flux_vae_decode(vparams, vcfg, z.transpose(0, 2, 3, 1))
                 return jnp.clip(img[0], -1.0, 1.0)
         else:
-            from ..io.safetensors_reader import load_safetensors
+            from ..io.safetensors_reader import load_weights as load_safetensors
             from ..io.zimage_checkpoint import load_zimage_params
             params, left = load_zimage_params(
                 load_safetensors(checkpoints["transformer"]), cfg, dtype)
@@ -103,7 +103,7 @@ class ZImageFamilyHandler:
         """Qwen3-4B chat-template encoder, hidden_states[-2] (the last
         pre-final-norm layer), masked tokens dropped -> variable-length
         caption feats (pipeline_z_image.py:299-327)."""
-        from ..io.safetensors_reader import load_safetensors
+        from ..io.safetensors_reader import load_weights as load_safetensors
         from ..models.qwen.text_encoder import (
             QwenLMConfig, load_qwen_lm_params, qwen_lm_forward, QWEN3_4B)
         from ..utils.tokenizer import load_tokenizer

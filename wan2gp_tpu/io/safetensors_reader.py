@@ -60,6 +60,15 @@ class SafetensorsFile:
         self._f.close()
 
 
+def load_weights(path: str) -> Dict[str, np.ndarray]:
+    """Extension-dispatching loader: .safetensors (mmap) or .gguf
+    (parsed + dequantized to float32, gguf_reader.py)."""
+    if path.endswith(".gguf"):
+        from .gguf_reader import load_gguf
+        return load_gguf(path)
+    return load_safetensors(path)
+
+
 def load_safetensors(path: str) -> Dict[str, np.ndarray]:
     f = SafetensorsFile(path)
     return {k: f.read(k) for k in f.keys()}

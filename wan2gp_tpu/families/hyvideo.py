@@ -42,7 +42,9 @@ class HunyuanFamilyHandler:
 
     @staticmethod
     def query_model_files(base_model_type, model_def):
-        return [{"role": "transformer", "urls": model_def.get("URLs", [])}]
+        base = "https://huggingface.co/DeepBeepMeep/HunyuanVideo/resolve/main/"
+        return [{"role": "transformer", "urls": model_def.get("URLs", [])},
+                {"role": "vae", "urls": [base + "hunyuan_video_VAE_fp32.safetensors"]}]
 
     @classmethod
     def load_model(cls, base_model_type: str, model_def: Dict[str, Any],
@@ -51,11 +53,31 @@ class HunyuanFamilyHandler:
                    init_random: bool = False, tokenizer=None,
                    seed: int = 0) -> HunyuanPipeline:
         cfg = make_hunyuan_config(base_model_type, compute_dtype=dtype)
+        vae_fn = None
         if init_random:
             params = init_hunyuan(jax.random.key(seed), cfg, dtype)
         else:
             raise NotImplementedError(
-                "hunyuan checkpoint key-mapping lands with its loader")
+                "hunyuan DiT checkpoint key-mapping lands with its loader")
+        if not init_random and checkpoints and checkpoints.get("vae") \
+                and "1_5" not in base_model_type:
+            vae_fn = cls._load_vae(checkpoints)
         vae_stride = (4, 16, 16) if "1_5" in base_model_type else (4, 8, 8)
         return HunyuanPipeline(params, cfg, vae_stride=vae_stride,
+                               vae_decode_fn=vae_fn,
                                attn_backend=attn_backend)
+
+    @staticmethod
+    def _load_vae(checkpoints):
+        """Hunyuan 884-16c causal VAE (models/hyvideo/vae.py)."""
+        from ..io.safetensors_reader import load_weights
+        from ..io.hyvideo_checkpoint import load_hunyuan_vae_params
+        from ..models.hyvideo.vae import (HunyuanVAEConfig,
+                                          hunyuan_vae_decode)
+        cfg = HunyuanVAEConfig()
+        params, _ = load_hunyuan_vae_params(
+            load_weights(checkpoints["vae"]), cfg)
+
+        def decode(z):
+            return jnp.clip(hunyuan_vae_decode(params, cfg, z), -1.0, 1.0)
+        return decode

@@ -84,8 +84,29 @@ class Kandinsky5FamilyHandler:
             if checkpoints.get("text_encoder"):
                 text_fn = cls._load_text_encoder(checkpoints, tokenizer,
                                                  dtype)
-        return Kandinsky5Pipeline(params, cfg, text_encode_fn=text_fn,
+        vae_fn = None
+        if not init_random and checkpoints and checkpoints.get("vae"):
+            vae_fn = cls._load_vae(checkpoints)
+        return Kandinsky5Pipeline(params, cfg, vae_decode_fn=vae_fn,
+                                  text_encode_fn=text_fn,
                                   attn_backend=attn_backend)
+
+    @staticmethod
+    def _load_vae(checkpoints):
+        """Kandinsky 5 reuses the Hunyuan 884-16c causal VAE; its latents
+        are channels-last [B, T, H, W, C]."""
+        from ..io.safetensors_reader import load_weights
+        from ..io.hyvideo_checkpoint import load_hunyuan_vae_params
+        from ..models.hyvideo.vae import (HunyuanVAEConfig,
+                                          hunyuan_vae_decode)
+        cfg = HunyuanVAEConfig()
+        params, _ = load_hunyuan_vae_params(
+            load_weights(checkpoints["vae"]), cfg)
+
+        def decode(z_tlast):
+            z = z_tlast.transpose(0, 4, 1, 2, 3)   # -> [B, C, T, H, W]
+            return jnp.clip(hunyuan_vae_decode(params, cfg, z), -1.0, 1.0)
+        return decode
 
     @classmethod
     def _load_text_encoder(cls, checkpoints, tokenizer, dtype):

@@ -122,3 +122,112 @@ def test_hv1_distilled_pipeline():
                         text_mask=mask, text_pooled=pooled,
                         return_latents=True)
     assert np.isfinite(np.asarray(lat)).all()
+
+
+def test_hunyuan_dit_checkpoint_roundtrip():
+    """HYVideoDiffusionTransformer key space -> loader -> forward parity."""
+    import dataclasses
+    from wan2gp_tpu.io.hyvideo_dit_checkpoint import load_hunyuan_dit_params
+    cfg = dataclasses.replace(TINY, compute_dtype=jnp.float32)
+    params = init_hunyuan(jax.random.key(11), cfg, jnp.float32)
+
+    sd = {}
+
+    def put_lin(name, p, i=None, split_qkv=None):
+        g = (lambda x: np.asarray(x[i], np.float32)) if i is not None \
+            else (lambda x: np.asarray(x, np.float32))
+        if split_qkv:
+            # exercise the split q/k/v variant (models.py:75-77)
+            w = g(p["w"])
+            b = g(p["b"]) if "b" in p else None
+            h = w.shape[1] // 3
+            for k, m in enumerate("qkv"):
+                sd[f"{split_qkv}_{m}.weight"] = w[:, k * h:(k + 1) * h].T
+                if b is not None:
+                    sd[f"{split_qkv}_{m}.bias"] = b[k * h:(k + 1) * h]
+            return
+        sd[f"{name}.weight"] = g(p["w"]).T
+        if "b" in p:
+            sd[f"{name}.bias"] = g(p["b"])
+
+    def put_w(name, x, i=None):
+        sd[f"{name}.weight"] = np.asarray(x[i] if i is not None else x,
+                                          np.float32)
+
+    def put_norm(name, p, i=None):
+        put_w(name, p["w"], i)
+        sd[f"{name}.bias"] = np.asarray(p["b"][i] if i is not None
+                                        else p["b"], np.float32)
+
+    # img_in as a Conv3d weight [h, C, pt, ph, pw]
+    pt, ph, pw = cfg.patch_size
+    w = np.asarray(params["img_in"]["w"], np.float32).T
+    sd["img_in.proj.weight"] = w.reshape(cfg.hidden_size, cfg.in_channels,
+                                         pt, ph, pw)
+    sd["img_in.proj.bias"] = np.asarray(params["img_in"]["b"], np.float32)
+    put_lin("time_in.mlp.0", params["time_in"]["in"])
+    put_lin("time_in.mlp.2", params["time_in"]["out"])
+    put_lin("vector_in.in_layer", params["vector_in"]["in"])
+    put_lin("vector_in.out_layer", params["vector_in"]["out"])
+    put_lin("guidance_in.mlp.0", params["guidance_in"]["in"])
+    put_lin("guidance_in.mlp.2", params["guidance_in"]["out"])
+    tr = params["txt_refiner"]
+    put_lin("txt_in.input_embedder", tr["input_embedder"])
+    put_lin("txt_in.t_embedder.mlp.0", tr["t_embedder"]["in"])
+    put_lin("txt_in.t_embedder.mlp.2", tr["t_embedder"]["out"])
+    put_lin("txt_in.c_embedder.linear_1", tr["c_embedder"]["in"])
+    put_lin("txt_in.c_embedder.linear_2", tr["c_embedder"]["out"])
+    for i in range(cfg.refiner_depth):
+        pre = f"txt_in.individual_token_refiner.blocks.{i}"
+        put_norm(f"{pre}.norm1", tr["blocks"]["norm1"], i)
+        put_lin(f"{pre}.self_attn_qkv", tr["blocks"]["qkv"], i)
+        put_lin(f"{pre}.self_attn_proj", tr["blocks"]["proj"], i)
+        put_norm(f"{pre}.norm2", tr["blocks"]["norm2"], i)
+        put_lin(f"{pre}.mlp.fc1", tr["blocks"]["mlp1"], i)
+        put_lin(f"{pre}.mlp.fc2", tr["blocks"]["mlp2"], i)
+        put_lin(f"{pre}.adaLN_modulation.1", tr["blocks"]["ada"], i)
+    db = params["double_blocks"]
+    for i in range(cfg.mm_double_blocks_depth):
+        pre = f"double_blocks.{i}"
+        for which in ("img", "txt"):
+            st = db[which]
+            put_lin(f"{pre}.{which}_mod.linear", st["mod"], i)
+            # first block fused qkv, second split: cover both loader paths
+            if i == 0:
+                put_lin(f"{pre}.{which}_attn_qkv", st["qkv"], i)
+            else:
+                put_lin(None, st["qkv"], i,
+                        split_qkv=f"{pre}.{which}_attn")
+            put_w(f"{pre}.{which}_attn_q_norm", st["norm_q"], i)
+            put_w(f"{pre}.{which}_attn_k_norm", st["norm_k"], i)
+            put_lin(f"{pre}.{which}_attn_proj", st["proj"], i)
+            put_lin(f"{pre}.{which}_mlp.fc1", st["mlp1"], i)
+            put_lin(f"{pre}.{which}_mlp.fc2", st["mlp2"], i)
+    sb = params["single_blocks"]
+    for i in range(cfg.mm_single_blocks_depth):
+        pre = f"single_blocks.{i}"
+        put_lin(f"{pre}.modulation.linear", sb["mod"], i)
+        put_lin(f"{pre}.linear1", sb["linear1"], i)
+        put_lin(f"{pre}.linear2", sb["linear2"], i)
+        put_w(f"{pre}.q_norm", sb["norm_q"], i)
+        put_w(f"{pre}.k_norm", sb["norm_k"], i)
+    put_lin("final_layer.adaLN_modulation.1", params["final"]["mod"])
+    put_lin("final_layer.linear", params["final"]["linear"])
+
+    loaded, left = load_hunyuan_dit_params(sd, cfg, dtype=jnp.float32)
+    assert left == []
+
+    rng = np.random.default_rng(11)
+    lat = jnp.asarray(rng.standard_normal((1, cfg.in_channels, 2, 4, 4)),
+                      jnp.float32)
+    states, mask = _text(d=cfg.text_states_dim, seed=11)
+    pooled = jnp.asarray(rng.standard_normal((1, cfg.text_states_dim_2)),
+                         jnp.float32)
+    t = jnp.asarray([500.0])
+    g = jnp.asarray([6000.0])
+    o1 = hunyuan_forward(params, cfg, lat, t, states, mask,
+                         text_pooled=pooled, guidance=g, attn_backend="xla")
+    o2 = hunyuan_forward(loaded, cfg, lat, t, states, mask,
+                         text_pooled=pooled, guidance=g, attn_backend="xla")
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
+                               rtol=1e-5, atol=1e-5)

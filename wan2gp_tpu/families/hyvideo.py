@@ -44,7 +44,12 @@ class HunyuanFamilyHandler:
     def query_model_files(base_model_type, model_def):
         base = "https://huggingface.co/DeepBeepMeep/HunyuanVideo/resolve/main/"
         return [{"role": "transformer", "urls": model_def.get("URLs", [])},
-                {"role": "vae", "urls": [base + "hunyuan_video_VAE_fp32.safetensors"]}]
+                {"role": "vae",
+                 "urls": [base + "hunyuan_video_VAE_fp32.safetensors"]},
+                {"role": "text_encoder", "urls": [
+                    base + "llava-llama-3-8b/llava_llama3_fp16.safetensors"]},
+                {"role": "clip", "urls": [
+                    base + "clip_vit_large_patch14/model.safetensors"]}]
 
     @classmethod
     def load_model(cls, base_model_type: str, model_def: Dict[str, Any],
@@ -54,18 +59,79 @@ class HunyuanFamilyHandler:
                    seed: int = 0) -> HunyuanPipeline:
         cfg = make_hunyuan_config(base_model_type, compute_dtype=dtype)
         vae_fn = None
+        text_fn = None
         if init_random:
             params = init_hunyuan(jax.random.key(seed), cfg, dtype)
         else:
-            raise NotImplementedError(
-                "hunyuan DiT checkpoint key-mapping lands with its loader")
+            from ..io.safetensors_reader import load_weights
+            from ..io.hyvideo_dit_checkpoint import load_hunyuan_dit_params
+            params, left = load_hunyuan_dit_params(
+                load_weights(checkpoints["transformer"]), cfg, dtype)
+            if left:
+                raise ValueError(f"unconsumed hunyuan keys: {left[:8]}")
+            if checkpoints.get("text_encoder"):
+                text_fn = cls._load_text_encoder(
+                    base_model_type, checkpoints, tokenizer, dtype)
         if not init_random and checkpoints and checkpoints.get("vae") \
                 and "1_5" not in base_model_type:
             vae_fn = cls._load_vae(checkpoints)
         vae_stride = (4, 16, 16) if "1_5" in base_model_type else (4, 8, 8)
         return HunyuanPipeline(params, cfg, vae_stride=vae_stride,
                                vae_decode_fn=vae_fn,
+                               text_encode_fn=text_fn,
                                attn_backend=attn_backend)
+
+    # llava-llama-3 text tower, video chat template with the system prompt
+    # cropped off (constants.py:99-102: crop_start 95)
+    HV_TEMPLATE = (
+        "<|start_header_id|>system<|end_header_id|>\n\nDescribe the video "
+        "by detailing the following aspects: "
+        "1. The main content and theme of the video."
+        "2. The color, shape, size, texture, quantity, text, and spatial "
+        "relationships of the objects."
+        "3. Actions, events, behaviors temporal relationships, physical "
+        "movement changes of the objects."
+        "4. background environment, light, style and atmosphere."
+        "5. camera angles, movements, and transitions used in the video:"
+        "<|eot_id|><|start_header_id|>user<|end_header_id|>\n\n{}<|eot_id|>")
+    HV_CROP_START = 95
+
+    @classmethod
+    def _load_text_encoder(cls, base_model_type, checkpoints, tokenizer,
+                           dtype):
+        from ..io.safetensors_reader import load_weights
+        from ..models.qwen.text_encoder import (
+            QwenLMConfig, load_qwen_lm_params, make_qwen_text_encode_fn,
+            LLAMA3_8B)
+        from ..utils.tokenizer import load_tokenizer
+        lm_cfg = QwenLMConfig(**LLAMA3_8B, compute_dtype=dtype)
+        lm_params, _ = load_qwen_lm_params(
+            load_weights(checkpoints["text_encoder"]), lm_cfg, dtype)
+        tok = tokenizer or load_tokenizer(checkpoints.get("tokenizer"))
+        llm_enc = make_qwen_text_encode_fn(
+            lm_params, lm_cfg, tok, template=cls.HV_TEMPLATE,
+            drop_idx=cls.HV_CROP_START, max_len=256)
+        clip_fn = None
+        if checkpoints.get("clip"):
+            from ..io.flux_checkpoint import load_clip_text_params
+            from ..models.flux.clip import ClipTextConfig, clip_text_encode
+            ccfg = ClipTextConfig()
+            cparams, _ = load_clip_text_params(
+                load_weights(checkpoints["clip"]), ccfg)
+            ctok = load_tokenizer(checkpoints.get("tokenizer_clip"))
+
+            def clip_fn(prompts):
+                ids, _ = ctok(prompts, ccfg.max_len)
+                _, pooled = clip_text_encode(cparams, ccfg,
+                                             jnp.asarray(ids))
+                return pooled.astype(jnp.float32)
+
+        def enc(prompts):
+            states, mask = llm_enc(prompts)
+            pooled = (clip_fn(prompts) if clip_fn is not None
+                      else jnp.zeros((len(prompts), 768), jnp.float32))
+            return states, mask, pooled
+        return enc
 
     @staticmethod
     def _load_vae(checkpoints):

@@ -346,7 +346,7 @@ def hunyuan_forward(params, cfg: HunyuanConfig, latents, t, text_states,
     directly to sinusoidal embedding); text_states: [B, L, 4096];
     text_pooled: [B, 768] CLIP pooled (HV1); guidance: [B] cfg_scale*1000.
     Returns velocity [B, C_out, F, H, W] fp32."""
-    from ..wan.dit import patchify, unpatchify
+    from ..wan.dit import patchify
     b = latents.shape[0]
     pt, ph, pw = cfg.patch_size
     grid = (latents.shape[2] // pt, latents.shape[3] // ph,
@@ -393,4 +393,15 @@ def hunyuan_forward(params, cfg: HunyuanConfig, latents, t, text_states,
     shift, scale = jnp.split(fm[:, None, :], 2, axis=-1)
     img = layer_norm(img) * (1 + scale) + shift
     out = _dense(img, params["final"]["linear"], jnp.float32)
-    return unpatchify(out, grid, cfg.patch_size, cfg.out_channels)
+    return unpatchify_cmajor(out, grid, cfg.patch_size, cfg.out_channels)
+
+
+def unpatchify_cmajor(x, grid, patch, c):
+    """HV head feature order (c, pt, ph, pw) (models.py:1244
+    'nthwcopq->nctohpwq') — unlike Wan's (pt, ph, pw, c)."""
+    b = x.shape[0]
+    t, h, w = grid
+    pt, ph, pw = patch
+    x = x.reshape(b, t, h, w, c, pt, ph, pw)
+    x = x.transpose(0, 4, 1, 5, 2, 6, 3, 7)
+    return x.reshape(b, c, t * pt, h * ph, w * pw)

@@ -49,6 +49,11 @@ QWEN25_VL_7B_TEXT = dict(vocab_size=152064, dim=3584, n_layers=28,
 QWEN3_4B = dict(vocab_size=151936, dim=2560, n_layers=36, n_heads=32,
                 n_kv_heads=8, head_dim=128, ffn_dim=9728,
                 qkv_bias=False, qk_norm=True)
+# Llama-3-8B (Hunyuan Video's llava-llama text tower) is the same decoder
+# with no qkv bias and no qk-norm, rope theta 500000
+LLAMA3_8B = dict(vocab_size=128320, dim=4096, n_layers=32, n_heads=32,
+                 n_kv_heads=8, head_dim=128, ffn_dim=14336,
+                 rope_theta=500_000.0, qkv_bias=False, qk_norm=False)
 
 
 def init_qwen_lm(key, cfg: QwenLMConfig, dtype=None) -> Dict[str, Any]:

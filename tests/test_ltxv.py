@@ -69,3 +69,61 @@ def test_pipeline_cfg_and_stg():
                         caption=cap, caption_null=capn, return_latents=True)
     assert lat.shape == (1, 2, 2, 2, 16)
     assert np.isfinite(np.asarray(lat)).all()
+
+
+def test_ltxv_checkpoint_roundtrip():
+    from wan2gp_tpu.io.ltxv_checkpoint import load_ltxv_params
+    params = init_ltxv(jax.random.key(8), TINY, jnp.float32)
+
+    sd = {}
+
+    def put_lin(name, p, i=None):
+        g = (lambda x: np.asarray(x[i], np.float32)) if i is not None \
+            else (lambda x: np.asarray(x, np.float32))
+        sd[f"{name}.weight"] = g(p["w"]).T
+        if "b" in p:
+            sd[f"{name}.bias"] = g(p["b"])
+
+    put_lin("patchify_proj", params["patchify_proj"])
+    put_lin("adaln_single.emb.timestep_embedder.linear_1",
+            params["adaln"]["emb"]["in"])
+    put_lin("adaln_single.emb.timestep_embedder.linear_2",
+            params["adaln"]["emb"]["out"])
+    put_lin("adaln_single.linear", params["adaln"]["linear"])
+    put_lin("caption_projection.linear_1",
+            params["caption_projection"]["fc1"])
+    put_lin("caption_projection.linear_2",
+            params["caption_projection"]["fc2"])
+    sd["scale_shift_table"] = np.asarray(params["scale_shift_table"],
+                                         np.float32)
+    put_lin("proj_out", params["proj_out"])
+    bp = params["blocks"]
+    for i in range(TINY.num_layers):
+        pre = f"transformer_blocks.{i}"
+        for a in ("attn1", "attn2"):
+            for m, nm in (("q", "to_q"), ("k", "to_k"), ("v", "to_v"),
+                          ("o", "to_out.0")):
+                put_lin(f"{pre}.{a}.{nm}", bp[a][m], i)
+            sd[f"{pre}.{a}.q_norm.weight"] = np.asarray(bp[a]["norm_q"][i])
+            sd[f"{pre}.{a}.k_norm.weight"] = np.asarray(bp[a]["norm_k"][i])
+        put_lin(f"{pre}.ff.net.0.proj", bp["ff1"], i)
+        put_lin(f"{pre}.ff.net.2", bp["ff2"], i)
+        sd[f"{pre}.scale_shift_table"] = np.asarray(
+            bp["scale_shift_table"][i], np.float32)
+
+    loaded, left = load_ltxv_params(sd, TINY, dtype=jnp.float32)
+    assert left == []
+    rng = np.random.default_rng(8)
+    grid = make_indices_grid(2, 3, 4)
+    cos, sin = ltxv_rope(grid, TINY)
+    tokens = jnp.asarray(rng.standard_normal((1, 24, TINY.in_channels)),
+                         jnp.float32)
+    cap = jnp.asarray(rng.standard_normal((1, 5, TINY.caption_channels)),
+                      jnp.float32)
+    t = jnp.asarray([400.0])
+    o1 = ltxv_forward(params, TINY, tokens, t, cap, cos, sin,
+                      attn_backend="xla")
+    o2 = ltxv_forward(loaded, TINY, tokens, t, cap, cos, sin,
+                      attn_backend="xla")
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
+                               rtol=1e-5, atol=1e-5)

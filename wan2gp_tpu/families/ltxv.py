@@ -55,9 +55,44 @@ class LTXVFamilyHandler:
         arch = {k: v for k, v in _ARCH[base_model_type].items()
                 if k != "distilled"}
         cfg = LTXVConfig(compute_dtype=dtype, **arch)
+        text_fn = None
         if init_random:
             params = init_ltxv(jax.random.key(seed), cfg, dtype)
         else:
-            raise NotImplementedError(
-                "ltxv checkpoint key-mapping lands with its loader")
-        return LTXVPipeline(params, cfg, attn_backend=attn_backend)
+            from ..io.safetensors_reader import load_weights
+            from ..io.ltxv_checkpoint import load_ltxv_params
+            params, left = load_ltxv_params(
+                load_weights(checkpoints["transformer"]), cfg, dtype)
+            if left:
+                raise ValueError(f"unconsumed ltxv keys: {left[:8]}")
+            if checkpoints.get("text_encoder"):
+                text_fn = cls._load_text_encoder(checkpoints, tokenizer,
+                                                 dtype)
+        return LTXVPipeline(params, cfg, text_encode_fn=text_fn,
+                            attn_backend=attn_backend)
+
+    @staticmethod
+    def _load_text_encoder(checkpoints, tokenizer, dtype):
+        """T5-XXL v1.1 encoder (LTXV conditions on T5 states)."""
+        from ..io.safetensors_reader import load_weights
+        from ..io.wan_checkpoint import load_hf_t5_params
+        from ..models.wan.t5 import T5Config, t5_encode
+        from ..utils.tokenizer import load_tokenizer
+        t5_cfg = T5Config(vocab_size=32128, dim=4096, dim_attn=4096,
+                          dim_ffn=10240, num_heads=64, num_layers=24,
+                          shared_pos=True, compute_dtype=dtype)
+        t5_params, _ = load_hf_t5_params(
+            load_weights(checkpoints["text_encoder"]), t5_cfg, dtype)
+        tok = tokenizer or load_tokenizer(checkpoints.get("tokenizer"))
+
+        def embed(prompts, seq_len=256):
+            ids, mask = tok(prompts, seq_len)
+            out = t5_encode(t5_params, t5_cfg, jnp.asarray(ids),
+                            jnp.asarray(mask))
+            return (out * (jnp.asarray(mask)[..., None] > 0)
+                    ).astype(jnp.float32)
+
+        def enc(prompt):
+            # pipeline contract: (caption, caption_null)
+            return embed([prompt]), embed([""])
+        return enc

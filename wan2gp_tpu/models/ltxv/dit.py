@@ -112,8 +112,8 @@ def init_ltxv(key, cfg: LTXVConfig, dtype=jnp.bfloat16):
                     "k": _linear(next(ks), din_kv, d, dtype, bias=True),
                     "v": _linear(next(ks), din_kv, d, dtype, bias=True),
                     "o": _linear(next(ks), d, d, dtype, bias=True),
-                    "norm_q": jnp.ones((hd,), jnp.float32),
-                    "norm_k": jnp.ones((hd,), jnp.float32)}
+                    "norm_q": jnp.ones((d,), jnp.float32),
+                    "norm_k": jnp.ones((d,), jnp.float32)}
         return {
             "attn1": attn(d),
             "attn2": attn(cfg.cross_attention_dim),
@@ -160,16 +160,20 @@ def _heads(x, n):
 
 
 def _attention(p, x, context, cfg, rope=None, attn_backend="auto"):
+    # qk RMSNorm over the FULL inner dim (not per head), eps 1e-5, applied
+    # BEFORE rope (attention.py:472-473, :1034-1049)
     cdt = cfg.compute_dtype
     q = _dense(x.astype(cdt), p["q"], cdt)
     k = _dense(context.astype(cdt), p["k"], cdt)
     v = _dense(context.astype(cdt), p["v"], cdt)
+    q = rms_norm(q, p["norm_q"], 1e-5)
+    k = rms_norm(k, p["norm_k"], 1e-5)
     if rope is not None:
         cos, sin = rope
         q = _apply_ltxv_rope(q, cos, sin)
         k = _apply_ltxv_rope(k, cos, sin)
-    q = rms_norm(_heads(q, cfg.num_heads), p["norm_q"], 1e-6)
-    k = rms_norm(_heads(k, cfg.num_heads), p["norm_k"], 1e-6)
+    q = _heads(q, cfg.num_heads)
+    k = _heads(k, cfg.num_heads)
     v = _heads(v, cfg.num_heads)
     o = attention(q, k, v, backend=attn_backend)
     o = o.reshape(*x.shape[:2], cfg.inner_dim)

@@ -203,3 +203,29 @@ def test_vae_checkpoint_conversion():
     assert z.shape == (1, 2, 2, 2, 16)
     out = vae_decode(params, cfg, z)
     assert out.shape == (1, 5, 16, 16, 3)
+
+
+def test_scaled_fp8_dequant_on_load(tmp_path):
+    """Scaled-FP8 convention: <module>.scale_weight next to an fp8 weight
+    (scaled_fp8.py:572); load_weights dequantizes to float."""
+    import numpy as np
+    import ml_dtypes
+    from wan2gp_tpu.io.safetensors_reader import (save_safetensors,
+                                                  load_weights)
+    rng = np.random.default_rng(0)
+    w32 = rng.standard_normal((4, 8)).astype(np.float32)
+    scale = np.float32(2.5)
+    w8 = (w32 / scale).astype(ml_dtypes.float8_e4m3fn)
+    sd = {"blk.weight": w8,
+          "blk.scale_weight": np.asarray([scale], np.float32),
+          "blk.bias": np.zeros(4, np.float32),
+          "scaled_fp8": np.zeros(2, np.uint8),
+          "plain.weight": w32}
+    path = str(tmp_path / "fp8.safetensors")
+    save_safetensors(path, sd)
+    out = load_weights(path)
+    assert "scaled_fp8" not in out and "blk.scale_weight" not in out
+    np.testing.assert_allclose(
+        np.asarray(out["blk.weight"], np.float32),
+        w8.astype(np.float32) * scale, rtol=1e-6)
+    np.testing.assert_array_equal(out["plain.weight"], w32)

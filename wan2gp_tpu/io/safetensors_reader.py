@@ -62,11 +62,35 @@ class SafetensorsFile:
 
 def load_weights(path: str) -> Dict[str, np.ndarray]:
     """Extension-dispatching loader: .safetensors (mmap) or .gguf
-    (parsed + dequantized to float32, gguf_reader.py)."""
+    (parsed + dequantized to float32, gguf_reader.py).  Scaled-FP8
+    checkpoints are dequantized on load."""
     if path.endswith(".gguf"):
         from .gguf_reader import load_gguf
         return load_gguf(path)
-    return load_safetensors(path)
+    return normalize_scaled_fp8(load_safetensors(path))
+
+
+def normalize_scaled_fp8(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Dequantize scaled-FP8 entries (reference shared/qtypes/
+    scaled_fp8.py:572: per-module '<name>.scale_weight' next to an
+    fp8_e4m3/e5m2 '<name>.weight'; optional 'scaled_fp8' marker tensor).
+    Host-side one-time cost; weights then stage to HBM in bf16/f32."""
+    scale_keys = [k for k in sd if k.endswith(".scale_weight")]
+    if not scale_keys and "scaled_fp8" not in sd:
+        return sd
+    sd = dict(sd)
+    sd.pop("scaled_fp8", None)
+    for sk in scale_keys:
+        wk = sk[:-len("scale_weight")] + "weight"
+        scale = np.asarray(sd.pop(sk), np.float32)
+        if wk in sd:
+            w = np.asarray(sd[wk]).astype(np.float32)
+            sd[wk] = w * scale.reshape(
+                scale.shape + (1,) * (w.ndim - scale.ndim)) \
+                if scale.ndim and scale.size > 1 else w * float(
+                    scale.reshape(-1)[0])
+        sd.pop(sk[:-len("scale_weight")] + "scale_input", None)
+    return sd
 
 
 def load_safetensors(path: str) -> Dict[str, np.ndarray]:

@@ -104,3 +104,43 @@ def test_text_encode_fn_drops_template():
                                    collect_layers=[1, 2])
     emb2, mask2 = fn2(["hello world"])
     assert emb2.shape == (1, 6, 2, 32)
+
+
+def test_greedy_generate_matches_full_recompute():
+    """KV-cache decode must equal naive re-run-the-full-prefix greedy."""
+    params = init_qwen_lm(jax.random.key(7), TINY)
+    from wan2gp_tpu.models.qwen.text_encoder import qwen_lm_generate
+    ids = jnp.asarray([[5, 9, 3]], jnp.int32)
+    mask = jnp.ones((1, 3), jnp.int32)
+    out = qwen_lm_generate(params, TINY, ids, mask, max_new_tokens=4)
+    assert out.shape == (1, 4)
+
+    # naive greedy: full forward each step, take argmax at the last pos
+    cur = np.asarray(ids)
+    naive = []
+    for _ in range(4):
+        h = qwen_lm_forward(params, TINY, jnp.asarray(cur),
+                            jnp.ones_like(jnp.asarray(cur)))
+        logits = np.asarray(h[:, -1]) @ np.asarray(
+            params["embed_tokens"], np.float32).T
+        nxt = int(np.argmax(logits, axis=-1)[0])
+        naive.append(nxt)
+        cur = np.concatenate([cur, [[nxt]]], axis=1)
+    np.testing.assert_array_equal(np.asarray(out)[0], naive)
+
+
+def test_generate_eos_padding():
+    from wan2gp_tpu.models.qwen.text_encoder import qwen_lm_generate
+    params = init_qwen_lm(jax.random.key(8), TINY)
+    ids = jnp.asarray([[1, 2]], jnp.int32)
+    mask = jnp.ones((1, 2), jnp.int32)
+    out = qwen_lm_generate(params, TINY, ids, mask, max_new_tokens=6)
+    # pick whatever the 2nd token is as "eos" and re-run: everything
+    # after the first occurrence must be eos
+    eos = int(np.asarray(out)[0, 1])
+    out2 = np.asarray(qwen_lm_generate(params, TINY, ids, mask,
+                                       max_new_tokens=6,
+                                       eos_token_id=eos))[0]
+    hit = np.where(out2 == eos)[0]
+    if len(hit):
+        assert (out2[hit[0]:] == eos).all()

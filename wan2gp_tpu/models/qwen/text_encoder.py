@@ -277,3 +277,129 @@ def make_qwen_text_encode_fn(params, cfg: QwenLMConfig, tokenizer,
                      else out_mask[:, :, None] > 0)
         return emb.astype(jnp.float32), out_mask
     return encode
+
+
+# ---------------------------------------------------------------------------
+# greedy decoding (prompt enhancer / agent runtimes)
+# ---------------------------------------------------------------------------
+
+def qwen_lm_generate(params, cfg: QwenLMConfig, ids, mask,
+                     max_new_tokens: int = 128,
+                     eos_token_id: Optional[int] = None,
+                     lm_head=None):
+    """Greedy decode with a KV cache under lax.scan.
+
+    ids/mask: [B, L] right-padded prompts.  Returns [B, max_new_tokens]
+    int32 (padded with eos after the first eos when eos_token_id is set).
+    lm_head: optional [dim, vocab] projection; defaults to tied embeddings
+    (Qwen3 ties word embeddings; Qwen2.5 ships an explicit lm_head).
+    """
+    cdt = cfg.compute_dtype
+    b, l0 = ids.shape
+    total = l0 + max_new_tokens
+    n, nkv, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    head = (params["embed_tokens"].T if lm_head is None else lm_head)
+
+    cos_all, sin_all = _neox_rope_tables(total, hd, cfg.rope_theta)
+
+    def layer_qkv(lp, y, cos, sin):
+        L = y.shape[1]
+        q = _dense(y, lp["q"]).reshape(b, L, n, hd)
+        k = _dense(y, lp["k"]).reshape(b, L, nkv, hd)
+        v = _dense(y, lp["v"]).reshape(b, L, nkv, hd)
+        if cfg.qk_norm:
+            q = _rms(q, lp["q_norm"], cfg.norm_eps)
+            k = _rms(k, lp["k_norm"], cfg.norm_eps)
+        q = _apply_neox_rope(q, cos, sin)
+        k = _apply_neox_rope(k, cos, sin)
+        return q, k, v
+
+    def mlp(lp, x):
+        y = _rms(x, lp["post_norm"], cfg.norm_eps)
+        h = jax.nn.silu(_dense(y, lp["gate"]).astype(jnp.float32)
+                        ).astype(cdt) * _dense(y, lp["up"])
+        return x + _dense(h, lp["down"])
+
+    # ---- prefill: full causal pass, cache k/v padded to `total` --------
+    x = params["embed_tokens"][ids].astype(cdt)
+    causal = jnp.tril(jnp.ones((l0, l0), bool))
+    valid = (mask[:, None, None, :] > 0) & causal[None, None]
+    bias = jnp.where(valid, 0.0, jnp.finfo(jnp.float32).min)
+
+    def prefill_layer(x, lp):
+        y = _rms(x, lp["input_norm"], cfg.norm_eps)
+        q, k, v = layer_qkv(lp, y, cos_all[:l0], sin_all[:l0])
+        kk = jnp.repeat(k, n // nkv, axis=2) if nkv != n else k
+        vv = jnp.repeat(v, n // nkv, axis=2) if nkv != n else v
+        s = jnp.einsum("blnd,bsnd->bnls", q, kk,
+                       preferred_element_type=jnp.float32) / math.sqrt(hd)
+        p_attn = jax.nn.softmax(s + bias, axis=-1).astype(cdt)
+        o = jnp.einsum("bnls,bsnd->blnd", p_attn, vv).reshape(b, l0, n * hd)
+        x = mlp(lp, x + _dense(o, lp["o"]))
+        pad = jnp.zeros((b, max_new_tokens, nkv, hd), k.dtype)
+        return x, (jnp.concatenate([k, pad], axis=1),
+                   jnp.concatenate([v, pad], axis=1))
+
+    x, (k_cache, v_cache) = jax.lax.scan(prefill_layer, x,
+                                         params["layers"])
+    final = _rms(x, params["norm"], cfg.norm_eps)
+    last = jnp.sum(mask, axis=1) - 1                       # [B]
+    h_last = jnp.take_along_axis(final, last[:, None, None], axis=1)[:, 0]
+    logits = jnp.dot(h_last.astype(jnp.float32),
+                     head.astype(jnp.float32))
+    tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    # ---- decode: one token per step, cache written at `pos` ------------
+    def step(carry, _):
+        tok, pos, k_cache, v_cache, done = carry
+        x = params["embed_tokens"][tok][:, None].astype(cdt)  # [B,1,D]
+        cos = jax.lax.dynamic_slice_in_dim(cos_all, 0, total, 0)
+        key_valid = jnp.arange(total)[None] <= pos[:, None]   # [B, total]
+        kbias = jnp.where(key_valid[:, None, None, :], 0.0,
+                          jnp.finfo(jnp.float32).min)
+
+        def layer(carry, xs):
+            x = carry
+            lp, kc, vc = xs
+            y = _rms(x, lp["input_norm"], cfg.norm_eps)
+            q = _dense(y, lp["q"]).reshape(b, 1, n, hd)
+            k = _dense(y, lp["k"]).reshape(b, 1, nkv, hd)
+            v = _dense(y, lp["v"]).reshape(b, 1, nkv, hd)
+            if cfg.qk_norm:
+                q = _rms(q, lp["q_norm"], cfg.norm_eps)
+                k = _rms(k, lp["k_norm"], cfg.norm_eps)
+            # rope at position `pos` (same for the whole batch here)
+            c = jax.lax.dynamic_slice_in_dim(cos_all, pos[0], 1, 0)
+            s_ = jax.lax.dynamic_slice_in_dim(sin_all, pos[0], 1, 0)
+            q = _apply_neox_rope(q, c, s_)
+            k = _apply_neox_rope(k, c, s_)
+            kc = jax.lax.dynamic_update_slice_in_dim(kc, k, pos[0], 1)
+            vc = jax.lax.dynamic_update_slice_in_dim(vc, v, pos[0], 1)
+            kk = jnp.repeat(kc, n // nkv, axis=2) if nkv != n else kc
+            vv = jnp.repeat(vc, n // nkv, axis=2) if nkv != n else vc
+            s = jnp.einsum("blnd,bsnd->bnls", q, kk,
+                           preferred_element_type=jnp.float32
+                           ) / math.sqrt(hd)
+            p_attn = jax.nn.softmax(s + kbias, axis=-1).astype(cdt)
+            o = jnp.einsum("bnls,bsnd->blnd", p_attn, vv
+                           ).reshape(b, 1, n * hd)
+            x = mlp(lp, x + _dense(o, lp["o"]))
+            return x, (kc, vc)
+
+        x, (k_cache, v_cache) = jax.lax.scan(
+            layer, x, (params["layers"], k_cache, v_cache))
+        h = _rms(x[:, 0], params["norm"], cfg.norm_eps)
+        logits = jnp.dot(h.astype(jnp.float32), head.astype(jnp.float32))
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if eos_token_id is not None:
+            nxt = jnp.where(done, eos_token_id, nxt)
+            done = done | (nxt == eos_token_id)
+        return (nxt, pos + 1, k_cache, v_cache, done), tok
+
+    done0 = jnp.zeros((b,), bool)
+    if eos_token_id is not None:
+        done0 = tok0 == eos_token_id
+    (_, _, _, _, _), toks = jax.lax.scan(
+        step, (tok0, last + 1, k_cache, v_cache, done0),
+        None, length=max_new_tokens)
+    return toks.transpose(1, 0)     # [B, max_new_tokens]

@@ -163,3 +163,122 @@ def test_clip_text_loader():
     ids = jnp.asarray([[3, 5, 49, 49]], jnp.int32)
     hidden, pooled = clip_text_encode(params, cfg, ids)
     assert hidden.shape == (1, 4, 16) and pooled.shape == (1, 16)
+
+
+def test_fold_1x1_composition():
+    """quant-conv folding must equal running the two convs in sequence."""
+    import numpy as np
+    from wan2gp_tpu.io.flux_checkpoint import _fold_1x1, _fold_1x1_pre
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((3, 5, 5)).astype(np.float32)       # [C,H,W]
+    wi = rng.standard_normal((4, 3, 3, 3)).astype(np.float32)   # inner conv
+    bi = rng.standard_normal(4).astype(np.float32)
+    wq = rng.standard_normal((6, 4, 1, 1)).astype(np.float32)   # 1x1 after
+    bq = rng.standard_normal(6).astype(np.float32)
+
+    def conv(x, w, b):
+        co, ci, kh, kw = w.shape
+        h, wdt = x.shape[1] - kh + 1, x.shape[2] - kw + 1
+        out = np.zeros((co, h, wdt), np.float32)
+        for i in range(h):
+            for j in range(wdt):
+                patch = x[:, i:i + kh, j:j + kw]
+                out[:, i, j] = np.tensordot(w, patch, 3) + b
+        return out
+
+    seq = conv(conv(x, wi, bi), wq, bq)
+    wf, bf = _fold_1x1(wq, bq, wi, bi)
+    np.testing.assert_allclose(conv(x, wf, bf), seq, rtol=1e-4, atol=1e-4)
+
+    # pre-fold: 1x1 then kxk
+    wq2 = rng.standard_normal((3, 3, 1, 1)).astype(np.float32)
+    bq2 = rng.standard_normal(3).astype(np.float32)
+    seq2 = conv(conv(x, wq2, bq2), wi, bi)
+    wf2, bf2 = _fold_1x1_pre(wi, bi, wq2, bq2)
+    np.testing.assert_allclose(conv(x, wf2, bf2), seq2, rtol=1e-4, atol=1e-4)
+
+
+def test_diffusers_vae_key_mapping():
+    """diffusers AutoencoderKL keys load through the BFL flux VAE loader."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from wan2gp_tpu.io.flux_checkpoint import (normalize_diffusers_vae_sd,
+                                               load_flux_vae_params)
+    from wan2gp_tpu.models.flux.vae import (FluxVAEConfig, init_flux_vae,
+                                            flux_vae_decode)
+    cfg = FluxVAEConfig(ch=8, ch_mult=(1, 2), num_res_blocks=1,
+                        z_channels=4)
+    rng = np.random.default_rng(1)
+
+    def conv(co, ci, k=3):
+        return (rng.standard_normal((co, ci, k, k)).astype(np.float32)
+                * 0.05, np.zeros(co, np.float32))
+
+    sd = {}
+
+    def put(name, co, ci, k=3):
+        w, b = conv(co, ci, k)
+        sd[f"{name}.weight"] = w
+        sd[f"{name}.bias"] = b
+
+    def put_norm(name, c):
+        sd[f"{name}.weight"] = np.ones(c, np.float32)
+        sd[f"{name}.bias"] = np.zeros(c, np.float32)
+
+    def put_res(pre, cin, cout):
+        put_norm(f"{pre}.norm1", cin)
+        put(f"{pre}.conv1", cout, cin)
+        put_norm(f"{pre}.norm2", cout)
+        put(f"{pre}.conv2", cout, cout)
+        if cin != cout:
+            put(f"{pre}.conv_shortcut", cout, cin, 1)
+
+    def put_attn(pre, c):
+        put_norm(f"{pre}.group_norm", c)
+        for m in ("to_q", "to_k", "to_v", "to_out.0"):
+            sd[f"{pre}.{m}.weight"] = \
+                rng.standard_normal((c, c)).astype(np.float32) * 0.05
+            sd[f"{pre}.{m}.bias"] = np.zeros(c, np.float32)
+
+    chs = [8, 16]   # ch * ch_mult
+    # encoder
+    put("encoder.conv_in", 8, 3)
+    cin = 8
+    for i, c in enumerate(chs):
+        put_res(f"encoder.down_blocks.{i}.resnets.0", cin, c)
+        cin = c
+        if i != len(chs) - 1:
+            put(f"encoder.down_blocks.{i}.downsamplers.0.conv", c, c)
+    put_res("encoder.mid_block.resnets.0", 16, 16)
+    put_attn("encoder.mid_block.attentions.0", 16)
+    put_res("encoder.mid_block.resnets.1", 16, 16)
+    put_norm("encoder.conv_norm_out", 16)
+    put("encoder.conv_out", 8, 16)     # 2*z
+    put("quant_conv", 8, 8, 1)
+    # decoder (diffusers order: high channels first)
+    put("post_quant_conv", 4, 4, 1)
+    put("decoder.conv_in", 16, 4)
+    put_res("decoder.mid_block.resnets.0", 16, 16)
+    put_attn("decoder.mid_block.attentions.0", 16)
+    put_res("decoder.mid_block.resnets.1", 16, 16)
+    rev = list(reversed(chs))           # [16, 8]
+    cin = 16
+    for i, c in enumerate(rev):
+        for j in range(cfg.num_res_blocks + 1):
+            put_res(f"decoder.up_blocks.{i}.resnets.{j}", cin, c)
+            cin = c
+        if i != len(chs) - 1:
+            put(f"decoder.up_blocks.{i}.upsamplers.0.conv", c, c)
+    put_norm("decoder.conv_norm_out", 8)
+    put("decoder.conv_out", 3, 8)
+
+    bfl = normalize_diffusers_vae_sd(sd, n_stages=len(chs))
+    params, left = load_flux_vae_params(bfl, cfg)
+    assert left == [], left[:6]
+    z = jnp.asarray(rng.standard_normal((1, 4, 4, 4)).transpose(0, 2, 3, 1),
+                    jnp.float32)
+    img = flux_vae_decode(params, cfg, z)
+    assert img.shape == (1, 8, 8, 3)
+    assert np.isfinite(np.asarray(img)).all()

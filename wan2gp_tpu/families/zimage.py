@@ -78,10 +78,28 @@ class ZImageFamilyHandler:
             if checkpoints.get("text_encoder"):
                 text_fn = cls._load_text_encoder(checkpoints, tokenizer,
                                                  dtype)
-            # diffusers-key VAE loader lands in a later round
+            if checkpoints.get("vae"):
+                vae_fn = cls._load_vae(checkpoints)
         return ZImagePipeline(params, cfg, vae_decode_fn=vae_fn,
                               text_encode_fn=text_fn,
                               attn_backend=attn_backend)
+
+    @staticmethod
+    def _load_vae(checkpoints):
+        """Z-Image ships a diffusers-format AutoencoderKL (16ch);
+        normalize_diffusers_vae_sd maps it onto the flux VAE loader."""
+        from ..io.safetensors_reader import load_weights
+        from ..io.flux_checkpoint import (normalize_diffusers_vae_sd,
+                                          load_flux_vae_params)
+        from ..models.flux.vae import FluxVAEConfig, flux_vae_decode
+        vcfg = FluxVAEConfig()
+        sd = normalize_diffusers_vae_sd(load_weights(checkpoints["vae"]))
+        params, _ = load_flux_vae_params(sd, vcfg)
+
+        def decode(z):
+            img = flux_vae_decode(params, vcfg, z.transpose(0, 2, 3, 1))
+            return jnp.clip(img[0], -1.0, 1.0)
+        return decode
 
     @staticmethod
     def generate_image(pipe, merged: Dict[str, Any], width: int,

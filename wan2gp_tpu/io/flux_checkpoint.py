@@ -213,3 +213,118 @@ def load_clip_text_params(sd: Dict[str, np.ndarray], cfg,
         "final_ln": _norm(sd, "final_layer_norm"),
     }
     return params, sorted(sd.keys())
+
+
+# ---------------------------------------------------------------------------
+# diffusers AutoencoderKL -> BFL key space
+# ---------------------------------------------------------------------------
+
+def _fold_1x1(outer_w, outer_b, inner_w, inner_b):
+    """Compose a trailing 1x1 conv into the previous conv:
+    y = Wq (Wo * x + bo) + bq -> W' = Wq Wo, b' = Wq bo + bq.
+    outer = quant_conv [co, ci, 1, 1]; inner = conv [ci, cin, kh, kw]."""
+    wq = np.asarray(outer_w, np.float32)[:, :, 0, 0]      # [co, ci]
+    wi = np.asarray(inner_w, np.float32)
+    w = np.einsum("oc,cikl->oikl", wq, wi)
+    b = wq @ np.asarray(inner_b, np.float32) + np.asarray(outer_b,
+                                                          np.float32)
+    return w, b
+
+
+def _fold_1x1_pre(inner_w, inner_b, outer_w, outer_b):
+    """Compose a leading 1x1 conv into the following conv:
+    y = Wi (Wq x + bq) + bi -> W' = Wi Wq (contract input channels),
+    b' accounts for the constant bq through Wi (sum over spatial taps)."""
+    wq = np.asarray(outer_w, np.float32)[:, :, 0, 0]      # [cz, cz]
+    wi = np.asarray(inner_w, np.float32)                  # [co, cz, kh, kw]
+    w = np.einsum("ozkl,zc->ockl", wi, wq)
+    b = np.asarray(inner_b, np.float32) + \
+        np.einsum("ozkl,z->o", wi, np.asarray(outer_b, np.float32))
+    return w, b
+
+
+def normalize_diffusers_vae_sd(sd: Dict[str, np.ndarray],
+                               n_stages: int = 4) -> Dict[str, np.ndarray]:
+    """Map diffusers AutoencoderKL keys (encoder.down_blocks.N.resnets.M,
+    mid_block.attentions.0.to_q linear, reversed decoder up_blocks,
+    quant_conv/post_quant_conv 1x1) onto the BFL layout consumed by
+    load_flux_vae_params.  The quant convs are folded into
+    encoder.conv_out / decoder.conv_in (exact: composition of affine maps).
+    Used for the Z-Image VAE (reference models/z_image/autoencoder_kl.py)
+    and other diffusers-format 16-channel image VAEs."""
+    if not any(".down_blocks." in k for k in sd):
+        return dict(sd)   # already BFL layout
+    src = dict(sd)
+    out: Dict[str, np.ndarray] = {}
+
+    def mv(dst, srckey):
+        if f"{srckey}.weight" in src:
+            out[f"{dst}.weight"] = src.pop(f"{srckey}.weight")
+            b = src.pop(f"{srckey}.bias", None)
+            if b is not None:
+                out[f"{dst}.bias"] = b
+
+    def mv_attn(dst, srckey):
+        mv(f"{dst}.norm", f"{srckey}.group_norm")
+        for a, b in (("q", "to_q"), ("k", "to_k"), ("v", "to_v"),
+                     ("proj_out", "to_out.0")):
+            w = np.asarray(src.pop(f"{srckey}.{b}.weight"), np.float32)
+            if w.ndim == 2:          # linear -> 1x1 conv
+                w = w[:, :, None, None]
+            out[f"{dst}.{a}.weight"] = w
+            out[f"{dst}.{a}.bias"] = src.pop(f"{srckey}.{b}.bias")
+
+    for side in ("encoder", "decoder"):
+        mv(f"{side}.conv_in", f"{side}.conv_in")
+        mv(f"{side}.conv_out", f"{side}.conv_out")
+        mv(f"{side}.norm_out", f"{side}.conv_norm_out")
+        mv(f"{side}.mid.block_1", f"{side}.mid_block.resnets.0")
+        mv(f"{side}.mid.block_2", f"{side}.mid_block.resnets.1")
+        for part in ("norm1", "conv1", "norm2", "conv2"):
+            mv(f"{side}.mid.block_1.{part}",
+               f"{side}.mid_block.resnets.0.{part}")
+            mv(f"{side}.mid.block_2.{part}",
+               f"{side}.mid_block.resnets.1.{part}")
+        mv_attn(f"{side}.mid.attn_1", f"{side}.mid_block.attentions.0")
+
+    for i in range(n_stages):
+        for j in range(8):
+            pre = f"encoder.down_blocks.{i}.resnets.{j}"
+            if f"{pre}.norm1.weight" not in src:
+                break
+            for part in ("norm1", "conv1", "norm2", "conv2"):
+                mv(f"encoder.down.{i}.block.{j}.{part}", f"{pre}.{part}")
+            mv(f"encoder.down.{i}.block.{j}.nin_shortcut",
+               f"{pre}.conv_shortcut")
+        mv(f"encoder.down.{i}.downsample.conv",
+           f"encoder.down_blocks.{i}.downsamplers.0.conv")
+        # diffusers decoder up_blocks run high->low channels; BFL indexes
+        # them low->high (decoder.up.{n-1} is the first applied)
+        bfl = n_stages - 1 - i
+        for j in range(8):
+            pre = f"decoder.up_blocks.{i}.resnets.{j}"
+            if f"{pre}.norm1.weight" not in src:
+                break
+            for part in ("norm1", "conv1", "norm2", "conv2"):
+                mv(f"decoder.up.{bfl}.block.{j}.{part}", f"{pre}.{part}")
+            mv(f"decoder.up.{bfl}.block.{j}.nin_shortcut",
+               f"{pre}.conv_shortcut")
+        mv(f"decoder.up.{bfl}.upsample.conv",
+           f"decoder.up_blocks.{i}.upsamplers.0.conv")
+
+    if "quant_conv.weight" in src:
+        w, b = _fold_1x1(src.pop("quant_conv.weight"),
+                         src.pop("quant_conv.bias"),
+                         out.pop("encoder.conv_out.weight"),
+                         out.pop("encoder.conv_out.bias"))
+        out["encoder.conv_out.weight"] = w
+        out["encoder.conv_out.bias"] = b
+    if "post_quant_conv.weight" in src:
+        w, b = _fold_1x1_pre(out.pop("decoder.conv_in.weight"),
+                             out.pop("decoder.conv_in.bias"),
+                             src.pop("post_quant_conv.weight"),
+                             src.pop("post_quant_conv.bias"))
+        out["decoder.conv_in.weight"] = w
+        out["decoder.conv_in.bias"] = b
+    out.update(src)   # leftovers surface through the loader
+    return out

@@ -239,6 +239,13 @@ def attention(q, k, v, scale: float | None = None, backend: str = "auto",
         from ..parallel.ring_attention import ring_attention
         axis = backend.split(":", 1)[1] if ":" in backend else "cp"
         return ring_attention(q, k, v, axis_name=axis, scale=scale)
+    if backend.startswith("ulysses"):
+        # all-to-all sequence parallelism inside shard_map; backend
+        # "ulysses" or "ulysses:<axis>" (default axis 'sp')
+        from ..parallel.ulysses import ulysses_attention
+        axis = backend.split(":", 1)[1] if ":" in backend else "sp"
+        return ulysses_attention(q, k, v, axis_name=axis, scale=scale,
+                                 kv_mask=kv_mask)
     interpret = backend == "pallas_interpret"
     use_pallas = backend in ("pallas", "pallas_interpret") or (
         backend == "auto" and _on_tpu())

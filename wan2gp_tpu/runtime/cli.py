@@ -51,6 +51,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--listen", default="127.0.0.1",
                    help="web UI bind address (use 0.0.0.0 to share)")
     p.add_argument("--server-port", type=int, default=7860)
+    p.add_argument("--plugins-dir", default=None,
+                   help="load plugins (register(api) modules) from this dir")
     return p
 
 
@@ -80,7 +82,8 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     service = GenerationService(output_dir=args.output_dir,
                                 attn_backend=args.attention,
-                                init_random_weights=args.random_weights)
+                                init_random_weights=args.random_weights,
+                                plugins_dir=args.plugins_dir)
 
     if args.server:
         from .webui import WebUI

@@ -30,7 +30,8 @@ class GenerationService:
     def __init__(self, registry: Optional[ModelRegistry] = None,
                  output_dir: str = "outputs", attn_backend: str = "auto",
                  init_random_weights: bool = False,
-                 checkpoints_resolver: Optional[Callable] = None):
+                 checkpoints_resolver: Optional[Callable] = None,
+                 plugins_dir: Optional[str] = None):
         self.registry = registry or ModelRegistry(build_handler_map())
         self.output_dir = output_dir
         self.attn_backend = attn_backend
@@ -38,6 +39,10 @@ class GenerationService:
         self.checkpoints_resolver = checkpoints_resolver
         self._pipelines: Dict[str, Any] = {}
         self._interrupt = False
+        from ..plugins import PluginManager
+        self.plugins = PluginManager()
+        if plugins_dir:
+            self.plugins.load_directory(plugins_dir)
 
     # -- model management ----------------------------------------------
 
@@ -73,7 +78,7 @@ class GenerationService:
     def generate(self, settings: Dict[str, Any],
                  on_progress: Optional[Callable] = None) -> List[str]:
         """Run one task; returns list of output file paths."""
-        s = dict(settings)
+        s = self.plugins.apply_settings_hooks(dict(settings))
         model_type = s.get("model_type") or "t2v_1.3B"
         defaults = self.registry.default_settings(model_type)
         merged = {**defaults, **s}
@@ -100,7 +105,7 @@ class GenerationService:
                                 f"{model_type}_{stamp}_{seed}.png")
             media.save_image(np.asarray(img), path,
                              metadata=_clean_settings(merged))
-            return [path]
+            return self.plugins.apply_postprocess_hooks([path], merged)
 
         from ..models.wan.pipeline import SamplingConfig
         sampling = SamplingConfig(
@@ -156,7 +161,7 @@ class GenerationService:
             media.save_video(np.asarray(video), path,
                              fps=int(merged.get("fps", 24)),
                              metadata=_clean_settings(merged))
-            return [path]
+            return self.plugins.apply_postprocess_hooks([path], merged)
         window_size = int(merged.get("sliding_window_size", 0) or 0)
         if window_size and frame_num > window_size:
             video = pipe.generate_sliding(
@@ -185,7 +190,7 @@ class GenerationService:
         media.save_video(np.asarray(video), path,
                          fps=int(merged.get("fps", 16)),
                          metadata=_clean_settings(merged))
-        return [path]
+        return self.plugins.apply_postprocess_hooks([path], merged)
 
     # -- queue worker ------------------------------------------------------
 

@@ -100,6 +100,14 @@ class WebUI:
         url = urllib.parse.urlparse(path)
         route = url.path.rstrip("/") or "/"
         qs = urllib.parse.parse_qs(url.query)
+        plugin_routes = getattr(self.session.service, "plugins", None)
+        if plugin_routes is not None and route in plugin_routes.routes:
+            try:
+                payload = json.loads(body.decode("utf-8")) if body else {}
+                return plugin_routes.routes[route](method, payload)
+            except Exception as e:
+                return 500, "application/json", json.dumps(
+                    {"error": str(e)}).encode()
         try:
             if method == "GET":
                 return self._get(route, qs)

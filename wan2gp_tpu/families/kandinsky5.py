@@ -165,7 +165,7 @@ class Kandinsky5FamilyHandler:
             from ..postprocessing.latent_preview import latent_to_rgb
             z = np.asarray(out)[0].transpose(3, 0, 1, 2)   # [C, T, H, W]
             rgb = latent_to_rgb(z).astype(np.float32) / 127.5 - 1.0
-            return jnp.asarray(rgb.transpose(3, 0, 1, 2))  # [3, T, H, W]
+            return jnp.asarray(rgb)                        # [T, H, W, 3]
         return out
 
     @classmethod

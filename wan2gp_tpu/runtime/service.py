@@ -26,6 +26,26 @@ def parse_resolution(res: str):
     return int(w), int(h)
 
 
+def _apply_temporal_upsampling(video, merged, fps: int):
+    """'rife2'/'rife4' temporal upsampling (reference
+    postprocessing/rife/temporal_upsampler.py).  Uses the RIFE IFNet when
+    a checkpoint is available (settings _rife_model), else falls back to
+    linear blending.  video: [T, H, W, 3]."""
+    tu = str(merged.get("temporal_upsampling", "") or "")
+    if not tu.startswith("rife"):
+        return video, fps
+    exp = 2 if tu.endswith("4") else 1
+    ckpt = merged.get("_rife_model")
+    if ckpt:
+        from ..postprocessing import rife
+        params, _ = rife.load_rife_params(ckpt)
+        video = rife.interpolate_video(params, np.asarray(video), exp=exp)
+    else:
+        from ..postprocessing.basic import temporal_interpolate
+        video = temporal_interpolate(np.asarray(video), factor=2 ** exp)
+    return video, fps * 2 ** exp
+
+
 class GenerationService:
     def __init__(self, registry: Optional[ModelRegistry] = None,
                  output_dir: str = "outputs", attn_backend: str = "auto",
@@ -156,10 +176,11 @@ class GenerationService:
             # non-Wan video families own their sampling-config mapping
             video = handler.generate_video(pipe, merged, width, height,
                                            frame_num, seed)
+            video, fps = _apply_temporal_upsampling(
+                video, merged, int(merged.get("fps", 24)))
             path = os.path.join(self.output_dir,
                                 f"{model_type}_{stamp}_{seed}.avi")
-            media.save_video(np.asarray(video), path,
-                             fps=int(merged.get("fps", 24)),
+            media.save_video(np.asarray(video), path, fps=fps,
                              metadata=_clean_settings(merged))
             return self.plugins.apply_postprocess_hooks([path], merged)
         window_size = int(merged.get("sliding_window_size", 0) or 0)
@@ -185,10 +206,11 @@ class GenerationService:
                 context=merged.get("_context"),
                 context_null=merged.get("_context_null"),
                 image_start=merged.get("_image_start"))
+        video, fps = _apply_temporal_upsampling(
+            video, merged, int(merged.get("fps", 16)))
         path = os.path.join(self.output_dir,
                             f"{model_type}_{stamp}_{seed}.avi")
-        media.save_video(np.asarray(video), path,
-                         fps=int(merged.get("fps", 16)),
+        media.save_video(np.asarray(video), path, fps=fps,
                          metadata=_clean_settings(merged))
         return self.plugins.apply_postprocess_hooks([path], merged)
 

@@ -33,6 +33,12 @@ _ARCH: Dict[str, Dict[str, Any]] = {
     "ti2v_2_2": dict(dim=3072, ffn_dim=14336, num_heads=24, num_layers=30,
                      model_type="t2v", in_dim=48, out_dim=48,
                      vae_stride=(4, 16, 16)),
+    "phantom_1.3B": dict(dim=1536, ffn_dim=8960, num_heads=12,
+                         num_layers=30, model_type="phantom",
+                         vae_stride=(4, 8, 8)),
+    "phantom_14B": dict(dim=5120, ffn_dim=13824, num_heads=40,
+                        num_layers=40, model_type="phantom",
+                        vae_stride=(4, 8, 8)),
     "vace_1.3B": dict(dim=1536, ffn_dim=8960, num_heads=12, num_layers=30,
                       model_type="t2v", vae_stride=(4, 8, 8), vace=True),
     "vace_14B": dict(dim=5120, ffn_dim=13824, num_heads=40, num_layers=40,

@@ -255,6 +255,49 @@ def denoise_scan(dit_params, dit_cfg: WanDiTConfig, schedule: Schedule,
     return carry[0]
 
 
+def phantom_denoise_scan(dit_params, dit_cfg: WanDiTConfig,
+                         schedule: Schedule, latents, context, context_null,
+                         ref_latents, guide_scale: float,
+                         guide_scale_img: float, rope_cos, rope_sin,
+                         attn_backend: str = "auto"):
+    """Phantom subject-reference denoising (any2video.py:1011-1016,
+    1501-1507, 1610-1615): the last R latent frames are replaced each step
+    by the VAE-encoded reference images (positive branches) or zeros
+    (negative branch); three forwards combine as
+    pred = neg + g_img*(pos_i - neg) + g_text*(pos_it - pos_i).
+
+    latents: [1, C, F+R, H, W] noise; ref_latents: [C, R, H, W]."""
+    b = latents.shape[0]
+    r = ref_latents.shape[1]
+    refs = ref_latents[None]
+    refs_neg = jnp.zeros_like(refs)
+    ctx3 = jnp.concatenate([context, context_null, context_null], axis=0)
+
+    def body(carry, xs):
+        x, sstate = carry
+        t, coeffs_i, i = xs
+        x_pos = jnp.concatenate([x[:, :, :-r], refs.astype(x.dtype)], axis=2)
+        x_neg = jnp.concatenate([x[:, :, :-r], refs_neg.astype(x.dtype)],
+                                axis=2)
+        xb = jnp.concatenate([x_pos, x_pos, x_neg], axis=0)
+        tb = jnp.broadcast_to(t, (3 * b,))
+        v = wan_dit_forward(dit_params, dit_cfg, xb, tb, ctx3,
+                            rope_cos, rope_sin, attn_backend=attn_backend)
+        pos_it, pos_i, neg = v[:b], v[b:2 * b], v[2 * b:]
+        pred = (neg + guide_scale_img * (pos_i - neg)
+                + guide_scale * (pos_it - pos_i))
+        x, sstate = solver_step(schedule, i, coeffs_i, pred, x, sstate)
+        return (x, sstate), None
+
+    carry0 = (latents.astype(jnp.float32),
+              init_solver_state(schedule, latents))
+    xs = (schedule.timesteps,
+          {k: v for k, v in schedule.coeffs.items()},
+          jnp.arange(schedule.num_steps, dtype=jnp.int32))
+    (x, _), _ = jax.lax.scan(body, carry0, xs)
+    return x[:, :, :-r]
+
+
 class WanPipeline:
     """End-to-end Wan T2V/I2V generation.
 
@@ -662,6 +705,54 @@ class WanPipeline:
                          vace_context=vace_ctx, vace_scale=context_scale)
         if ref_count:
             x = x[:, :, ref_count:]
+        if return_latents:
+            return x
+        return self.decode(x)[0]
+
+    def generate_phantom(self, prompt: str, ref_images,
+                         n_prompt: str = "", width: int = 832,
+                         height: int = 480, frame_num: int = 81,
+                         sampling=None, seed: int = 0,
+                         guide_scale_img: float = 5.0,
+                         context=None, context_null=None,
+                         return_latents: bool = False):
+        """Phantom subject-reference T2V (any2video.py:1011,1501,1610):
+        each reference image is VAE-encoded to one latent frame appended
+        after the video latents; dual CFG combines an image branch
+        (g_img, fixed 5.0 in the reference) with the text branch.
+        ref_images: list of [H, W, 3] arrays in [-1, 1]."""
+        sampling = sampling or SamplingConfig()
+        if context is None:
+            context = self.encode_text([prompt])
+        if context_null is None:
+            context_null = self.encode_text(
+                [n_prompt or DEFAULT_NEGATIVE_PROMPT])
+        refs = []
+        for img in ref_images:
+            arr = jnp.asarray(img, jnp.float32).transpose(2, 0, 1)
+            pix = arr[None, :, None]            # [1, 3, 1, H, W]
+            refs.append(vae_encode(self.vae_params, self.vae_cfg,
+                                   pix.transpose(0, 2, 3, 4, 1))[0])
+        ref_latents = jnp.concatenate(
+            [r.transpose(3, 0, 1, 2) for r in refs], axis=1)  # [C, R, h, w]
+        r = ref_latents.shape[1]
+
+        lat_shape = self.latent_shape(frame_num, height, width)
+        lat_shape = (lat_shape[0], lat_shape[1], lat_shape[2] + r,
+                     lat_shape[3], lat_shape[4])
+        latents = jax.random.normal(jax.random.key(seed), lat_shape,
+                                    jnp.float32)
+        schedule = make_schedule(sampling.solver, sampling.steps,
+                                 sampling.shift)
+        rope_cos, rope_sin = self._rope(lat_shape,
+                                        sampling.enable_riflex)
+        fn = jax.jit(functools.partial(
+            phantom_denoise_scan, dit_cfg=self.dit_cfg, schedule=schedule,
+            guide_scale=sampling.guide_scale,
+            guide_scale_img=guide_scale_img, rope_cos=rope_cos,
+            rope_sin=rope_sin, attn_backend=self.attn_backend))
+        x = fn(self.dit_params, latents=latents, context=context,
+               context_null=context_null, ref_latents=ref_latents)
         if return_latents:
             return x
         return self.decode(x)[0]

@@ -209,3 +209,45 @@ def test_flux_random_text_encoders_deterministic():
     assert not np.array_equal(a, c)
     assert a.shape == (1, 128, 16)
     assert np.asarray(clip_fn(["x"])).shape == (1, 8)
+
+
+def test_flux_kontext_generation():
+    """Kontext: cond tokens appended with index-1 ids; output slice only."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from wan2gp_tpu.models.flux.dit import FluxConfig, init_flux
+    from wan2gp_tpu.models.flux.vae import FluxVAEConfig, init_flux_vae
+    from wan2gp_tpu.models.flux.pipeline import (FluxPipeline,
+                                                 FluxSamplingConfig)
+    cfg = FluxConfig(hidden_size=32, num_heads=2, depth=1,
+                     depth_single_blocks=1, context_in_dim=16, vec_in_dim=8,
+                     axes_dim=(4, 6, 6), compute_dtype=jnp.float32)
+    vcfg = FluxVAEConfig(ch=8, ch_mult=(1, 2), num_res_blocks=1,
+                         z_channels=16)
+    params = init_flux(jax.random.key(0), cfg, jnp.float32)
+    vae = init_flux_vae(jax.random.key(1), vcfg)
+    rng = np.random.default_rng(0)
+
+    def t5(prompts):
+        return jnp.asarray(rng.standard_normal((len(prompts), 6, 16)),
+                           jnp.float32)
+
+    def clip(prompts):
+        return jnp.asarray(rng.standard_normal((len(prompts), 8)),
+                           jnp.float32)
+
+    pipe = FluxPipeline(params, cfg, vae, vcfg, t5_encode_fn=t5,
+                        clip_encode_fn=clip, attn_backend="xla")
+    cond = rng.standard_normal((32, 32, 3)).astype(np.float32) * 0.2
+    z = pipe.generate_kontext("make it red", [cond], width=32, height=32,
+                              sampling=FluxSamplingConfig(steps=2),
+                              seed=0, return_latents=True)
+    assert z.shape == (1, 16, 4, 4)
+    assert np.isfinite(np.asarray(z)).all()
+    # changing the conditioning image must change the output
+    cond2 = rng.standard_normal((32, 32, 3)).astype(np.float32) * 0.2
+    z2 = pipe.generate_kontext("make it red", [cond2], width=32, height=32,
+                               sampling=FluxSamplingConfig(steps=2),
+                               seed=0, return_latents=True)
+    assert not np.allclose(np.asarray(z), np.asarray(z2))

@@ -14,6 +14,7 @@ _ARCH: Dict[str, Dict[str, Any]] = {
     # reference models/flux/util.py:474-504
     "flux_schnell": dict(guidance_embed=False, shift=False),
     "flux_dev": dict(guidance_embed=True, shift=True),
+    "flux_dev_kontext": dict(guidance_embed=True, shift=True),
 }
 
 
@@ -105,6 +106,21 @@ class FluxFamilyHandler:
             steps=int(merged.get("num_inference_steps", 4)),
             guidance=float(merged.get("embedded_guidance_scale", 3.5)),
             shift=pipe.dit_cfg.guidance_embed)
+        refs = merged.get("_image_refs") or merged.get("image_refs")
+        if refs:
+            import numpy as np
+            from ..utils.media import to_uint8
+            imgs = []
+            for r in refs:
+                arr = np.asarray(r)
+                if arr.dtype == np.uint8:
+                    arr = arr.astype(np.float32) / 127.5 - 1.0
+                imgs.append(arr)
+            return pipe.generate_kontext(
+                prompt=merged.get("prompt", ""), cond_images=imgs,
+                width=width, height=height, sampling=sampling, seed=seed,
+                context=merged.get("_context"),
+                vec_y=merged.get("_vec_y"))
         return pipe.generate(prompt=merged.get("prompt", ""),
                              width=width, height=height,
                              sampling=sampling, seed=seed,

@@ -43,16 +43,23 @@ class FluxSamplingConfig:
 
 def flux_denoise_scan(params, cfg: FluxConfig, img, txt, vec_y, timesteps,
                       guidance: float, rope_cos, rope_sin,
-                      attn_backend: str = "auto"):
-    """img: [B, L_img, C] packed latents.  timesteps: [N+1] descending."""
+                      cond_tokens=None, attn_backend: str = "auto"):
+    """img: [B, L_img, C] packed latents.  timesteps: [N+1] descending.
+    cond_tokens: optional [B, L_cond, C] Kontext conditioning latents
+    appended after the noise tokens each step (sampling.py:680-683); the
+    rope tables must already cover [txt, img, cond]."""
     ts = jnp.asarray(timesteps, jnp.float32)
     g = jnp.full((img.shape[0],), guidance, jnp.float32)
+    base_len = img.shape[1]
 
     def body(x, i):
         t = jnp.broadcast_to(ts[i], (x.shape[0],))
-        pred = flux_forward(params, cfg, x, txt, vec_y, t, rope_cos, rope_sin,
+        xin = (x if cond_tokens is None else
+               jnp.concatenate([x, cond_tokens.astype(x.dtype)], axis=1))
+        pred = flux_forward(params, cfg, xin, txt, vec_y, t,
+                            rope_cos, rope_sin,
                             guidance=g if cfg.guidance_embed else None,
-                            attn_backend=attn_backend)
+                            attn_backend=attn_backend)[:, :base_len]
         return x + (ts[i + 1] - ts[i]) * pred, None
 
     x, _ = jax.lax.scan(body, img.astype(jnp.float32),
@@ -109,6 +116,65 @@ class FluxPipeline:
                 attn_backend=self.attn_backend))
             self._cache[sig] = fn
         x = fn(self.dit_params, img=img, txt=context, vec_y=vec_y)
+        z = unpack_latent(x, h_lat, w_lat)
+        if return_latents:
+            return z
+        img_out = flux_vae_decode(self.vae_params, self.vae_cfg,
+                                  z.transpose(0, 2, 3, 1))
+        return jnp.clip(img_out[0], -1.0, 1.0)
+
+    def generate_kontext(self, prompt: str, cond_images,
+                         width: int = 1024, height: int = 1024,
+                         sampling: FluxSamplingConfig = FluxSamplingConfig(),
+                         seed: int = 0, context=None, vec_y=None,
+                         return_latents: bool = False):
+        """FLUX Kontext image editing (sampling.py:174 prepare_kontext):
+        each conditioning image is VAE-encoded and packed as extra tokens
+        with position ids at index 1 and cumulative h/w offsets; the model
+        sees [noise, cond] and only the noise slice is integrated.
+        cond_images: list of [H, W, 3] arrays in [-1, 1]."""
+        from .vae import flux_vae_encode
+        if context is None:
+            context = self.t5_encode_fn([prompt])
+        if vec_y is None:
+            vec_y = self.clip_encode_fn([prompt])
+        h_lat, w_lat = height // 8, width // 8
+        h_tok, w_tok = h_lat // 2, w_lat // 2
+
+        cond_tokens = []
+        cond_ids = []
+        h_off = w_off = 0
+        for im in cond_images:
+            im = jnp.asarray(im, jnp.float32)
+            z = flux_vae_encode(self.vae_params, self.vae_cfg, im[None])
+            ch, cw = z.shape[1], z.shape[2]
+            cond_tokens.append(pack_latent(z.transpose(0, 3, 1, 2)))
+            ids = make_img_ids(ch // 2, cw // 2, index=1)
+            ids[:, 1] += h_off
+            ids[:, 2] += w_off
+            cond_ids.append(ids)
+            h_off += ch // 2
+            w_off += cw // 2
+        cond_seq = jnp.concatenate(cond_tokens, axis=1)
+
+        key = jax.random.key(seed)
+        latent = jax.random.normal(key, (1, 16, h_lat, w_lat), jnp.float32)
+        img = pack_latent(latent)
+
+        txt_len = context.shape[1]
+        ids = np.concatenate([np.zeros((txt_len, 3)),
+                              make_img_ids(h_tok, w_tok),
+                              *cond_ids], axis=0)
+        cos, sin = rope_from_ids(ids, self.dit_cfg.axes_dim,
+                                 self.dit_cfg.theta)
+        ts = flux_schedule(sampling.steps, h_tok * w_tok,
+                           shift=sampling.shift)
+        fn = jax.jit(functools.partial(
+            flux_denoise_scan, cfg=self.dit_cfg, timesteps=ts,
+            guidance=sampling.guidance, rope_cos=cos, rope_sin=sin,
+            attn_backend=self.attn_backend))
+        x = fn(self.dit_params, img=img, txt=context, vec_y=vec_y,
+               cond_tokens=cond_seq)
         z = unpack_latent(x, h_lat, w_lat)
         if return_latents:
             return z

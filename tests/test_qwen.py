@@ -113,3 +113,42 @@ def test_qwen_checkpoint_roundtrip():
                             text, cos, sin, attn_backend="xla")
     np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_qwen_edit_generation():
+    """Edit path: cond latents appended, rope frame index per image."""
+    params = init_qwen_image(jax.random.key(3), TINY, jnp.float32)
+    rng = np.random.default_rng(3)
+
+    def enc(prompt):
+        t = jnp.asarray(rng.standard_normal(
+            (1, 5, TINY.joint_attention_dim)), jnp.float32)
+        return t, t
+
+    from wan2gp_tpu.models.qwen.pipeline import (QwenImagePipeline,
+                                                 QwenSamplingConfig)
+    pipe = QwenImagePipeline(params, TINY, text_encode_fn=enc,
+                             attn_backend="xla")
+    cond = jnp.asarray(rng.standard_normal((16, 8, 8)), jnp.float32)
+    z = pipe.generate_edit("recolor", [cond], width=64, height=64, seed=0,
+                           sampling=QwenSamplingConfig(steps=2,
+                                                       true_cfg_scale=2.0),
+                           return_latents=True)
+    assert z.shape == (1, 16, 8, 8)
+    assert np.isfinite(np.asarray(z)).all()
+    cond2 = jnp.asarray(rng.standard_normal((16, 8, 8)), jnp.float32)
+    z2 = pipe.generate_edit("recolor", [cond2], width=64, height=64, seed=0,
+                            sampling=QwenSamplingConfig(steps=2,
+                                                        true_cfg_scale=2.0),
+                            return_latents=True)
+    assert not np.allclose(np.asarray(z), np.asarray(z2))
+
+
+def test_qwen_rope_multi_grid():
+    from wan2gp_tpu.models.qwen.dit import qwen_rope
+    cos1, _ = qwen_rope((1, 4, 4), 5, TINY)
+    cosm, _ = qwen_rope([(1, 4, 4), (1, 2, 2)], 5, TINY)
+    assert cosm.shape[0] == 5 + 16 + 4
+    # output-grid rows identical to the single-grid case
+    np.testing.assert_allclose(np.asarray(cosm[5:21]),
+                               np.asarray(cos1[5:21]), atol=1e-6)

@@ -46,18 +46,28 @@ class QwenImageConfig:
 
 
 def qwen_rope(grid_fhw, txt_len: int, cfg: QwenImageConfig):
-    """(cos, sin) [txt_len + f*h*w, head_dim/2] in [txt, img] order."""
-    f, h, w = grid_fhw
-    ids = np.zeros((f * h * w, 3))
-    ff, hh, ww = np.meshgrid(np.arange(f),
-                             np.arange(h) - (h - h // 2),
-                             np.arange(w) - (w - w // 2), indexing="ij")
-    ids[:, 0] = ff.ravel()
-    ids[:, 1] = hh.ravel()
-    ids[:, 2] = ww.ravel()
-    max_vid = max(h // 2, w // 2)
+    """(cos, sin) [txt_len + sum(f*h*w), head_dim/2] in [txt, img...] order.
+
+    grid_fhw: one (f, h, w) grid or a list of grids — Qwen-Image-Edit packs
+    the output grid plus one grid per conditioning image, each with frame
+    coordinate = its list index (transformer_qwenimage.py:204-213
+    _compute_video_freqs(idx)); txt ids continue at the max spatial extent
+    over all grids (:217-223)."""
+    grids = grid_fhw if isinstance(grid_fhw, list) else [grid_fhw]
+    parts = []
+    max_vid = 0
+    for idx, (f, h, w) in enumerate(grids):
+        ids = np.zeros((f * h * w, 3))
+        ff, hh, ww = np.meshgrid(np.arange(f) + idx,
+                                 np.arange(h) - (h - h // 2),
+                                 np.arange(w) - (w - w // 2), indexing="ij")
+        ids[:, 0] = ff.ravel()
+        ids[:, 1] = hh.ravel()
+        ids[:, 2] = ww.ravel()
+        parts.append(ids)
+        max_vid = max(max_vid, h // 2, w // 2)
     txt_ids = np.stack([max_vid + np.arange(txt_len)] * 3, axis=-1)
-    all_ids = np.concatenate([txt_ids, ids], axis=0)
+    all_ids = np.concatenate([txt_ids, *parts], axis=0)
     return rope_from_ids(all_ids, cfg.axes_dims_rope, 10000)
 
 

@@ -152,6 +152,26 @@ PREPROCESSORS = {
 }
 
 
+def make_depth_preprocessor(checkpoint_path: str, variant: str = "vitl"):
+    """Model-based 'depth' control preprocessor (depth_anything.py).
+    Returns fn(frame [H,W,3] uint8) -> [H,W,3] uint8 depth map, and
+    registers it under PREPROCESSORS['depth']."""
+    import numpy as np
+    from .depth_anything import (DAv2Config, DAV2_CONFIGS,
+                                 load_dav2_params, infer_depth)
+    from ..io.safetensors_reader import load_weights
+    cfg = DAv2Config(**DAV2_CONFIGS[variant])
+    params, _ = load_dav2_params(load_weights(checkpoint_path), cfg)
+
+    def depth_fn(frame):
+        d = infer_depth(params, cfg, frame)
+        d8 = (d * 255).astype(np.uint8)
+        return np.stack([d8] * 3, axis=-1)
+
+    PREPROCESSORS["depth"] = depth_fn
+    return depth_fn
+
+
 def preprocess_video(frames: np.ndarray, kind: str) -> np.ndarray:
     """Apply a per-frame filter to [T, H, W, 3]."""
     fn = PREPROCESSORS[kind]

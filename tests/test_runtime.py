@@ -182,3 +182,47 @@ def test_queue_zip_rejects_missing_manifest(tmp_path):
         zf.writestr("other.json", "{}")
     with pytest.raises(ValueError):
         TaskQueue().load_zip(str(zpath))
+
+
+def test_server_config_load_migrate(tmp_path):
+    """wgp_config.json compatibility: defaults, migration, round-trip."""
+    import json
+    from wan2gp_tpu.runtime.server_config import (
+        load_server_config, save_server_config, apply_server_config)
+    path = tmp_path / "wgp_config.json"
+    # missing file -> defaults
+    cfg = load_server_config(str(path))
+    assert cfg["attention_mode"] == "auto"
+    assert cfg["save_path"] == "outputs"
+    # legacy keys migrate, CUDA-era knobs drop, unknown keys survive
+    path.write_text(json.dumps({"attention": "sdpa", "profile": 4,
+                                "save_path": "/tmp/out",
+                                "custom_key": 42}))
+    cfg = load_server_config(str(path))
+    assert cfg["attention_mode"] == "sdpa"
+    assert "profile" not in cfg
+    assert cfg["custom_key"] == 42
+    kw = apply_server_config(cfg)
+    assert kw["output_dir"] == "/tmp/out"
+    save_server_config(cfg, str(path))
+    assert load_server_config(str(path))["custom_key"] == 42
+
+
+def test_webui_stats_endpoint(tmp_path):
+    from wan2gp_tpu.runtime.api import Session
+    from wan2gp_tpu.runtime.webui import WebUI
+    import json
+
+    class StubService:
+        class registry:
+            @staticmethod
+            def model_types():
+                return []
+        plugins = None
+
+    ui = WebUI(session=Session(service=StubService()),
+               save_path=str(tmp_path))
+    status, ctype, body = ui.handle("GET", "/api/stats")
+    assert status == 200
+    stats = json.loads(body)
+    assert "platform" in stats or "devices" in stats or stats

@@ -53,6 +53,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--server-port", type=int, default=7860)
     p.add_argument("--plugins-dir", default=None,
                    help="load plugins (register(api) modules) from this dir")
+    p.add_argument("--config", default=None, metavar="WGP_CONFIG",
+                   help="wgp_config.json-compatible server config file")
     return p
 
 
@@ -80,10 +82,17 @@ def _settings_from_args(args) -> dict:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    service = GenerationService(output_dir=args.output_dir,
-                                attn_backend=args.attention,
-                                init_random_weights=args.random_weights,
-                                plugins_dir=args.plugins_dir)
+    svc_kwargs = dict(output_dir=args.output_dir,
+                      attn_backend=args.attention,
+                      plugins_dir=args.plugins_dir)
+    if args.config:
+        from .server_config import load_server_config, apply_server_config
+        base = apply_server_config(load_server_config(args.config))
+        for k, v in base.items():
+            if svc_kwargs.get(k) in (None, "outputs", "auto"):
+                svc_kwargs[k] = v
+    service = GenerationService(init_random_weights=args.random_weights,
+                                **svc_kwargs)
 
     if args.server:
         from .webui import WebUI

@@ -133,6 +133,9 @@ class WebUI:
                         "settings": t.settings, "outputs": t.outputs,
                         "error": t.error}
                        for t in self.session.queue.tasks()])
+        if route == "/api/stats":
+            from ..utils.diagnostics import device_stats
+            return ok(device_stats())
         if route == "/api/queue/save":
             path = os.path.join(self.save_path, "_ui_queue.zip")
             os.makedirs(self.save_path, exist_ok=True)

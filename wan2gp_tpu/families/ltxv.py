@@ -68,8 +68,29 @@ class LTXVFamilyHandler:
             if checkpoints.get("text_encoder"):
                 text_fn = cls._load_text_encoder(checkpoints, tokenizer,
                                                  dtype)
-        return LTXVPipeline(params, cfg, text_encode_fn=text_fn,
+        vae_fn = None
+        if not init_random and checkpoints and checkpoints.get("vae"):
+            vae_fn = cls._load_vae(checkpoints)
+        return LTXVPipeline(params, cfg, vae_decode_fn=vae_fn,
+                            text_encode_fn=text_fn,
                             attn_backend=attn_backend)
+
+    @staticmethod
+    def _load_vae(checkpoints, vae_config=None):
+        """LTXV causal video autoencoder (models/ltxv/vae.py); block
+        config via `vae_config` (checkpoint-metadata dict) when the
+        layout differs from the 0.9.x default."""
+        from ..io.safetensors_reader import load_weights
+        from ..models.ltxv.vae import (LTXVVAEConfig, load_ltxv_vae_params,
+                                       ltxv_vae_decode)
+        cfg = LTXVVAEConfig(**(vae_config or {}))
+        params, _ = load_ltxv_vae_params(load_weights(checkpoints["vae"]),
+                                         cfg)
+
+        def decode(z):
+            import jax.numpy as jnp
+            return jnp.clip(ltxv_vae_decode(params, cfg, z), -1.0, 1.0)
+        return decode
 
     @staticmethod
     def _load_text_encoder(checkpoints, tokenizer, dtype):

@@ -1,0 +1,173 @@
+"""MiniMax H3 joint audio-video DiT tests (tiny config)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from wan2gp_tpu.models.minimax.dit import (
+    MiniMaxH3Config, init_minimax_h3, minimax_h3_forward, refine_text,
+    build_layout, build_minimax_rope, patchify_video_minimax,
+    unpatchify_video_minimax, pack_audio_minimax, unpack_audio_minimax)
+from wan2gp_tpu.models.minimax.pipeline import (
+    MiniMaxH3Pipeline, MiniMaxSamplingConfig, minimax_sigmas)
+
+TINY = MiniMaxH3Config(hidden_size=32, num_layers=2,
+                       token_refiner_num_layers=1, num_heads=2, head_dim=16,
+                       ffn_hidden_size=64, latents_dim=4,
+                       audio_latents_dim=6, text_dim=24,
+                       timestep_input_dim=16, time_embed_hidden_size=32,
+                       time_embed_dim=16, rope_inv_freq_len=2,
+                       compute_dtype=jnp.float32)
+
+
+def test_layout_positions():
+    lay = build_layout(3, 2, 4, 4, 5, TINY, fps=24.0)
+    # seq = text + 2*audio + t*h/2*w/2
+    assert lay["seq"] == 3 + 10 + 2 * 4
+    pos = lay["positions"]
+    np.testing.assert_allclose(pos[:3, 0], [0, 1, 2])
+    # audio times repeat per stereo channel, offset by text length
+    np.testing.assert_allclose(pos[3:8, 0], 3 + np.arange(5))
+    np.testing.assert_allclose(pos[8:13, 0], 3 + np.arange(5))
+    # video frame times advance by 5/3 * frames-per-token (1, 4, ...)
+    v0 = lay["video"][0]
+    np.testing.assert_allclose(pos[v0, 0], 3.0)
+    np.testing.assert_allclose(pos[v0 + 4, 0], 3.0 + 5.0 / 3.0)
+
+
+def test_pack_unpack_roundtrips():
+    rng = np.random.default_rng(0)
+    vid = jnp.asarray(rng.standard_normal((1, 4, 2, 4, 6)), jnp.float32)
+    rows = patchify_video_minimax(vid, (1, 2, 2))
+    assert rows.shape == (2 * 2 * 3, 16)
+    back = unpatchify_video_minimax(rows, 2, 4, 6, 4, (1, 2, 2))
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(vid))
+
+    aud = jnp.asarray(rng.standard_normal((1, 6, 2, 5)), jnp.float32)
+    arows = pack_audio_minimax(aud)
+    assert arows.shape == (10, 6)
+    aback = unpack_audio_minimax(arows, 6)
+    np.testing.assert_array_equal(np.asarray(aback), np.asarray(aud))
+
+
+def test_forward_shapes():
+    params = init_minimax_h3(jax.random.key(0), TINY)
+    rng = np.random.default_rng(1)
+    video = jnp.asarray(rng.standard_normal((1, 4, 2, 4, 4)), jnp.float32)
+    audio = jnp.asarray(rng.standard_normal((1, 6, 2, 5)), jnp.float32)
+    text = jnp.asarray(rng.standard_normal((1, 3, 24)), jnp.float32)
+    th = refine_text(params, TINY, text[0], attn_backend="xla")
+    assert th.shape == (3, 32)
+    lay = build_layout(3, 2, 4, 4, 5, TINY)
+    rope = build_minimax_rope(lay["positions"], TINY)
+    vv, va = minimax_h3_forward(params, TINY, video, audio,
+                                jnp.asarray(0.9), jnp.asarray(0.7),
+                                th, lay, rope, attn_backend="xla")
+    assert vv.shape == video.shape
+    assert va.shape == audio.shape
+    assert np.isfinite(np.asarray(vv)).all()
+    assert np.isfinite(np.asarray(va)).all()
+    # different audio sigma changes audio branch (its adaLN row)
+    vv2, va2 = minimax_h3_forward(params, TINY, video, audio,
+                                  jnp.asarray(0.9), jnp.asarray(0.1),
+                                  th, lay, rope, attn_backend="xla")
+    assert not np.allclose(np.asarray(va), np.asarray(va2))
+
+
+def test_sigmas_shift_transform():
+    s = minimax_sigmas(4, 12.0)
+    base = np.linspace(1, 0, 5)
+    np.testing.assert_allclose(s, 12 * base / (1 + 11 * base), rtol=1e-12)
+
+
+def test_pipeline_t2va():
+    params = init_minimax_h3(jax.random.key(1), TINY)
+
+    def enc(prompts):
+        rng = np.random.default_rng(len(prompts[0]))
+        return jnp.asarray(rng.standard_normal((1, 3, 24)), jnp.float32)
+
+    pipe = MiniMaxH3Pipeline(params, TINY, text_encode_fn=enc,
+                             attn_backend="xla")
+    video, audio = pipe.generate("a song", width=32, height=32,
+                                 frame_num=5, audio_latents=4,
+                                 sampling=MiniMaxSamplingConfig(steps=2),
+                                 seed=0)
+    assert video.shape == (1, 4, 2, 2, 2)
+    assert audio.shape == (1, 6, 2, 4)
+    assert np.isfinite(np.asarray(video)).all()
+    assert np.isfinite(np.asarray(audio)).all()
+
+
+def test_minimax_checkpoint_roundtrip():
+    from wan2gp_tpu.io.minimax_checkpoint import load_minimax_h3_params
+    params = init_minimax_h3(jax.random.key(2), TINY, jnp.float32)
+    sd = {}
+
+    def put_lin(name, p, i=None):
+        g = (lambda x: np.asarray(x[i], np.float32)) if i is not None \
+            else (lambda x: np.asarray(x, np.float32))
+        sd[f"{name}.weight"] = g(p["w"]).T
+        if "b" in p:
+            sd[f"{name}.bias"] = g(p["b"])
+
+    def put_attn(pre, p, i):
+        put_lin(f"{pre}.qkv_proj", p["qkv"], i)
+        put_lin(f"{pre}.out_proj", p["o"], i)
+        sd[f"{pre}.q_norm.weight"] = np.asarray(p["q_norm"][i])
+        sd[f"{pre}.k_norm.weight"] = np.asarray(p["k_norm"][i])
+
+    put_lin("video_patch_proj", params["video_patch_proj"])
+    put_lin("audio_patch_proj", params["audio_patch_proj"])
+    put_lin("condition_proj", params["condition_proj"])
+    put_lin("time_embedder.proj_in", params["time_embedder"]["in"])
+    put_lin("time_embedder.proj_out", params["time_embedder"]["out"])
+    tr = params["token_refiner"]
+    for i in range(TINY.token_refiner_num_layers):
+        pre = f"token_refiner.blocks.{i}"
+        sd[f"{pre}.norm1.weight"] = np.asarray(tr["blocks"]["norm1"][i])
+        sd[f"{pre}.norm2.weight"] = np.asarray(tr["blocks"]["norm2"][i])
+        put_attn(f"{pre}.attn", tr["blocks"]["attn"], i)
+        put_lin(f"{pre}.mlp.fc1", tr["blocks"]["mlp"]["fc1"], i)
+        put_lin(f"{pre}.mlp.fc2", tr["blocks"]["mlp"]["fc2"], i)
+    sd["token_refiner.final_norm.weight"] = np.asarray(tr["final_norm"])
+    bp = params["blocks"]
+    for i in range(TINY.num_layers):
+        pre = f"blocks.{i}"
+        sd[f"{pre}.norm1.weight"] = np.asarray(bp["norm1"][i])
+        sd[f"{pre}.norm2.weight"] = np.asarray(bp["norm2"][i])
+        put_attn(f"{pre}.attn", bp["attn"], i)
+        put_lin(f"{pre}.mlp.fc1", bp["mlp"]["fc1"], i)
+        put_lin(f"{pre}.mlp.fc2", bp["mlp"]["fc2"], i)
+        put_lin(f"{pre}.adaln_proj.linear", bp["adaln"], i)
+    fp = params["final"]
+    sd["final_layer.norm.weight"] = np.asarray(fp["norm"])
+    put_lin("final_layer.adaln_proj.linear", fp["adaln"])
+    put_lin("final_layer.video_out", fp["video_out"])
+    put_lin("final_layer.audio_out", fp["audio_out"])
+
+    loaded, left = load_minimax_h3_params(sd, TINY, dtype=jnp.float32)
+    assert left == []
+    rng = np.random.default_rng(4)
+    video = jnp.asarray(rng.standard_normal((1, 4, 2, 4, 4)), jnp.float32)
+    audio = jnp.asarray(rng.standard_normal((1, 6, 2, 5)), jnp.float32)
+    text = jnp.asarray(rng.standard_normal((3, 24)), jnp.float32)
+    th1 = refine_text(params, TINY, text, attn_backend="xla")
+    th2 = refine_text(loaded, TINY, text, attn_backend="xla")
+    np.testing.assert_allclose(np.asarray(th2), np.asarray(th1), atol=1e-5)
+    lay = build_layout(3, 2, 4, 4, 5, TINY)
+    rope = build_minimax_rope(lay["positions"], TINY)
+    o1 = minimax_h3_forward(params, TINY, video, audio, jnp.asarray(0.8),
+                            jnp.asarray(0.5), th1, lay, rope,
+                            attn_backend="xla")
+    o2 = minimax_h3_forward(loaded, TINY, video, audio, jnp.asarray(0.8),
+                            jnp.asarray(0.5), th2, lay, rope,
+                            attn_backend="xla")
+    np.testing.assert_allclose(np.asarray(o2[0]), np.asarray(o1[0]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(o2[1]), np.asarray(o1[1]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_minimax_handler_registry():
+    from wan2gp_tpu.families import build_handler_map
+    assert "minimax_h3" in build_handler_map()

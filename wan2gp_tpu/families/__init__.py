@@ -14,11 +14,13 @@ from .qwen import QwenImageFamilyHandler
 from .krea2 import Krea2FamilyHandler
 from .zimage import ZImageFamilyHandler
 from .kandinsky5 import Kandinsky5FamilyHandler
+from .minimax import MiniMaxFamilyHandler
 
 _HANDLER_CLASSES = [WanFamilyHandler, FluxFamilyHandler,
                     HunyuanFamilyHandler, LTXVFamilyHandler,
                     QwenImageFamilyHandler, Krea2FamilyHandler,
-                    ZImageFamilyHandler, Kandinsky5FamilyHandler]
+                    ZImageFamilyHandler, Kandinsky5FamilyHandler,
+                    MiniMaxFamilyHandler]
 
 
 def build_handler_map():

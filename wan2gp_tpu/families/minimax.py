@@ -1,0 +1,65 @@
+"""MiniMax H3 family handler (joint audio-video generation).
+
+Mirrors /root/reference/models/minimax_h3/minimax_h3_handler.py for the
+base T2VA path; the audio/video VAEs and Ref2VA conditioning land in later
+rounds (pipeline returns latents until then).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.minimax.dit import MiniMaxH3Config, init_minimax_h3
+from ..models.minimax.pipeline import (MiniMaxH3Pipeline,
+                                       MiniMaxSamplingConfig)
+
+
+class MiniMaxFamilyHandler:
+    family = "minimax"
+
+    @staticmethod
+    def query_supported_types() -> List[str]:
+        return ["minimax_h3"]
+
+    @staticmethod
+    def query_family_infos():
+        return {"minimax": (1300, "MiniMax H3")}
+
+    @staticmethod
+    def query_model_def(base_model_type, model_def):
+        return {"image_outputs": False, "group": "minimax",
+                "audio_outputs": True}
+
+    @staticmethod
+    def default_settings(base_model_type: str) -> Dict[str, Any]:
+        return {"prompt": "", "resolution": "512x512", "video_length": 49,
+                "num_inference_steps": 30, "flow_shift": 12.0, "seed": -1}
+
+    @staticmethod
+    def query_model_files(base_model_type, model_def):
+        return [{"role": "transformer", "urls": model_def.get("URLs", [])}]
+
+    @classmethod
+    def load_model(cls, base_model_type, model_def, checkpoints=None,
+                   dtype=jnp.bfloat16, attn_backend="auto",
+                   init_random=False, tokenizer=None, seed=0):
+        cfg = MiniMaxH3Config(compute_dtype=dtype)
+        text_fn = None
+        if init_random:
+            params = init_minimax_h3(jax.random.key(seed), cfg, dtype)
+
+            def text_fn(prompts, _seed=seed):
+                k = jax.random.key(hash((prompts[0], _seed)) & 0x7FFFFFFF)
+                return jax.random.normal(k, (1, 48, cfg.text_dim),
+                                         jnp.float32)
+        else:
+            from ..io.safetensors_reader import load_weights
+            from ..io.minimax_checkpoint import load_minimax_h3_params
+            params, left = load_minimax_h3_params(
+                load_weights(checkpoints["transformer"]), cfg, dtype)
+            if left:
+                raise ValueError(f"unconsumed minimax keys: {left[:8]}")
+        return MiniMaxH3Pipeline(params, cfg, text_encode_fn=text_fn,
+                                 attn_backend=attn_backend)

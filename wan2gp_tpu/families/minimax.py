@@ -39,7 +39,9 @@ class MiniMaxFamilyHandler:
 
     @staticmethod
     def query_model_files(base_model_type, model_def):
-        return [{"role": "transformer", "urls": model_def.get("URLs", [])}]
+        base = "https://huggingface.co/DeepBeepMeep/MiniMaxH3/resolve/main/"
+        return [{"role": "transformer", "urls": model_def.get("URLs", [])},
+                {"role": "vae", "urls": [base + "minimax_h3_video_vae.safetensors"]}]
 
     @classmethod
     def load_model(cls, base_model_type, model_def, checkpoints=None,
@@ -61,5 +63,27 @@ class MiniMaxFamilyHandler:
                 load_weights(checkpoints["transformer"]), cfg, dtype)
             if left:
                 raise ValueError(f"unconsumed minimax keys: {left[:8]}")
+        vae_fn = None
+        if not init_random and checkpoints and checkpoints.get("vae"):
+            vae_fn = cls._load_video_vae(checkpoints, attn_backend)
         return MiniMaxH3Pipeline(params, cfg, text_encode_fn=text_fn,
+                                 video_vae_decode_fn=vae_fn,
                                  attn_backend=attn_backend)
+
+    @staticmethod
+    def _load_video_vae(checkpoints, attn_backend):
+        """MiniMax video VAE (models/minimax/video_vae.py: CNN encoder +
+        ViT decoder with chunked temporal geometry)."""
+        from ..io.safetensors_reader import load_weights
+        from ..models.minimax.video_vae import (
+            MiniMaxVideoVAEConfig, load_minimax_video_vae_params,
+            minimax_vae_decode)
+        cfg = MiniMaxVideoVAEConfig()
+        params, _ = load_minimax_video_vae_params(
+            load_weights(checkpoints["vae"]), cfg)
+
+        def decode(z):
+            return jnp.clip(minimax_vae_decode(params, cfg, z,
+                                               attn_backend=attn_backend),
+                            -1.0, 1.0)
+        return decode

@@ -1,0 +1,107 @@
+"""Hunyuan 1.5 VAE (AutoencoderKLConv3D) tests."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from wan2gp_tpu.models.hyvideo.vae15 import (
+    Hunyuan15VAEConfig, init_hunyuan15_vae, hunyuan15_vae_encode,
+    hunyuan15_vae_decode, _plan, _s2d, _d2s)
+
+TINY = Hunyuan15VAEConfig(latent_channels=4,
+                          block_out_channels=(8, 16, 32),
+                          layers_per_block=1, ffactor_spatial=4,
+                          ffactor_temporal=2)
+
+
+def test_plan():
+    cfg = Hunyuan15VAEConfig()
+    enc = _plan(cfg, decode=False)
+    # spatial at levels 0-3, temporal at 2-3 (ffactor 16/4)
+    assert [(sp, tm) for _, sp, tm in enc] == [
+        (True, False), (True, False), (True, True), (True, True),
+        (False, False)]
+    dec = _plan(cfg, decode=True)
+    assert [(sp, tm) for _, sp, tm in dec] == [
+        (True, True), (True, True), (True, False), (True, False),
+        (False, False)]
+
+
+def test_s2d_d2s_roundtrip():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 4, 4, 6, 3)), jnp.float32)
+    y = _s2d(x, 2, 2, 2)
+    assert y.shape == (1, 2, 2, 3, 24)
+    back = _d2s(y, 2, 2, 2)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x))
+
+
+def test_encode_decode_shapes():
+    params = init_hunyuan15_vae(jax.random.key(0), TINY)
+    rng = np.random.default_rng(1)
+    # temporal: level1 downsample is temporal (i>= nsp-ntm = 1);
+    # first frame spatial-only -> T' = 1 + (T-1)/2
+    vid = jnp.asarray(rng.standard_normal((1, 3, 5, 16, 16)),
+                      jnp.float32) * 0.1
+    z = hunyuan15_vae_encode(params, TINY, vid)
+    assert z.shape == (1, TINY.latent_channels, 3, 4, 4)
+    out = hunyuan15_vae_decode(params, TINY, z)
+    assert out.shape == (1, 3, 5, 16, 16)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_hv15_loader_roundtrip():
+    from wan2gp_tpu.models.hyvideo.vae15 import load_hunyuan15_vae_params
+    params = init_hunyuan15_vae(jax.random.key(2), TINY)
+    sd = {}
+
+    def put_conv(name, p):
+        sd[f"{name}.weight"] = np.asarray(p["w"], np.float32
+                                          ).transpose(4, 3, 0, 1, 2)
+        sd[f"{name}.bias"] = np.asarray(p["b"], np.float32)
+
+    def put_norm(name, p):
+        sd[f"{name}.gamma"] = np.asarray(p["gamma"], np.float32)
+
+    def put_res(pre, p):
+        put_norm(f"{pre}.norm1", p["norm1"])
+        put_conv(f"{pre}.conv1.conv", p["conv1"])
+        put_norm(f"{pre}.norm2", p["norm2"])
+        put_conv(f"{pre}.conv2.conv", p["conv2"])
+        if "shortcut" in p:
+            put_conv(f"{pre}.nin_shortcut", p["shortcut"])
+
+    def put_mid(pre, p):
+        put_res(f"{pre}.block_1", p["block_1"])
+        put_norm(f"{pre}.attn_1.norm", p["attn"]["norm"])
+        for m, nm in (("q", "q"), ("k", "k"), ("v", "v"),
+                      ("proj", "proj_out")):
+            put_conv(f"{pre}.attn_1.{nm}", p["attn"][m])
+        put_res(f"{pre}.block_2", p["block_2"])
+
+    enc, dec = params["encoder"], params["decoder"]
+    put_conv("encoder.conv_in.conv", enc["conv_in"])
+    for i, blk in enumerate(enc["levels"]):
+        for j, rp in enumerate(blk["res"]):
+            put_res(f"encoder.down.{i}.block.{j}", rp)
+        if "down" in blk:
+            put_conv(f"encoder.down.{i}.downsample.conv.conv", blk["down"])
+    put_mid("encoder.mid", enc["mid"])
+    put_norm("encoder.norm_out", enc["norm_out"])
+    put_conv("encoder.conv_out.conv", enc["conv_out"])
+    put_conv("decoder.conv_in.conv", dec["conv_in"])
+    put_mid("decoder.mid", dec["mid"])
+    for i, blk in enumerate(dec["levels"]):
+        for j, rp in enumerate(blk["res"]):
+            put_res(f"decoder.up.{i}.block.{j}", rp)
+        if "up" in blk:
+            put_conv(f"decoder.up.{i}.upsample.conv.conv", blk["up"])
+    put_norm("decoder.norm_out", dec["norm_out"])
+    put_conv("decoder.conv_out.conv", dec["conv_out"])
+
+    loaded, left = load_hunyuan15_vae_params(sd, TINY)
+    assert left == []
+    z = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (1, TINY.latent_channels, 2, 4, 4)), jnp.float32)
+    o1 = hunyuan15_vae_decode(params, TINY, z)
+    o2 = hunyuan15_vae_decode(loaded, TINY, z)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), atol=1e-5)

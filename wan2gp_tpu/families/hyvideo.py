@@ -72,9 +72,11 @@ class HunyuanFamilyHandler:
             if checkpoints.get("text_encoder"):
                 text_fn = cls._load_text_encoder(
                     base_model_type, checkpoints, tokenizer, dtype)
-        if not init_random and checkpoints and checkpoints.get("vae") \
-                and "1_5" not in base_model_type:
-            vae_fn = cls._load_vae(checkpoints)
+        if not init_random and checkpoints and checkpoints.get("vae"):
+            if "1_5" in base_model_type:
+                vae_fn = cls._load_vae15(checkpoints)
+            else:
+                vae_fn = cls._load_vae(checkpoints)
         vae_stride = (4, 16, 16) if "1_5" in base_model_type else (4, 8, 8)
         return HunyuanPipeline(params, cfg, vae_stride=vae_stride,
                                vae_decode_fn=vae_fn,
@@ -132,6 +134,22 @@ class HunyuanFamilyHandler:
                       else jnp.zeros((len(prompts), 768), jnp.float32))
             return states, mask, pooled
         return enc
+
+    @staticmethod
+    def _load_vae15(checkpoints):
+        """HV1.5 AutoencoderKLConv3D (models/hyvideo/vae15.py)."""
+        from ..io.safetensors_reader import load_weights
+        from ..models.hyvideo.vae15 import (Hunyuan15VAEConfig,
+                                            load_hunyuan15_vae_params,
+                                            hunyuan15_vae_decode)
+        cfg = Hunyuan15VAEConfig()
+        params, _ = load_hunyuan15_vae_params(
+            load_weights(checkpoints["vae"]), cfg)
+
+        def decode(z):
+            return jnp.clip(hunyuan15_vae_decode(params, cfg, z),
+                            -1.0, 1.0)
+        return decode
 
     @staticmethod
     def _load_vae(checkpoints):

@@ -96,3 +96,121 @@ def test_tiny_roundtrip_shapes():
     out = audio_decode(params, cfg, z)
     assert out.shape == (1, 1, 16)
     assert np.abs(np.asarray(out)).max() <= 1.0
+
+
+def test_loader_roundtrip():
+    """Synthetic torch-keyed state dict (weight_g/weight_v) -> params ->
+    encode/decode runs, no leftover keys."""
+    import torch
+    from wan2gp_tpu.models.minimax.audio_vae import (
+        MiniMaxAudioVAEConfig, load_minimax_audio_vae_params,
+        audio_encode, audio_decode)
+
+    cfg = MiniMaxAudioVAEConfig(
+        encoder_dim=8, encoder_rates=(2, 2), latent_dim=16,
+        latent_channels=4, num_attention_heads=2, decoder_dim=16,
+        decoder_rates=(2, 2), decoder_kernel_sizes=(4, 4),
+        resblock_kernel_sizes=(3,), resblock_dilations=((1, 3),))
+    g = torch.Generator().manual_seed(7)
+    sd = {}
+
+    def wn_conv(name, cin, cout, k, bias=True):
+        sd[f"{name}.weight_v"] = torch.randn(cout, cin, k, generator=g) * .2
+        sd[f"{name}.weight_g"] = torch.rand(cout, 1, 1, generator=g) + .5
+        if bias:
+            sd[f"{name}.bias"] = torch.randn(cout, generator=g) * .01
+
+    def conv(name, cin, cout, k):
+        sd[f"{name}.weight"] = torch.randn(cout, cin, k, generator=g) * .2
+        sd[f"{name}.bias"] = torch.randn(cout, generator=g) * .01
+
+    def wn_tconv(name, cin, cout, k):
+        sd[f"{name}.weight_v"] = torch.randn(cin, cout, k, generator=g) * .2
+        sd[f"{name}.weight_g"] = torch.rand(cin, 1, 1, generator=g) + .5
+        sd[f"{name}.bias"] = torch.randn(cout, generator=g) * .01
+
+    def norm(name, d):
+        sd[f"{name}.weight"] = torch.ones(d)
+        sd[f"{name}.bias"] = torch.zeros(d)
+
+    def lin(name, din, dout):
+        sd[f"{name}.weight"] = torch.randn(dout, din, generator=g) * .1
+        sd[f"{name}.bias"] = torch.zeros(dout)
+
+    d = cfg.encoder_dim
+    wn_conv("encoder.block.0", 1, d, 7)
+    for i, s in enumerate(cfg.encoder_rates):
+        pre = f"encoder.block.{i + 1}.block"
+        for j in range(3):
+            sd[f"{pre}.{j}.block.0.alpha"] = torch.ones(1, d, 1)
+            wn_conv(f"{pre}.{j}.block.1", d, d, 7)
+            sd[f"{pre}.{j}.block.2.alpha"] = torch.ones(1, d, 1)
+            wn_conv(f"{pre}.{j}.block.3", d, d, 1)
+        sd[f"{pre}.3.alpha"] = torch.ones(1, d, 1)
+        wn_conv(f"{pre}.4", d, 2 * d, 2 * s)
+        d *= 2
+    n = len(cfg.encoder_rates)
+    sd[f"encoder.block.{n + 1}.alpha"] = torch.ones(1, d, 1)
+    wn_conv(f"encoder.block.{n + 2}", d, cfg.latent_dim, 3)
+
+    ld, lc = cfg.latent_dim, cfg.latent_channels
+    norm("pre_block.norm1", ld)
+    norm("pre_block.norm3", ld)
+    norm("pre_block.norm2", lc)
+    norm("pre_block.mlp.norm", lc)
+    sd["pre_block.attn.qkv.weight"] = torch.randn(3 * ld, ld,
+                                                  generator=g) * .05
+    sd["pre_block.attn.q_bias"] = torch.zeros(ld)
+    sd["pre_block.attn.v_bias"] = torch.zeros(ld)
+    sd["pre_block.attn.zero_k_bias"] = torch.zeros(ld)
+    lin("pre_block.attn.proj", lc, lc)
+    lin("pre_block.proj", ld, lc)
+    lin("pre_block.mlp.w0", lc, 2 * lc)
+    lin("pre_block.mlp.w1", lc, 2 * lc)
+    lin("pre_block.mlp.w2", 2 * lc, lc)
+    conv("mean_proj", lc, lc, 1)
+    conv("logs_proj", lc, lc, 1)
+    conv("dec_in_proj", lc, ld, 1)
+
+    dd = cfg.decoder_dim
+    wn_conv("decoder.conv_pre", ld, dd, 7)
+    nk = len(cfg.resblock_kernel_sizes)
+    for i, (rate, kernel) in enumerate(zip(cfg.decoder_rates,
+                                           cfg.decoder_kernel_sizes)):
+        ch = dd // (2 ** (i + 1))
+        wn_tconv(f"decoder.ups.{i}.0", dd // (2 ** i), ch, kernel)
+        for j, (rk, rd) in enumerate(zip(cfg.resblock_kernel_sizes,
+                                         cfg.resblock_dilations)):
+            rb = f"decoder.resblocks.{i * nk + j}"
+            for m in range(len(rd)):
+                wn_conv(f"{rb}.convs1.{m}", ch, ch, rk)
+                wn_conv(f"{rb}.convs2.{m}", ch, ch, rk)
+                sd[f"{rb}.activations.{2 * m}.act.alpha"] = torch.zeros(ch)
+                sd[f"{rb}.activations.{2 * m}.act.beta"] = torch.zeros(ch)
+                sd[f"{rb}.activations.{2 * m + 1}.act.alpha"] = \
+                    torch.zeros(ch)
+                sd[f"{rb}.activations.{2 * m + 1}.act.beta"] = \
+                    torch.zeros(ch)
+    sd["decoder.activation_post.act.alpha"] = torch.zeros(ch)
+    sd["decoder.activation_post.act.beta"] = torch.zeros(ch)
+    wn_conv("decoder.conv_post", ch, 1, 7, bias=False)
+
+    npsd = {k: v.numpy() for k, v in sd.items()}
+    params, leftover = load_minimax_audio_vae_params(npsd, cfg)
+    assert leftover == [], leftover
+
+    hop = cfg.hop_length
+    wave = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 1, 8 * hop)).astype(np.float32)) * 0.1
+    lat = audio_encode(params, cfg, wave)
+    assert lat.shape == (1, lc, 8)
+    out = audio_decode(params, cfg, lat)
+    assert out.shape == (1, 1, 8 * hop)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # weight-norm fusion is exact: ||w_row|| == g for the first conv
+    from wan2gp_tpu.models.minimax.audio_vae import \
+        load_minimax_audio_vae_params as _  # noqa: F401
+    w = np.asarray(params["encoder"]["conv_in"]["w"])   # [k, 1, d]
+    gg = sd["encoder.block.0.weight_g"].numpy().reshape(-1)
+    assert np.allclose(np.sqrt((w ** 2).sum(axis=(0, 1))), gg, atol=1e-5)

@@ -41,7 +41,9 @@ class MiniMaxFamilyHandler:
     def query_model_files(base_model_type, model_def):
         base = "https://huggingface.co/DeepBeepMeep/MiniMaxH3/resolve/main/"
         return [{"role": "transformer", "urls": model_def.get("URLs", [])},
-                {"role": "vae", "urls": [base + "minimax_h3_video_vae.safetensors"]}]
+                {"role": "vae", "urls": [base + "minimax_h3_video_vae.safetensors"]},
+                {"role": "audio_vae",
+                 "urls": [base + "minimax_h3_audio_vae.safetensors"]}]
 
     @classmethod
     def load_model(cls, base_model_type, model_def, checkpoints=None,
@@ -63,11 +65,14 @@ class MiniMaxFamilyHandler:
                 load_weights(checkpoints["transformer"]), cfg, dtype)
             if left:
                 raise ValueError(f"unconsumed minimax keys: {left[:8]}")
-        vae_fn = None
+        vae_fn = audio_fn = None
         if not init_random and checkpoints and checkpoints.get("vae"):
             vae_fn = cls._load_video_vae(checkpoints, attn_backend)
+        if not init_random and checkpoints and checkpoints.get("audio_vae"):
+            audio_fn = cls._load_audio_vae(checkpoints)
         return MiniMaxH3Pipeline(params, cfg, text_encode_fn=text_fn,
                                  video_vae_decode_fn=vae_fn,
+                                 audio_vae_decode_fn=audio_fn,
                                  attn_backend=attn_backend)
 
     @staticmethod
@@ -86,4 +91,25 @@ class MiniMaxFamilyHandler:
             return jnp.clip(minimax_vae_decode(params, cfg, z,
                                                attn_backend=attn_backend),
                             -1.0, 1.0)
+        return decode
+
+    @staticmethod
+    def _load_audio_vae(checkpoints):
+        """MiniMax audio VAE (models/minimax/audio_vae.py BigVGAN decoder).
+        Stereo latents [B, 32, 2, T] decode as two mono passes ->
+        waveform [B, 2, T*800] at 32 kHz."""
+        from ..io.safetensors_reader import load_weights
+        from ..models.minimax.audio_vae import (
+            MiniMaxAudioVAEConfig, load_minimax_audio_vae_params,
+            audio_decode)
+        cfg = MiniMaxAudioVAEConfig()
+        params, _ = load_minimax_audio_vae_params(
+            load_weights(checkpoints["audio_vae"]), cfg)
+
+        def decode(z):
+            if z.ndim == 4:                      # [B, C, 2, T] stereo rows
+                waves = [audio_decode(params, cfg, z[:, :, i])
+                         for i in range(z.shape[2])]
+                return jnp.concatenate(waves, axis=1)
+            return audio_decode(params, cfg, z)
         return decode

@@ -215,7 +215,8 @@ def audio_encode(params, cfg: MiniMaxAudioVAEConfig, wave):
     attn = jnp.dot(attn, pb["proj_out"]["w"]) + pb["proj_out"]["b"]
     h = jnp.dot(ln(x, pb["norm3"]), pb["proj"]["w"]) + pb["proj"]["b"]
     h = h + attn
-    y = ln(h, pb["norm2"])
+    # reference GeGluMlp applies its own LayerNorm after norm2 (:303-311)
+    y = ln(ln(h, pb["norm2"]), pb["mlp_norm"])
     g = jax.nn.gelu(jnp.dot(y, pb["w0"]["w"]) + pb["w0"]["b"],
                     approximate=True)
     y = g * (jnp.dot(y, pb["w1"]["w"]) + pb["w1"]["b"])
@@ -307,6 +308,7 @@ def init_minimax_audio_vae(key, cfg: MiniMaxAudioVAEConfig =
     pre = {"norm1": {"w": jnp.ones((ld,)), "b": jnp.zeros((ld,))},
            "norm3": {"w": jnp.ones((ld,)), "b": jnp.zeros((ld,))},
            "norm2": {"w": jnp.ones((lc,)), "b": jnp.zeros((lc,))},
+           "mlp_norm": {"w": jnp.ones((lc,)), "b": jnp.zeros((lc,))},
            "qkv": {"w": jax.random.normal(next(keys), (ld, 3 * ld)) * 0.02},
            "q_bias": jnp.zeros((ld,)), "v_bias": jnp.zeros((ld,)),
            "proj_out": _lin_p(next(keys), lc, lc),
@@ -341,3 +343,131 @@ def init_minimax_audio_vae(key, cfg: MiniMaxAudioVAEConfig =
             "mean_proj": _c1(next(keys), lc, lc, 1),
             "dec_in_proj": _c1(next(keys), lc, cfg.latent_dim, 1),
             "decoder": dec}
+
+
+def load_minimax_audio_vae_params(sd: Dict[str, Any],
+                                  cfg: MiniMaxAudioVAEConfig =
+                                  MiniMaxAudioVAEConfig()):
+    """Torch key space (AutoencoderKLMiniMaxH3Audio; Sequential nesting):
+    encoder.block.0 conv_in; encoder.block.{1..n} EncoderBlock.block =
+    [res(dil 1), res(3), res(9), Snake.alpha, strided conv]; each res.block
+    = [Snake, conv k7, Snake, conv k1]; encoder.block.{n+1}.alpha +
+    .{n+2} conv_out; pre_block.{norm1,norm3,norm2, attn.{qkv,q_bias,
+    v_bias,proj}, proj, mlp.{w0,w1,w2}}; mean_proj/logs_proj/dec_in_proj;
+    decoder.{conv_pre, ups.i.0, resblocks.k.{convs1.j, convs2.j,
+    activations.j.act.{alpha,beta}}, activation_post.act, conv_post}.
+    Weight-norm convs store weight_g/weight_v and are fused here."""
+    renamed = {}
+    for k, val in sd.items():
+        # modern torch parametrization keys -> legacy weight_g/weight_v
+        k = k.replace("parametrizations.weight.original0", "weight_g")
+        k = k.replace("parametrizations.weight.original1", "weight_v")
+        renamed[k] = val
+    sd = renamed
+
+    def conv(name, bias=True):
+        if f"{name}.weight_v" in sd:
+            v = np.asarray(sd.pop(f"{name}.weight_v"), np.float32)
+            g = np.asarray(sd.pop(f"{name}.weight_g"), np.float32)
+            nrm = np.sqrt((v ** 2).sum(axis=(1, 2), keepdims=True))
+            w = g * v / np.maximum(nrm, 1e-12)
+        else:
+            w = np.asarray(sd.pop(f"{name}.weight"), np.float32)
+        p = {"w": jnp.asarray(np.ascontiguousarray(w.transpose(2, 1, 0)))}
+        b = sd.pop(f"{name}.bias", None)
+        p["b"] = jnp.asarray(np.asarray(b, np.float32)) if b is not None \
+            else None
+        return p
+
+    def tconv(name):
+        """ConvTranspose1d [Cin, Cout, k] -> flipped dilated-conv layout."""
+        if f"{name}.weight_v" in sd:
+            # torch weight_norm default dim=0 keeps Cin for ConvTranspose1d
+            v = np.asarray(sd.pop(f"{name}.weight_v"), np.float32)
+            g = np.asarray(sd.pop(f"{name}.weight_g"), np.float32)
+            nrm = np.sqrt((v ** 2).sum(axis=(1, 2), keepdims=True))
+            w = g * v / np.maximum(nrm, 1e-12)
+        else:
+            w = np.asarray(sd.pop(f"{name}.weight"), np.float32)
+        w = w[:, :, ::-1]                       # [Cin, Cout, k] flipped
+        p = {"w": jnp.asarray(np.ascontiguousarray(w.transpose(2, 0, 1)))}
+        b = sd.pop(f"{name}.bias", None)
+        p["b"] = jnp.asarray(np.asarray(b, np.float32)) if b is not None \
+            else None
+        return p
+
+    def vec(name):
+        return jnp.asarray(np.asarray(sd.pop(name), np.float32).reshape(-1))
+
+    def lin(name):
+        return {"w": jnp.asarray(np.asarray(sd.pop(f"{name}.weight"),
+                                            np.float32).T),
+                "b": jnp.asarray(np.asarray(sd.pop(f"{name}.bias"),
+                                            np.float32))}
+
+    n_stages = len(cfg.encoder_rates)
+    enc = {"conv_in": conv("encoder.block.0"), "blocks": []}
+    for i in range(n_stages):
+        pre = f"encoder.block.{i + 1}.block"
+        blk = {"res": [], "alpha": vec(f"{pre}.3.alpha"),
+               "down": conv(f"{pre}.4")}
+        for j in range(3):
+            rp = f"{pre}.{j}.block"
+            blk["res"].append({"alpha1": vec(f"{rp}.0.alpha"),
+                               "conv1": conv(f"{rp}.1"),
+                               "alpha2": vec(f"{rp}.2.alpha"),
+                               "conv2": conv(f"{rp}.3")})
+        enc["blocks"].append(blk)
+    enc["alpha_out"] = vec(f"encoder.block.{n_stages + 1}.alpha")
+    enc["conv_out"] = conv(f"encoder.block.{n_stages + 2}")
+
+    def norm(name):
+        return {"w": vec(f"{name}.weight"), "b": vec(f"{name}.bias")}
+
+    pre = {"norm1": norm("pre_block.norm1"),
+           "norm3": norm("pre_block.norm3"),
+           "norm2": norm("pre_block.norm2"),
+           "mlp_norm": norm("pre_block.mlp.norm"),
+           "qkv": {"w": jnp.asarray(np.asarray(
+               sd.pop("pre_block.attn.qkv.weight"), np.float32).T)},
+           "q_bias": vec("pre_block.attn.q_bias"),
+           "v_bias": vec("pre_block.attn.v_bias"),
+           "proj_out": lin("pre_block.attn.proj"),
+           "proj": lin("pre_block.proj"),
+           "w0": lin("pre_block.mlp.w0"),
+           "w1": lin("pre_block.mlp.w1"),
+           "w2": lin("pre_block.mlp.w2")}
+    sd.pop("pre_block.attn.zero_k_bias", None)
+
+    nk = len(cfg.resblock_kernel_sizes)
+    dec = {"conv_pre": conv("decoder.conv_pre"), "ups": [],
+           "resblocks": []}
+    for i in range(len(cfg.decoder_rates)):
+        dec["ups"].append(tconv(f"decoder.ups.{i}.0"))
+        for j in range(nk):
+            rb = f"decoder.resblocks.{i * nk + j}"
+            nd = len(cfg.resblock_dilations[j])
+            p = {"a1": [], "b1": [], "a2": [], "b2": [],
+                 "conv1": [], "conv2": []}
+            for m in range(nd):
+                p["conv1"].append(conv(f"{rb}.convs1.{m}"))
+                p["conv2"].append(conv(f"{rb}.convs2.{m}"))
+                p["a1"].append(vec(f"{rb}.activations.{2 * m}.act.alpha"))
+                p["b1"].append(vec(f"{rb}.activations.{2 * m}.act.beta"))
+                p["a2"].append(vec(
+                    f"{rb}.activations.{2 * m + 1}.act.alpha"))
+                p["b2"].append(vec(
+                    f"{rb}.activations.{2 * m + 1}.act.beta"))
+            dec["resblocks"].append(p)
+    dec["alpha_post"] = vec("decoder.activation_post.act.alpha")
+    dec["beta_post"] = vec("decoder.activation_post.act.beta")
+    dec["conv_post"] = conv("decoder.conv_post", bias=False)
+
+    params = {"encoder": enc, "pre_block": pre,
+              "mean_proj": conv("mean_proj"),
+              "dec_in_proj": conv("dec_in_proj"),
+              "decoder": dec}
+    leftover = [k for k in sd
+                if not (k.startswith("logs_proj") or ".filter" in k
+                        or "lowpass" in k)]
+    return params, sorted(leftover)

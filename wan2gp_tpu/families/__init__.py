@@ -15,12 +15,13 @@ from .krea2 import Krea2FamilyHandler
 from .zimage import ZImageFamilyHandler
 from .kandinsky5 import Kandinsky5FamilyHandler
 from .minimax import MiniMaxFamilyHandler
+from .ideogram4 import Ideogram4FamilyHandler
 
 _HANDLER_CLASSES = [WanFamilyHandler, FluxFamilyHandler,
                     HunyuanFamilyHandler, LTXVFamilyHandler,
                     QwenImageFamilyHandler, Krea2FamilyHandler,
                     ZImageFamilyHandler, Kandinsky5FamilyHandler,
-                    MiniMaxFamilyHandler]
+                    MiniMaxFamilyHandler, Ideogram4FamilyHandler]
 
 
 def build_handler_map():

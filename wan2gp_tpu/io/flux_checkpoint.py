@@ -172,6 +172,11 @@ def load_flux_vae_params(sd: Dict[str, np.ndarray], cfg):
                     "norm_out": _norm(sd, "decoder.norm_out"),
                     "conv_out": _c2(sd, "decoder.conv_out")},
     }
+    # optional 1x1 quant convs (diffusers AutoencoderKL / Flux2)
+    if "decoder.post_quant_conv.weight" in sd:
+        params["decoder"]["pre_quant"] = _c2(sd, "decoder.post_quant_conv")
+    if "encoder.quant_conv.weight" in sd:
+        params["encoder"]["post_quant"] = _c2(sd, "encoder.quant_conv")
     return params, sorted(sd.keys())
 
 
@@ -320,11 +325,13 @@ def normalize_diffusers_vae_sd(sd: Dict[str, np.ndarray],
         out["encoder.conv_out.weight"] = w
         out["encoder.conv_out.bias"] = b
     if "post_quant_conv.weight" in src:
-        w, b = _fold_1x1_pre(out.pop("decoder.conv_in.weight"),
-                             out.pop("decoder.conv_in.bias"),
-                             src.pop("post_quant_conv.weight"),
-                             src.pop("post_quant_conv.bias"))
-        out["decoder.conv_in.weight"] = w
-        out["decoder.conv_in.bias"] = b
+        # NOT folded into conv_in: conv_in zero-pads, and padding the
+        # biased 1x1 output is not the same as biasing padded input — the
+        # fold would be wrong on the 1-latent-pixel border.  Kept as an
+        # explicit pre-conv (load_flux_vae_params -> decoder.pre_quant).
+        out["decoder.post_quant_conv.weight"] = \
+            src.pop("post_quant_conv.weight")
+        out["decoder.post_quant_conv.bias"] = \
+            src.pop("post_quant_conv.bias")
     out.update(src)   # leftovers surface through the loader
     return out

@@ -191,6 +191,8 @@ def flux_vae_encode(params, cfg: FluxVAEConfig, img, sample_key=None):
     h = _mid_fwd(e["mid"], h)
     h = jax.nn.silu(group_norm(h, e["norm_out"]["w"], e["norm_out"]["b"]))
     h = _conv(h, e["conv_out"])
+    if "post_quant" in e:         # Flux2 encoder quant_conv (1x1)
+        h = _conv(h, e["post_quant"])
     mean, logvar = jnp.split(h, 2, axis=-1)
     z = mean
     if sample_key is not None:
@@ -203,6 +205,8 @@ def flux_vae_decode(params, cfg: FluxVAEConfig, z):
     """z: [B, h, w, z_channels] normalized -> [B, 8h, 8w, 3]."""
     z = z / cfg.scale_factor + cfg.shift_factor
     d = params["decoder"]
+    if "pre_quant" in d:          # diffusers/Flux2 post_quant_conv (1x1)
+        z = _conv(z, d["pre_quant"])
     h = _conv(z, d["conv_in"])
     h = _mid_fwd(d["mid"], h)
     for i in reversed(range(len(cfg.ch_mult))):

@@ -1,0 +1,201 @@
+"""LongCat-Video: schedule, per-frame timesteps, cond-split attention."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from wan2gp_tpu.models.longcat.dit import (LongCatConfig, init_longcat,
+                                           longcat_forward,
+                                           timestep_embedding)
+from wan2gp_tpu.models.longcat.pipeline import (
+    LongCatPipeline, LongCatSamplingConfig, build_step_plan,
+    longcat_sigmas, _shift_sigmas)
+
+TINY = LongCatConfig(dim=64, n_layers=2, n_heads=4, adaln_dim=32,
+                     freq_dim=16, caption_dim=24,
+                     compute_dtype=jnp.float32)
+
+
+def test_ffn_dim_rounding():
+    # reference FeedForwardSwiGLU: int(2*4*4096/3)=10922 -> 11008
+    assert LongCatConfig().ffn_dim == 11008
+    # tiny: int(2*256/3)=170 -> 256
+    assert TINY.ffn_dim == 256
+
+
+def test_shift_sigma_transform():
+    sig = np.array([1.0, 0.5, 0.001], np.float32)
+    out = _shift_sigmas(sig)
+    np.testing.assert_allclose(out[0], 1.0, atol=1e-6)
+    np.testing.assert_allclose(out[1], 12 * 0.5 / (1 + 11 * 0.5), atol=1e-6)
+    assert np.all(np.diff(out) < 0)
+
+
+def test_step_plans():
+    default = build_step_plan(50, "default")
+    assert len(default["timesteps"]) == 50
+    assert default["sigmas"][0] == pytest.approx(1.0, abs=1e-5)
+    assert default["sigmas"][-1] == 0.0
+    assert np.all(default["dts"] < 0)       # sigma decreases
+    # enhance_hf replaces the tail below 0.5*t_max with a uniform grid
+    ehf = build_step_plan(50, "enhance_hf")
+    tmax = default["timesteps"].max()
+    n_tail = int((ehf["timesteps"] <= tmax * 0.5).sum())
+    assert 3 <= n_tail <= 15
+    # distill table subsamples the 1000-step training ladder
+    dist = build_step_plan(8, "distill", num_distill_steps=50)
+    assert len(dist["timesteps"]) == 8
+    raw = longcat_sigmas(8, "distill", 50)
+    assert raw[0] == pytest.approx(1.0, abs=1e-5)     # 50*20/1000
+    assert np.all(np.diff(raw) < 0)
+
+
+def test_timestep_embedding_cos_first():
+    emb = np.asarray(timestep_embedding(jnp.asarray([0.0]), 8))
+    np.testing.assert_allclose(emb[0, :4], 1.0, atol=1e-6)   # cos(0)
+    np.testing.assert_allclose(emb[0, 4:], 0.0, atol=1e-6)   # sin(0)
+
+
+def _inputs(nt=3, h=4, w=4, ltxt=5):
+    params = init_longcat(jax.random.key(0), TINY)
+    lat = jax.random.normal(jax.random.key(1),
+                            (1, TINY.in_channels, nt, h, w))
+    ctx = jax.random.normal(jax.random.key(2), (1, ltxt, TINY.caption_dim))
+    mask = jnp.asarray([[1, 1, 1, 0, 0]], jnp.int32)
+    return params, lat, ctx, mask
+
+
+def test_forward_shapes_and_text_pad_invariance():
+    params, lat, ctx, mask = _inputs()
+    t = jnp.asarray([500.0])
+    out = longcat_forward(params, TINY, lat, t, ctx, mask,
+                          attn_backend="xla")
+    assert out.shape == lat.shape
+    ctx2 = ctx.at[:, 3:].set(77.0)
+    out2 = longcat_forward(params, TINY, lat, t, ctx2, mask,
+                           attn_backend="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-5)
+
+
+def test_per_frame_timesteps_and_cond_isolation():
+    """Condition frames (per-frame t=0) attend only among themselves, so
+    changing NOISE frame content must not change cond-frame outputs."""
+    params, lat, ctx, mask = _inputs(nt=4)
+    tf = jnp.asarray([[0.0, 0.0, 700.0, 700.0]])   # 2 cond + 2 noise
+    out = longcat_forward(params, TINY, lat, tf, ctx, mask,
+                          num_cond_latents=2, attn_backend="xla")
+    lat2 = lat.at[:, :, 2:].set(jax.random.normal(
+        jax.random.key(9), lat[:, :, 2:].shape))
+    out2 = longcat_forward(params, TINY, lat2, tf, ctx, mask,
+                           num_cond_latents=2, attn_backend="xla")
+    np.testing.assert_allclose(np.asarray(out[:, :, :2]),
+                               np.asarray(out2[:, :, :2]), atol=1e-4)
+    # noise frames DO see cond frames
+    lat3 = lat.at[:, :, :2].set(0.0)
+    out3 = longcat_forward(params, TINY, lat3, tf, ctx, mask,
+                           num_cond_latents=2, attn_backend="xla")
+    assert not np.allclose(np.asarray(out[:, :, 2:]),
+                           np.asarray(out3[:, :, 2:]), atol=1e-4)
+
+
+def _tiny_pipe():
+    params = init_longcat(jax.random.key(0), TINY)
+
+    def text_fn(prompts):
+        k = jax.random.key(hash(prompts[0]) & 0xFFFF)
+        return (jax.random.normal(k, (1, 5, TINY.caption_dim)),
+                jnp.ones((1, 5), jnp.int32))
+    return LongCatPipeline(params, TINY, text_encode_fn=text_fn,
+                           latents_mean=None, latents_std=None,
+                           attn_backend="xla")
+
+
+def test_pipeline_t2v_and_cond_pinning():
+    pipe = _tiny_pipe()
+    sampling = LongCatSamplingConfig(steps=3, guidance=4.0)
+    lat = pipe.generate("x", height=32, width=32, frame_num=9,
+                        sampling=sampling, seed=0, return_latents=True)
+    assert lat.shape == (1, 16, 3, 4, 4)
+    assert np.isfinite(np.asarray(lat)).all()
+    # continuation: cond latent frames survive denoising untouched
+    pipe.vae_encode_fn = lambda pix: jax.random.normal(
+        jax.random.key(3), (1, 16, 1 + (pix.shape[2] - 1) // 4,
+                            pix.shape[3] // 8, pix.shape[4] // 8))
+    video = jnp.zeros((1, 3, 5, 32, 32))
+    lat2 = pipe.generate("x", height=32, width=32, frame_num=9,
+                         sampling=sampling, video_cond=video,
+                         num_cond_frames=5, seed=0, return_latents=True)
+    expect = pipe.vae_encode_fn(video)[:, :, :2]
+    np.testing.assert_allclose(np.asarray(lat2[:, :, :2]),
+                               np.asarray(expect), atol=1e-5)
+
+
+def test_pipeline_cfg_star_runs():
+    pipe = _tiny_pipe()
+    sampling = LongCatSamplingConfig(steps=2, guidance=4.0, cfg_star=True,
+                                     cfg_zero_step=0)
+    lat = pipe.generate("x", height=32, width=32, frame_num=5,
+                        sampling=sampling, seed=1, return_latents=True)
+    assert np.isfinite(np.asarray(lat)).all()
+
+
+def test_loader_roundtrip():
+    import torch
+    from wan2gp_tpu.io.longcat_checkpoint import load_longcat_params
+    cfg = TINY
+    g = torch.Generator().manual_seed(0)
+    sd = {}
+
+    def lin(name, din, dout, bias=True):
+        sd[f"{name}.weight"] = torch.randn(dout, din, generator=g) * 0.05
+        if bias:
+            sd[f"{name}.bias"] = torch.zeros(dout)
+
+    d, hd = cfg.dim, cfg.head_dim
+    sd["x_embedder.proj.weight"] = torch.randn(
+        d, cfg.in_channels, 1, 2, 2, generator=g) * 0.05
+    sd["x_embedder.proj.bias"] = torch.zeros(d)
+    lin("t_embedder.mlp.0", cfg.freq_dim, cfg.adaln_dim)
+    lin("t_embedder.mlp.2", cfg.adaln_dim, cfg.adaln_dim)
+    lin("y_embedder.y_proj.0", cfg.caption_dim, d)
+    lin("y_embedder.y_proj.2", d, d)
+    for i in range(cfg.n_layers):
+        p = f"blocks.{i}"
+        lin(f"{p}.adaLN_modulation.1", cfg.adaln_dim, 6 * d)
+        lin(f"{p}.attn.qkv", d, 3 * d)
+        sd[f"{p}.attn.q_norm.weight"] = torch.ones(hd)
+        sd[f"{p}.attn.k_norm.weight"] = torch.ones(hd)
+        lin(f"{p}.attn.proj", d, d)
+        lin(f"{p}.pre_crs_attn_norm", d, d)  # overwritten below
+        sd[f"{p}.pre_crs_attn_norm.weight"] = torch.ones(d)
+        sd[f"{p}.pre_crs_attn_norm.bias"] = torch.zeros(d)
+        lin(f"{p}.cross_attn.q_linear", d, d)
+        lin(f"{p}.cross_attn.kv_linear", d, 2 * d)
+        sd[f"{p}.cross_attn.q_norm.weight"] = torch.ones(hd)
+        sd[f"{p}.cross_attn.k_norm.weight"] = torch.ones(hd)
+        lin(f"{p}.cross_attn.proj", d, d)
+        lin(f"{p}.ffn.w1", d, cfg.ffn_dim, bias=False)
+        lin(f"{p}.ffn.w2", cfg.ffn_dim, d, bias=False)
+        lin(f"{p}.ffn.w3", d, cfg.ffn_dim, bias=False)
+    lin("final_layer.adaLN_modulation.1", cfg.adaln_dim, 2 * d)
+    lin("final_layer.linear", d, 4 * cfg.out_channels)
+
+    npsd = {k: v.numpy() for k, v in sd.items()}
+    params, leftover = load_longcat_params(npsd, cfg, jnp.float32)
+    assert leftover == [], leftover
+    lat = jnp.zeros((1, cfg.in_channels, 2, 4, 4))
+    ctx = jnp.zeros((1, 3, cfg.caption_dim))
+    out = longcat_forward(params, cfg, lat, jnp.asarray([100.0]), ctx,
+                          jnp.ones((1, 3), jnp.int32), attn_backend="xla")
+    assert out.shape == (1, 16, 2, 4, 4)
+    assert np.isfinite(np.asarray(out)).all()
+    # Conv3d kernel flattening: feature order (c, pt, ph, pw)
+    wt = sd["x_embedder.proj.weight"].numpy()
+    np.testing.assert_allclose(np.asarray(params["x_embed"]["w"]),
+                               wt.reshape(d, -1).T, atol=1e-6)
+
+
+def test_handler_registered():
+    from wan2gp_tpu.families import build_handler_map
+    handlers = build_handler_map()
+    assert "longcat_video" in handlers and "longcat_video_i2v" in handlers

@@ -16,12 +16,14 @@ from .zimage import ZImageFamilyHandler
 from .kandinsky5 import Kandinsky5FamilyHandler
 from .minimax import MiniMaxFamilyHandler
 from .ideogram4 import Ideogram4FamilyHandler
+from .longcat import LongCatFamilyHandler
 
 _HANDLER_CLASSES = [WanFamilyHandler, FluxFamilyHandler,
                     HunyuanFamilyHandler, LTXVFamilyHandler,
                     QwenImageFamilyHandler, Krea2FamilyHandler,
                     ZImageFamilyHandler, Kandinsky5FamilyHandler,
-                    MiniMaxFamilyHandler, Ideogram4FamilyHandler]
+                    MiniMaxFamilyHandler, Ideogram4FamilyHandler,
+                    LongCatFamilyHandler]
 
 
 def build_handler_map():

@@ -1,0 +1,150 @@
+"""LongCat-Video family handler (t2v / i2v / video continuation).
+
+Mirrors /root/reference/models/longcat/longcat_handler.py (non-avatar
+core): UMT5-XXL text encoder (shared with the Wan family), the Wan 2.1
+16-channel VAE with AutoencoderKLWan latents_mean/std normalization
+(configs/longcat_vae.json), per-frame-timestep DiT, and the
+default / enhance_hf / distill schedules.  The audio-driven Avatar
+variants (wav2vec / whisper conditioning) are a later round.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+
+from ..models.longcat.dit import LongCatConfig, init_longcat
+from ..models.longcat.pipeline import LongCatPipeline, LongCatSamplingConfig
+
+_TYPES = ["longcat_video", "longcat_video_i2v"]
+
+# configs/longcat_vae.json latents_mean / latents_std (release stats)
+LATENTS_MEAN = (-0.7571, -0.7089, -0.9113, 0.1075, -0.1745, 0.9653,
+                -0.1517, 1.5508, 0.4134, -0.0715, 0.5517, -0.3632,
+                -0.1922, -0.9497, 0.2503, -0.2921)
+LATENTS_STD = (2.8184, 1.4541, 2.3275, 2.6558, 1.2196, 1.7708,
+               2.6052, 2.0743, 3.2687, 2.1526, 2.8652, 1.5579,
+               1.6382, 1.1253, 2.8251, 1.916)
+
+
+class LongCatFamilyHandler:
+    family = "longcat"
+
+    @staticmethod
+    def query_supported_types() -> List[str]:
+        return list(_TYPES)
+
+    @staticmethod
+    def query_family_infos():
+        return {"longcat": (1140, "LongCat Video")}
+
+    @staticmethod
+    def query_model_def(base_model_type, model_def):
+        return {"group": "longcat",
+                "image_prompt_types_allowed":
+                    "TSV" if base_model_type == "longcat_video_i2v" else ""}
+
+    @staticmethod
+    def default_settings(base_model_type: str) -> Dict[str, Any]:
+        return {"prompt": "", "resolution": "832x480",
+                "video_length": 93, "num_inference_steps": 50,
+                "guidance_scale": 4.0, "sample_solver": "auto",
+                "seed": -1, "batch_size": 1}
+
+    @staticmethod
+    def query_model_files(base_model_type, model_def):
+        base = "https://huggingface.co/DeepBeepMeep/LongCat/resolve/main/"
+        wan = "https://huggingface.co/DeepBeepMeep/Wan2.1/resolve/main/"
+        return [{"role": "transformer", "urls": model_def.get("URLs", [])},
+                {"role": "vae", "urls": [base + "longcat_vae.safetensors"]},
+                {"role": "text_encoder", "urls": [
+                    wan + "models_t5_umt5-xxl-enc-bf16.safetensors"]}]
+
+    @classmethod
+    def load_model(cls, base_model_type, model_def, checkpoints=None,
+                   dtype=jnp.bfloat16, attn_backend="auto",
+                   init_random=False, tokenizer=None, seed=0):
+        cfg = LongCatConfig(compute_dtype=dtype)
+        text_fn = vae_dec = vae_enc = None
+        if init_random:
+            params = init_longcat(jax.random.key(seed), cfg, dtype)
+
+            def text_fn(prompts, _seed=seed):
+                k = jax.random.key(hash((prompts[0], _seed)) & 0x7FFFFFFF)
+                return (jax.random.normal(k, (1, 48, cfg.caption_dim),
+                                          jnp.float32),
+                        jnp.ones((1, 48), jnp.int32))
+        else:
+            from ..io.safetensors_reader import load_weights
+            from ..io.longcat_checkpoint import load_longcat_params
+            params, left = load_longcat_params(
+                load_weights(checkpoints["transformer"]), cfg, dtype)
+            if left:
+                raise ValueError(f"unconsumed longcat keys: {left[:8]}")
+            if checkpoints.get("text_encoder"):
+                text_fn = cls._load_text_encoder(checkpoints, tokenizer,
+                                                 dtype)
+            if checkpoints.get("vae"):
+                vae_dec, vae_enc = cls._load_vae(checkpoints)
+        return LongCatPipeline(params, cfg, text_encode_fn=text_fn,
+                               vae_decode_fn=vae_dec, vae_encode_fn=vae_enc,
+                               latents_mean=LATENTS_MEAN,
+                               latents_std=LATENTS_STD,
+                               attn_backend=attn_backend)
+
+    @staticmethod
+    def _load_text_encoder(checkpoints, tokenizer, dtype):
+        """UMT5-XXL shared with the Wan family (longcat_main.py:89-104)."""
+        from ..io.safetensors_reader import load_weights
+        from ..io.wan_checkpoint import load_t5_params
+        from ..models.wan.t5 import T5Config, t5_encode
+        t5_cfg = T5Config()
+        t5_params, _ = load_t5_params(
+            load_weights(checkpoints["text_encoder"]), t5_cfg, dtype)
+
+        def encode(prompts, max_len: int = 512):
+            ids, mask = tokenizer(prompts, max_len)
+            emb = t5_encode(t5_params, t5_cfg, jnp.asarray(ids),
+                            jnp.asarray(mask))
+            return emb.astype(jnp.float32), jnp.asarray(mask)
+        return encode
+
+    @staticmethod
+    def _load_vae(checkpoints):
+        """Wan 2.1 VAE, wan-native key layout (the reference converts the
+        shipped file TO diffusers for its AutoencoderKLWan class,
+        longcat_main.py:151-156; we consume it directly)."""
+        from ..io.safetensors_reader import load_weights
+        from ..io.wan_checkpoint import load_wan_vae_params
+        from ..models.wan.vae import (WanVAEConfig, vae_decode, vae_encode)
+        vcfg = WanVAEConfig()
+        params, _ = load_wan_vae_params(load_weights(checkpoints["vae"]),
+                                        vcfg)
+
+        def decode(z):
+            return jnp.clip(vae_decode(params, vcfg, z), -1.0, 1.0)
+
+        def encode(pix):
+            return vae_encode(params, vcfg, pix)
+        return decode, encode
+
+    @staticmethod
+    def generate_video(pipe, merged: Dict[str, Any], width: int,
+                       height: int, seed: int, **kw):
+        sampling = LongCatSamplingConfig(
+            steps=int(merged.get("num_inference_steps", 50)),
+            guidance=float(merged.get("guidance_scale", 4.0)),
+            solver=str(merged.get("sample_solver", "auto") or "auto"),
+            cfg_star=bool(merged.get("cfg_star_switch", False)),
+            cfg_zero_step=int(merged.get("cfg_zero_step", -1)))
+        return pipe.generate(
+            prompt=merged.get("prompt", ""),
+            negative_prompt=merged.get("negative_prompt", ""),
+            height=height, width=width,
+            frame_num=int(merged.get("video_length", 93)),
+            sampling=sampling,
+            image_cond=merged.get("_image_cond"),
+            video_cond=merged.get("_video_cond"),
+            num_cond_frames=int(merged.get("_num_cond_frames", 0)),
+            seed=seed)

@@ -17,13 +17,14 @@ from .kandinsky5 import Kandinsky5FamilyHandler
 from .minimax import MiniMaxFamilyHandler
 from .ideogram4 import Ideogram4FamilyHandler
 from .longcat import LongCatFamilyHandler
+from .hidream import HiDreamFamilyHandler
 
 _HANDLER_CLASSES = [WanFamilyHandler, FluxFamilyHandler,
                     HunyuanFamilyHandler, LTXVFamilyHandler,
                     QwenImageFamilyHandler, Krea2FamilyHandler,
                     ZImageFamilyHandler, Kandinsky5FamilyHandler,
                     MiniMaxFamilyHandler, Ideogram4FamilyHandler,
-                    LongCatFamilyHandler]
+                    LongCatFamilyHandler, HiDreamFamilyHandler]
 
 
 def build_handler_map():

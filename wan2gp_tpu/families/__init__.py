@@ -18,13 +18,15 @@ from .minimax import MiniMaxFamilyHandler
 from .ideogram4 import Ideogram4FamilyHandler
 from .longcat import LongCatFamilyHandler
 from .hidream import HiDreamFamilyHandler
+from .magi import MagiFamilyHandler
 
 _HANDLER_CLASSES = [WanFamilyHandler, FluxFamilyHandler,
                     HunyuanFamilyHandler, LTXVFamilyHandler,
                     QwenImageFamilyHandler, Krea2FamilyHandler,
                     ZImageFamilyHandler, Kandinsky5FamilyHandler,
                     MiniMaxFamilyHandler, Ideogram4FamilyHandler,
-                    LongCatFamilyHandler, HiDreamFamilyHandler]
+                    LongCatFamilyHandler, HiDreamFamilyHandler,
+                    MagiFamilyHandler]
 
 
 def build_handler_map():

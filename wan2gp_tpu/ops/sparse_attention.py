@@ -1,0 +1,238 @@
+"""Block-sparse flash attention (Pallas TPU) + structured mask builders.
+
+TPU-native replacement for the reference's sparse-attention family —
+Sol-Attn (models/wan/sol_attn), Radial attention, and Chipmunk-style
+block sparsity — which are CUDA kernels selecting which key/value BLOCKS
+each query block attends.  On TPU the same win comes from a flash kernel
+whose kv loop runs only over each query block's active kv blocks:
+
+- host side: a [nQb, nKb] boolean block mask is compressed into a dense
+  per-q-block index table kv_idx [nQb, maxA] plus counts [nQb], where
+  maxA = max active kv blocks over all rows;
+- the Pallas grid is (batch*heads, nQb, maxA) and the K/V BlockSpec
+  index maps read kv_idx via scalar prefetch, so only active blocks are
+  ever DMA'd — FLOPs and HBM traffic scale with the mask density, not
+  with L*S.  Padded slots re-point at the row's first active block and
+  are neutralized with -inf scores.
+
+Mask builders mirror the reference patterns:
+- local_window_block_mask: banded attention (Sol-Attn style);
+- radial_video_block_mask: per-frame window that decays with temporal
+  distance plus an always-attended sink frame (radial attention style,
+  reference models/wan/radial_attn design: full attention at distance 0,
+  halved spatial coverage per doubling of |frame gap|).
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+# ---------------------------------------------------------------------------
+# host-side mask compression
+# ---------------------------------------------------------------------------
+
+def compress_block_mask(block_mask: np.ndarray
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+    """[nQb, nKb] bool -> (kv_idx [nQb, maxA] int32, counts [nQb] int32).
+
+    Rows with zero active blocks get count 0 (their output is zeros —
+    matches fully-masked softmax convention in ops/attention.py)."""
+    nqb, nkb = block_mask.shape
+    counts = block_mask.sum(axis=1).astype(np.int32)
+    max_a = max(1, int(counts.max()))
+    kv_idx = np.zeros((nqb, max_a), np.int32)
+    for i in range(nqb):
+        act = np.nonzero(block_mask[i])[0]
+        kv_idx[i, :len(act)] = act
+        if len(act):
+            kv_idx[i, len(act):] = act[0]     # padded slots re-read block 0
+    return kv_idx, counts
+
+
+def local_window_block_mask(seq_len: int, block: int,
+                            window_blocks: int,
+                            sink_blocks: int = 1) -> np.ndarray:
+    """Banded mask: each q block attends kv blocks within +-window_blocks,
+    plus the first sink_blocks blocks (attention sink)."""
+    n = (seq_len + block - 1) // block
+    i = np.arange(n)[:, None]
+    j = np.arange(n)[None, :]
+    mask = np.abs(i - j) <= window_blocks
+    mask[:, :sink_blocks] = True
+    return mask
+
+
+def radial_video_block_mask(frames: int, tokens_per_frame: int, block: int,
+                            decay_base: int = 1) -> np.ndarray:
+    """Radial sparsity over a [frames * tokens_per_frame] video sequence.
+
+    Frame pairs at temporal distance d keep a fraction 1/2^level of their
+    kv blocks (level = floor(log2(d / decay_base)) + 1, level 0 at d <=
+    decay_base), strided so coverage stays spatially uniform; frame 0 is
+    an always-attended sink."""
+    assert tokens_per_frame % block == 0, \
+        "tokens_per_frame must be a multiple of the block size"
+    bpf = tokens_per_frame // block
+    n = frames * bpf
+    mask = np.zeros((n, n), bool)
+    for fq in range(frames):
+        for fk in range(frames):
+            d = abs(fq - fk)
+            if d <= decay_base:
+                stride = 1
+            else:
+                stride = 1 << (int(math.log2(d / decay_base)) + 1)
+            qs = slice(fq * bpf, (fq + 1) * bpf)
+            if stride >= 2 * bpf:
+                continue
+            sel = np.arange(fk * bpf, (fk + 1) * bpf)[::stride]
+            mask[qs, sel] = True
+    mask[:, :bpf] = True                      # sink: first frame
+    for i in range(frames):                   # always keep the diagonal
+        mask[i * bpf:(i + 1) * bpf, i * bpf:(i + 1) * bpf] = True
+    return mask
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+def _sparse_flash_kernel(kv_idx_ref, counts_ref, q_ref, k_ref, v_ref,
+                         o_ref, m_scr, l_scr, acc_scr):
+    qb = pl.program_id(1)
+    j = pl.program_id(2)
+    n_j = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    valid = j < counts_ref[qb]
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = jnp.where(valid, s, _NEG_INF)
+
+    m_prev = m_scr[:, :1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    p = jnp.where(m_new > _NEG_INF / 2, p, 0.0)
+
+    l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc = acc_scr[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+    acc_scr[:] = acc
+
+    @pl.when(j == n_j - 1)
+    def _done():
+        denom = l_scr[:, :1]
+        denom = jnp.where(denom == 0.0, 1.0, denom)
+        o_ref[0] = (acc_scr[:] / denom).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_kv",
+                                             "interpret"))
+def _sparse_flash(q, k, v, kv_idx, counts, scale, block_q, block_kv,
+                  interpret=False):
+    b, l, n, d = q.shape
+    s_len = k.shape[1]
+    assert l % block_q == 0 and s_len % block_kv == 0
+    nqb, max_a = kv_idx.shape
+
+    qf = (q * jnp.asarray(scale, q.dtype)).transpose(0, 2, 1, 3) \
+        .reshape(b * n, l, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * n, s_len, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * n, s_len, d)
+
+    grid = (b * n, nqb, max_a)
+    out = pl.pallas_call(
+        _sparse_flash_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_q, d),
+                             lambda g, i, j, idx, cnt: (g, i, 0)),
+                pl.BlockSpec((1, block_kv, d),
+                             lambda g, i, j, idx, cnt: (g, idx[i, j], 0)),
+                pl.BlockSpec((1, block_kv, d),
+                             lambda g, i, j, idx, cnt: (g, idx[i, j], 0)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, d),
+                                   lambda g, i, j, idx, cnt: (g, i, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, d), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * n, l, d), q.dtype),
+        interpret=interpret,
+    )(kv_idx, counts, qf, kf, vf)
+    return out.reshape(b, n, l, d).transpose(0, 2, 1, 3)
+
+
+def sparse_attention(q, k, v, block_mask: np.ndarray,
+                     scale: float | None = None,
+                     block_q: int = 128, block_kv: int = 128,
+                     backend: str = "auto", interpret: bool = False):
+    """Block-sparse attention.  q/k/v: [B, L, N, D]; block_mask:
+    numpy [ceil(L/block_q), ceil(S/block_kv)] bool (host-static).
+
+    backend "xla" (or any non-TPU platform) falls back to dense einsum
+    attention with the expanded mask — bit-identical semantics, used as
+    the test oracle."""
+    d = q.shape[-1]
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
+    l, s_len = q.shape[1], k.shape[1]
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    ragged = (l % block_q != 0) or (s_len % block_kv != 0)
+    if backend == "xla" or ragged or \
+            (backend == "auto" and not (on_tpu or interpret)):
+        # the kernel path requires whole blocks (padded keys inside an
+        # active block would be attended); ragged shapes use the dense path
+        mask = np.kron(block_mask,
+                       np.ones((block_q, block_kv), bool))[:l, :s_len]
+        sc = jnp.einsum("blnd,bsnd->bnls", q, k,
+                        preferred_element_type=jnp.float32) * scale
+        sc = jnp.where(jnp.asarray(mask)[None, None], sc, _NEG_INF)
+        p = jax.nn.softmax(sc, axis=-1)
+        row_any = jnp.asarray(mask.any(axis=1))[None, None, :, None]
+        p = jnp.where(row_any, p, 0.0)
+        return jnp.einsum("bnls,bsnd->blnd", p.astype(q.dtype), v)
+
+    # pad sequences up to whole blocks
+    def padup(x, blk):
+        rem = x.shape[1] % blk
+        if rem:
+            pad = [(0, 0)] * x.ndim
+            pad[1] = (0, blk - rem)
+            x = jnp.pad(x, pad)
+        return x
+    q_p, k_p, v_p = padup(q, block_q), padup(k, block_kv), padup(v, block_kv)
+    kv_idx, counts = compress_block_mask(np.asarray(block_mask, bool))
+    out = _sparse_flash(q_p, k_p, v_p, jnp.asarray(kv_idx),
+                        jnp.asarray(counts), scale, block_q, block_kv,
+                        interpret=interpret)
+    return out[:, :l]

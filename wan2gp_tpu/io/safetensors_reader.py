@@ -62,12 +62,15 @@ class SafetensorsFile:
 
 def load_weights(path: str) -> Dict[str, np.ndarray]:
     """Extension-dispatching loader: .safetensors (mmap) or .gguf
-    (parsed + dequantized to float32, gguf_reader.py).  Scaled-FP8
-    checkpoints are dequantized on load."""
+    (parsed + dequantized to float32, gguf_reader.py).  Scaled-FP8,
+    bnb-NF4 and asym-W4A8 checkpoints are dequantized on load
+    (quant_formats.py)."""
     if path.endswith(".gguf"):
         from .gguf_reader import load_gguf
         return load_gguf(path)
-    return normalize_scaled_fp8(load_safetensors(path))
+    from .quant_formats import normalize_quant_formats
+    return normalize_quant_formats(
+        normalize_scaled_fp8(load_safetensors(path)))
 
 
 def normalize_scaled_fp8(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:

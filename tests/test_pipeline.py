@@ -150,3 +150,58 @@ def test_phantom_generation():
         x, st = solver_step(sched, jnp.asarray(i), coeffs_i, v, x, st)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(x[:, :, :-1]),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_sequential_cfg_matches_joint():
+    """sequential (memory-saving) CFG must produce the same latents as the
+    joint batched pass."""
+    import dataclasses
+    from wan2gp_tpu.models.wan.pipeline import SamplingConfig, denoise_scan
+    from wan2gp_tpu.schedulers import make_schedule
+    from wan2gp_tpu.ops.rope import build_rope_3d
+    cfg = DIT
+    params = init_wan_dit(jax.random.key(0), cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(11)
+    lat = jnp.asarray(rng.standard_normal((1, 16, 2, 4, 4)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, cfg.text_len, cfg.text_dim)),
+                      jnp.float32)
+    ctxn = jnp.asarray(rng.standard_normal((1, cfg.text_len, cfg.text_dim)),
+                       jnp.float32)
+    cos, sin = build_rope_3d((2, 2, 2), head_dim=cfg.head_dim)
+    sched = make_schedule("unipc", 2, shift=5.0)
+    s_joint = SamplingConfig(solver="unipc", steps=2, guide_scale=3.0)
+    s_seq = dataclasses.replace(s_joint, joint_pass=False)
+    out_j = denoise_scan(params, cfg, sched, lat, ctx, ctxn, s_joint,
+                         cos, sin, attn_backend="xla")
+    out_s = denoise_scan(params, cfg, sched, lat, ctx, ctxn, s_seq,
+                         cos, sin, attn_backend="xla")
+    # joint batching changes matmul reduction order; equality is
+    # tolerance-based, not bitwise
+    np.testing.assert_allclose(np.asarray(out_j), np.asarray(out_s),
+                               rtol=1e-2, atol=2e-3)
+
+
+def test_sequential_cfg_host_loop_matches_scan():
+    import dataclasses
+    from wan2gp_tpu.models.wan.pipeline import SamplingConfig, denoise_scan
+    from wan2gp_tpu.schedulers import make_schedule
+    from wan2gp_tpu.ops.rope import build_rope_3d
+    cfg = DIT
+    params = init_wan_dit(jax.random.key(0), cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(12)
+    lat = jnp.asarray(rng.standard_normal((1, 16, 2, 4, 4)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, cfg.text_len, cfg.text_dim)),
+                      jnp.float32)
+    ctxn = jnp.asarray(rng.standard_normal((1, cfg.text_len, cfg.text_dim)),
+                       jnp.float32)
+    cos, sin = build_rope_3d((2, 2, 2), head_dim=cfg.head_dim)
+    sched = make_schedule("unipc", 2, shift=5.0)
+    s_scan = SamplingConfig(solver="unipc", steps=2, guide_scale=3.0,
+                            joint_pass=False)
+    s_host = dataclasses.replace(s_scan, host_loop=True)
+    out_a = denoise_scan(params, cfg, sched, lat, ctx, ctxn, s_scan,
+                         cos, sin, attn_backend="xla")
+    out_b = denoise_scan(params, cfg, sched, lat, ctx, ctxn, s_host,
+                         cos, sin, attn_backend="xla")
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                               rtol=1e-4, atol=1e-5)

@@ -96,3 +96,62 @@ def test_quanto_checkpoint_all_quantized():
     out = wan_dit_forward(params, TINY, lat, jnp.full((1,), 500.0), ctx,
                           cos, sin, attn_backend="xla")
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_quantize_int4_roundtrip():
+    from wan2gp_tpu.ops.quant import quantize_int4, unpack_int4
+    rng = np.random.default_rng(7)
+    w = rng.standard_normal((100, 32)).astype(np.float32)
+    w_p, scale = quantize_int4(w, block_k=32)
+    assert w_p.dtype == np.int8
+    assert w_p.shape == (64, 32)          # K padded 100 -> 128, packed /2
+    deq = unpack_int4(w_p, scale, 100)
+    rel = np.abs(deq - w).max() / np.abs(w).max()
+    assert rel < 0.1                       # 4-bit: coarse but bounded
+
+
+def test_matmul_w4_interpret_matches_dequant():
+    from wan2gp_tpu.ops.quant import quantize_int4, matmul_w4, unpack_int4
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((24, 100)).astype(np.float32)
+    w = rng.standard_normal((100, 48)).astype(np.float32)
+    w_p, scale = quantize_int4(w, block_k=32)
+    got = np.asarray(matmul_w4(jnp.asarray(x), jnp.asarray(w_p),
+                               jnp.asarray(scale), k_orig=100, block_m=8,
+                               block_n=16, block_k=32, interpret=True))
+    want = x @ unpack_int4(w_p, scale, 100)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_dense_quant_w4_xla_path():
+    from wan2gp_tpu.ops.quant import quantize_int4, unpack_int4
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((2, 5, 64)), jnp.float32)
+    w = rng.standard_normal((64, 16)).astype(np.float32)
+    w_p, scale = quantize_int4(w, block_k=32)
+    p = {"w_q4": jnp.asarray(w_p), "scale": jnp.asarray(scale),
+         "b": jnp.ones((16,), jnp.float32)}
+    got = np.asarray(dense_quant(x, p, backend="xla"))
+    want = np.asarray(x) @ unpack_int4(w_p, scale, 64) + 1.0
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_w4_dit_forward_close_to_fp():
+    params = init_wan_dit(jax.random.key(0), TINY, dtype=jnp.float32)
+    qparams = quantize_params_tree(
+        params, predicate=lambda p: "blocks" in p and
+        ("self_attn" in p or "cross_attn" in p or "ffn" in p), bits=4)
+    assert "w_q4" in qparams["blocks"]["ffn"]["fc1"]
+
+    rng = np.random.default_rng(10)
+    lat = jnp.asarray(rng.standard_normal((1, 16, 1, 4, 4)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 4, 16)), jnp.float32)
+    cos, sin = build_rope_3d((1, 2, 2), head_dim=TINY.head_dim)
+    t = jnp.full((1,), 500.0)
+    o_fp = wan_dit_forward(params, TINY, lat, t, ctx, cos, sin,
+                           attn_backend="xla")
+    o_q = wan_dit_forward(qparams, TINY, lat, t, ctx, cos, sin,
+                          attn_backend="xla")
+    err = np.abs(np.asarray(o_fp) - np.asarray(o_q)).max()
+    scale = np.abs(np.asarray(o_fp)).max()
+    assert err < 0.35 * scale, (err, scale)

@@ -173,7 +173,7 @@ def init_wan_dit(key, cfg: WanDiTConfig, dtype=jnp.bfloat16) -> Dict[str, Any]:
 
 def _dense(x, p, dtype=None):
     dtype = dtype or x.dtype
-    if "w_q" in p:  # int8 weights -> Pallas dequant-fused matmul (ops/quant)
+    if "w_q" in p or "w_q4" in p:  # int8/int4 -> Pallas dequant-fused matmul
         from ...ops.quant import dense_quant
         return dense_quant(x, p, dtype)
     y = jnp.dot(x.astype(dtype), p["w"].astype(dtype),

@@ -67,6 +67,15 @@ class SamplingConfig:
     nag_scale: float = 0.0
     nag_tau: float = 3.5
     nag_alpha: float = 0.5
+    # CFG batching: joint pass stacks cond/uncond on the batch axis (the
+    # reference's joint_pass, any2video.py:1586); sequential runs the two
+    # branches one after another via lax.scan — halves peak activation
+    # memory, which is what lets 14B fit a single 16 GB chip.
+    joint_pass: bool = True
+    # sequential-CFG driver: host loop over a jitted micro-step instead of
+    # one giant lax.scan (keeps XLA compile time at one-forward size for
+    # 14B-class programs)
+    host_loop: bool = False
 
 
 def plan_phases(timesteps: np.ndarray, sampling: SamplingConfig,
@@ -158,6 +167,19 @@ def denoise_segment(dit_params, dit_cfg: WanDiTConfig, schedule: Schedule,
     else:
         ctx_neg_both, nag = None, None
 
+    seq_cfg = any_guidance and not sampling.joint_pass
+    if seq_cfg:
+        if use_skip or use_fbc:
+            raise ValueError("sequential CFG does not support skip caches")
+        return _denoise_segment_seqcfg(
+            dit_params, dit_cfg, schedule, carry, context, context_null,
+            sampling, g, rope_cos, rope_sin, step_start, step_end,
+            y=y, clip_fea=clip_fea, attn_backend=attn_backend,
+            overlap_latents=overlap_latents,
+            overlap_sigma_scale=overlap_sigma_scale, noise_key=noise_key,
+            vace_context=vace_context, vace_scale=vace_scale,
+            use_alpha=use_alpha, nag=nag)
+
     def forward(x, t, skip_state, fbc_state=None):
         xb = jnp.concatenate([x, x], axis=0) if any_guidance else x
         tb = jnp.broadcast_to(t, (xb.shape[0],))
@@ -234,6 +256,141 @@ def denoise_segment(dit_params, dit_cfg: WanDiTConfig, schedule: Schedule,
           {k: v[seg] for k, v in schedule.coeffs.items()},
           use_alpha, jnp.arange(step_start, step_end, dtype=jnp.int32),
           skip_flags, keys)
+    (x, sstate, apg_buf, _), _ = jax.lax.scan(body, carry0, xs)
+    return (x, sstate, apg_buf)
+
+
+def _seqcfg_body(dit_params, dit_cfg, schedule, carry, xs, aux, st):
+    """One sequential-CFG micro-step (shared by the scan and host-loop
+    drivers).  carry = (x, solver_state, apg_buf, v_pending); xs = per-micro
+    slices; aux = array closures (rope, y, ...); st = hashable statics."""
+    x, sstate, apg_buf, v_pend = carry
+    ctx_i, t, coeffs_i, alpha_i, i, solver_i, key = xs
+    b = x.shape[0]
+    if st.use_overlap:
+        ov = aux["overlap_latents"].shape[2]
+        sigma = t / 1000.0 * st.ov_scale
+        noise = jax.random.normal(key, aux["overlap_latents"].shape,
+                                  jnp.float32)
+        pinned = aux["overlap_latents"] * (1.0 - sigma) + noise * sigma
+        x = jnp.where(solver_i, x, x.at[:, :, :ov].set(pinned))
+    tb = jnp.broadcast_to(t, (b,))
+    v = wan_dit_forward(dit_params, dit_cfg, x, tb, ctx_i,
+                        aux["rope_cos"], aux["rope_sin"],
+                        clip_fea=aux["clip_fea"], y=aux["y"],
+                        attn_backend=st.attn_backend,
+                        context_neg=aux["context_neg"], nag=st.nag,
+                        vace_context=aux["vace_context"],
+                        vace_scale=st.vace_scale)
+    # guidance combine + solver step (selected on odd micro-steps; the
+    # even-step computation is latent-space-cheap and discarded)
+    if st.apg_switch:
+        guidance, apg_new = apg_update(
+            v_pend - v, v_pend, apg_buf,
+            momentum=st.apg_momentum, norm_threshold=st.apg_norm_threshold)
+        pred = v_pend + (st.g - 1.0) * guidance
+    else:
+        pred = cfg_combine(v_pend, v, st.g, alpha_i)
+        apg_new = apg_buf
+    x2, s2 = solver_step(schedule, i, coeffs_i, pred, x, sstate)
+
+    def sel(new, old):
+        return jax.tree.map(
+            lambda a_new, a_old: jnp.where(solver_i, a_new, a_old), new, old)
+
+    return (sel(x2, x), sel(s2, sstate), sel(apg_new, apg_buf),
+            jnp.where(solver_i, v_pend, v))
+
+
+@dataclasses.dataclass(frozen=True)
+class _SeqCfgStatics:
+    attn_backend: str
+    g: float
+    apg_switch: bool
+    apg_momentum: float
+    apg_norm_threshold: float
+    nag: Optional[tuple]
+    use_overlap: bool
+    ov_scale: float
+    vace_scale: float
+
+
+@functools.partial(jax.jit, static_argnames=("dit_cfg", "st"))
+def _seqcfg_micro_jit(dit_params, dit_cfg, schedule, carry, xs, aux, st):
+    return _seqcfg_body(dit_params, dit_cfg, schedule, carry, xs, aux, st)
+
+
+def _denoise_segment_seqcfg(dit_params, dit_cfg: WanDiTConfig,
+                            schedule: Schedule, carry, context, context_null,
+                            sampling: SamplingConfig, guide_scale: float,
+                            rope_cos, rope_sin, step_start: int,
+                            step_end: int, y=None, clip_fea=None,
+                            attn_backend: str = "auto", overlap_latents=None,
+                            overlap_sigma_scale: float = 1.0, noise_key=None,
+                            vace_context=None, vace_scale: float = 1.0,
+                            use_alpha=None, nag=None):
+    """Sequential-CFG segment: 2*n micro-steps, one DiT forward each (cond
+    on even, uncond on odd micro-steps); the solver + guidance combine apply
+    on odd micro-steps via select.  Compared with the joint batched pass
+    this halves peak activation memory — what lets Wan 14B run 720p x 81f
+    on a single 16 GB v5e — at identical math (the branches are
+    data-independent).  Two drivers: a flat lax.scan (default, fully
+    in-compile) and a host loop over a jitted micro-step
+    (sampling.host_loop=True) whose per-program compile cost stays at
+    one-forward size — giant configs hit XLA compile-time walls otherwise."""
+    x0, sstate0, apg0 = carry
+    g = guide_scale
+    n_seg = step_end - step_start
+    seg = slice(step_start, step_end)
+
+    use_overlap = overlap_latents is not None
+    if use_overlap:
+        keys = jax.random.split(
+            noise_key if noise_key is not None else jax.random.key(0), n_seg)
+        keys = jnp.repeat(keys, 2, axis=0)
+    else:
+        keys = jnp.zeros((2 * n_seg, 2), jnp.uint32)
+
+    # NAG trick (joint path, above): pair the uncond branch with itself so
+    # the guidance collapses to identity there.
+    ctx_neg = context_null if nag is not None else None
+
+    def rep2(a):
+        return jnp.repeat(a, 2, axis=0)
+
+    ctx_micro = jnp.concatenate(
+        [jnp.stack([context, context_null])] * n_seg, axis=0)
+    is_solver = jnp.asarray([False, True] * n_seg)
+
+    carry0 = (x0.astype(jnp.float32), sstate0, apg0,
+              jnp.zeros_like(x0, jnp.float32))
+    xs = (ctx_micro, rep2(schedule.timesteps[seg]),
+          {k: rep2(v[seg]) for k, v in schedule.coeffs.items()},
+          rep2(use_alpha),
+          rep2(jnp.arange(step_start, step_end, dtype=jnp.int32)),
+          is_solver, keys)
+    aux = {"rope_cos": rope_cos, "rope_sin": rope_sin, "y": y,
+           "clip_fea": clip_fea, "context_neg": ctx_neg,
+           "vace_context": vace_context, "overlap_latents": overlap_latents}
+    st = _SeqCfgStatics(
+        attn_backend=attn_backend, g=g, apg_switch=sampling.apg_switch,
+        apg_momentum=sampling.apg_momentum,
+        apg_norm_threshold=sampling.apg_norm_threshold, nag=nag,
+        use_overlap=use_overlap, ov_scale=overlap_sigma_scale,
+        vace_scale=vace_scale)
+
+    if sampling.host_loop:
+        c = carry0
+        for m in range(2 * n_seg):
+            xs_m = jax.tree.map(lambda a: a[m], xs)
+            c = _seqcfg_micro_jit(dit_params, dit_cfg, schedule, c, xs_m,
+                                  aux, st)
+        return c[:3]
+
+    def body(c, xs_m):
+        return _seqcfg_body(dit_params, dit_cfg, schedule, c, xs_m,
+                            aux, st), None
+
     (x, sstate, apg_buf, _), _ = jax.lax.scan(body, carry0, xs)
     return (x, sstate, apg_buf)
 

@@ -13,13 +13,16 @@ import jax
 import jax.numpy as jnp
 
 
-def rms_norm(x, weight, eps: float = 1e-5):
-    """RMS norm with fp32 accumulation: x * rsqrt(mean(x^2) + eps) * weight."""
+def rms_norm(x, weight=None, eps: float = 1e-5):
+    """RMS norm with fp32 accumulation: x * rsqrt(mean(x^2) + eps) * weight.
+    weight=None -> plain normalization (LTX-2 shared/utils rms_norm)."""
     dtype = x.dtype
     y = x.astype(jnp.float32)
     var = jnp.mean(y * y, axis=-1, keepdims=True)
     y = y * jax.lax.rsqrt(var + eps)
-    return (y * weight.astype(jnp.float32)).astype(dtype)
+    if weight is not None:
+        y = y * weight.astype(jnp.float32)
+    return y.astype(dtype)
 
 
 def layer_norm(x, weight=None, bias=None, eps: float = 1e-6):

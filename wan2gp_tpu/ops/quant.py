@@ -94,6 +94,121 @@ def matmul_w8(x, w_q, scale, block_m: int = 512, block_n: int = 512,
     return out[:m, :n]
 
 
+# ---------------------------------------------------------------------------
+# int4 (w4) path: 4-bit weights packed two-per-byte, Pallas dequant-fused
+# matmul.  Quarters weight HBM footprint/traffic vs bf16 — this is what lets
+# Wan 14B (dim 5120, 40 layers, ~14.05B params -> ~7.0 GB) fit on a single
+# 16 GB v5e chip together with 720p x 81f activations.
+#
+# Packing is split-K: packed[r, n] holds original rows r (low nibble) and
+# r + KP/2 (high nibble), so the kernel unpacks WITHOUT any sublane
+# interleave — it just runs two dots against two x row-blocks.
+# ---------------------------------------------------------------------------
+
+W4_BLOCK_K = 512  # packed-row block; one grid step covers 2*W4_BLOCK_K K rows
+
+
+def quantize_int4(w, block_k: int = W4_BLOCK_K):
+    """Per-output-channel symmetric int4 quantization of [K, N] ->
+    (packed int8 [KP/2, N], scale [N]) with KP padded to 2*block_k."""
+    w = np.asarray(w, np.float32)
+    k, n = w.shape
+    absmax = np.abs(w).max(axis=0)
+    scale = np.where(absmax > 0, absmax / 7.0, 1.0).astype(np.float32)
+    w_q = np.clip(np.round(w / scale[None, :]), -7, 7).astype(np.int8)
+    kp = -(-k // (2 * block_k)) * (2 * block_k)
+    if kp != k:
+        w_q = np.pad(w_q, ((0, kp - k), (0, 0)))
+    lo = w_q[: kp // 2].astype(np.uint8) & 0xF
+    hi = (w_q[kp // 2:].astype(np.uint8) & 0xF) << 4
+    return (lo | hi).view(np.int8), scale
+
+
+def _w4_kernel(xlo_ref, xhi_ref, w_ref, s_ref, o_ref, acc):
+    k_i = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k_i == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    p = w_ref[:].astype(jnp.int32)
+    lo = ((p << 28) >> 28).astype(xlo_ref.dtype)   # sign-extended low nibble
+    hi = (p >> 4).astype(xhi_ref.dtype)            # arithmetic shift: signed
+    acc[:] += jax.lax.dot(xlo_ref[:], lo, preferred_element_type=jnp.float32)
+    acc[:] += jax.lax.dot(xhi_ref[:], hi, preferred_element_type=jnp.float32)
+
+    @pl.when(k_i == nk - 1)
+    def _():
+        o_ref[:] = (acc[:] * s_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("k_orig", "block_m", "block_n",
+                                             "block_k", "interpret"))
+def matmul_w4(x, w_p, scale, k_orig: int, block_m: int = 512,
+              block_n: int = 512, block_k: int = W4_BLOCK_K,
+              interpret: bool = False):
+    """x: [M, K] bf16/f32; w_p: packed int8 [KP/2, N] from quantize_int4
+    (same block_k); scale: [N].  Returns [M, N] in x.dtype."""
+    m, k = x.shape
+    assert k == k_orig
+    kp2, n = w_p.shape
+    kp = 2 * kp2
+    assert kp % (2 * block_k) == 0
+
+    bm = min(block_m, max(8, 1 << (m - 1).bit_length()))
+    bn = min(block_n, n)
+
+    def pad(a, axis, mult):
+        r = a.shape[axis] % mult
+        if r == 0:
+            return a
+        padding = [(0, 0)] * a.ndim
+        padding[axis] = (0, mult - r)
+        return jnp.pad(a, padding)
+
+    xp = pad(x, 0, bm)
+    if kp != k:
+        xp = jnp.pad(xp, ((0, 0), (0, kp - k)))
+    wp = pad(w_p, 1, bn)
+    sp = pad(scale.reshape(1, -1), 1, bn)
+    mp = xp.shape[0]
+    np_ = wp.shape[1]
+    nk = kp2 // block_k
+
+    out = pl.pallas_call(
+        _w4_kernel,
+        grid=(mp // bm, np_ // bn, nk),
+        in_specs=[
+            pl.BlockSpec((bm, block_k), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((bm, block_k), lambda i, j, kk, _nk=nk:
+                         (i, kk + _nk)),
+            pl.BlockSpec((block_k, bn), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=xp.size * 2 + wp.size + mp * np_ * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(xp, xp, wp, sp)
+    return out[:m, :n]
+
+
+def unpack_int4(w_p, scale, k_orig: int):
+    """Dequantize packed int4 back to fp32 [K, N] (reference/test path)."""
+    p = np.asarray(w_p).view(np.uint8)
+    lo = (p & 0xF).astype(np.int8)
+    lo = np.where(lo > 7, lo - 16, lo)
+    hi = (p >> 4).astype(np.int8)
+    hi = np.where(hi > 7, hi - 16, hi)
+    w_q = np.concatenate([lo, hi], axis=0)[:k_orig]
+    return w_q.astype(np.float32) * np.asarray(scale, np.float32)[None, :]
+
+
 def _on_tpu():
     try:
         return jax.devices()[0].platform == "tpu"
@@ -102,17 +217,32 @@ def _on_tpu():
 
 
 def dense_quant(x, p, dtype=None, backend: str = "auto"):
-    """Dense layer over quantized params {w_q, scale[, b]}.
+    """Dense layer over quantized params {w_q|w_q4, scale[, b]}.
 
     x: [..., K]; returns [..., N] in `dtype` (default x.dtype)."""
     dtype = dtype or x.dtype
     lead = x.shape[:-1]
-    xk = x.reshape(-1, x.shape[-1]).astype(dtype)
+    k = x.shape[-1]
+    xk = x.reshape(-1, k).astype(dtype)
     use_pallas = backend in ("pallas", "pallas_interpret") or (
         backend == "auto" and _on_tpu())
-    if use_pallas:
+    interp = backend == "pallas_interpret"
+    if "w_q4" in p:
+        if use_pallas:
+            y = matmul_w4(xk, p["w_q4"], p["scale"], k_orig=k,
+                          interpret=interp).astype(jnp.float32)
+        else:
+            pp = p["w_q4"].view(jnp.uint8)
+            lo = (pp & 0xF).astype(jnp.int8)
+            lo = jnp.where(lo > 7, lo - 16, lo)
+            hi = (pp >> 4).astype(jnp.int8)
+            hi = jnp.where(hi > 7, hi - 16, hi)
+            w_q = jnp.concatenate([lo, hi], axis=0)[:k]
+            w = w_q.astype(dtype) * p["scale"].astype(dtype)[None, :]
+            y = jnp.dot(xk, w, preferred_element_type=jnp.float32)
+    elif use_pallas:
         y = matmul_w8(xk, p["w_q"], p["scale"],
-                      interpret=backend == "pallas_interpret")
+                      interpret=interp)
         y = y.astype(jnp.float32)
     else:
         w = p["w_q"].astype(dtype) * p["scale"].astype(dtype)[None, :]
@@ -122,10 +252,13 @@ def dense_quant(x, p, dtype=None, backend: str = "auto"):
     return y.reshape(*lead, -1).astype(dtype)
 
 
-def quantize_params_tree(params, predicate=None):
-    """Convert {"w": [K, N], ...} leaves to {"w_q", "scale", ...} across a
-    param tree.  predicate(path) -> bool selects which linears to quantize
-    (default: every 2D+ 'w' except embeddings)."""
+def quantize_params_tree(params, predicate=None, bits: int = 8):
+    """Convert {"w": [K, N], ...} leaves to {"w_q"|"w_q4", "scale", ...}
+    across a param tree.  predicate(path) -> bool selects which linears to
+    quantize (default: every 2D+ 'w' except embeddings).  bits: 8 or 4."""
+    assert bits in (8, 4)
+    qfn = quantize_int8 if bits == 8 else quantize_int4
+    key = "w_q" if bits == 8 else "w_q4"
 
     def walk(node, path=""):
         if isinstance(node, dict):
@@ -134,13 +267,13 @@ def quantize_params_tree(params, predicate=None):
                     and (predicate is None or predicate(path)):
                 w = np.asarray(node["w"], np.float32)
                 if w.ndim == 2:
-                    w_q, scale = quantize_int8(w)
+                    w_q, scale = qfn(w)
                 else:  # stacked [L, K, N]
-                    qs = [quantize_int8(w[i]) for i in range(w.shape[0])]
+                    qs = [qfn(w[i]) for i in range(w.shape[0])]
                     w_q = np.stack([q for q, _ in qs])
                     scale = np.stack([s for _, s in qs])
                 out = {k: v for k, v in node.items() if k != "w"}
-                out["w_q"] = jnp.asarray(w_q)
+                out[key] = jnp.asarray(w_q)
                 out["scale"] = jnp.asarray(scale)
                 return out
             return {k: walk(v, f"{path}/{k}") for k, v in node.items()}

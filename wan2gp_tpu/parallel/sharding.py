@@ -21,21 +21,26 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def _spec_for_path(path: str) -> P:
-    """PartitionSpec for a Wan DiT param, keyed by its tree path."""
+    """PartitionSpec for a Wan DiT param, keyed by its tree path.
+
+    Quantized variants: int8 `w_q` [L, K, N] shards like `w`; its per-output
+    `scale` [L, N] shards with the output dim.  (Packed int4 `w_q4` is
+    deliberately replicated: its Pallas kernel is not GSPMD-partitionable
+    and the split-K nibble packing does not survive a K split.)"""
     if "blocks" not in path:
         return P()
     for name in ("q", "k", "v"):
-        if path.endswith(f"{name}/w"):       # [L, dim, dim] column-parallel
-            return P(None, None, "tp")
-        if path.endswith(f"{name}/b"):       # [L, dim]
-            return P(None, "tp")
-    if path.endswith("o/w"):                 # [L, dim, dim] row-parallel
+        if path.endswith((f"{name}/w", f"{name}/w_q")):
+            return P(None, None, "tp")       # [L, dim, dim] column-parallel
+        if path.endswith((f"{name}/b", f"{name}/scale")):
+            return P(None, "tp")             # [L, dim]
+    if path.endswith(("o/w", "o/w_q")):      # [L, dim, dim] row-parallel
         return P(None, "tp", None)
-    if path.endswith("ffn/fc1/w"):
+    if path.endswith(("ffn/fc1/w", "ffn/fc1/w_q")):
         return P(None, None, "tp")
-    if path.endswith("ffn/fc1/b"):
+    if path.endswith(("ffn/fc1/b", "ffn/fc1/scale")):
         return P(None, "tp")
-    if path.endswith("ffn/fc2/w"):
+    if path.endswith(("ffn/fc2/w", "ffn/fc2/w_q")):
         return P(None, "tp", None)
     return P()
 

@@ -238,3 +238,260 @@ def test_ltx2_mel_and_vocoder():
     wav = ltx2_vocoder(vp, vcfg, melx)
     assert wav.shape == (1, 2, 40), wav.shape
     assert np.isfinite(np.asarray(wav)).all()
+
+
+# ---------------------------------------------------------------------------
+# pipeline + loader + handler
+# ---------------------------------------------------------------------------
+
+def test_ltx2_denoise_scan_av():
+    from wan2gp_tpu.models.ltx2.pipeline import (
+        LTX2SamplingConfig, LTX2Conditioning, ltx2_denoise_scan,
+        build_ltx2_ropes, patchify_video, unpatchify_video)
+    cfg = TINY
+    grid, la = (2, 2, 2), 4
+    tv = grid[0] * grid[1] * grid[2]
+    params = init_ltx2_dit(jax.random.key(0), cfg)
+    v_rope, a_rope, vx_rope, ax_rope = build_ltx2_ropes(
+        cfg, grid, audio_tokens=la)
+    video = LTX2Conditioning(
+        clean=jnp.zeros((1, tv, cfg.in_channels), jnp.float32),
+        mask=jnp.ones((1, grid[0]), jnp.float32))
+    audio = LTX2Conditioning(
+        clean=jnp.zeros((1, la, cfg.audio_in_channels), jnp.float32),
+        mask=jnp.ones((1, la), jnp.float32))
+    ctx = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 6, cfg.caption_dim)), jnp.float32)
+    sampling = LTX2SamplingConfig(sigmas=(1.0, 0.5, 0.0), guide_scale=3.0)
+    vx, ax = ltx2_denoise_scan(params, cfg, sampling, video, ctx,
+                               jnp.zeros_like(ctx), v_rope, audio=audio,
+                               audio_rope=a_rope, video_cross_rope=vx_rope,
+                               audio_cross_rope=ax_rope,
+                               attn_backend="xla")
+    assert vx.shape == (1, tv, cfg.in_channels)
+    assert ax.shape == (1, la, cfg.audio_in_channels)
+    assert np.isfinite(np.asarray(vx)).all()
+    assert np.isfinite(np.asarray(ax)).all()
+    lat = unpatchify_video(vx, grid)
+    assert lat.shape == (1, cfg.in_channels, *grid)
+    np.testing.assert_allclose(np.asarray(patchify_video(lat)),
+                               np.asarray(vx), rtol=1e-6)
+
+
+def test_ltx2_conditioning_pins_clean_tokens():
+    """Frames with denoise_mask 0 must come back exactly as the clean
+    latent (post_process_latent re-pin, helpers.py)."""
+    from wan2gp_tpu.models.ltx2.pipeline import (
+        LTX2SamplingConfig, LTX2Conditioning, ltx2_denoise_scan,
+        build_ltx2_ropes)
+    cfg = TINY
+    grid = (2, 2, 2)
+    tv = grid[0] * grid[1] * grid[2]
+    params = init_ltx2_dit(jax.random.key(0), cfg)
+    v_rope, _, vx_rope, _ = build_ltx2_ropes(cfg, grid)
+    rng = np.random.default_rng(1)
+    clean = jnp.asarray(rng.standard_normal((1, tv, cfg.in_channels)),
+                        jnp.float32)
+    mask = jnp.asarray([[0.0, 1.0]], jnp.float32)   # first frame pinned
+    video = LTX2Conditioning(clean=clean, mask=mask)
+    ctx = jnp.zeros((1, 4, cfg.caption_dim), jnp.float32)
+    sampling = LTX2SamplingConfig(sigmas=(1.0, 0.5, 0.0))
+    vx, _ = ltx2_denoise_scan(params, cfg, sampling, video, ctx, ctx,
+                              v_rope, video_cross_rope=vx_rope,
+                              attn_backend="xla")
+    half = tv // 2
+    np.testing.assert_allclose(np.asarray(vx[:, :half]),
+                               np.asarray(clean[:, :half]), atol=1e-5)
+    # denoised frames must NOT equal clean
+    assert np.abs(np.asarray(vx[:, half:] - clean[:, half:])).max() > 1e-3
+
+
+def test_ltx2_checkpoint_loader_roundtrip():
+    """Build a torch-convention state dict from an init tree and verify the
+    loader reproduces the exact forward."""
+    import torch
+    from wan2gp_tpu.io.ltx2_checkpoint import load_ltx2_params
+    cfg = TINY
+    params = init_ltx2_dit(jax.random.key(3), cfg)
+
+    sd = {}
+
+    def put_lin(name, p):
+        sd[f"{name}.weight"] = torch.tensor(
+            np.asarray(p["w"], np.float32).T)
+        if "b" in p:
+            sd[f"{name}.bias"] = torch.tensor(np.asarray(p["b"], np.float32))
+
+    def put_adaln(name, p):
+        put_lin(f"{name}.emb.timestep_embedder.linear_1", p["t1"])
+        put_lin(f"{name}.emb.timestep_embedder.linear_2", p["t2"])
+        put_lin(f"{name}.linear", p["linear"])
+
+    put_lin("patchify_proj", params["patchify_proj"])
+    put_lin("audio_patchify_proj", params["audio_patchify_proj"])
+    for tgt, src in (("caption_projection", "caption_projection"),
+                     ("audio_caption_projection",
+                      "audio_caption_projection")):
+        put_lin(f"{tgt}.linear_1", params[src]["linear_1"])
+        put_lin(f"{tgt}.linear_2", params[src]["linear_2"])
+    put_adaln("adaln_single", params["adaln_single"])
+    put_adaln("audio_adaln_single", params["audio_adaln_single"])
+    put_adaln("av_ca_video_scale_shift_adaln_single",
+              params["av_ca_video_ss"])
+    put_adaln("av_ca_audio_scale_shift_adaln_single",
+              params["av_ca_audio_ss"])
+    put_adaln("av_ca_a2v_gate_adaln_single", params["av_ca_a2v_gate"])
+    put_adaln("av_ca_v2a_gate_adaln_single", params["av_ca_v2a_gate"])
+    sd["scale_shift_table"] = torch.tensor(
+        np.asarray(params["scale_shift_table"]))
+    sd["audio_scale_shift_table"] = torch.tensor(
+        np.asarray(params["audio_scale_shift_table"]))
+    put_lin("proj_out", params["proj_out"])
+    put_lin("audio_proj_out", params["audio_proj_out"])
+
+    bp = params["blocks"]
+    for i in range(cfg.num_layers):
+        pre = f"transformer_blocks.{i}"
+        for attn in ("attn1", "attn2", "audio_attn1", "audio_attn2",
+                     "audio_to_video_attn", "video_to_audio_attn"):
+            ap = bp[attn]
+            for lin in ("to_q", "to_k", "to_v"):
+                put_lin(f"{pre}.{attn}.{lin}",
+                        jax.tree.map(lambda x: x[i], ap[lin]))
+            put_lin(f"{pre}.{attn}.to_out.0",
+                    jax.tree.map(lambda x: x[i], ap["to_out"]))
+            sd[f"{pre}.{attn}.q_norm.weight"] = torch.tensor(
+                np.asarray(ap["q_norm"][i]))
+            sd[f"{pre}.{attn}.k_norm.weight"] = torch.tensor(
+                np.asarray(ap["k_norm"][i]))
+        for ffk, ffn in (("ff", "ff"), ("audio_ff", "audio_ff")):
+            put_lin(f"{pre}.{ffn}.net.0.proj",
+                    jax.tree.map(lambda x: x[i], bp[ffk]["fc1"]))
+            put_lin(f"{pre}.{ffn}.net.2",
+                    jax.tree.map(lambda x: x[i], bp[ffk]["fc2"]))
+        sd[f"{pre}.scale_shift_table"] = torch.tensor(
+            np.asarray(bp["scale_shift_table"][i]))
+        sd[f"{pre}.audio_scale_shift_table"] = torch.tensor(
+            np.asarray(bp["audio_scale_shift_table"][i]))
+        sd[f"{pre}.scale_shift_table_a2v_ca_audio"] = torch.tensor(
+            np.asarray(bp["sst_av_audio"][i]))
+        sd[f"{pre}.scale_shift_table_a2v_ca_video"] = torch.tensor(
+            np.asarray(bp["sst_av_video"][i]))
+
+    sd_np = {k: v.numpy() for k, v in sd.items()}
+    loaded, leftover = load_ltx2_params(sd_np, cfg, dtype=jnp.float32)
+    assert leftover == []
+
+    grid, la = (1, 2, 2), 2
+    tv = 4
+    v_rope, a_rope, vx_rope, ax_rope = _ropes(cfg, grid, la)
+    rng = np.random.default_rng(0)
+    vtok = jnp.asarray(rng.standard_normal((1, tv, cfg.in_channels)),
+                       jnp.float32)
+    atok = jnp.asarray(rng.standard_normal((1, la, cfg.audio_in_channels)),
+                       jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 4, cfg.caption_dim)),
+                      jnp.float32)
+    tv_t = jnp.full((1, grid[0]), 0.4, jnp.float32)
+    ta_t = jnp.full((1, la), 0.4, jnp.float32)
+    args = dict(video_rope=v_rope, video_cross_rope=vx_rope,
+                audio_rope=a_rope, audio_cross_rope=ax_rope,
+                attn_backend="xla")
+    # float32 params on both sides for an exact comparison
+    p32 = jax.tree.map(lambda x: x.astype(jnp.float32), params)
+    cfg32 = dataclasses_replace_compute(cfg)
+    v1, a1 = ltx2_dit_forward(p32, cfg32, vtok, tv_t, ctx,
+                              audio_tokens=atok, t_audio=ta_t, **args)
+    v2, a2 = ltx2_dit_forward(loaded, cfg32, vtok, tv_t, ctx,
+                              audio_tokens=atok, t_audio=ta_t, **args)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
+                               rtol=2e-4, atol=2e-4)
+
+
+def dataclasses_replace_compute(cfg):
+    import dataclasses
+    return dataclasses.replace(cfg, compute_dtype=jnp.float32)
+
+
+def test_ltx2_family_handler_registered():
+    from wan2gp_tpu.families import build_handler_map
+    handlers = build_handler_map()
+    assert "ltx2_19B" in handlers and "ltx2_distilled" in handlers
+    assert "ltx2_22B" in handlers
+
+
+def test_ltx2_handler_tiny_generate(monkeypatch):
+    """End-to-end tiny generate through the family handler (random init)."""
+    from wan2gp_tpu.families.ltx2 import LTX2FamilyHandler, _ARCH
+    monkeypatch.setitem(
+        _ARCH, "ltx2_19B",
+        dict(num_layers=2, num_heads=2, head_dim=16, in_channels=8,
+             out_channels=8, caption_dim=12, audio_num_heads=2,
+             audio_head_dim=8, audio_in_channels=4, audio_out_channels=4))
+    pipe = LTX2FamilyHandler.load_model("ltx2_distilled", {},
+                                        init_random=True,
+                                        attn_backend="xla")
+    out = pipe.generate(latent_grid=(2, 2, 2), audio_tokens=3, seed=1)
+    assert out["video_latent"].shape == (1, 8, 2, 2, 2)
+    assert out["audio_latent"].shape == (1, 3, 4)
+    assert np.isfinite(np.asarray(out["video_latent"])).all()
+
+
+def test_ltx2_audio_vae_loader_roundtrip():
+    """Torch-convention audio-VAE state dict -> loader -> identical decode."""
+    from wan2gp_tpu.models.ltx2.audio_vae import (
+        LTX2AudioVAEConfig, init_ltx2_audio_vae, ltx2_audio_decode,
+        load_ltx2_audio_vae_params)
+    cfg = LTX2AudioVAEConfig(ch=8, ch_mult=(1, 2), num_res_blocks=1,
+                             z_channels=4, mel_bins=8)
+    params = init_ltx2_audio_vae(jax.random.key(0), cfg)
+
+    sd = {}
+
+    def put_c2(name, p):
+        sd[f"{name}.weight"] = np.asarray(p["w"]).transpose(3, 2, 0, 1)
+        sd[f"{name}.bias"] = np.asarray(p["b"])
+
+    def put_res(name, p):
+        put_c2(f"{name}.conv1", p["conv1"])
+        put_c2(f"{name}.conv2", p["conv2"])
+        if "nin_shortcut" in p:
+            put_c2(f"{name}.nin_shortcut", p["nin_shortcut"])
+
+    enc, dec = params["encoder"], params["decoder"]
+    put_c2("encoder.conv_in", enc["conv_in"])
+    put_c2("encoder.conv_out", enc["conv_out"])
+    put_res("encoder.mid.block_1", enc["mid"]["block_1"])
+    put_res("encoder.mid.block_2", enc["mid"]["block_2"])
+    for lvl, level in enumerate(enc["down"]):
+        for j, bp in enumerate(level["block"]):
+            put_res(f"encoder.down.{lvl}.block.{j}", bp)
+        if "downsample" in level:
+            put_c2(f"encoder.down.{lvl}.downsample.conv",
+                   level["downsample"]["conv"])
+    put_c2("decoder.conv_in", dec["conv_in"])
+    put_c2("decoder.conv_out", dec["conv_out"])
+    put_res("decoder.mid.block_1", dec["mid"]["block_1"])
+    put_res("decoder.mid.block_2", dec["mid"]["block_2"])
+    nl = len(cfg.ch_mult)
+    for i, level in enumerate(dec["up"]):       # processing order
+        lvl = nl - 1 - i                         # checkpoint level index
+        for j, bp in enumerate(level["block"]):
+            put_res(f"decoder.up.{lvl}.block.{j}", bp)
+        if "upsample" in level:
+            put_c2(f"decoder.up.{lvl}.upsample.conv",
+                   level["upsample"]["conv"])
+    sd["per_channel_statistics.std-of-means"] = \
+        np.asarray(params["std_of_means"])
+    sd["per_channel_statistics.mean-of-means"] = \
+        np.asarray(params["mean_of_means"])
+
+    loaded = load_ltx2_audio_vae_params(sd, cfg)
+    z = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, cfg.z_channels, 3, cfg.mel_compressed)), jnp.float32)
+    got = ltx2_audio_decode(loaded, cfg, z)
+    want = ltx2_audio_decode(params, cfg, z)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

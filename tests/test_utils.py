@@ -78,3 +78,69 @@ def test_latent_preview():
     z = np.random.default_rng(0).standard_normal((16, 3, 4, 4)).astype("f")
     rgb = latent_to_rgb(z)
     assert rgb.shape == (3, 4, 4, 3) and rgb.dtype == np.uint8
+
+
+# ---------------------------------------------------------------------------
+# audio output path (audio_video.py:377 save_audio_file, :613 mux)
+# ---------------------------------------------------------------------------
+
+def test_wav_roundtrip(tmp_path):
+    from wan2gp_tpu.utils.media import save_audio, read_wav
+    import numpy as np
+    t = np.linspace(0, 1, 8000, endpoint=False)
+    wave = np.stack([np.sin(2 * np.pi * 440 * t),
+                     np.sin(2 * np.pi * 220 * t)], axis=1) * 0.5
+    p = save_audio(wave, str(tmp_path / "tone.wav"), sample_rate=8000)
+    back, rate = read_wav(p)
+    assert rate == 8000 and back.shape == (8000, 2)
+    np.testing.assert_allclose(back / 32767.0, wave, atol=1e-3)
+
+
+def test_wav_channel_first_and_mono(tmp_path):
+    from wan2gp_tpu.utils.media import save_audio, read_wav
+    import numpy as np
+    wave = np.random.default_rng(0).uniform(-1, 1, (2, 4000)).astype(
+        np.float32)
+    p = save_audio(wave, str(tmp_path / "a.mp3"), sample_rate=16000)
+    assert p.endswith(".wav")
+    back, rate = read_wav(p)
+    assert back.shape == (4000, 2)
+    mono = np.random.default_rng(1).uniform(-1, 1, 1000).astype(np.float32)
+    p = save_audio(mono, str(tmp_path / "m.wav"))
+    back, _ = read_wav(p)
+    assert back.shape == (1000, 1)
+
+
+def test_avi_audio_mux_roundtrip(tmp_path):
+    from wan2gp_tpu.utils.media import (save_video, read_mjpeg_avi,
+                                        read_avi_audio,
+                                        read_video_metadata)
+    import numpy as np
+    frames = np.random.default_rng(0).integers(
+        0, 255, (4, 32, 32, 3), dtype=np.uint8)
+    t = np.linspace(0, 0.25, 4000, endpoint=False)
+    wave = (np.sin(2 * np.pi * 440 * t) * 0.5).astype(np.float32)
+    p = str(tmp_path / "av.avi")
+    meta = {"prompt": "tone test", "seed": 7}
+    save_video(frames, p, fps=16, audio=wave, audio_sample_rate=16000,
+               metadata=meta)
+    vid = read_mjpeg_avi(p)
+    assert vid.shape == frames.shape
+    audio = read_avi_audio(p)
+    assert audio is not None
+    back, rate = audio
+    assert rate == 16000 and back.shape == (4000, 1)
+    np.testing.assert_allclose(back[:, 0] / 32767.0, wave, atol=1e-3)
+    # in-container metadata survives sidecar deletion
+    import os
+    os.remove(p + ".json")
+    assert read_video_metadata(p) == meta
+
+
+def test_avi_without_audio_still_reads(tmp_path):
+    from wan2gp_tpu.utils.media import save_video, read_avi_audio
+    import numpy as np
+    frames = np.zeros((2, 16, 16, 3), np.uint8)
+    p = str(tmp_path / "v.avi")
+    save_video(frames, p, fps=8)
+    assert read_avi_audio(p) is None

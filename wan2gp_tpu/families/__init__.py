@@ -19,6 +19,7 @@ from .ideogram4 import Ideogram4FamilyHandler
 from .longcat import LongCatFamilyHandler
 from .hidream import HiDreamFamilyHandler
 from .magi import MagiFamilyHandler
+from .ltx2 import LTX2FamilyHandler
 
 _HANDLER_CLASSES = [WanFamilyHandler, FluxFamilyHandler,
                     HunyuanFamilyHandler, LTXVFamilyHandler,
@@ -26,7 +27,7 @@ _HANDLER_CLASSES = [WanFamilyHandler, FluxFamilyHandler,
                     ZImageFamilyHandler, Kandinsky5FamilyHandler,
                     MiniMaxFamilyHandler, Ideogram4FamilyHandler,
                     LongCatFamilyHandler, HiDreamFamilyHandler,
-                    MagiFamilyHandler]
+                    MagiFamilyHandler, LTX2FamilyHandler]
 
 
 def build_handler_map():

@@ -131,7 +131,7 @@ class LongCatFamilyHandler:
 
     @staticmethod
     def generate_video(pipe, merged: Dict[str, Any], width: int,
-                       height: int, seed: int, **kw):
+                       height: int, frame_num: int, seed: int, **kw):
         sampling = LongCatSamplingConfig(
             steps=int(merged.get("num_inference_steps", 50)),
             guidance=float(merged.get("guidance_scale", 4.0)),
@@ -142,7 +142,7 @@ class LongCatFamilyHandler:
             prompt=merged.get("prompt", ""),
             negative_prompt=merged.get("negative_prompt", ""),
             height=height, width=width,
-            frame_num=int(merged.get("video_length", 93)),
+            frame_num=frame_num or int(merged.get("video_length", 93)),
             sampling=sampling,
             image_cond=merged.get("_image_cond"),
             video_cond=merged.get("_video_cond"),

@@ -97,17 +97,23 @@ class MagiFamilyHandler:
 
     @staticmethod
     def generate_video(pipe, merged: Dict[str, Any], width: int,
-                       height: int, seed: int, **kw):
+                       height: int, frame_num: int, seed: int, **kw):
         sampling = MagiSamplingConfig(
             steps=int(merged.get("num_inference_steps", 8)),
             shift=float(merged.get("flow_shift", 3.0)),
             guidance=float(merged.get("guidance_scale", 1.0)),
             audio_guidance=float(merged.get("audio_guidance_scale", 1.0)))
-        return pipe.generate(
+        video, audio = pipe.generate(
             prompt=merged.get("prompt", ""),
             negative_prompt=merged.get("negative_prompt", ""),
             height=height, width=width,
-            frame_num=int(merged.get("video_length", 101)),
+            frame_num=frame_num or int(merged.get("video_length", 101)),
             image_latent=merged.get("_image_latent"),
             audio_latent=merged.get("_audio_latent"),
             sampling=sampling, seed=seed)
+        out = {"video": video}
+        if audio is not None and getattr(pipe, "audio_vae_decode_fn", None):
+            # decoded waveform (SA audio VAE); latents are dropped
+            out["audio"] = audio
+            out["audio_sample_rate"] = 16000
+        return out

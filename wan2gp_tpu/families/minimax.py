@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, List, Optional
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -113,3 +114,28 @@ class MiniMaxFamilyHandler:
                 return jnp.concatenate(waves, axis=1)
             return audio_decode(params, cfg, z)
         return decode
+
+    @staticmethod
+    def generate_video(pipe, merged, width, height, frame_num, seed, **kw):
+        """Service entry: returns {"video", "audio", "audio_sample_rate"}
+        so the orchestrator muxes the decoded 32 kHz waveform into the
+        output (reference minimax_h3 T2VA saves audio+video,
+        shared/utils/audio_video.py:613)."""
+        from ..models.minimax.pipeline import MiniMaxSamplingConfig
+        sampling = MiniMaxSamplingConfig(
+            steps=int(merged.get("num_inference_steps", 20)))
+        fps = float(merged.get("fps", 24))
+        n_frames = frame_num or int(merged.get("video_length", 49))
+        # audio latents cover the clip length: 32 kHz / 800-sample hop
+        audio_latents = max(1, int(round(n_frames / fps * 32000 / 800)))
+        video, audio = pipe.generate(
+            prompt=merged.get("prompt", ""), width=width, height=height,
+            frame_num=n_frames, audio_latents=audio_latents, fps=fps,
+            sampling=sampling, seed=seed,
+            context=merged.get("_context"),
+            return_latents=pipe.video_vae_decode_fn is None)
+        out = {"video": video}
+        if pipe.audio_vae_decode_fn is not None and audio is not None:
+            out["audio"] = np.asarray(audio)[0]     # [C, T] waveform
+            out["audio_sample_rate"] = 32000
+        return out

@@ -410,3 +410,150 @@ def ltx2_vocoder(params, cfg: LTX2VocoderConfig, mel):
     else:
         x = jnp.clip(x, -1.0, 1.0)
     return x.transpose(0, 2, 1)
+
+
+# ---------------------------------------------------------------------------
+# checkpoint loading
+# ---------------------------------------------------------------------------
+
+def _t_c2(w):
+    """torch Conv2d [Cout, Cin, kh, kw] -> [kh, kw, Cin, Cout]."""
+    return jnp.asarray(np.asarray(w, np.float32).transpose(2, 3, 1, 0))
+
+
+def _t_c1(w):
+    """torch Conv1d [Cout, Cin, k] -> [k, Cin, Cout]."""
+    return jnp.asarray(np.asarray(w, np.float32).transpose(2, 1, 0))
+
+
+def _t_ct1(w):
+    """torch ConvTranspose1d [Cin, Cout, k] -> flipped [k, Cin, Cout]
+    for the lhs-dilated conv in conv_transpose1d."""
+    return jnp.asarray(
+        np.asarray(w, np.float32).transpose(2, 0, 1)[::-1].copy())
+
+
+def load_ltx2_audio_vae_params(sd, cfg: LTX2AudioVAEConfig,
+                               dtype=jnp.float32):
+    """Map the reference AudioEncoder/AudioDecoder state dict
+    (ltx_core/model/audio_vae/audio_vae.py; VQGAN-style keys
+    encoder.down.N / decoder.up.LEVEL with up inserted at the front,
+    upsample.py:104) onto the init_ltx2_audio_vae tree."""
+    sd = dict(sd)
+    for pre in ("audio_vae.", "vae."):
+        if any(k.startswith(pre) for k in sd):
+            sd = {k[len(pre):] if k.startswith(pre) else k: v
+                  for k, v in sd.items()}
+
+    def c2(name):
+        return {"w": _t_c2(sd.pop(f"{name}.weight")).astype(dtype),
+                "b": jnp.asarray(np.asarray(sd.pop(f"{name}.bias"),
+                                            np.float32)).astype(dtype)}
+
+    def res(name):
+        p = {"conv1": c2(f"{name}.conv1"), "conv2": c2(f"{name}.conv2")}
+        if f"{name}.nin_shortcut.weight" in sd:
+            p["nin_shortcut"] = c2(f"{name}.nin_shortcut")
+        return p
+
+    nl = len(cfg.ch_mult)
+    down = []
+    for lvl in range(nl):
+        level = {"block": [res(f"encoder.down.{lvl}.block.{j}")
+                           for j in range(cfg.num_res_blocks)]}
+        if f"encoder.down.{lvl}.downsample.conv.weight" in sd:
+            level["downsample"] = {
+                "conv": c2(f"encoder.down.{lvl}.downsample.conv")}
+        down.append(level)
+    up = []
+    for i, lvl in enumerate(reversed(range(nl))):
+        level = {"block": [res(f"decoder.up.{lvl}.block.{j}")
+                           for j in range(cfg.num_res_blocks + 1)]}
+        if f"decoder.up.{lvl}.upsample.conv.weight" in sd:
+            level["upsample"] = {
+                "conv": c2(f"decoder.up.{lvl}.upsample.conv")}
+        up.append(level)
+
+    def stats(which):
+        for k in (f"per_channel_statistics.{which}-of-means",
+                  f"encoder.per_channel_statistics.{which}-of-means",
+                  f"decoder.per_channel_statistics.{which}-of-means",
+                  f"{which}-of-means", f"{which}_of_means"):
+            if k in sd:
+                v = jnp.asarray(np.asarray(sd.pop(k), np.float32))
+                # drop duplicates under the other prefix
+                for k2 in list(sd):
+                    if k2.endswith(f"{which}-of-means"):
+                        sd.pop(k2)
+                return v
+        return (jnp.ones if which == "std" else jnp.zeros)(
+            (cfg.stats_dim,), jnp.float32)
+
+    return {
+        "encoder": {
+            "conv_in": c2("encoder.conv_in"),
+            "down": down,
+            "mid": {"block_1": res("encoder.mid.block_1"),
+                    "block_2": res("encoder.mid.block_2")},
+            "conv_out": c2("encoder.conv_out"),
+        },
+        "decoder": {
+            "conv_in": c2("decoder.conv_in"),
+            "mid": {"block_1": res("decoder.mid.block_1"),
+                    "block_2": res("decoder.mid.block_2")},
+            "up": up,
+            "conv_out": c2("decoder.conv_out"),
+        },
+        "std_of_means": stats("std"),
+        "mean_of_means": stats("mean"),
+    }
+
+
+def load_ltx2_vocoder_params(sd, cfg: LTX2VocoderConfig,
+                             dtype=jnp.float32):
+    """Map the reference Vocoder state dict (vocoder.py: conv_pre, ups.N
+    ConvTranspose1d, resblocks.{N*K+M} AMPBlock1 with convs1/convs2 +
+    acts1/acts2 Activation1d(SnakeBeta), act_post, conv_post) onto the
+    init_ltx2_vocoder tree."""
+    sd = dict(sd)
+    for pre in ("vocoder.", "generator."):
+        if any(k.startswith(pre) for k in sd):
+            sd = {k[len(pre):] if k.startswith(pre) else k: v
+                  for k, v in sd.items()}
+
+    def c1(name, transpose=False):
+        conv = _t_ct1 if transpose else _t_c1
+        return {"w": conv(sd.pop(f"{name}.weight")).astype(dtype),
+                "b": jnp.asarray(np.asarray(sd.pop(f"{name}.bias"),
+                                            np.float32)).astype(dtype)}
+
+    def vec(name):
+        return jnp.asarray(np.asarray(sd.pop(name), np.float32))
+
+    nk = len(cfg.resblock_kernel_sizes)
+    ups = []
+    for i in range(len(cfg.upsample_rates)):
+        stage = {"conv": c1(f"ups.{i}", transpose=True), "resblocks": []}
+        for j in range(nk):
+            r = f"resblocks.{i * nk + j}"
+            nd = len(cfg.resblock_dilations[j])
+            stage["resblocks"].append({
+                "convs1": [c1(f"{r}.convs1.{m}") for m in range(nd)],
+                "convs2": [c1(f"{r}.convs2.{m}") for m in range(nd)],
+                "alpha1": [vec(f"{r}.acts1.{m}.act.alpha")
+                           for m in range(nd)],
+                "beta1": [vec(f"{r}.acts1.{m}.act.beta")
+                          for m in range(nd)],
+                "alpha2": [vec(f"{r}.acts2.{m}.act.alpha")
+                           for m in range(nd)],
+                "beta2": [vec(f"{r}.acts2.{m}.act.beta")
+                          for m in range(nd)],
+            })
+        ups.append(stage)
+    return {
+        "conv_pre": c1("conv_pre"),
+        "ups": ups,
+        "alpha_post": vec("act_post.act.alpha"),
+        "beta_post": vec("act_post.act.beta"),
+        "conv_post": c1("conv_post"),
+    }

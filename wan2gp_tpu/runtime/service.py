@@ -173,16 +173,51 @@ class GenerationService:
         frame_num = int(merged.get("video_length", 81))
         handler = self.registry.handler_for(model_type)
         if hasattr(handler, "generate_video"):
-            # non-Wan video families own their sampling-config mapping
-            video = handler.generate_video(pipe, merged, width, height,
-                                           frame_num, seed)
+            # non-Wan video families own their sampling-config mapping;
+            # they may return a bare frame array or a dict with an audio
+            # track ({"video", "audio", "audio_sample_rate"}) — the TPU
+            # analog of the reference's save_audio_file + mux step
+            # (shared/utils/audio_video.py:377,:613)
+            result = handler.generate_video(pipe, merged, width, height,
+                                            frame_num, seed)
+            audio, audio_sr = None, 16000
+            if isinstance(result, dict):
+                video = result["video"]
+                audio = result.get("audio")
+                audio_sr = int(result.get("audio_sample_rate", 16000))
+            elif isinstance(result, tuple):
+                video = result[0]
+            else:
+                video = result
+            video = np.asarray(video)
+            if video.ndim == 5:
+                # undecoded latents (no VAE attached, e.g. synthetic runs):
+                # RGB-factor preview approximation (latent_preview.py)
+                from ..postprocessing.latent_preview import latent_to_rgb
+                try:
+                    video = latent_to_rgb(video)
+                except Exception:
+                    video = np.clip(
+                        (video[0, :3].transpose(1, 2, 3, 0) + 1) * 127.5,
+                        0, 255).astype(np.uint8)
             video, fps = _apply_temporal_upsampling(
                 video, merged, int(merged.get("fps", 24)))
             path = os.path.join(self.output_dir,
                                 f"{model_type}_{stamp}_{seed}.avi")
             media.save_video(np.asarray(video), path, fps=fps,
-                             metadata=_clean_settings(merged))
-            return self.plugins.apply_postprocess_hooks([path], merged)
+                             metadata=_clean_settings(merged),
+                             audio=(None if audio is None
+                                    else np.asarray(audio)),
+                             audio_sample_rate=audio_sr)
+            outputs = [path]
+            if audio is not None:
+                outputs.append(media.save_audio(
+                    np.asarray(audio),
+                    os.path.join(self.output_dir,
+                                 f"{model_type}_{stamp}_{seed}.wav"),
+                    sample_rate=audio_sr,
+                    metadata=_clean_settings(merged)))
+            return self.plugins.apply_postprocess_hooks(outputs, merged)
         window_size = int(merged.get("sliding_window_size", 0) or 0)
         if window_size and frame_num > window_size:
             video = pipe.generate_sliding(

@@ -43,6 +43,21 @@ _ARCH: Dict[str, Dict[str, Any]] = {
                       model_type="t2v", vae_stride=(4, 8, 8), vace=True),
     "vace_14B": dict(dim=5120, ffn_dim=13824, num_heads=40, num_layers=40,
                      model_type="t2v", vae_stride=(4, 8, 8), vace=True),
+    # audio-driven talking heads (multitalk module, wan_handler.py:44-45)
+    "multitalk": dict(dim=5120, ffn_dim=13824, num_heads=40, num_layers=40,
+                      model_type="i2v", in_dim=36, vae_stride=(4, 8, 8),
+                      multitalk=True),
+    "infinitetalk": dict(dim=5120, ffn_dim=13824, num_heads=40,
+                         num_layers=40, model_type="i2v", in_dim=36,
+                         vae_stride=(4, 8, 8), multitalk=True),
+    "vace_multitalk_14B": dict(dim=5120, ffn_dim=13824, num_heads=40,
+                               num_layers=40, model_type="t2v",
+                               vae_stride=(4, 8, 8), vace=True,
+                               multitalk=True),
+    "i2v_2_2_multitalk": dict(dim=5120, ffn_dim=13824, num_heads=40,
+                              num_layers=40, model_type="t2v", in_dim=36,
+                              vae_stride=(4, 8, 8), experts=2,
+                              multitalk=True),
 }
 
 
@@ -67,6 +82,7 @@ class WanFamilyHandler:
             "i2v_class": arch.get("model_type") == "i2v",
             "wan_5B_class": base_model_type == "ti2v_2_2",
             "vace_class": arch.get("vace", False),
+            "multitalk_class": arch.get("multitalk", False),
             "multiple_submodels": arch.get("experts", 1) > 1,
             "sliding_window": True,
             "tea_cache": arch.get("experts", 1) == 1,
@@ -100,6 +116,13 @@ class WanFamilyHandler:
         if model_def.get("URLs2"):
             files.append({"role": "transformer2",
                           "urls": model_def["URLs2"]})
+        if _ARCH[base_model_type].get("multitalk"):
+            files.append({"role": "multitalk", "urls": [
+                "https://huggingface.co/DeepBeepMeep/Wan2.1/resolve/main/"
+                "Wan2.1_multitalk_14B_mbf16.safetensors"]})
+            files.append({"role": "wav2vec", "urls": [
+                "https://huggingface.co/DeepBeepMeep/Wan2.1/resolve/main/"
+                "chinese-wav2vec2-base/model.safetensors"]})
         files.append({"role": "text_encoder", "urls": [
             "https://huggingface.co/DeepBeepMeep/Wan2.1/resolve/main/"
             "models_t5_umt5-xxl-enc-bf16.safetensors"]})
@@ -128,6 +151,7 @@ class WanFamilyHandler:
         is_22_vae = arch["vae_stride"] == (4, 16, 16)
         vae_cfg = Wan22VAEConfig() if is_22_vae else WanVAEConfig()
 
+        multitalk_extras: Dict[str, Any] = {}
         if init_random:
             key = jax.random.key(seed)
             dit_params = init_wan_dit(key, dit_cfg, dtype)
@@ -136,6 +160,18 @@ class WanFamilyHandler:
                           if is_22_vae
                           else init_wan_vae(jax.random.key(seed + 1),
                                             vae_cfg))
+            if arch.get("multitalk"):
+                from ..models.wan.multitalk import (AudioProjConfig,
+                                                    init_audio_proj,
+                                                    init_multitalk_audio_attn)
+                dit_params["audio_attn_blocks"] = init_multitalk_audio_attn(
+                    jax.random.key(seed + 2), dit_cfg, dit_cfg.num_layers,
+                    dtype=dtype)
+                ap_cfg = AudioProjConfig()
+                multitalk_extras = {
+                    "audio_proj_cfg": ap_cfg,
+                    "audio_proj_params": init_audio_proj(
+                        jax.random.key(seed + 3), ap_cfg)}
         else:
             sd = normalize_wan_sd(load_safetensors(checkpoints["transformer"]))
             dit_params, left = load_wan_dit_params(sd, dit_cfg, dtype)
@@ -149,10 +185,28 @@ class WanFamilyHandler:
             if checkpoints.get("vae"):
                 vae_sd = load_safetensors(checkpoints["vae"])
                 vae_params, _ = load_wan_vae_params(vae_sd, vae_cfg)
+            if arch.get("multitalk") and checkpoints.get("multitalk"):
+                from ..models.wan.multitalk import (
+                    load_multitalk_module_params, load_wav2vec2_params,
+                    Wav2Vec2Config)
+                ap, ap_cfg, audio_blocks, _ = load_multitalk_module_params(
+                    load_safetensors(checkpoints["multitalk"]),
+                    dit_cfg.num_layers, dtype)
+                dit_params["audio_attn_blocks"] = audio_blocks
+                multitalk_extras = {"audio_proj_cfg": ap_cfg,
+                                    "audio_proj_params": ap}
+                if checkpoints.get("wav2vec"):
+                    w2v_cfg = Wav2Vec2Config()
+                    w2v, _ = load_wav2vec2_params(
+                        load_safetensors(checkpoints["wav2vec"]), w2v_cfg)
+                    multitalk_extras["wav2vec"] = (w2v, w2v_cfg)
 
-        return WanPipeline(dit_params, dit_cfg, t5_params=t5_params,
+        pipe = WanPipeline(dit_params, dit_cfg, t5_params=t5_params,
                            t5_cfg=t5_cfg, vae_params=vae_params,
                            vae_cfg=vae_cfg, tokenizer=tokenizer,
                            vae_stride=arch["vae_stride"],
                            attn_backend=attn_backend,
                            base_model_type=base_model_type)
+        for k, v in multitalk_extras.items():
+            setattr(pipe, k, v)
+        return pipe

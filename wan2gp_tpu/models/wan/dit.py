@@ -289,10 +289,39 @@ def _ffn(p, y, cfg):
     return _dense(h, p["fc2"], cdt)
 
 
+def _audio_cross_attention(ap, x, audio_ctx, n_frames, cfg, attn_backend):
+    """Multitalk per-latent-frame audio cross-attention
+    (multitalk/attention.py SingleStreamAttention:188, applied after the
+    text cross-attention, multitalk_model.py:295-297).
+
+    x: [B, L, C] with L = n_frames * S; audio_ctx: [B, n_frames, Na, Da].
+    norm_x is an affine LayerNorm on the query input."""
+    from ...ops.attention import attention
+    cdt = cfg.compute_dtype
+    b, l, c = x.shape
+    s = l // n_frames
+    y = layer_norm(x.astype(jnp.float32), ap["norm_x"]["w"],
+                   ap["norm_x"]["b"], eps=cfg.eps)
+    yq = y.reshape(b * n_frames, s, c).astype(cdt)
+    q = _dense(yq, ap["q"], cdt)
+    kv_in = audio_ctx.reshape(b * n_frames, audio_ctx.shape[2],
+                              audio_ctx.shape[3]).astype(cdt)
+    kv = _dense(kv_in, ap["kv"], cdt)
+    k, v = jnp.split(kv, 2, axis=-1)
+    n, hd = cfg.num_heads, cfg.head_dim
+    o = attention(q.reshape(b * n_frames, s, n, hd),
+                  k.reshape(b * n_frames, -1, n, hd),
+                  v.reshape(b * n_frames, -1, n, hd),
+                  backend=attn_backend)
+    o = _dense(o.reshape(b * n_frames, s, c), ap["o"], cdt)
+    return o.reshape(b, l, c)
+
+
 def _block(bp, x, e6, context, context_img, rope_cos, rope_sin, cfg,
-           attn_backend, context_neg=None, nag=None):
+           attn_backend, context_neg=None, nag=None, audio=None):
     """One WanAttentionBlock (model.py:574-718).  x fp32 [B, L, C];
-    e6 fp32 [B, T_mod, 6, C] broadcast over tokens (T_mod=1 for scalar t)."""
+    e6 fp32 [B, T_mod, 6, C] broadcast over tokens (T_mod=1 for scalar t).
+    audio: optional (per-layer audio-attn params, audio_ctx, n_frames)."""
     rdt = cfg.residual_dtype
     mod = bp["modulation"].astype(jnp.float32)  # [6, C]
     e = e6 + mod[None, None]                    # [B, T, 6, C]
@@ -318,6 +347,11 @@ def _block(bp, x, e6, context, context_img, rope_cos, rope_sin, cfg,
                              attn_backend, context_neg=context_neg,
                              nag=nag).astype(jnp.float32)
 
+    if audio is not None:
+        ap, audio_ctx, n_frames = audio
+        x = x + _audio_cross_attention(ap, x, audio_ctx, n_frames, cfg,
+                                       attn_backend).astype(jnp.float32)
+
     # FFN with adaLN-zero
     xr = x.reshape(b, t_mod, l // t_mod, c)
     y = layer_norm(xr.astype(jnp.float32), eps=cfg.eps)
@@ -341,7 +375,8 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
                     attn_backend: str = "auto", skip_state=None,
                     context_neg=None, nag=None,
                     vace_context=None, vace_scale: float = 1.0,
-                    fbc_state=None, fbc_threshold: float = 0.08):
+                    fbc_state=None, fbc_threshold: float = 0.08,
+                    audio_tokens=None):
     """Denoiser forward.
 
     latents:  [B, C, F, H, W] noisy latents
@@ -417,18 +452,41 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
     else:
         hints = jnp.zeros((cfg.num_layers, 1, 1, 1), jnp.float32)
 
-    def body(carry, xs):
-        bp, hint = xs
-        out = _block(bp, carry, e6, ctx, ctx_img, rope_cos, rope_sin, cfg,
-                     attn_backend, context_neg=ctx_neg, nag=nag)
-        return out + hint.astype(out.dtype), None
+    # Multitalk audio conditioning: per-layer audio cross-attn params
+    # scanned alongside the blocks (multitalk_model.py:295-297).
+    use_audio = (audio_tokens is not None
+                 and "audio_attn_blocks" in params)
+    if use_audio:
+        audio_ctx = audio_tokens.astype(cfg.compute_dtype)
 
-    def run_blocks(x):
-        out, _ = jax.lax.scan(body, x, (params["blocks"], hints))
-        return out
+        def body(carry, xs):
+            bp, hint, ap = xs
+            out = _block(bp, carry, e6, ctx, ctx_img, rope_cos, rope_sin,
+                         cfg, attn_backend, context_neg=ctx_neg, nag=nag,
+                         audio=(ap, audio_ctx, grid[0]))
+            return out + hint.astype(out.dtype), None
+
+        def run_blocks(x):
+            out, _ = jax.lax.scan(
+                body, x, (params["blocks"], hints,
+                          params["audio_attn_blocks"]))
+            return out
+    else:
+        def body(carry, xs):
+            bp, hint = xs
+            out = _block(bp, carry, e6, ctx, ctx_img, rope_cos, rope_sin,
+                         cfg, attn_backend, context_neg=ctx_neg, nag=nag)
+            return out + hint.astype(out.dtype), None
+
+        def run_blocks(x):
+            out, _ = jax.lax.scan(body, x, (params["blocks"], hints))
+            return out
 
     new_residual = None
     new_fbc = None
+    if fbc_state is not None and use_audio:
+        raise ValueError("first-block cache is not supported together "
+                         "with multitalk audio conditioning")
     if fbc_state is not None:
         # First-block cache (reference models/minimax_h3/first_block_cache.py
         # :6-54): run block 0, compare its output signature to the cached

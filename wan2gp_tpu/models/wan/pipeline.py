@@ -455,6 +455,68 @@ def phantom_denoise_scan(dit_params, dit_cfg: WanDiTConfig,
     return x[:, :, :-r]
 
 
+def multitalk_denoise_scan(dit_params, dit_cfg: WanDiTConfig,
+                           schedule: Schedule, latents, context,
+                           context_null, audio_tokens, audio_tokens_zero,
+                           guide_scale: float, audio_guide_scale: float,
+                           rope_cos, rope_sin, vace_context=None,
+                           vace_scale: float = 1.0,
+                           attn_backend: str = "auto"):
+    """Multitalk audio-CFG denoising (any2video.py:1545-1559, 1630-1655).
+
+    Branches:
+      guide==1 (FusioniX accelerator, defaults/vace_multitalk_14B.json):
+        [cond(text,audio), drop_audio(text,silence)]
+        pred = drop_audio + g_a * (cond - drop_audio)          (:1652)
+      otherwise:
+        [cond(text,audio), drop_text(null,audio), uncond(null,silence)]
+        pred = uncond + g*(cond - drop_text) + g_a*(drop_text - uncond)
+                                                               (:1655)
+    audio_tokens: [1, F_lat, Na, Da] projected audio context tokens;
+    audio_tokens_zero: same shape, the silence embedding (the audio-proj
+    of zero windows, any2video.py:1550)."""
+    b = latents.shape[0]
+    use_text_cfg = guide_scale != 1.0
+    if use_text_cfg:
+        ctx = jnp.concatenate([context, context_null, context_null], axis=0)
+        aud = jnp.concatenate([audio_tokens, audio_tokens,
+                               audio_tokens_zero], axis=0)
+        nb = 3
+    else:
+        ctx = jnp.concatenate([context, context], axis=0)
+        aud = jnp.concatenate([audio_tokens, audio_tokens_zero], axis=0)
+        nb = 2
+    vace3 = (jnp.concatenate([vace_context] * nb, axis=0)
+             if vace_context is not None else None)
+
+    def body(carry, xs):
+        x, sstate = carry
+        t, coeffs_i, i = xs
+        xb = jnp.concatenate([x] * nb, axis=0)
+        tb = jnp.broadcast_to(t, (nb * b,))
+        v = wan_dit_forward(dit_params, dit_cfg, xb, tb, ctx,
+                            rope_cos, rope_sin, audio_tokens=aud,
+                            vace_context=vace3, vace_scale=vace_scale,
+                            attn_backend=attn_backend)
+        if use_text_cfg:
+            cond, drop_text, uncond = v[:b], v[b:2 * b], v[2 * b:]
+            pred = (uncond + guide_scale * (cond - drop_text)
+                    + audio_guide_scale * (drop_text - uncond))
+        else:
+            cond, drop_audio = v[:b], v[b:]
+            pred = drop_audio + audio_guide_scale * (cond - drop_audio)
+        x, sstate = solver_step(schedule, i, coeffs_i, pred, x, sstate)
+        return (x, sstate), None
+
+    carry0 = (latents.astype(jnp.float32),
+              init_solver_state(schedule, latents))
+    xs = (schedule.timesteps,
+          {k: v for k, v in schedule.coeffs.items()},
+          jnp.arange(schedule.num_steps, dtype=jnp.int32))
+    (x, _), _ = jax.lax.scan(body, carry0, xs)
+    return x
+
+
 class WanPipeline:
     """End-to-end Wan T2V/I2V generation.
 
@@ -910,6 +972,64 @@ class WanPipeline:
             rope_sin=rope_sin, attn_backend=self.attn_backend))
         x = fn(self.dit_params, latents=latents, context=context,
                context_null=context_null, ref_latents=ref_latents)
+        if return_latents:
+            return x
+        return self.decode(x)[0]
+
+    def generate_multitalk(self, prompt: str, audio_emb,
+                           n_prompt: str = "", width: int = 832,
+                           height: int = 480, frame_num: int = 81,
+                           sampling=None, seed: int = 0,
+                           audio_guide_scale: float = 4.0,
+                           audio_proj_params=None, audio_proj_cfg=None,
+                           vace_context=None, vace_scale: float = 1.0,
+                           context=None, context_null=None,
+                           return_latents: bool = False,
+                           audio_start_idx: int = 0):
+        """Audio-driven talking-head generation (multitalk module on any
+        Wan base, wan_handler.py:44-45; BASELINE config vace_multitalk_14B).
+
+        audio_emb: [T_frames, blocks, 768] per-video-frame wav2vec2
+        hidden-state stack (multitalk.wav2vec2_extract), windowed per
+        latent frame and projected to 32 context tokens per frame."""
+        from .multitalk import (AudioProjConfig, audio_proj_forward,
+                                get_window_audio_embeddings)
+        sampling = sampling or SamplingConfig()
+        if context is None:
+            context = self.encode_text([prompt])
+        if context_null is None and (sampling.guide_scale != 1.0
+                                     or audio_guide_scale != 1.0):
+            context_null = self.encode_text(
+                [n_prompt or DEFAULT_NEGATIVE_PROMPT])
+        ap_cfg = audio_proj_cfg or AudioProjConfig()
+
+        first, latter = get_window_audio_embeddings(
+            np.asarray(audio_emb), audio_start_idx=audio_start_idx,
+            clip_length=frame_num, audio_window=ap_cfg.seq_len)
+        tokens = audio_proj_forward(audio_proj_params, ap_cfg,
+                                    jnp.asarray(first), jnp.asarray(latter))
+        zero_first = jnp.zeros_like(jnp.asarray(first))
+        zero_latter = jnp.zeros_like(jnp.asarray(latter))
+        tokens_zero = audio_proj_forward(audio_proj_params, ap_cfg,
+                                         zero_first, zero_latter)
+
+        lat_shape = self.latent_shape(frame_num, height, width)
+        latents = jax.random.normal(jax.random.key(seed), lat_shape,
+                                    jnp.float32)
+        schedule = make_schedule(sampling.solver, sampling.steps,
+                                 sampling.shift)
+        rope_cos, rope_sin = self._rope(lat_shape, sampling.enable_riflex)
+        fn = jax.jit(functools.partial(
+            multitalk_denoise_scan, dit_cfg=self.dit_cfg,
+            schedule=schedule, guide_scale=sampling.guide_scale,
+            audio_guide_scale=audio_guide_scale, rope_cos=rope_cos,
+            rope_sin=rope_sin, vace_scale=vace_scale,
+            attn_backend=self.attn_backend))
+        x = fn(self.dit_params, latents=latents, context=context,
+               context_null=(context_null if context_null is not None
+                             else context),
+               audio_tokens=tokens, audio_tokens_zero=tokens_zero,
+               vace_context=vace_context)
         if return_latents:
             return x
         return self.decode(x)[0]

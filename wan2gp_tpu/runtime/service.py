@@ -15,6 +15,7 @@ import time
 from typing import Any, Callable, Dict, List, Optional
 
 import numpy as np
+import jax.numpy as jnp
 
 from ..config.registry import ModelRegistry
 from ..families import build_handler_map
@@ -218,6 +219,45 @@ class GenerationService:
                     sample_rate=audio_sr,
                     metadata=_clean_settings(merged)))
             return self.plugins.apply_postprocess_hooks(outputs, merged)
+        audio_emb = merged.get("_audio_emb")
+        if audio_emb is None and merged.get("audio_guide") \
+                and hasattr(pipe, "wav2vec"):
+            # audio file -> 16 kHz mono -> wav2vec2 per-frame features
+            # (multitalk.py get_embedding:47; fps 25 video-frame rate)
+            from ..models.wan.multitalk import wav2vec2_extract
+            wave, sr = media.read_wav(merged["audio_guide"])
+            mono = wave.astype(np.float32).mean(axis=1) / 32767.0
+            mono = (mono - mono.mean()) / (mono.std() + 1e-7)
+            fps = float(merged.get("fps", 25) or 25)
+            n_frames = max(frame_num, int(len(mono) / max(sr, 1) * fps))
+            w2v_params, w2v_cfg = pipe.wav2vec
+            audio_emb = wav2vec2_extract(w2v_params, w2v_cfg,
+                                         jnp.asarray(mono[None]),
+                                         n_frames)[0]
+        if model_def.get("multitalk_class") and audio_emb is not None \
+                and getattr(pipe, "audio_proj_params", None) is not None:
+            video = pipe.generate_multitalk(
+                prompt=merged.get("prompt", ""), audio_emb=audio_emb,
+                n_prompt=merged.get("negative_prompt", ""),
+                width=width, height=height, frame_num=frame_num,
+                sampling=sampling, seed=seed,
+                audio_guide_scale=float(
+                    merged.get("audio_guidance_scale", 4.0)),
+                audio_proj_params=pipe.audio_proj_params,
+                audio_proj_cfg=pipe.audio_proj_cfg,
+                context=merged.get("_context"),
+                context_null=merged.get("_context_null"))
+            video, fps = _apply_temporal_upsampling(
+                video, merged, int(merged.get("fps", 16)))
+            path = os.path.join(self.output_dir,
+                                f"{model_type}_{stamp}_{seed}.avi")
+            audio_wave = merged.get("_audio_wave")
+            if audio_wave is None and merged.get("audio_guide"):
+                audio_wave, _ = media.read_wav(merged["audio_guide"])
+            media.save_video(np.asarray(video), path, fps=fps,
+                             metadata=_clean_settings(merged),
+                             audio=audio_wave, audio_sample_rate=16000)
+            return self.plugins.apply_postprocess_hooks([path], merged)
         window_size = int(merged.get("sliding_window_size", 0) or 0)
         if window_size and frame_num > window_size:
             video = pipe.generate_sliding(

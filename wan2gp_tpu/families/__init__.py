@@ -20,6 +20,7 @@ from .longcat import LongCatFamilyHandler
 from .hidream import HiDreamFamilyHandler
 from .magi import MagiFamilyHandler
 from .ltx2 import LTX2FamilyHandler
+from .tts_ace import ACEStepFamilyHandler
 
 _HANDLER_CLASSES = [WanFamilyHandler, FluxFamilyHandler,
                     HunyuanFamilyHandler, LTXVFamilyHandler,
@@ -27,7 +28,8 @@ _HANDLER_CLASSES = [WanFamilyHandler, FluxFamilyHandler,
                     ZImageFamilyHandler, Kandinsky5FamilyHandler,
                     MiniMaxFamilyHandler, Ideogram4FamilyHandler,
                     LongCatFamilyHandler, HiDreamFamilyHandler,
-                    MagiFamilyHandler, LTX2FamilyHandler]
+                    MagiFamilyHandler, LTX2FamilyHandler,
+                    ACEStepFamilyHandler]
 
 
 def build_handler_map():

@@ -119,6 +119,20 @@ class GenerationService:
         if on_progress:
             on_progress("status", f"generating with {model_type}")
 
+        if model_def.get("audio_only"):
+            # TTS / music families: audio is the sole output (reference
+            # models/TTS/*_handler.py; saved via save_audio_file,
+            # shared/utils/audio_video.py:377)
+            handler = self.registry.handler_for(model_type)
+            out = handler.generate_audio(pipe, merged, seed)
+            path = media.save_audio(
+                np.asarray(out["audio"]),
+                os.path.join(self.output_dir,
+                             f"{model_type}_{stamp}_{seed}.wav"),
+                sample_rate=int(out.get("sample_rate", 44100)),
+                metadata=_clean_settings(merged))
+            return self.plugins.apply_postprocess_hooks([path], merged)
+
         if image_outputs:
             handler = self.registry.handler_for(model_type)
             img = handler.generate_image(pipe, merged, width, height, seed)

@@ -42,6 +42,7 @@ DEFAULT_NEGATIVE_PROMPT = (
 @dataclasses.dataclass(frozen=True)
 class SamplingConfig:
     solver: str = "unipc"
+    solver_order: int = 2
     steps: int = 50
     shift: float = 5.0
     guide_scale: float = 5.0
@@ -624,7 +625,8 @@ class WanPipeline:
         if fn is not None:
             return fn
         schedule = make_schedule(sampling.solver, sampling.steps,
-                                 sampling.shift)
+                                 sampling.shift,
+                                 solver_order=sampling.solver_order)
         skip = None if skip_key is None else np.asarray(skip_key, bool)
 
         @jax.jit
@@ -648,7 +650,8 @@ class WanPipeline:
                 vace_context=None, vace_scale: float = 1.0):
         """Run all phases/segments; returns final latents."""
         schedule = make_schedule(sampling.solver, sampling.steps,
-                                 sampling.shift)
+                                 sampling.shift,
+                                 solver_order=sampling.solver_order)
         skip = self.skip_schedule(sampling, schedule, width or 832,
                                   height or 480) \
             if sampling.cache_type else None
@@ -782,7 +785,8 @@ class WanPipeline:
         g = sampling.guide_scale
         any_guidance = g != 1.0
         schedule = make_schedule(sampling.solver, sampling.steps,
-                                 sampling.shift)
+                                 sampling.shift,
+                                 solver_order=sampling.solver_order)
         ctx = jnp.broadcast_to(context, (n_win, *context.shape[1:]))
         if any_guidance:
             ctxn = jnp.broadcast_to(context_null,
@@ -962,7 +966,8 @@ class WanPipeline:
         latents = jax.random.normal(jax.random.key(seed), lat_shape,
                                     jnp.float32)
         schedule = make_schedule(sampling.solver, sampling.steps,
-                                 sampling.shift)
+                                 sampling.shift,
+                                 solver_order=sampling.solver_order)
         rope_cos, rope_sin = self._rope(lat_shape,
                                         sampling.enable_riflex)
         fn = jax.jit(functools.partial(
@@ -1017,7 +1022,8 @@ class WanPipeline:
         latents = jax.random.normal(jax.random.key(seed), lat_shape,
                                     jnp.float32)
         schedule = make_schedule(sampling.solver, sampling.steps,
-                                 sampling.shift)
+                                 sampling.shift,
+                                 solver_order=sampling.solver_order)
         rope_cos, rope_sin = self._rope(lat_shape, sampling.enable_riflex)
         fn = jax.jit(functools.partial(
             multitalk_denoise_scan, dit_cfg=self.dit_cfg,
@@ -1096,10 +1102,17 @@ class WanPipeline:
                          sampling: SamplingConfig = SamplingConfig(),
                          seed: int = 0,
                          context: Optional[jnp.ndarray] = None,
-                         context_null: Optional[jnp.ndarray] = None):
+                         context_null: Optional[jnp.ndarray] = None,
+                         source_frames=None):
         """Sliding-window long-video generation (wgp.py window loop +
         windows.py planning).  prompt may hold one line per window with
-        /duration /overlap /new_shot commands.  Returns [T, H, W, 3]."""
+        /duration /overlap /new_shot commands.  Returns [T, H, W, 3].
+
+        source_frames: optional [T, H, W, 3] in [-1, 1] — continue-video
+        mode (wgp.py:6964 video_source; any2video.py:1482-1491 overlap
+        re-noising): the tail `overlap` frames are VAE-encoded and pinned
+        as the first window's overlap prefix; the returned video is the
+        continuation only (the caller stitches onto the source)."""
         from ...windows import (plan_windows, latent_overlap, stitch_windows)
         st = self.vae_stride[0]
         prompts = [p for p in prompt.split("\n") if p.strip()] or [""]
@@ -1113,6 +1126,17 @@ class WanPipeline:
 
         segments, overlaps = [], []
         prev_latents = None
+        if source_frames is not None:
+            from .vae2_2 import Wan22VAEConfig, wan22_vae_encode
+            ov_px = max(st + 1, (overlap - 1) // st * st + 1)
+            tail = jnp.asarray(source_frames[-ov_px:], jnp.float32)
+            pix = tail[None].transpose(0, 4, 1, 2, 3)   # [1, 3, T, H, W]
+            enc_fn = (wan22_vae_encode
+                      if isinstance(self.vae_cfg, Wan22VAEConfig)
+                      else vae_encode)
+            z = enc_fn(self.vae_params, self.vae_cfg,
+                       pix.transpose(0, 2, 3, 4, 1))    # [1, t, h, w, C]
+            prev_latents = z.transpose(0, 4, 1, 2, 3)   # [1, C, t, h, w]
         ctx_cache: Dict[str, Any] = {}
         for k, plan in enumerate(plans):
             if context is not None:
@@ -1126,8 +1150,12 @@ class WanPipeline:
 
             ov_lat = 0
             overlap_latents = None
-            if k > 0 and plan.overlap > 0 and not plan.new_shot:
-                ov_lat = latent_overlap(plan.overlap, st)
+            eff_overlap = plan.overlap if k > 0 else (
+                overlap if prev_latents is not None else 0)
+            if eff_overlap > 0 and prev_latents is not None \
+                    and not plan.new_shot:
+                ov_lat = latent_overlap(eff_overlap, st)
+                ov_lat = min(ov_lat, prev_latents.shape[2])
                 overlap_latents = prev_latents[:, :, -ov_lat:]
 
             lat_shape = self.latent_shape(plan.size, height, width)

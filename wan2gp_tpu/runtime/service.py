@@ -145,6 +145,7 @@ class GenerationService:
         from ..models.wan.pipeline import SamplingConfig
         sampling = SamplingConfig(
             solver=merged.get("sample_solver", "unipc") or "unipc",
+            solver_order=int(merged.get("solver_order", 2)),
             steps=int(merged.get("num_inference_steps", 30)),
             shift=float(merged.get("flow_shift", 5.0)),
             guide_scale=float(merged.get("guidance_scale", 5.0)),
@@ -273,7 +274,30 @@ class GenerationService:
                              audio=audio_wave, audio_sample_rate=16000)
             return self.plugins.apply_postprocess_hooks([path], merged)
         window_size = int(merged.get("sliding_window_size", 0) or 0)
-        if window_size and frame_num > window_size:
+        source_path = merged.get("video_source")
+        if source_path:
+            # continue-video (wgp.py:6964): the source's tail frames become
+            # the first window's overlap prefix; output = source + new,
+            # seam-blended (any2video.py:1482-1491 re-noising in denoise)
+            from ..windows import stitch_windows
+            src_u8 = media.read_mjpeg_avi(source_path)
+            src = src_u8.astype(np.float32) / 127.5 - 1.0
+            ov = int(merged.get("sliding_window_overlap", 5) or 5)
+            new = pipe.generate_sliding(
+                prompt=merged.get("prompt", ""),
+                n_prompt=merged.get("negative_prompt", ""),
+                width=src.shape[2], height=src.shape[1],
+                frame_num=frame_num,
+                window_size=window_size or frame_num,
+                overlap=ov,
+                discard=int(merged.get(
+                    "sliding_window_discard_last_frames", 0)),
+                sampling=sampling, seed=seed,
+                context=merged.get("_context"),
+                context_null=merged.get("_context_null"),
+                source_frames=src)
+            video = stitch_windows([src, np.asarray(new)], [0, ov])
+        elif window_size and frame_num > window_size:
             video = pipe.generate_sliding(
                 prompt=merged.get("prompt", ""),
                 n_prompt=merged.get("negative_prompt", ""),

@@ -112,31 +112,55 @@ def _flow_sigmas(num_steps, shift, num_train_timesteps):
     return sigmas, ts
 
 
+def _uni_rb(order, rks, hh):
+    """UniPC R matrix / b vector (fm_solvers_unipc.py:446-457; bh2:
+    B_h = expm1(hh))."""
+    h_phi_1 = np.expm1(hh)
+    B_h = h_phi_1
+    h_phi_k = h_phi_1 / hh - 1.0
+    R, b = [], []
+    fact = 1
+    for j in range(1, order + 1):
+        R.append(rks ** (j - 1))
+        b.append(h_phi_k * fact / B_h)
+        fact *= j + 1
+        h_phi_k = h_phi_k / hh - 1.0 / fact
+    return np.array(R), np.array(b)
+
+
 def _unipc_schedule(num_steps, shift, num_train_timesteps=1000,
                     solver_order=2):
-    """UniPC order<=2 (predict_x0, bh2) with precomputed coefficient tables.
+    """UniPC order<=3 (predict_x0, bh2) with precomputed coefficient tables.
 
     Update recurrences (derived from fm_solvers_unipc.py:350-486,655-739):
       m_i      = x_i - sigma[i] * v_i                      (x0 conversion)
       corrector (i>=1, order oc = predictor order at i-1):
-        x_i <- Ac*x_{i-1} + Bc*m_{i-1} + Cc1*(m_{i-2}-m_{i-1}) + Cc2*(m_i-m_{i-1})
-      predictor (order op = 1 if i==0 else min(2, N-i)):
-        x_{i+1} = Ap*x_i + Bp*m_i + Cp*(m_{i-1}-m_i)
+        x_i <- Ac*x_{i-1} + Bc*m_{i-1} + Cc1*(m_{i-2}-m_{i-1})
+               + Cc1b*(m_{i-3}-m_{i-1}) + Cc2*(m_i-m_{i-1})
+      predictor (order op = min(solver_order, i+1, N-i)):
+        x_{i+1} = Ap*x_i + Bp*m_i + Cp*(m_{i-1}-m_i) + Cp2*(m_{i-2}-m_i)
+
+    The per-order rho weights come from the UniPC linear system (bh2);
+    order 2 uses the reference's hard-coded rho=0.5 simplification.
     """
-    if solver_order != 2:
-        raise NotImplementedError("only solver_order=2 (the WanGP default)")
+    if solver_order not in (1, 2, 3):
+        raise NotImplementedError("solver_order must be 1, 2 or 3")
     sigmas, ts = _flow_sigmas(num_steps, shift, num_train_timesteps)
     N = num_steps
     sig = sigmas
     alpha = 1.0 - sig
     lam = _lam(sig)  # lam[N] = +inf at sigma 0
 
-    Ap = np.zeros(N); Bp = np.zeros(N); Cp = np.zeros(N)
-    Ac = np.zeros(N); Bc = np.zeros(N); Cc1 = np.zeros(N); Cc2 = np.zeros(N)
+    Ap = np.zeros(N); Bp = np.zeros(N); Cp = np.zeros(N); Cp2 = np.zeros(N)
+    Ac = np.zeros(N); Bc = np.zeros(N)
+    Cc1 = np.zeros(N); Cc1b = np.zeros(N); Cc2 = np.zeros(N)
+
+    def order_at(i):
+        return min(solver_order, i + 1, N - i)
 
     for i in range(N):
         # ---- predictor ----
-        op = 1 if i == 0 else min(2, N - i)
+        op = order_at(i)
         h = lam[i + 1] - lam[i]
         hh = -h
         phi1 = np.expm1(hh)       # == B_h for bh2
@@ -144,12 +168,20 @@ def _unipc_schedule(num_steps, shift, num_train_timesteps=1000,
         Ap[i] = sig[i + 1] / sig[i] if sig[i] > 0 else 0.0
         Bp[i] = -alpha[i + 1] * phi1
         if op >= 2:
-            rk = (lam[i - 1] - lam[i]) / h
-            Cp[i] = -alpha[i + 1] * B_h * 0.5 / rk
+            rks = np.array([(lam[i - j] - lam[i]) / h
+                            for j in range(1, op)] + [1.0])
+            if op == 2:
+                rhos_p = np.array([0.5])
+            else:
+                R, b = _uni_rb(op, rks, hh)
+                rhos_p = np.linalg.solve(R[:-1, :-1], b[:-1])
+            Cp[i] = -alpha[i + 1] * B_h * rhos_p[0] / rks[0]
+            if op >= 3:
+                Cp2[i] = -alpha[i + 1] * B_h * rhos_p[1] / rks[1]
 
         # ---- corrector applied at step i (uses order from step i-1) ----
         if i >= 1:
-            oc = 1 if i - 1 == 0 else min(2, N - (i - 1))
+            oc = order_at(i - 1)
             hc = lam[i] - lam[i - 1]
             hhc = -hc
             phi1c = np.expm1(hhc)
@@ -159,19 +191,18 @@ def _unipc_schedule(num_steps, shift, num_train_timesteps=1000,
             if oc == 1:
                 Cc2[i] = -alpha[i] * B_hc * 0.5
             else:
-                rkc = (lam[i - 2] - lam[i - 1]) / hc
-                # R = [[1, 1], [rkc, 1]], b per fm_solvers_unipc.py:446-457
-                b0 = (phi1c / hhc - 1.0) / B_hc
-                hpk = (phi1c / hhc - 1.0) / hhc - 0.5
-                b1 = hpk * 2.0 / B_hc
-                det = 1.0 - rkc
-                r0 = (b0 - b1) / det
-                r1 = (b1 - rkc * b0) / det
-                Cc1[i] = -alpha[i] * B_hc * r0 / rkc
-                Cc2[i] = -alpha[i] * B_hc * r1
+                rks = np.array([(lam[i - 1 - j] - lam[i - 1]) / hc
+                                for j in range(1, oc)] + [1.0])
+                R, b = _uni_rb(oc, rks, hhc)
+                rhos_c = np.linalg.solve(R, b)
+                Cc1[i] = -alpha[i] * B_hc * rhos_c[0] / rks[0]
+                if oc >= 3:
+                    Cc1b[i] = -alpha[i] * B_hc * rhos_c[1] / rks[1]
+                Cc2[i] = -alpha[i] * B_hc * rhos_c[-1]
 
     coeffs = {k: jnp.asarray(v, dtype=jnp.float32) for k, v in dict(
-        Ap=Ap, Bp=Bp, Cp=Cp, Ac=Ac, Bc=Bc, Cc1=Cc1, Cc2=Cc2,
+        Ap=Ap, Bp=Bp, Cp=Cp, Cp2=Cp2, Ac=Ac, Bc=Bc, Cc1=Cc1, Cc1b=Cc1b,
+        Cc2=Cc2,
         sigma=sig[:-1], use_corr=(np.arange(N) > 0).astype(np.float32),
     ).items()}
     return Schedule(name="unipc", num_steps=N,
@@ -225,9 +256,13 @@ _MAKERS = {
 
 
 def make_schedule(solver: str, num_steps: int, shift: float = 5.0,
-                  num_train_timesteps: int = 1000) -> Schedule:
+                  num_train_timesteps: int = 1000,
+                  solver_order: int = 2) -> Schedule:
     if solver not in _MAKERS:
         raise NotImplementedError(f"unsupported solver {solver!r}")
+    if solver == "unipc":
+        return _unipc_schedule(num_steps, shift, num_train_timesteps,
+                               solver_order=solver_order)
     return _MAKERS[solver](num_steps, shift, num_train_timesteps)
 
 
@@ -235,7 +270,7 @@ def init_solver_state(schedule: Schedule, latents) -> Dict[str, Any]:
     """Solver carry state for a lax.scan over steps."""
     z = jnp.zeros_like(latents)
     if schedule.name in ("unipc",):
-        return {"m1": z, "m2": z, "last_x": z}
+        return {"m1": z, "m2": z, "m3": z, "last_x": z}
     if schedule.name == "dpm++":
         return {"m1": z}
     return {}
@@ -263,12 +298,16 @@ def solver_step(schedule: Schedule, i, coeffs_i: Dict[str, jnp.ndarray],
 
     if name == "unipc":
         m = x - coeffs_i["sigma"] * v
-        m1, m2, last_x = state["m1"], state["m2"], state["last_x"]
+        m1, m2, m3 = state["m1"], state["m2"], state["m3"]
+        last_x = state["last_x"]
         x_corr = (coeffs_i["Ac"] * last_x + coeffs_i["Bc"] * m1
-                  + coeffs_i["Cc1"] * (m2 - m1) + coeffs_i["Cc2"] * (m - m1))
+                  + coeffs_i["Cc1"] * (m2 - m1)
+                  + coeffs_i.get("Cc1b", 0.0) * (m3 - m1)
+                  + coeffs_i["Cc2"] * (m - m1))
         x = jnp.where(coeffs_i["use_corr"] > 0, x_corr, x)
         x_next = coeffs_i["Ap"] * x + coeffs_i["Bp"] * m \
-            + coeffs_i["Cp"] * (m1 - m)
-        return x_next, {"m1": m, "m2": m1, "last_x": x}
+            + coeffs_i["Cp"] * (m1 - m) \
+            + coeffs_i.get("Cp2", 0.0) * (m2 - m)
+        return x_next, {"m1": m, "m2": m1, "m3": m2, "last_x": x}
 
     raise NotImplementedError(name)

@@ -58,6 +58,30 @@ _ARCH: Dict[str, Dict[str, Any]] = {
                               num_layers=40, model_type="t2v", in_dim=36,
                               vae_stride=(4, 8, 8), experts=2,
                               multitalk=True),
+    # SkyReels diffusion forcing (models/wan/diffusion_forcing.py)
+    "sky_df_1.3B": dict(dim=1536, ffn_dim=8960, num_heads=12,
+                        num_layers=30, model_type="t2v",
+                        vae_stride=(4, 8, 8), diffusion_forcing=True),
+    "sky_df_14B": dict(dim=5120, ffn_dim=13824, num_heads=40,
+                       num_layers=40, model_type="t2v",
+                       vae_stride=(4, 8, 8), diffusion_forcing=True),
+    # VACE on the Wan 2.2 dual-expert base (defaults/vace_14B_2_2 family)
+    "vace_14B_2_2": dict(dim=5120, ffn_dim=13824, num_heads=40,
+                         num_layers=40, model_type="t2v",
+                         vae_stride=(4, 8, 8), vace=True, experts=2),
+    # first-last-frame & inpainting i2v variants (same 36-ch cond arch)
+    "flf2v_720p": dict(dim=5120, ffn_dim=13824, num_heads=40,
+                       num_layers=40, model_type="i2v", in_dim=36,
+                       vae_stride=(4, 8, 8)),
+    "fun_inp": dict(dim=5120, ffn_dim=13824, num_heads=40, num_layers=40,
+                    model_type="i2v", in_dim=36, vae_stride=(4, 8, 8)),
+    "fun_inp_1.3B": dict(dim=1536, ffn_dim=8960, num_heads=12,
+                         num_layers=30, model_type="i2v", in_dim=36,
+                         vae_stride=(4, 8, 8)),
+    # Wan2.2-5B-based video editing (lucy edit: same ti2v_2_2 arch)
+    "lucy_edit": dict(dim=3072, ffn_dim=14336, num_heads=24, num_layers=30,
+                      model_type="t2v", in_dim=48, out_dim=48,
+                      vae_stride=(4, 16, 16)),
 }
 
 

@@ -100,6 +100,29 @@ class GenerationService:
                  on_progress: Optional[Callable] = None) -> List[str]:
         """Run one task; returns list of output file paths."""
         s = self.plugins.apply_settings_hooks(dict(settings))
+        profile = s.pop("profile", None)
+        if profile:
+            # "family/name" or bare name searched across families
+            # (reference profiles/ presets)
+            from ..config.profiles import apply_profile, list_profiles
+            if "/" in profile:
+                fam, name = profile.split("/", 1)
+            else:
+                fam = next((f for f, names in list_profiles().items()
+                            if profile in names), None)
+                name = profile
+            if fam is None:
+                raise FileNotFoundError(f"profile {profile!r} not found")
+            s = apply_profile(s, fam, name)
+        lset = s.pop("lset_name", None)
+        if lset:
+            from ..config.profiles import apply_lset
+            if not os.path.isfile(lset):
+                lora_dir = s.get("lora_dir", "loras")
+                lset = os.path.join(
+                    lora_dir, lset if lset.endswith(".lset")
+                    else lset + ".lset")
+            s = apply_lset(s, lset)
         model_type = s.get("model_type") or "t2v_1.3B"
         defaults = self.registry.default_settings(model_type)
         merged = {**defaults, **s}

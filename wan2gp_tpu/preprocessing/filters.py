@@ -172,7 +172,50 @@ def make_depth_preprocessor(checkpoint_path: str, variant: str = "vitl"):
     return depth_fn
 
 
+def make_flow_preprocessor(checkpoint_path: str = None, iters: int = 12):
+    """Model-based 'flow' control preprocessor (raft.py RAFT + Middlebury
+    flow coloring, reference preprocessing/raft/ + flow.py).  Operates on
+    consecutive frame pairs — use via preprocess_video (the first frame
+    repeats its successor's flow, matching the reference convention of
+    N-1 flows padded to N frames)."""
+    import jax
+    import jax.numpy as jnp
+    from .raft import (RAFTConfig, init_raft, load_raft_params, raft_flow,
+                       flow_to_rgb)
+    cfg = RAFTConfig(iters=iters)
+    if checkpoint_path:
+        from ..io.safetensors_reader import load_weights
+        params, _ = load_raft_params(load_weights(checkpoint_path), cfg)
+    else:
+        params = init_raft(jax.random.key(0), cfg)
+
+    def flow_video_fn(frames):
+        """[T, H, W, 3] uint8 -> [T, H, W, 3] flow-colored uint8."""
+        t, h, w, _ = frames.shape
+        hh, ww = h // 8 * 8, w // 8 * 8
+        fr = jnp.asarray(frames[:, :hh, :ww], jnp.float32)
+        flows = []
+        for i in range(t - 1):
+            fl = np.asarray(raft_flow(params, cfg, fr[i:i + 1],
+                                      fr[i + 1:i + 2]))[0]
+            flows.append(fl)
+        flows = [flows[0]] + flows if flows else \
+            [np.zeros((hh, ww, 2), np.float32)] * t
+        imgs = np.stack([flow_to_rgb(f) for f in flows])
+        if (hh, ww) != (h, w):
+            pad = np.zeros((t, h, w, 3), np.uint8)
+            pad[:, :hh, :ww] = imgs
+            imgs = pad
+        return imgs
+
+    PREPROCESSORS["flow_video"] = flow_video_fn
+    return flow_video_fn
+
+
 def preprocess_video(frames: np.ndarray, kind: str) -> np.ndarray:
-    """Apply a per-frame filter to [T, H, W, 3]."""
+    """Apply a per-frame filter to [T, H, W, 3] (whole-clip preprocessors
+    like 'flow_video' receive the full clip)."""
     fn = PREPROCESSORS[kind]
+    if kind.endswith("_video"):
+        return fn(np.asarray(frames))
     return np.stack([fn(f) for f in frames])

@@ -251,3 +251,133 @@ def test_flux_kontext_generation():
                                sampling=FluxSamplingConfig(steps=2),
                                seed=0, return_latents=True)
     assert not np.allclose(np.asarray(z), np.asarray(z2))
+
+
+# ---------------------------------------------------------------------------
+# FLUX.2 (klein/dev: SwiGLU, shared modulation, 4-axis rope, z=32)
+# ---------------------------------------------------------------------------
+
+def _tiny_flux2():
+    from wan2gp_tpu.models.flux.dit import FluxConfig, init_flux
+    cfg = FluxConfig(in_channels=16, out_channels=16, vec_in_dim=1,
+                     context_in_dim=24, hidden_size=32, mlp_ratio=3.0,
+                     num_heads=2, depth=2, depth_single_blocks=2,
+                     axes_dim=(4, 4, 4, 4), theta=2000, qkv_bias=False,
+                     guidance_embed=False, flux2=True,
+                     compute_dtype=jnp.float32)
+    return cfg, init_flux(jax.random.key(0), cfg, jnp.float32)
+
+
+def test_flux2_forward_shapes():
+    from wan2gp_tpu.models.flux.dit import (flux_forward, rope_from_ids,
+                                            make_ids_flux2)
+    cfg, params = _tiny_flux2()
+    assert "mod_double_img" in params and "vector_in" not in params
+    # bias-free linears
+    assert "b" not in params["img_in"]
+    img = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 4 * 4, cfg.in_channels)), jnp.float32)
+    txt = jnp.zeros((1, 6, cfg.context_in_dim), jnp.float32)
+    ids = make_ids_flux2(4, 4, 6)
+    cos, sin = rope_from_ids(ids, cfg.axes_dim, cfg.theta)
+    out = flux_forward(params, cfg, img, txt, None,
+                       jnp.asarray([0.5]), cos, sin, attn_backend="xla")
+    assert out.shape == (1, 16, cfg.out_channels)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_flux2_schedule_matches_reference_formula():
+    import math as m
+    from wan2gp_tpu.models.flux.dit import get_schedule_flux2
+    ts = get_schedule_flux2(10, 1024)
+    # reference compute_empirical_mu (sampling.py:476-490), seq <= 4300
+    a1, b1 = 8.73809524e-05, 1.89833333
+    a2, b2 = 0.00016927, 0.45666666
+    m200 = a2 * 1024 + b2
+    m10 = a1 * 1024 + b1
+    a = (m200 - m10) / 190.0
+    b = m200 - 200.0 * a
+    mu = a * 10 + b
+    t = np.linspace(1, 0, 11)
+    with np.errstate(divide="ignore"):
+        ref = m.exp(mu) / (m.exp(mu) + (1 / t - 1))
+    ref[-1] = 0.0
+    np.testing.assert_allclose(ts, ref, rtol=1e-6)
+    assert ts[0] == 1.0 and ts[-1] == 0.0
+
+
+def test_flux2_loader_roundtrip():
+    import torch
+    from wan2gp_tpu.io.flux_checkpoint import load_flux_params
+    from wan2gp_tpu.models.flux.dit import (flux_forward, rope_from_ids,
+                                            make_ids_flux2)
+    cfg, params = _tiny_flux2()
+
+    sd = {}
+
+    def put(name, p):
+        sd[f"{name}.weight"] = np.asarray(p["w"], np.float32).T
+        if "b" in p:
+            sd[f"{name}.bias"] = np.asarray(p["b"], np.float32)
+
+    put("img_in", params["img_in"])
+    put("txt_in", params["txt_in"])
+    put("time_in.in_layer", params["time_in"]["in"])
+    put("time_in.out_layer", params["time_in"]["out"])
+    put("double_stream_modulation_img.lin", params["mod_double_img"])
+    put("double_stream_modulation_txt.lin", params["mod_double_txt"])
+    put("single_stream_modulation.lin", params["mod_single"])
+    put("final_layer.adaLN_modulation.1", params["final"]["mod"])
+    put("final_layer.linear", params["final"]["linear"])
+    for i in range(cfg.depth):
+        for name in ("img", "txt"):
+            st = params["double_blocks"][name]
+            pre = f"double_blocks.{i}.{name}"
+            for tgt, src in (("_attn.qkv", "qkv"), ("_attn.proj", "proj"),
+                             ("_mlp.0", "mlp1"), ("_mlp.2", "mlp2")):
+                put(pre + tgt, jax.tree.map(lambda x: x[i], st[src]))
+            sd[f"{pre}_attn.norm.query_norm.scale"] = np.asarray(
+                st["norm_q"][i])
+            sd[f"{pre}_attn.norm.key_norm.scale"] = np.asarray(
+                st["norm_k"][i])
+    for i in range(cfg.depth_single_blocks):
+        sb = params["single_blocks"]
+        pre = f"single_blocks.{i}"
+        put(f"{pre}.linear1", jax.tree.map(lambda x: x[i], sb["linear1"]))
+        put(f"{pre}.linear2", jax.tree.map(lambda x: x[i], sb["linear2"]))
+        sd[f"{pre}.norm.query_norm.scale"] = np.asarray(sb["norm_q"][i])
+        sd[f"{pre}.norm.key_norm.scale"] = np.asarray(sb["norm_k"][i])
+
+    loaded, leftover = load_flux_params(sd, cfg, dtype=jnp.float32)
+    assert leftover == [], leftover[:5]
+
+    img = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (1, 16, cfg.in_channels)), jnp.float32)
+    txt = jnp.zeros((1, 4, cfg.context_in_dim), jnp.float32)
+    ids = make_ids_flux2(4, 4, 4)
+    cos, sin = rope_from_ids(ids, cfg.axes_dim, cfg.theta)
+    o1 = flux_forward(params, cfg, img, txt, None, jnp.asarray([0.3]),
+                      cos, sin, attn_backend="xla")
+    o2 = flux_forward(loaded, cfg, img, txt, None, jnp.asarray([0.3]),
+                      cos, sin, attn_backend="xla")
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_flux2_klein_handler_generate(monkeypatch):
+    from wan2gp_tpu.families import flux as flux_mod
+    import wan2gp_tpu.models.flux.dit as fdit
+    monkeypatch.setattr(
+        fdit, "FLUX2_KLEIN_4B",
+        dict(in_channels=16, out_channels=16, vec_in_dim=1,
+             context_in_dim=24, hidden_size=32, mlp_ratio=3.0, num_heads=2,
+             depth=2, depth_single_blocks=2, axes_dim=(4, 4, 4, 4),
+             theta=2000, qkv_bias=False, guidance_embed=False, flux2=True))
+    pipe = flux_mod.FluxFamilyHandler.load_model(
+        "flux2_klein_4b", {}, init_random=True, attn_backend="xla")
+    from wan2gp_tpu.models.flux.pipeline import FluxSamplingConfig
+    img = pipe.generate(prompt="a cat", width=64, height=64,
+                        sampling=FluxSamplingConfig(steps=2, guidance=1.0),
+                        seed=3)
+    assert np.asarray(img).shape == (64, 64, 3)
+    assert np.isfinite(np.asarray(img)).all()

@@ -15,6 +15,12 @@ _ARCH: Dict[str, Dict[str, Any]] = {
     "flux_schnell": dict(guidance_embed=False, shift=False),
     "flux_dev": dict(guidance_embed=True, shift=True),
     "flux_dev_kontext": dict(guidance_embed=True, shift=True),
+    # FLUX.2 (util.py:298-405); Klein uses a Qwen3 text encoder whose 3
+    # stacked hidden layers [9, 18, 27] feed context_in
+    # (modules/text_encoder_qwen3.py OUTPUT_LAYERS)
+    "flux2_klein_4b": dict(flux2="FLUX2_KLEIN_4B"),
+    "flux2_klein_9b": dict(flux2="FLUX2_KLEIN_9B"),
+    "flux2_dev": dict(flux2="FLUX2_DEV"),
 }
 
 
@@ -36,6 +42,13 @@ class FluxFamilyHandler:
 
     @staticmethod
     def default_settings(base_model_type: str) -> Dict[str, Any]:
+        if base_model_type.startswith("flux2"):
+            # klein: 4-step distilled, guidance 1 (defaults/flux2_klein_*)
+            dev = base_model_type == "flux2_dev"
+            return {"prompt": "", "resolution": "1024x1024",
+                    "num_inference_steps": 50 if dev else 4, "seed": -1,
+                    "embedded_guidance_scale": 4 if dev else 1,
+                    "batch_size": 1}
         steps = 4 if base_model_type == "flux_schnell" else 25
         return {"prompt": "", "resolution": "1280x720",
                 "num_inference_steps": steps, "seed": -1,
@@ -44,12 +57,23 @@ class FluxFamilyHandler:
     @staticmethod
     def dit_config(base_model_type: str, dtype=jnp.bfloat16) -> FluxConfig:
         arch = _ARCH[base_model_type]
+        if "flux2" in arch:
+            from ..models.flux import dit as fdit
+            return FluxConfig(compute_dtype=dtype,
+                              **getattr(fdit, arch["flux2"]))
         return FluxConfig(guidance_embed=arch["guidance_embed"],
                           compute_dtype=dtype)
 
     @staticmethod
     def query_model_files(base_model_type, model_def):
         base = "https://huggingface.co/DeepBeepMeep/Flux/resolve/main/"
+        if base_model_type.startswith("flux2"):
+            b2 = "https://huggingface.co/DeepBeepMeep/Flux2/resolve/main/"
+            return [{"role": "transformer",
+                     "urls": model_def.get("URLs", [])},
+                    {"role": "vae", "urls": [b2 + "flux2_vae.safetensors"]},
+                    {"role": "text_encoder",
+                     "urls": [b2 + "qwen3_4b_bf16.safetensors"]}]
         return [{"role": "transformer", "urls": model_def.get("URLs", [])},
                 {"role": "vae", "urls": [base + "flux_vae.safetensors"]},
                 {"role": "text_encoder", "urls": [
@@ -80,6 +104,7 @@ class FluxFamilyHandler:
         dit_cfg = cls.dit_config(base_model_type, dtype)
         vae_cfg = FluxVAEConfig()
         t5_fn = clip_fn = None
+        vae_decode_fn = None
         if init_random:
             dit_params = init_flux(jax.random.key(seed), dit_cfg, dtype)
             vae_params = init_flux_vae(jax.random.key(seed + 1), vae_cfg)
@@ -90,14 +115,64 @@ class FluxFamilyHandler:
             if left:
                 raise ValueError(f"unconsumed flux keys: {left[:8]}")
             vae_params = None
-            if checkpoints.get("vae"):
-                vae_sd = load_safetensors(checkpoints["vae"])
-                vae_params, _ = load_flux_vae_params(vae_sd, vae_cfg)
-            t5_fn, clip_fn = cls._load_text_encoders(
-                base_model_type, checkpoints, tokenizer, dtype)
+            if dit_cfg.flux2:
+                if checkpoints.get("vae"):
+                    vae_decode_fn = cls._load_flux2_vae(checkpoints)
+                t5_fn = cls._load_qwen3_encoder(checkpoints, tokenizer,
+                                                dtype, dit_cfg)
+                clip_fn = None
+            else:
+                if checkpoints.get("vae"):
+                    vae_sd = load_safetensors(checkpoints["vae"])
+                    vae_params, _ = load_flux_vae_params(vae_sd, vae_cfg)
+                t5_fn, clip_fn = cls._load_text_encoders(
+                    base_model_type, checkpoints, tokenizer, dtype)
         return FluxPipeline(dit_params, dit_cfg, vae_params, vae_cfg,
                             t5_encode_fn=t5_fn, clip_encode_fn=clip_fn,
-                            attn_backend=attn_backend)
+                            attn_backend=attn_backend,
+                            vae_decode_fn=vae_decode_fn)
+
+    @staticmethod
+    def _load_flux2_vae(checkpoints):
+        """FLUX.2 z=32 autoencoder (modules/autoencoder_flux2.py), shared
+        with Ideogram 4 (io/ideogram_checkpoint.py)."""
+        from ..io.safetensors_reader import load_weights
+        from ..io.ideogram_checkpoint import (normalize_flux2_vae_sd,
+                                              load_flux2_vae_params)
+        from ..models.ideogram4.pipeline import flux2_vae_decode
+        sd = normalize_flux2_vae_sd(load_weights(checkpoints["vae"]))
+        params, vcfg = load_flux2_vae_params(sd)
+
+        def decode(z):
+            return flux2_vae_decode(params, vcfg, z)
+        return decode
+
+    @staticmethod
+    def _load_qwen3_encoder(checkpoints, tokenizer, dtype, dit_cfg):
+        """FLUX.2 text conditioning: Qwen3 hidden states from layers
+        [9, 18, 27] stacked and flattened to context_in_dim
+        (modules/text_encoder_qwen3.py OUTPUT_LAYERS:14)."""
+        from ..io.safetensors_reader import load_weights
+        from ..models.qwen.text_encoder import (QwenLMConfig, QWEN3_4B,
+                                                load_qwen_lm_params,
+                                                qwen_lm_forward)
+        from ..utils.tokenizer import load_tokenizer
+        dim = dit_cfg.context_in_dim // 3
+        kw = dict(QWEN3_4B)
+        kw["dim"] = dim           # 2560 (4B) / 4096 (8B-class)
+        cfg = QwenLMConfig(**kw, compute_dtype=dtype)
+        params, _ = load_qwen_lm_params(
+            load_weights(checkpoints["text_encoder"]), cfg, dtype)
+        tok = tokenizer or load_tokenizer(checkpoints.get("tokenizer"))
+
+        def encode(prompts, max_len=512):
+            ids, mask = tok(prompts, max_len)
+            _, stacked = qwen_lm_forward(params, cfg, jnp.asarray(ids),
+                                         jnp.asarray(mask),
+                                         collect_layers=(9, 18, 27))
+            b, l, k, d = stacked.shape
+            return stacked.reshape(b, l, k * d).astype(jnp.float32)
+        return encode
 
     @staticmethod
     def generate_image(pipe, merged, width, height, seed):

@@ -55,10 +55,11 @@ def load_flux_params(sd: Dict[str, np.ndarray], cfg,
         return {"in": _lin(sd, f"{prefix}.in_layer", dtype),
                 "out": _lin(sd, f"{prefix}.out_layer", dtype)}
 
+    f2 = getattr(cfg, "flux2", False)
+
     def stream(i, name):
         pre = f"double_blocks.{i}.{name}"
-        return {
-            "mod": _lin(sd, f"{pre}_mod.lin", dtype),
+        p = {
             "qkv": _lin(sd, f"{pre}_attn.qkv", dtype),
             "norm_q": _vec(sd, f"{pre}_attn.norm.query_norm.scale"),
             "norm_k": _vec(sd, f"{pre}_attn.norm.key_norm.scale"),
@@ -66,19 +67,24 @@ def load_flux_params(sd: Dict[str, np.ndarray], cfg,
             "mlp1": _lin(sd, f"{pre}_mlp.0", dtype),
             "mlp2": _lin(sd, f"{pre}_mlp.2", dtype),
         }
+        if not f2:
+            p["mod"] = _lin(sd, f"{pre}_mod.lin", dtype)
+        return p
 
     def double_block(i):
         return {"img": stream(i, "img"), "txt": stream(i, "txt")}
 
     def single_block(i):
         pre = f"single_blocks.{i}"
-        return {
-            "mod": _lin(sd, f"{pre}.modulation.lin", dtype),
+        p = {
             "linear1": _lin(sd, f"{pre}.linear1", dtype),
             "linear2": _lin(sd, f"{pre}.linear2", dtype),
             "norm_q": _vec(sd, f"{pre}.norm.query_norm.scale"),
             "norm_k": _vec(sd, f"{pre}.norm.key_norm.scale"),
         }
+        if not f2:
+            p["mod"] = _lin(sd, f"{pre}.modulation.lin", dtype)
+        return p
 
     def stack(items):
         return jax.tree.map(lambda *xs: jnp.stack(xs), *items)
@@ -87,7 +93,6 @@ def load_flux_params(sd: Dict[str, np.ndarray], cfg,
         "img_in": _lin(sd, "img_in", dtype),
         "txt_in": _lin(sd, "txt_in", dtype),
         "time_in": embedder("time_in"),
-        "vector_in": embedder("vector_in"),
         "double_blocks": stack([double_block(i) for i in range(cfg.depth)]),
         "single_blocks": stack([single_block(i)
                                 for i in range(cfg.depth_single_blocks)]),
@@ -96,6 +101,16 @@ def load_flux_params(sd: Dict[str, np.ndarray], cfg,
             "linear": _lin(sd, "final_layer.linear", dtype),
         },
     }
+    if f2:
+        # shared global modulation (model.py:125-128)
+        params["mod_double_img"] = _lin(
+            sd, "double_stream_modulation_img.lin", jnp.float32)
+        params["mod_double_txt"] = _lin(
+            sd, "double_stream_modulation_txt.lin", jnp.float32)
+        params["mod_single"] = _lin(
+            sd, "single_stream_modulation.lin", jnp.float32)
+    else:
+        params["vector_in"] = embedder("vector_in")
     if cfg.guidance_embed and "guidance_in.in_layer.weight" in sd:
         params["guidance_in"] = embedder("guidance_in")
     return params, sorted(sd.keys())

@@ -29,7 +29,11 @@ from ...ops.rope import apply_rope
 
 @dataclasses.dataclass(frozen=True)
 class FluxConfig:
-    """flux-schnell/dev (reference models/flux/util.py:474-504)."""
+    """flux-schnell/dev (reference models/flux/util.py:474-504); flux2=True
+    switches to the FLUX.2 variants (util.py:298-405: bias-free linears,
+    SwiGLU MLPs with linear1 ratio 6 -> gated hidden ratio 3, SHARED
+    global modulation instead of per-block tables, no CLIP vector, 4-axis
+    rope (t, h, w, l) with theta 2000)."""
     in_channels: int = 64
     out_channels: int = 64
     vec_in_dim: int = 768
@@ -43,6 +47,9 @@ class FluxConfig:
     theta: int = 10000
     qkv_bias: bool = True
     guidance_embed: bool = False
+    flux2: bool = False
+    # flux2 SwiGLU ratios (util.py:344-348)
+    linear1_mlp_ratio: float = 6.0
     compute_dtype: Any = jnp.bfloat16
 
     @property
@@ -52,6 +59,30 @@ class FluxConfig:
     @property
     def mlp_hidden(self):
         return int(self.hidden_size * self.mlp_ratio)
+
+    @property
+    def lin1_mlp(self):
+        """single/double linear1 mlp width (gated: acts to lin1_mlp/2)."""
+        return int(self.hidden_size * (self.linear1_mlp_ratio
+                                       if self.flux2 else self.mlp_ratio))
+
+
+# FLUX.2 Klein architecture constants (util.py:334-405)
+FLUX2_KLEIN_4B = dict(in_channels=128, out_channels=128, vec_in_dim=1,
+                      context_in_dim=7680, hidden_size=3072, mlp_ratio=3.0,
+                      num_heads=24, depth=5, depth_single_blocks=20,
+                      axes_dim=(32, 32, 32, 32), theta=2000,
+                      qkv_bias=False, guidance_embed=False, flux2=True)
+FLUX2_KLEIN_9B = dict(in_channels=128, out_channels=128, vec_in_dim=1,
+                      context_in_dim=12288, hidden_size=4096, mlp_ratio=3.0,
+                      num_heads=32, depth=8, depth_single_blocks=24,
+                      axes_dim=(32, 32, 32, 32), theta=2000,
+                      qkv_bias=False, guidance_embed=False, flux2=True)
+FLUX2_DEV = dict(in_channels=128, out_channels=128, vec_in_dim=1,
+                 context_in_dim=15360, hidden_size=6144, mlp_ratio=3.0,
+                 num_heads=48, depth=8, depth_single_blocks=48,
+                 axes_dim=(32, 32, 32, 32), theta=2000,
+                 qkv_bias=False, guidance_embed=True, flux2=True)
 
 
 def rope_from_ids(ids, axes_dim, theta):
@@ -112,6 +143,14 @@ def init_flux(key, cfg: FluxConfig, dtype=jnp.bfloat16) -> Dict[str, Any]:
     keys = iter(jax.random.split(key, 16))
     h = cfg.hidden_size
     hd = cfg.head_dim
+    f2 = cfg.flux2
+    bias = not f2
+    mlp2_in = cfg.lin1_mlp // 2 if f2 else cfg.mlp_hidden
+
+    def mlp_embedder(key, d_in):
+        k1, k2 = jax.random.split(key)
+        return {"in": _linear(k1, d_in, h, jnp.float32, bias=bias),
+                "out": _linear(k2, h, h, jnp.float32, bias=bias)}
 
     def stack(fn, n):
         ks = jax.random.split(next(keys), n)
@@ -120,15 +159,17 @@ def init_flux(key, cfg: FluxConfig, dtype=jnp.bfloat16) -> Dict[str, Any]:
 
     def stream(key):
         ks = iter(jax.random.split(key, 8))
-        return {
-            "mod": _linear(next(ks), h, 6 * h, dtype),
+        p = {
             "qkv": _linear(next(ks), h, 3 * h, dtype, bias=cfg.qkv_bias),
             "norm_q": jnp.ones((hd,), jnp.float32),
             "norm_k": jnp.ones((hd,), jnp.float32),
-            "proj": _linear(next(ks), h, h, dtype),
-            "mlp1": _linear(next(ks), h, cfg.mlp_hidden, dtype),
-            "mlp2": _linear(next(ks), cfg.mlp_hidden, h, dtype),
+            "proj": _linear(next(ks), h, h, dtype, bias=bias),
+            "mlp1": _linear(next(ks), h, cfg.lin1_mlp, dtype, bias=bias),
+            "mlp2": _linear(next(ks), mlp2_in, h, dtype, bias=bias),
         }
+        if not f2:
+            p["mod"] = _linear(next(ks), h, 6 * h, dtype)
+        return p
 
     def double_block(key):
         k1, k2 = jax.random.split(key)
@@ -136,28 +177,42 @@ def init_flux(key, cfg: FluxConfig, dtype=jnp.bfloat16) -> Dict[str, Any]:
 
     def single_block(key):
         ks = iter(jax.random.split(key, 4))
-        return {
-            "mod": _linear(next(ks), h, 3 * h, dtype),
-            "linear1": _linear(next(ks), h, 3 * h + cfg.mlp_hidden, dtype),
-            "linear2": _linear(next(ks), h + cfg.mlp_hidden, h, dtype),
+        p = {
+            "linear1": _linear(next(ks), h, 3 * h + cfg.lin1_mlp, dtype,
+                               bias=bias),
+            "linear2": _linear(next(ks), h + mlp2_in, h, dtype, bias=bias),
             "norm_q": jnp.ones((hd,), jnp.float32),
             "norm_k": jnp.ones((hd,), jnp.float32),
         }
+        if not f2:
+            p["mod"] = _linear(next(ks), h, 3 * h, dtype)
+        return p
 
     params = {
-        "img_in": _linear(next(keys), cfg.in_channels, h, dtype),
-        "txt_in": _linear(next(keys), cfg.context_in_dim, h, dtype),
-        "time_in": _mlp_embedder(next(keys), 256, h, jnp.float32),
-        "vector_in": _mlp_embedder(next(keys), cfg.vec_in_dim, h, jnp.float32),
+        "img_in": _linear(next(keys), cfg.in_channels, h, dtype, bias=bias),
+        "txt_in": _linear(next(keys), cfg.context_in_dim, h, dtype,
+                          bias=bias),
+        "time_in": mlp_embedder(next(keys), 256),
         "double_blocks": stack(double_block, cfg.depth),
         "single_blocks": stack(single_block, cfg.depth_single_blocks),
         "final": {
-            "mod": _linear(next(keys), h, 2 * h, jnp.float32),
-            "linear": _linear(next(keys), h, cfg.out_channels, jnp.float32),
+            "mod": _linear(next(keys), h, 2 * h, jnp.float32, bias=bias),
+            "linear": _linear(next(keys), h, cfg.out_channels, jnp.float32,
+                              bias=bias),
         },
     }
+    if f2:
+        # shared global modulation (model.py:125-128)
+        params["mod_double_img"] = _linear(next(keys), h, 6 * h,
+                                           jnp.float32, bias=False)
+        params["mod_double_txt"] = _linear(next(keys), h, 6 * h,
+                                           jnp.float32, bias=False)
+        params["mod_single"] = _linear(next(keys), h, 3 * h, jnp.float32,
+                                       bias=False)
+    else:
+        params["vector_in"] = mlp_embedder(next(keys), cfg.vec_in_dim)
     if cfg.guidance_embed:
-        params["guidance_in"] = _mlp_embedder(next(keys), 256, h, jnp.float32)
+        params["guidance_in"] = mlp_embedder(next(keys), 256)
     return params
 
 
@@ -205,10 +260,27 @@ def _mod6(p, vec):
     return jnp.split(m[:, None, :], 6, axis=-1)  # each [B,1,h]
 
 
-def _double_block(bp, img, txt, vec, cos, sin, txt_len, cfg, attn_backend):
+def _mlp_act(y, cfg):
+    """FLUX.1: gelu(tanh); FLUX.2: SwiGLU gate (layers.py SiLUActivation:
+    silu(x1) * x2 over the split halves)."""
+    if cfg.flux2:
+        x1, x2 = jnp.split(y.astype(jnp.float32), 2, axis=-1)
+        return (jax.nn.silu(x1) * x2).astype(y.dtype)
+    return jax.nn.gelu(y.astype(jnp.float32),
+                       approximate=True).astype(y.dtype)
+
+
+def _double_block(bp, img, txt, vec, cos, sin, txt_len, cfg, attn_backend,
+                  mods=None):
     cdt = cfg.compute_dtype
-    i_shift, i_scale, i_gate, i_shift2, i_scale2, i_gate2 = _mod6(bp["img"], vec)
-    t_shift, t_scale, t_gate, t_shift2, t_scale2, t_gate2 = _mod6(bp["txt"], vec)
+    if mods is not None:          # flux2 shared modulation
+        (i_shift, i_scale, i_gate, i_shift2, i_scale2, i_gate2,
+         t_shift, t_scale, t_gate, t_shift2, t_scale2, t_gate2) = mods
+    else:
+        (i_shift, i_scale, i_gate,
+         i_shift2, i_scale2, i_gate2) = _mod6(bp["img"], vec)
+        (t_shift, t_scale, t_gate,
+         t_shift2, t_scale2, t_gate2) = _mod6(bp["txt"], vec)
 
     img_mod = layer_norm(img) * (1 + i_scale) + i_shift
     txt_mod = layer_norm(txt) * (1 + t_scale) + t_shift
@@ -227,21 +299,25 @@ def _double_block(bp, img, txt, vec, cos, sin, txt_len, cfg, attn_backend):
     img = img + i_gate * _dense(img_attn, bp["img"]["proj"], cdt).astype(jnp.float32)
     y = layer_norm(img) * (1 + i_scale2) + i_shift2
     y = _dense(y.astype(cdt), bp["img"]["mlp1"], cdt)
-    y = jax.nn.gelu(y.astype(jnp.float32), approximate=True).astype(cdt)
+    y = _mlp_act(y, cfg)
     img = img + i_gate2 * _dense(y, bp["img"]["mlp2"], cdt).astype(jnp.float32)
 
     txt = txt + t_gate * _dense(txt_attn, bp["txt"]["proj"], cdt).astype(jnp.float32)
     y = layer_norm(txt) * (1 + t_scale2) + t_shift2
     y = _dense(y.astype(cdt), bp["txt"]["mlp1"], cdt)
-    y = jax.nn.gelu(y.astype(jnp.float32), approximate=True).astype(cdt)
+    y = _mlp_act(y, cfg)
     txt = txt + t_gate2 * _dense(y, bp["txt"]["mlp2"], cdt).astype(jnp.float32)
     return img, txt
 
 
-def _single_block(bp, x, vec, cos, sin, cfg, attn_backend):
+def _single_block(bp, x, vec, cos, sin, cfg, attn_backend, mods=None):
     cdt = cfg.compute_dtype
-    m = _dense(jax.nn.silu(vec.astype(jnp.float32)), bp["mod"], jnp.float32)
-    shift, scale, gate = jnp.split(m[:, None, :], 3, axis=-1)
+    if mods is not None:          # flux2 shared modulation
+        shift, scale, gate = mods
+    else:
+        m = _dense(jax.nn.silu(vec.astype(jnp.float32)), bp["mod"],
+                   jnp.float32)
+        shift, scale, gate = jnp.split(m[:, None, :], 3, axis=-1)
     x_mod = layer_norm(x) * (1 + scale) + shift
     h1 = _dense(x_mod.astype(cdt), bp["linear1"], cdt)
     qkv = h1[..., :3 * cfg.hidden_size]
@@ -253,7 +329,7 @@ def _single_block(bp, x, vec, cos, sin, cfg, attn_backend):
     k = apply_rope(k, cos, sin)
     attn = attention(q, k, v, backend=attn_backend)
     attn = attn.reshape(*x.shape[:2], cfg.hidden_size)
-    act = jax.nn.gelu(mlp.astype(jnp.float32), approximate=True).astype(cdt)
+    act = _mlp_act(mlp, cfg).astype(cdt)
     out = _dense(jnp.concatenate([attn, act], axis=-1), bp["linear2"], cdt)
     return x + gate * out.astype(jnp.float32)
 
@@ -273,15 +349,29 @@ def flux_forward(params, cfg: FluxConfig, img, txt, vec_y, t,
         assert guidance is not None
         vec = vec + _embed(params["guidance_in"],
                            timestep_embedding(guidance, 256))
-    vec = vec + _embed(params["vector_in"], vec_y.astype(jnp.float32))
+    if not cfg.flux2:
+        vec = vec + _embed(params["vector_in"], vec_y.astype(jnp.float32))
 
     img = _dense(img.astype(cdt), params["img_in"], cdt).astype(jnp.float32)
     txt = _dense(txt.astype(cdt), params["txt_in"], cdt).astype(jnp.float32)
 
+    # flux2: the modulation is computed ONCE and shared by every block
+    # (model.py:441-460 double_stream_modulation_* / single_stream_mod)
+    dmods = smods = None
+    if cfg.flux2:
+        sv = jax.nn.silu(vec.astype(jnp.float32))
+        mi = jnp.split(_dense(sv, params["mod_double_img"],
+                              jnp.float32)[:, None], 6, axis=-1)
+        mt = jnp.split(_dense(sv, params["mod_double_txt"],
+                              jnp.float32)[:, None], 6, axis=-1)
+        dmods = tuple(mi) + tuple(mt)
+        smods = tuple(jnp.split(_dense(sv, params["mod_single"],
+                                       jnp.float32)[:, None], 3, axis=-1))
+
     def dbody(carry, bp):
         img, txt = carry
         img, txt = _double_block(bp, img, txt, vec, rope_cos, rope_sin,
-                                 txt_len, cfg, attn_backend)
+                                 txt_len, cfg, attn_backend, mods=dmods)
         return (img, txt), None
 
     (img, txt), _ = jax.lax.scan(dbody, (img, txt), params["double_blocks"])
@@ -290,7 +380,7 @@ def flux_forward(params, cfg: FluxConfig, img, txt, vec_y, t,
 
     def sbody(x, bp):
         return _single_block(bp, x, vec, rope_cos, rope_sin, cfg,
-                             attn_backend), None
+                             attn_backend, mods=smods), None
 
     x, _ = jax.lax.scan(sbody, x, params["single_blocks"])
     x = x[:, txt_len:]
@@ -317,3 +407,38 @@ def unpack_latent(x, h: int, w: int):
     x = x.reshape(b, h // 2, w // 2, c, 2, 2)
     x = x.transpose(0, 3, 1, 4, 2, 5)
     return x.reshape(b, c, h, w)
+
+
+def make_ids_flux2(h_tok: int, w_tok: int, txt_len: int,
+                   t_img: int = 0, t_txt: int = 0) -> np.ndarray:
+    """FLUX.2 4-axis ids (t, h, w, l) for the concatenated [txt, img]
+    sequence (flux2_adapter.py prc_txt:170 / prc_img:182: text uses the
+    l axis, image uses h/w; t separates reference frames)."""
+    txt_ids = np.zeros((txt_len, 4), np.float64)
+    txt_ids[:, 0] = t_txt
+    txt_ids[:, 3] = np.arange(txt_len)
+    img_ids = np.zeros((h_tok, w_tok, 4), np.float64)
+    img_ids[..., 0] = t_img
+    img_ids[..., 1] = np.arange(h_tok)[:, None]
+    img_ids[..., 2] = np.arange(w_tok)[None, :]
+    return np.concatenate([txt_ids, img_ids.reshape(-1, 4)], axis=0)
+
+
+def get_schedule_flux2(num_steps: int, image_seq_len: int) -> np.ndarray:
+    """FLUX.2 empirical-mu shifted schedule (sampling.py:274-291,
+    compute_empirical_mu:476-490)."""
+    a1, b1 = 8.73809524e-05, 1.89833333
+    a2, b2 = 0.00016927, 0.45666666
+    if image_seq_len > 4300:
+        mu = a2 * image_seq_len + b2
+    else:
+        m_200 = a2 * image_seq_len + b2
+        m_10 = a1 * image_seq_len + b1
+        a = (m_200 - m_10) / 190.0
+        b = m_200 - 200.0 * a
+        mu = a * num_steps + b
+    t = np.linspace(1, 0, num_steps + 1)
+    with np.errstate(divide="ignore"):
+        out = math.exp(mu) / (math.exp(mu) + (1.0 / t - 1.0))
+    out[-1] = 0.0
+    return out

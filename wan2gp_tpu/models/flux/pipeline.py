@@ -71,13 +71,14 @@ class FluxPipeline:
     def __init__(self, dit_params, dit_cfg: FluxConfig,
                  vae_params=None, vae_cfg: Optional[FluxVAEConfig] = None,
                  t5_encode_fn=None, clip_encode_fn=None,
-                 attn_backend: str = "auto"):
+                 attn_backend: str = "auto", vae_decode_fn=None):
         self.dit_params = dit_params
         self.dit_cfg = dit_cfg
         self.vae_params = vae_params
         self.vae_cfg = vae_cfg or FluxVAEConfig()
-        self.t5_encode_fn = t5_encode_fn       # prompts -> [B, L, 4096]
+        self.t5_encode_fn = t5_encode_fn       # prompts -> [B, L, ctx_dim]
         self.clip_encode_fn = clip_encode_fn   # prompts -> [B, 768]
+        self.vae_decode_fn = vae_decode_fn     # flux2: z=32 VAE override
         self.attn_backend = attn_backend
         self._cache: Dict[Any, Any] = {}
 
@@ -87,25 +88,34 @@ class FluxPipeline:
                  vec_y: Optional[jnp.ndarray] = None,
                  return_latents: bool = False):
         """Returns image [H, W, 3] float32 in [-1, 1]."""
+        f2 = self.dit_cfg.flux2
         if context is None:
             context = self.t5_encode_fn([prompt])
         if vec_y is None:
-            vec_y = self.clip_encode_fn([prompt])
+            vec_y = (jnp.zeros((1, 1), jnp.float32) if f2
+                     else self.clip_encode_fn([prompt]))
 
         h_lat, w_lat = height // 8, width // 8
         h_tok, w_tok = h_lat // 2, w_lat // 2
         seq = h_tok * w_tok
+        z_ch = self.dit_cfg.in_channels // 4      # 16 (flux1) / 32 (flux2)
 
         key = jax.random.key(seed)
-        latent = jax.random.normal(key, (1, 16, h_lat, w_lat), jnp.float32)
+        latent = jax.random.normal(key, (1, z_ch, h_lat, w_lat),
+                                   jnp.float32)
         img = pack_latent(latent)
 
         txt_len = context.shape[1]
-        ids = np.concatenate([np.zeros((txt_len, 3)),
-                              make_img_ids(h_tok, w_tok)], axis=0)
+        if f2:
+            from .dit import make_ids_flux2, get_schedule_flux2
+            ids = make_ids_flux2(h_tok, w_tok, txt_len)
+            ts = get_schedule_flux2(sampling.steps, seq)
+        else:
+            ids = np.concatenate([np.zeros((txt_len, 3)),
+                                  make_img_ids(h_tok, w_tok)], axis=0)
+            ts = flux_schedule(sampling.steps, seq, shift=sampling.shift)
         cos, sin = rope_from_ids(ids, self.dit_cfg.axes_dim,
                                  self.dit_cfg.theta)
-        ts = flux_schedule(sampling.steps, seq, shift=sampling.shift)
 
         sig = (sampling, img.shape, context.shape)
         fn = self._cache.get(sig)
@@ -119,6 +129,13 @@ class FluxPipeline:
         z = unpack_latent(x, h_lat, w_lat)
         if return_latents:
             return z
+        if self.vae_decode_fn is not None:
+            return jnp.clip(self.vae_decode_fn(z)[0], -1.0, 1.0)
+        if f2:
+            # no flux2 VAE attached (synthetic runs): nearest-upsampled
+            # 3-channel latent preview
+            pv = jnp.repeat(jnp.repeat(z[0, :3], 8, axis=1), 8, axis=2)
+            return jnp.clip(pv.transpose(1, 2, 0), -1.0, 1.0)
         img_out = flux_vae_decode(self.vae_params, self.vae_cfg,
                                   z.transpose(0, 2, 3, 1))
         return jnp.clip(img_out[0], -1.0, 1.0)

@@ -21,6 +21,7 @@ from .hidream import HiDreamFamilyHandler
 from .magi import MagiFamilyHandler
 from .ltx2 import LTX2FamilyHandler
 from .tts_ace import ACEStepFamilyHandler
+from .tts_qwen3 import Qwen3TTSFamilyHandler
 
 _HANDLER_CLASSES = [WanFamilyHandler, FluxFamilyHandler,
                     HunyuanFamilyHandler, LTXVFamilyHandler,
@@ -29,7 +30,7 @@ _HANDLER_CLASSES = [WanFamilyHandler, FluxFamilyHandler,
                     MiniMaxFamilyHandler, Ideogram4FamilyHandler,
                     LongCatFamilyHandler, HiDreamFamilyHandler,
                     MagiFamilyHandler, LTX2FamilyHandler,
-                    ACEStepFamilyHandler]
+                    ACEStepFamilyHandler, Qwen3TTSFamilyHandler]
 
 
 def build_handler_map():

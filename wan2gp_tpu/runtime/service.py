@@ -27,6 +27,52 @@ def parse_resolution(res: str):
     return int(w), int(h)
 
 
+def _apply_spatial_upsampling(video, merged):
+    """'lanczos1.5'/'lanczos2' resampling or 'flashvsr' one-step diffusion
+    4x VSR (reference postprocessing/spatial_upsamplers.py + flashvsr/).
+    video: [T, H, W, 3] float [-1,1] or uint8."""
+    su = str(merged.get("spatial_upsampling", "") or "")
+    if not su:
+        return video
+    frames = media.to_uint8(np.asarray(video))
+    if su.startswith("lanczos"):
+        from ..postprocessing.basic import lanczos_upscale
+        scale = 1.5 if su.endswith("1.5") else 2.0
+        return lanczos_upscale(frames, scale)
+    if su == "flashvsr":
+        pipe = merged.get("_flashvsr_pipe")
+        if pipe is None:
+            from ..postprocessing.flashvsr import (
+                FlashVSRPipeline, init_lq_proj, init_tcdecoder,
+                TCDecoderConfig)
+            from ..models.wan.dit import WanDiTConfig, init_wan_dit
+            import jax
+            ckpts = merged.get("_flashvsr_checkpoints")
+            cfg = WanDiTConfig(dim=1536, ffn_dim=8960, num_heads=12,
+                               num_layers=30)
+            if ckpts:
+                from ..io.safetensors_reader import load_weights
+                from ..io.wan_checkpoint import (normalize_wan_sd,
+                                                 load_wan_dit_params)
+                from ..postprocessing.flashvsr import (
+                    load_lq_proj_params, load_tcdecoder_params)
+                dit_params, _ = load_wan_dit_params(
+                    normalize_wan_sd(load_weights(ckpts["transformer"])),
+                    cfg)
+                lq_params, _ = load_lq_proj_params(
+                    load_weights(ckpts["lq_proj"]))
+                tc_params, _ = load_tcdecoder_params(
+                    load_weights(ckpts["tcdecoder"]))
+            else:
+                dit_params = init_wan_dit(jax.random.key(0), cfg)
+                lq_params = init_lq_proj(jax.random.key(1), cfg.dim)
+                tc_params = init_tcdecoder(jax.random.key(2))
+            pipe = FlashVSRPipeline(dit_params, cfg, lq_params, tc_params,
+                                    TCDecoderConfig())
+        return pipe.upscale(frames)
+    return video
+
+
 def _apply_temporal_upsampling(video, merged, fps: int):
     """'rife2'/'rife4' temporal upsampling (reference
     postprocessing/rife/temporal_upsampler.py).  Uses the RIFE IFNet when
@@ -239,6 +285,7 @@ class GenerationService:
                     video = np.clip(
                         (video[0, :3].transpose(1, 2, 3, 0) + 1) * 127.5,
                         0, 255).astype(np.uint8)
+            video = _apply_spatial_upsampling(video, merged)
             video, fps = _apply_temporal_upsampling(
                 video, merged, int(merged.get("fps", 24)))
             path = os.path.join(self.output_dir,
@@ -342,6 +389,7 @@ class GenerationService:
                 context=merged.get("_context"),
                 context_null=merged.get("_context_null"),
                 image_start=merged.get("_image_start"))
+        video = _apply_spatial_upsampling(video, merged)
         video, fps = _apply_temporal_upsampling(
             video, merged, int(merged.get("fps", 16)))
         path = os.path.join(self.output_dir,

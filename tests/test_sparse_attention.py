@@ -69,3 +69,80 @@ def test_empty_row_outputs_zero():
     np.testing.assert_allclose(np.asarray(got[:, 128:]), 0.0, atol=1e-6)
     ref = sparse_attention(q, k, v, mask, backend="xla")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# chipmunk dynamic block selection (model.py:886-905 mechanism)
+# ---------------------------------------------------------------------------
+
+def test_voxel_order_roundtrip():
+    from wan2gp_tpu.ops.sparse_attention import voxel_order
+    perm, inv = voxel_order((4, 6, 8), chunk=(2, 3, 4))
+    x = np.arange(4 * 6 * 8)
+    np.testing.assert_array_equal(x[perm][inv], x)
+    # a voxel's tokens are contiguous after permutation
+    first_voxel = x[perm][:2 * 3 * 4].reshape(2, 3, 4)
+    grid = x.reshape(4, 6, 8)
+    np.testing.assert_array_equal(first_voxel, grid[:2, :3, :4])
+
+
+def test_chipmunk_topk_selects_mass_blocks():
+    from wan2gp_tpu.ops.sparse_attention import (chipmunk_block_topk,
+                                                 chipmunk_attention)
+    rng = np.random.default_rng(0)
+    b, l, n, d = 1, 64, 2, 16
+    blk = 16
+    q = rng.standard_normal((b, l, n, d)).astype(np.float32) * 0.1
+    k = rng.standard_normal((b, l, n, d)).astype(np.float32) * 0.1
+    # plant a strong alignment: q block 0 matches k block 3
+    q[:, :blk] = 1.0
+    k[:, 3 * blk:4 * blk] = 1.0
+    v = rng.standard_normal((b, l, n, d)).astype(np.float32)
+    kv_idx, counts = chipmunk_block_topk(jnp.asarray(q), jnp.asarray(k),
+                                         blk, blk, topk=2)
+    assert kv_idx.shape == (4, 2)
+    assert 3 in np.asarray(kv_idx)[0]
+    out = chipmunk_attention(jnp.asarray(q), jnp.asarray(k),
+                             jnp.asarray(v), kv_idx, counts,
+                             block_q=blk, block_kv=blk, backend="xla")
+    assert out.shape == (b, l, n, d)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_chipmunk_full_topk_equals_dense():
+    """topk == all blocks must reproduce dense attention exactly."""
+    from wan2gp_tpu.ops.sparse_attention import (chipmunk_block_topk,
+                                                 chipmunk_attention)
+    from wan2gp_tpu.ops.attention import attention
+    rng = np.random.default_rng(1)
+    b, l, n, d = 2, 64, 2, 16
+    blk = 16
+    q = jnp.asarray(rng.standard_normal((b, l, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, l, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, l, n, d)), jnp.float32)
+    kv_idx, counts = chipmunk_block_topk(q, k, blk, blk, topk=4)
+    out = chipmunk_attention(q, k, v, kv_idx, counts, block_q=blk,
+                             block_kv=blk, backend="xla")
+    ref = attention(q, k, v, backend="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_chipmunk_kernel_matches_dense_fallback():
+    """The Pallas scalar-prefetch kernel (interpret mode) agrees with the
+    dense oracle over the same runtime tables."""
+    from wan2gp_tpu.ops.sparse_attention import (chipmunk_block_topk,
+                                                 chipmunk_attention)
+    rng = np.random.default_rng(2)
+    b, l, n, d = 1, 256, 2, 32
+    blk = 128
+    q = jnp.asarray(rng.standard_normal((b, l, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, l, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, l, n, d)), jnp.float32)
+    kv_idx, counts = chipmunk_block_topk(q, k, blk, blk, topk=1)
+    a = chipmunk_attention(q, k, v, kv_idx, counts, block_q=blk,
+                           block_kv=blk, backend="xla")
+    b_ = chipmunk_attention(q, k, v, kv_idx, counts, block_q=blk,
+                            block_kv=blk, interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                               rtol=2e-3, atol=2e-3)

@@ -226,19 +226,19 @@ def attention(q, k, v, scale: float | None = None, backend: str = "auto",
     Returns [B, L, N, D] in q.dtype.  softmax accumulates in fp32.
     backend: "auto" (pallas on TPU, xla elsewhere), "xla", "pallas",
              "pallas_interpret" (for CPU testing of the kernel).
-    kv_mask: optional [B, S] key-validity mask (False = padded key);
-             not supported by the ring backend.
+    kv_mask: optional [B, S] key-validity mask (False = padded key); with
+             the ring backend, pass the LOCAL mask shard — it rotates
+             around the ring with its K/V shard.
     """
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     if backend.startswith("ring"):
         # context-parallel ring attention inside shard_map; backend
         # "ring" or "ring:<axis>" (default axis 'cp')
-        if kv_mask is not None:
-            raise NotImplementedError("kv_mask with ring attention")
         from ..parallel.ring_attention import ring_attention
         axis = backend.split(":", 1)[1] if ":" in backend else "cp"
-        return ring_attention(q, k, v, axis_name=axis, scale=scale)
+        return ring_attention(q, k, v, axis_name=axis, scale=scale,
+                              kv_mask=kv_mask)
     if backend.startswith("ulysses"):
         # all-to-all sequence parallelism inside shard_map; backend
         # "ulysses" or "ulysses:<axis>" (default axis 'sp')

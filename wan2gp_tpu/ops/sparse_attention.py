@@ -236,3 +236,99 @@ def sparse_attention(q, k, v, block_mask: np.ndarray,
                         jnp.asarray(counts), scale, block_q, block_kv,
                         interpret=interpret)
     return out[:, :l]
+
+
+# ---------------------------------------------------------------------------
+# Chipmunk-style dynamic block selection (reference models/wan/modules/
+# model.py:886-905 setup_chipmunk + the external `chipmunk` package's
+# voxel-order sparse-diff attention)
+# ---------------------------------------------------------------------------
+
+def voxel_order(grid, chunk=(4, 6, 8)):
+    """Token permutation mapping row-major (f, h, w) order to voxel-chunk
+    order (model.py:886: voxel_shape (4, 6, 8)) so that spatially local
+    tokens land in the same attention block.  Returns (perm, inv_perm)
+    int32 arrays of length f*h*w; grids not divisible by the chunk fall
+    back to ragged tail voxels."""
+    f, h, w = grid
+    cf, ch, cw = chunk
+    idx = np.arange(f * h * w).reshape(f, h, w)
+    out = []
+    for f0 in range(0, f, cf):
+        for h0 in range(0, h, ch):
+            for w0 in range(0, w, cw):
+                out.append(idx[f0:f0 + cf, h0:h0 + ch,
+                               w0:w0 + cw].ravel())
+    perm = np.concatenate(out).astype(np.int32)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size, dtype=np.int32)
+    return perm, inv
+
+
+def chipmunk_block_topk(q, k, block_q: int, block_kv: int, topk: int,
+                        scale: float | None = None):
+    """Derive per-q-block top-k kv-block index tables FROM THE DATA — the
+    dynamic half of the chipmunk policy: block-mean queries and keys score
+    every block pair; each query block keeps its top-k mass blocks.
+
+    q, k: [B, L, N, D] (voxel-ordered).  Returns (kv_idx [nQb, topk] int32,
+    counts [nQb] int32) device arrays consumable by _sparse_flash — the
+    tables are runtime inputs (scalar prefetch), so mask updates between
+    denoise steps do NOT recompile the kernel."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    l, s_len = q.shape[1], k.shape[1]
+    nqb = -(-l // block_q)
+    nkb = -(-s_len // block_kv)
+    topk = min(topk, nkb)
+
+    def pool(x, blk, nblk):
+        pad = nblk * blk - x.shape[1]
+        if pad:
+            x = jnp.pad(x, [(0, 0), (0, pad), (0, 0), (0, 0)])
+        return x.reshape(x.shape[0], nblk, blk, *x.shape[2:]).mean(axis=2)
+
+    qb = pool(q.astype(jnp.float32), block_q, nqb)     # [B, nQb, N, D]
+    kb = pool(k.astype(jnp.float32), block_kv, nkb)
+    # mass over batch and heads (one shared mask, like the reference's
+    # per-layer cached mask)
+    s = jnp.einsum("bqnd,bknd->qk", qb, kb) * scale
+    _, idx = jax.lax.top_k(s, topk)                    # [nQb, topk]
+    counts = jnp.full((nqb,), topk, jnp.int32)
+    return idx.astype(jnp.int32), counts
+
+
+def chipmunk_attention(q, k, v, kv_idx, counts, block_q: int = 128,
+                       block_kv: int = 128, scale: float | None = None,
+                       interpret: bool = False, backend: str = "auto"):
+    """Block-sparse attention over RUNTIME index tables (the chipmunk
+    sparse step; pair with chipmunk_block_topk refreshed every
+    `full_step_every` steps).  q/k/v: [B, L, N, D]."""
+    d = q.shape[-1]
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
+    l, s_len = q.shape[1], k.shape[1]
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if backend == "xla" or (backend == "auto" and not (on_tpu or interpret)):
+        # dense fallback honoring the tables (oracle path)
+        nqb = kv_idx.shape[0]
+        nkb = -(-s_len // block_kv)
+        onehot = jax.nn.one_hot(kv_idx, nkb, dtype=jnp.float32).sum(1) > 0
+        mask = jnp.repeat(jnp.repeat(onehot, block_q, 0), block_kv, 1)
+        mask = mask[:l, :s_len]
+        sc = jnp.einsum("blnd,bsnd->bnls", q, k,
+                        preferred_element_type=jnp.float32) * scale
+        sc = jnp.where(mask[None, None], sc, _NEG_INF)
+        p = jax.nn.softmax(sc, axis=-1)
+        return jnp.einsum("bnls,bsnd->blnd", p.astype(q.dtype), v)
+
+    def padup(x, blk):
+        rem = x.shape[1] % blk
+        if rem:
+            pad = [(0, 0)] * x.ndim
+            pad[1] = (0, blk - rem)
+            x = jnp.pad(x, pad)
+        return x
+    q_p, k_p, v_p = padup(q, block_q), padup(k, block_kv), padup(v, block_kv)
+    out = _sparse_flash(q_p, k_p, v_p, kv_idx, counts, scale, block_q,
+                        block_kv, interpret=interpret)
+    return out[:, :l]

@@ -86,19 +86,42 @@ def _video_t_grid(length, origin, time_scale=1.0):
 
 
 def build_layout(text_len: int, latent_t: int, latent_h: int, latent_w: int,
-                 audio_t: int, cfg: MiniMaxH3Config, fps: float = 24.0):
-    """Base T2VA packed layout: positions [L, 3], per-row tags, and the
-    (start, stop) spans of the text/audio/video regions."""
+                 audio_t: int, cfg: MiniMaxH3Config, fps: float = 24.0,
+                 ref_grids=()):
+    """Packed layout: positions [L, 3], per-row tags, and the
+    (start, stop) spans of the text/(refs)/audio/video regions.
+
+    ref_grids: Ref2VA image-reference latent grids [(h_lat, w_lat), ...] —
+    each gets one integer time slot after the text origin with its own
+    sqrt-area-normalized frame grid (packing.py
+    build_ref2va_packed_sequence:230-238)."""
     _, ph, pw = cfg.patch_size
     rows_per_frame = (latent_h // ph) * (latent_w // pw)
     video_rows = latent_t * rows_per_frame
     audio_rows = audio_t * AUDIO_CHANNELS
-    seq = text_len + audio_rows + video_rows
+    ref_row_counts = [(rh // ph) * (rw // pw) for rh, rw in ref_grids]
+    ref_rows = sum(ref_row_counts)
+    seq = text_len + ref_rows + audio_rows + video_rows
 
     pos = np.zeros((seq, 3), np.float64)
     pos[:text_len, 0] = np.arange(text_len)
     time_scale = 24.0 / fps
-    origin = float(text_len)
+    time_cursor = float(text_len)
+
+    r0 = text_len
+    cursor = r0
+    for (rh, rw), n_rows in zip(ref_grids, ref_row_counts):
+        sa = math.sqrt(rh * rw)
+        rhg = _axis_from_sqrt_area(rh, ph, sa)
+        rwg = _axis_from_sqrt_area(rw, pw, sa)
+        ryy, rxx = np.meshgrid(rhg, rwg, indexing="ij")
+        pos[cursor:cursor + n_rows, 0] = time_cursor
+        pos[cursor:cursor + n_rows, 1] = ryy.ravel()
+        pos[cursor:cursor + n_rows, 2] = rxx.ravel()
+        cursor += n_rows
+        time_cursor += 1.0
+    r1 = cursor
+    origin = time_cursor
 
     sqrt_area = math.sqrt(latent_h * latent_w)
     hgrid = _axis_from_sqrt_area(latent_h, ph, sqrt_area)
@@ -106,7 +129,7 @@ def build_layout(text_len: int, latent_t: int, latent_h: int, latent_w: int,
     yy, xx = np.meshgrid(hgrid, wgrid, indexing="ij")
     frame_grid = np.stack([yy.ravel(), xx.ravel()], axis=-1)
 
-    a0, a1 = text_len, text_len + audio_rows
+    a0, a1 = r1, r1 + audio_rows
     t_audio = origin + np.arange(audio_t, dtype=np.float64)
     pos[a0:a1, 0] = np.tile(t_audio, AUDIO_CHANNELS)
     pos[a0:a0 + audio_t, 2] = wgrid[0]
@@ -119,7 +142,8 @@ def build_layout(text_len: int, latent_t: int, latent_h: int, latent_w: int,
     vid[:, :, 1:] = frame_grid[None]
 
     return {"seq": seq, "positions": pos,
-            "text": (0, text_len), "audio": (a0, a1), "video": (v0, v1)}
+            "text": (0, text_len), "refs": (r0, r1),
+            "audio": (a0, a1), "video": (v0, v1)}
 
 
 def build_minimax_rope(positions, cfg: MiniMaxH3Config):
@@ -328,40 +352,62 @@ def refine_text(params, cfg: MiniMaxH3Config, text_states,
     return _rms(x, params["token_refiner"]["final_norm"])
 
 
+# noise-augmentation timestep pinned on conditioning rows
+# (packing.py:19 MINIMAX_H3_KEYFRAME_NOISE_AUG, transformer.py:555)
+VISUAL_COND_TIMESTEP = 0.999
+
+
 def minimax_h3_forward(params, cfg: MiniMaxH3Config, video_x, audio_x,
                        sigma_video, sigma_audio, text_hidden, layout,
-                       rope, attn_backend: str = "auto"):
+                       rope, attn_backend: str = "auto", ref_rows=None):
     """video_x: [1, C, T, H, W]; audio_x: [1, C_a, 2, T_a]; text_hidden:
-    [L_txt, hidden] refined text.  Returns (video_velocity like video_x,
-    audio_velocity like audio_x)."""
+    [L_txt, hidden] refined text.  ref_rows: optional [R, patch_dim]
+    Ref2VA conditioning rows (noise-augmented reference latents,
+    pipeline.py _prepare_condition_rows:332-338) occupying
+    layout["refs"].  Returns (video_velocity, audio_velocity)."""
     cdt = cfg.compute_dtype
     t0, t1 = layout["text"]
     a0, a1 = layout["audio"]
     v0, v1 = layout["video"]
+    use_refs = ref_rows is not None
 
     video_rows = patchify_video_minimax(video_x.astype(jnp.float32),
                                         cfg.patch_size)
     audio_rows = pack_audio_minimax(audio_x.astype(jnp.float32))
-    hidden = jnp.concatenate([
-        text_hidden.astype(cdt),
+    parts = [text_hidden.astype(cdt)]
+    if use_refs:
+        parts.append(_dense(ref_rows.astype(jnp.float32),
+                            params["video_patch_proj"]).astype(cdt))
+    parts += [
         _dense(audio_rows, params["audio_patch_proj"]).astype(cdt),
-        _dense(video_rows, params["video_patch_proj"]).astype(cdt)], axis=0)
+        _dense(video_rows, params["video_patch_proj"]).astype(cdt)]
+    hidden = jnp.concatenate(parts, axis=0)
 
-    # temb rows: [video_ts, audio_ts]; adaLN row = temb_idx*3 + tag, with
-    # text rows on the video timestep (build_row_timesteps fill, tag 1)
-    ts = jnp.stack([1.0 - sigma_video, 1.0 - sigma_audio])
-    temb = time_embedding_minimax(params, cfg, ts)      # [2, time_dim]
-    seg_rows = ((t0, t1, 0 * 3 + TEXT_TAG), (a0, a1, 1 * 3 + AUDIO_TAG),
-                (v0, v1, 0 * 3 + VIDEO_TAG))
+    # temb rows: [video_ts, audio_ts (+cond_ts with refs)]; adaLN row =
+    # temb_idx*3 + tag, with text rows on the video timestep
+    # (build_row_timesteps fill, tag 1); conditioning rows pin
+    # max(1 - sigma_video, VISUAL_COND_TIMESTEP) (transformer.py:555)
+    ts_list = [1.0 - sigma_video, 1.0 - sigma_audio]
+    seg_rows = [(t0, t1, 0 * 3 + TEXT_TAG), (a0, a1, 1 * 3 + AUDIO_TAG),
+                (v0, v1, 0 * 3 + VIDEO_TAG)]
+    if use_refs:
+        r0, r1 = layout["refs"]
+        ts_list.append(jnp.maximum(1.0 - sigma_video,
+                                   VISUAL_COND_TIMESTEP))
+        seg_rows.append((r0, r1, 2 * 3 + VIDEO_TAG))
+    ts = jnp.stack(ts_list)
+    temb = time_embedding_minimax(params, cfg, ts)   # [n_temb, time_dim]
+    seg_rows = tuple(seg_rows)
+    n_rows = ts.shape[0] * 3
 
     h = cfg.hidden_size
 
     # adaln produces 6 chunks (shift/scale/gate msa + mlp) per (temb, mod):
-    # linear out = [2, 18h] -> view(-1, 6h) rows (temb_idx*3 + modality)
+    # linear out = [n_temb, 18h] -> view(-1, 6h) rows (temb_idx*3 + mod)
     # -> chunk 6 along features (transformer.py:256-261)
     def body(hidden, bp):
-        m = _dense(jax.nn.silu(temb), bp["adaln"])          # [2, 18h]
-        m = m.reshape(6, 6, h)       # [row, chunk, h]
+        m = _dense(jax.nn.silu(temb), bp["adaln"])       # [n_temb, 18h]
+        m = m.reshape(n_rows, 6, h)  # [row, chunk, h]
         y = _rms(hidden, bp["norm1"])
         parts = [y[s:e].astype(jnp.float32) * (1.0 + m[r, 1]) + m[r, 0]
                  for s, e, r in seg_rows]
@@ -382,8 +428,8 @@ def minimax_h3_forward(params, cfg: MiniMaxH3Config, video_x, audio_x,
     hidden, _ = jax.lax.scan(body, hidden, params["blocks"])
 
     fp = params["final"]
-    fm = _dense(jax.nn.silu(temb), fp["adaln"])             # [2, 2h]
-    fm = fm.reshape(2, 2, h)                                # [temb, (s,sc)]
+    fm = _dense(jax.nn.silu(temb), fp["adaln"])         # [n_temb, 2h]
+    fm = fm.reshape(-1, 2, h)                           # [temb, (s,sc)]
     y = _rms(hidden, fp["norm"]).astype(jnp.float32)
     vid = y[v0:v1] * (1.0 + fm[0, 1]) + fm[0, 0]
     aud = y[a0:a1] * (1.0 + fm[1, 1]) + fm[1, 0]

@@ -37,7 +37,7 @@ class MiniMaxSamplingConfig:
 
 def minimax_denoise_scan(params, cfg: MiniMaxH3Config, video, audio,
                          text_hidden, sig_v, sig_a, layout, rope,
-                         attn_backend="auto"):
+                         attn_backend="auto", ref_rows=None):
     sv = jnp.asarray(sig_v, jnp.float32)
     sa = jnp.asarray(sig_a, jnp.float32)
 
@@ -45,7 +45,7 @@ def minimax_denoise_scan(params, cfg: MiniMaxH3Config, video, audio,
         video, audio = carry
         vel_v, vel_a = minimax_h3_forward(
             params, cfg, video, audio, sv[i], sa[i], text_hidden, layout,
-            rope, attn_backend=attn_backend)
+            rope, attn_backend=attn_backend, ref_rows=ref_rows)
         den_v = vel_v * sv[i] + video
         rv = sv[i + 1] / sv[i]
         video = video * rv + den_v * (1.0 - rv)
@@ -81,7 +81,13 @@ class MiniMaxH3Pipeline:
                  height: int = 512, frame_num: int = 49,
                  audio_latents: int = 16, fps: float = 24.0,
                  sampling: MiniMaxSamplingConfig = MiniMaxSamplingConfig(),
-                 seed: int = 0, context=None, return_latents: bool = True):
+                 seed: int = 0, context=None, return_latents: bool = True,
+                 ref_latents=None):
+        """ref_latents: optional Ref2VA reference-image latents, list of
+        [C, 1, h_lat, w_lat] arrays (video-VAE-encoded stills); they are
+        patchified, noise-augmented to VISUAL_COND_TIMESTEP and prepended
+        as fixed conditioning rows (pipeline.py
+        _prepare_condition_rows:332-338)."""
         cfg = self.dit_cfg
         if context is None:
             context = self.text_encode_fn([prompt])
@@ -92,9 +98,26 @@ class MiniMaxH3Pipeline:
         st, sh, sw = self.vae_stride
         t_lat = (frame_num - 1) // st + 1
         h_lat, w_lat = height // sh, width // sw
+        ref_grids = tuple((r.shape[-2], r.shape[-1])
+                          for r in (ref_latents or ()))
         layout = build_layout(context.shape[1], t_lat, h_lat, w_lat,
-                              audio_latents, cfg, fps)
+                              audio_latents, cfg, fps, ref_grids=ref_grids)
         rope = build_minimax_rope(layout["positions"], cfg)
+
+        ref_rows = None
+        if ref_latents:
+            from .dit import (patchify_video_minimax,
+                              VISUAL_COND_TIMESTEP)
+            rows = []
+            rk = jax.random.key(seed + 7)
+            for i, r in enumerate(ref_latents):
+                rr = patchify_video_minimax(
+                    jnp.asarray(r, jnp.float32)[None], cfg.patch_size)
+                noise = jax.random.normal(jax.random.fold_in(rk, i),
+                                          rr.shape, jnp.float32)
+                rows.append(rr * VISUAL_COND_TIMESTEP
+                            + noise * (1.0 - VISUAL_COND_TIMESTEP))
+            ref_rows = jnp.concatenate(rows, axis=0)
 
         k1, k2 = jax.random.split(jax.random.key(seed))
         video = jax.random.normal(
@@ -105,15 +128,20 @@ class MiniMaxH3Pipeline:
         sig_v = minimax_sigmas(sampling.steps, sampling.shift_video)
         sig_a = minimax_sigmas(sampling.steps, sampling.shift_audio)
 
-        sig = (sampling, video.shape, audio.shape, text_hidden.shape)
+        sig = (sampling, video.shape, audio.shape, text_hidden.shape,
+               ref_grids)
         fn = self._cache.get(sig)
         if fn is None:
             fn = jax.jit(functools.partial(
                 minimax_denoise_scan, cfg=cfg, sig_v=sig_v, sig_a=sig_a,
                 layout=layout, rope=rope, attn_backend=self.attn_backend))
             self._cache[sig] = fn
-        video, audio = fn(self.dit_params, video=video, audio=audio,
-                          text_hidden=text_hidden)
+        if ref_rows is not None:
+            video, audio = fn(self.dit_params, video=video, audio=audio,
+                              text_hidden=text_hidden, ref_rows=ref_rows)
+        else:
+            video, audio = fn(self.dit_params, video=video, audio=audio,
+                              text_hidden=text_hidden)
         if return_latents or self.video_vae_decode_fn is None:
             return video, audio
         return (self.video_vae_decode_fn(video),

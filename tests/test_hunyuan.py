@@ -231,3 +231,34 @@ def test_hunyuan_dit_checkpoint_roundtrip():
                          text_pooled=pooled, guidance=g, attn_backend="xla")
     np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_hunyuan_i2v_token_replace_and_latent_concat():
+    """HV i2v conditioning (pipeline_hunyuan_video.py:1610-1617,
+    1746-1752): token_replace pins frame 0 to the image latents across
+    steps; latent_concat stacks image+mask channels."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from wan2gp_tpu.models.hyvideo.pipeline import (
+        HunyuanPipeline, HunyuanSamplingConfig, hunyuan_denoise_scan)
+
+    cfg = TINY
+    params = init_hunyuan(jax.random.key(0), cfg, jnp.float32)
+    rng = np.random.default_rng(0)
+    lat = jax.random.normal(jax.random.key(1),
+                            (1, cfg.in_channels, 3, 8, 8), jnp.float32)
+    img = jnp.asarray(rng.standard_normal(
+        (1, cfg.in_channels, 1, 8, 8)), jnp.float32)
+    txt = jnp.zeros((1, 6, cfg.text_states_dim), jnp.float32)
+    msk = jnp.ones((1, 6), jnp.int32)
+    pooled = jnp.zeros((1, cfg.text_states_dim_2), jnp.float32)
+    sampling = HunyuanSamplingConfig(steps=2, guide_scale=1.0)
+    out = hunyuan_denoise_scan(params, cfg, lat, txt, msk,
+                               text_pooled=pooled, sampling=sampling,
+                               attn_backend="xla", img_latents=img,
+                               i2v_condition_type="token_replace")
+    # frame 0 stays exactly the image latents
+    np.testing.assert_allclose(np.asarray(out[:, :, :1]), np.asarray(img),
+                               atol=1e-6)
+    assert np.isfinite(np.asarray(out)).all()

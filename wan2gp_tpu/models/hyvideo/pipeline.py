@@ -44,7 +44,13 @@ def hunyuan_denoise_scan(params, cfg: HunyuanConfig, latents, text_states,
                          text_mask, text_states_null=None,
                          text_mask_null=None, text_pooled=None,
                          sampling: HunyuanSamplingConfig = HunyuanSamplingConfig(),
-                         attn_backend: str = "auto"):
+                         attn_backend: str = "auto", img_latents=None,
+                         i2v_condition_type: str = ""):
+    """i2v conditioning (pipeline_hunyuan_video.py:1610-1617, 1746-1752):
+    'token_replace' (HV1 i2v) pins the first latent frame to img_latents
+    each step and solver-steps only frames 1+; 'latent_concat' (HV1.5)
+    concatenates img_latents (first frame, zero elsewhere) + a frame mask
+    on the channel axis as extra model input."""
     b = latents.shape[0]
     sigmas = jnp.asarray(hunyuan_schedule(sampling.steps, sampling.shift),
                          jnp.float32)
@@ -69,10 +75,31 @@ def hunyuan_denoise_scan(params, cfg: HunyuanConfig, latents, text_states,
         guidance = jnp.full((2 * b if any_guidance else b,),
                             sampling.embedded_guidance * 1000.0, jnp.float32)
 
+    token_replace = i2v_condition_type == "token_replace" \
+        and img_latents is not None
+    latent_concat = i2v_condition_type == "latent_concat" \
+        and img_latents is not None
+    if latent_concat:
+        f_lat = latents.shape[2]
+        img_concat = jnp.concatenate(
+            [img_latents.astype(jnp.float32),
+             jnp.zeros_like(latents[:, :img_latents.shape[1], 1:])],
+            axis=2)
+        mask_concat = jnp.concatenate(
+            [jnp.ones_like(latents[:, :1, :1]),
+             jnp.zeros_like(latents[:, :1, 1:])], axis=2)
+
     def body(x, i):
         t = jnp.broadcast_to(sigmas[i] * 1000.0,
                              (2 * b if any_guidance else b,))
-        xb = jnp.concatenate([x, x], axis=0) if any_guidance else x
+        if token_replace:
+            x_in = jnp.concatenate(
+                [img_latents.astype(jnp.float32), x[:, :, 1:]], axis=2)
+        elif latent_concat:
+            x_in = jnp.concatenate([x, img_concat, mask_concat], axis=1)
+        else:
+            x_in = x
+        xb = jnp.concatenate([x_in, x_in], axis=0) if any_guidance else x_in
         v = hunyuan_forward(params, cfg, xb, t, ctx, msk,
                             text_pooled=pooled, guidance=guidance,
                             rope_cos=cos, rope_sin=sin,
@@ -83,10 +110,18 @@ def hunyuan_denoise_scan(params, cfg: HunyuanConfig, latents, text_states,
         else:
             pred = v
         # Euler flow step toward sigma=0 (scheduler step: x += v * dsigma)
+        if token_replace:
+            stepped = x[:, :, 1:] + pred[:, :, 1:] * (sigmas[i + 1]
+                                                      - sigmas[i])
+            return jnp.concatenate(
+                [img_latents.astype(jnp.float32), stepped], axis=2), None
         return x + pred * (sigmas[i + 1] - sigmas[i]), None
 
-    x, _ = jax.lax.scan(body, latents.astype(jnp.float32),
-                        jnp.arange(sampling.steps))
+    x0 = latents.astype(jnp.float32)
+    if token_replace:
+        x0 = jnp.concatenate([img_latents.astype(jnp.float32),
+                              x0[:, :, 1:]], axis=2)
+    x, _ = jax.lax.scan(body, x0, jnp.arange(sampling.steps))
     return x
 
 
@@ -107,20 +142,27 @@ class HunyuanPipeline:
                  sampling: HunyuanSamplingConfig = HunyuanSamplingConfig(),
                  text_states=None, text_mask=None, text_states_null=None,
                  text_mask_null=None, text_pooled=None,
-                 return_latents: bool = False):
+                 return_latents: bool = False, img_latents=None,
+                 i2v_condition_type: str = ""):
         if text_states is None:
             text_states, text_mask, text_pooled = self.text_encode_fn(prompt)
         st, sh, sw = self.vae_stride
         f_lat = (frame_num - 1) // st + 1
+        # latent_concat models carry 2*C+1 input channels (img + mask)
+        gen_channels = self.dit_cfg.in_channels
+        if i2v_condition_type == "latent_concat" and img_latents is not None:
+            gen_channels = (self.dit_cfg.in_channels - 1) // 2
         lat = jax.random.normal(
             jax.random.key(seed),
-            (1, self.dit_cfg.in_channels, f_lat, height // sh, width // sw),
+            (1, gen_channels, f_lat, height // sh, width // sw),
             jnp.float32)
-        sig = (sampling, lat.shape, text_states.shape)
+        sig = (sampling, lat.shape, text_states.shape, i2v_condition_type,
+               img_latents is not None)
         fn = self._cache.get(sig)
         if fn is None:
             fn = jax.jit(functools.partial(
                 hunyuan_denoise_scan, cfg=self.dit_cfg, sampling=sampling,
+                i2v_condition_type=i2v_condition_type,
                 attn_backend=self.attn_backend))
             self._cache[sig] = fn
         kwargs = dict(text_states=text_states, text_mask=text_mask,
@@ -128,6 +170,8 @@ class HunyuanPipeline:
         if sampling.guide_scale != 1.0:
             kwargs.update(text_states_null=text_states_null,
                           text_mask_null=text_mask_null)
+        if img_latents is not None:
+            kwargs["img_latents"] = img_latents
         x = fn(self.dit_params, latents=lat, **kwargs)
         if return_latents or self.vae_decode_fn is None:
             return x

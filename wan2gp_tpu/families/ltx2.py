@@ -61,7 +61,21 @@ class LTX2FamilyHandler:
 
     @staticmethod
     def query_model_files(base_model_type, model_def):
-        return [{"role": "transformer", "urls": model_def.get("URLs", [])}]
+        base = "https://huggingface.co/DeepBeepMeep/LTX-2/resolve/main/"
+        pre = "ltx-2.3-22b" if "22B" in base_model_type else "ltx-2-19b"
+        return [
+            {"role": "transformer", "urls": model_def.get("URLs", [])},
+            {"role": "video_vae", "urls": [base + f"{pre}_vae.safetensors"]},
+            {"role": "audio_vae",
+             "urls": [base + f"{pre}_audio_vae.safetensors"]},
+            {"role": "vocoder",
+             "urls": [base + f"{pre}_vocoder.safetensors"]},
+            {"role": "text_encoder",
+             "urls": [base + "gemma3_12b_text_bf16.safetensors"]},
+            {"role": "text_projection",
+             "urls": [base + f"{pre}_text_embedding_projection"
+                      ".safetensors"]},
+        ]
 
     @classmethod
     def load_model(cls, base_model_type: str, model_def: Dict[str, Any],
@@ -71,6 +85,7 @@ class LTX2FamilyHandler:
                    seed: int = 0) -> LTX2Pipeline:
         arch_name, distilled = _TYPES[base_model_type]
         cfg = LTX2Config(compute_dtype=dtype, **_ARCH[arch_name])
+        text_fn = None
         if init_random:
             params = init_ltx2_dit(jax.random.key(seed), cfg, dtype)
         else:
@@ -83,12 +98,16 @@ class LTX2FamilyHandler:
                 raise ValueError(f"unmapped transformer keys: {core[:8]}")
         vae_decode = cls._load_video_vae(arch_name, checkpoints)
         audio_decode, vocoder = cls._load_audio_vae(checkpoints)
+        if text_fn is None and checkpoints \
+                and checkpoints.get("text_encoder"):
+            text_fn = cls._load_text_encoder(checkpoints, tokenizer,
+                                             dtype, arch_name)
         sampling = LTX2SamplingConfig(
             sigmas=DISTILLED_SIGMA_VALUES if distilled else
             tuple(__import__("numpy").linspace(1.0, 0.0, 41).tolist()),
             guide_scale=1.0 if distilled else 4.0,
             audio_guide_scale=1.0 if distilled else 7.0)
-        return LTX2Pipeline(params, cfg, text_fn=None,
+        return LTX2Pipeline(params, cfg, text_fn=text_fn,
                             vae_decode=vae_decode,
                             audio_vae_decode=audio_decode, vocoder=vocoder,
                             sampling=sampling, attn_backend=attn_backend)
@@ -134,3 +153,49 @@ class LTX2FamilyHandler:
             def voc(mel):
                 return ltx2_vocoder(vparams, vcfg, mel)
         return decode, voc
+
+    @staticmethod
+    def _load_text_encoder(checkpoints, tokenizer, dtype, arch_name):
+        """Gemma-3 caption stack (ltx_core/text_encoders/gemma/): all
+        hidden states stacked -> per-token-RMS (22B) / batch-range (19B)
+        normalization -> aggregate projection to caption_dim."""
+        from ..io.safetensors_reader import load_state_dict
+        from ..models.ltx2.gemma import (Gemma3Config, load_gemma3_params,
+                                         gemma3_forward,
+                                         extract_caption_features)
+        gcfg = Gemma3Config(compute_dtype=dtype)
+        gparams, _ = load_gemma3_params(
+            load_state_dict(checkpoints["text_encoder"]), gcfg, dtype)
+        mode = ("per_token_rms" if "22B" in arch_name or "22b" in arch_name
+                else "batch_range")
+        proj_sd = {}
+        if checkpoints.get("text_projection"):
+            proj_sd = load_state_dict(checkpoints["text_projection"])
+        proj_key = next((k for k in proj_sd if "aggregate" in k
+                         and k.endswith("weight")), None)
+        import numpy as _np
+        import jax.numpy as _jnp
+        proj_w = (_jnp.asarray(_np.asarray(proj_sd[proj_key],
+                                           _np.float32).T)
+                  if proj_key else None)
+
+        def encode(prompts, max_len=256):
+            if tokenizer is not None:
+                ids, mask = tokenizer(prompts, max_len)
+            else:
+                raws = [(p.encode()[:max_len] or b"\x00") for p in prompts]
+                n = max(len(r) for r in raws)
+                ids = _np.zeros((len(raws), n), _np.int32)
+                mask = _np.zeros((len(raws), n), _np.int32)
+                for i, r in enumerate(raws):
+                    ids[i, :len(r)] = _np.frombuffer(r, _np.uint8)
+                    mask[i, :len(r)] = 1
+            _, stack = gemma3_forward(gparams, gcfg, _jnp.asarray(ids),
+                                      _jnp.asarray(mask),
+                                      collect_hidden=True)
+            if proj_w is None:
+                # no projection checkpoint: mean over layers as fallback
+                return stack.mean(axis=2).astype(_jnp.float32)
+            return extract_caption_features(stack, _jnp.asarray(mask),
+                                            proj_w, mode=mode)
+        return encode

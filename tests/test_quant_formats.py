@@ -147,3 +147,36 @@ def test_normalize_passthrough():
     sd = {"a.weight": np.ones((2, 2), np.float32)}
     out = normalize_quant_formats(sd)
     np.testing.assert_allclose(out["a.weight"], 1.0)
+
+
+def test_nvfp4_dequant_matches_reference_lut():
+    """FP4-e2m1 nibble LUT + per-16-block scales + global scale
+    (nvfp4.py:505-601), verified against a torch re-derivation."""
+    import torch
+    from wan2gp_tpu.io.quant_formats import dequant_nvfp4, normalize_nvfp4
+    rng = np.random.default_rng(0)
+    m, k = 4, 64
+    w = rng.integers(0, 256, (m, k // 2), dtype=np.uint8)
+    scale = rng.uniform(0.5, 2.0, (m, k // 16)).astype(np.float32)
+    g = 0.37
+    got = dequant_nvfp4(w, scale, g)
+
+    lut = torch.tensor([0.0, 0.5, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0,
+                        0.0, -0.5, -1.0, -1.5, -2.0, -3.0, -4.0, -6.0])
+    b = torch.tensor(w.astype(np.int32))
+    vals = torch.empty((m, k))
+    vals[:, 0::2] = lut[b & 0x0F]
+    vals[:, 1::2] = lut[b >> 4]
+    vals = vals.view(m, k // 16, 16) * torch.tensor(scale)[:, :, None]
+    ref = (vals.view(m, k) * g).numpy()
+    np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+    sd = {"blocks.0.attn.q.weight": w,
+          "blocks.0.attn.q.weight_scale": scale,
+          "blocks.0.attn.q.weight_scale_2": np.float32(g),
+          "blocks.0.attn.q.bias": np.zeros(m, np.float32)}
+    out = normalize_nvfp4(sd)
+    np.testing.assert_allclose(out["blocks.0.attn.q.weight"], ref,
+                               rtol=1e-6)
+    assert "blocks.0.attn.q.weight_scale" not in out
+    assert "blocks.0.attn.q.bias" in out

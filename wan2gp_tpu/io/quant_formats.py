@@ -167,3 +167,102 @@ def normalize_quant_formats(sd: Dict[str, np.ndarray]
                             ) -> Dict[str, np.ndarray]:
     """Apply every known load-time dequantization (NF4, W4A8)."""
     return dequantize_w4a8_sd(dequantize_nf4_sd(sd))
+
+
+# ---------------------------------------------------------------------------
+# NVFP4 (shared/qtypes/nvfp4.py): fp4-e2m1 nibbles + per-16-block e4m3
+# scales + a global scale — dequantized to bf16 on load (the Blackwell
+# tensor-core kernels don't exist on TPU; dequant-on-load still serves
+# users holding those checkpoints)
+# ---------------------------------------------------------------------------
+
+_FP4_LUT = np.array(
+    [0.0, 0.5, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0,
+     0.0, -0.5, -1.0, -1.5, -2.0, -3.0, -4.0, -6.0], np.float32)
+
+
+def _deswizzle_nvfp4_scale(scale: np.ndarray, in_features: int,
+                           block_size: int = 16) -> np.ndarray:
+    """TRT swizzled scale layout -> row-major [M, K/16]
+    (nvfp4.py _deswizzle_nvfp4_scale:536-552)."""
+    k_groups = in_features // block_size
+    scale = scale[:, :k_groups] if scale.shape[1] > k_groups else scale
+    m = scale.shape[0]
+    m_tiles = (m + 127) // 128
+    f = block_size * 4
+    k_tiles = (in_features + f - 1) // f
+    tmp = scale.reshape(1, m_tiles, k_tiles, 32, 4, 4)
+    tmp = tmp.transpose(0, 1, 4, 3, 2, 5)
+    out = tmp.reshape(m_tiles * 128, k_tiles * 4)
+    return out[:m, :k_groups]
+
+
+def dequant_nvfp4(weight_u8: np.ndarray, weight_scale: np.ndarray,
+                  global_scale: float = 1.0, block_size: int = 16,
+                  swizzled: bool = False) -> np.ndarray:
+    """weight_u8: [M, K/2] packed nibbles (low nibble first,
+    nvfp4.py:522-533); weight_scale: [M, K/16] e4m3 block scales (already
+    converted to float by the safetensors reader); global_scale = alpha *
+    input_global_scale (legacy) or weight_scale_2 (ModelOpt).
+    Returns float32 [M, K]."""
+    m, kb = weight_u8.shape
+    k = kb * 2
+    vals = np.empty((m, k), np.float32)
+    vals[:, 0::2] = _FP4_LUT[weight_u8 & 0x0F]
+    vals[:, 1::2] = _FP4_LUT[weight_u8 >> 4]
+    scale = np.asarray(weight_scale, np.float32)
+    if swizzled:
+        scale = _deswizzle_nvfp4_scale(scale, k, block_size)
+    vals = vals.reshape(m, k // block_size, block_size)
+    vals *= scale[:, :, None]
+    return vals.reshape(m, k) * np.float32(global_scale)
+
+
+def normalize_nvfp4(sd):
+    """Dequantize every NVFP4-quantized weight in a state dict
+    (detection per nvfp4.py _collect_nvfp4_specs:608-662: uint8 .weight
+    + .weight_scale sibling; global scale from weight_scale_2 (ModelOpt)
+    or alpha * input_global_scale / derived input_absmax pair)."""
+    sd = dict(sd)
+    out = {}
+    consumed = set()
+    for key in list(sd):
+        if not key.endswith(".weight"):
+            continue
+        w = np.asarray(sd[key])
+        if w.dtype != np.uint8:
+            continue
+        base = key[:-7]
+        scale_key = base + ".weight_scale"
+        if scale_key not in sd:
+            continue
+        if f"{base}.weight_scale_2" in sd:
+            g = float(np.asarray(sd[f"{base}.weight_scale_2"],
+                                 np.float32).reshape(-1)[0])
+            consumed.add(f"{base}.weight_scale_2")
+        elif f"{base}.alpha" in sd and f"{base}.input_global_scale" in sd:
+            g = float(np.asarray(sd[f"{base}.alpha"],
+                                 np.float32).reshape(-1)[0]) \
+                * float(np.asarray(sd[f"{base}.input_global_scale"],
+                                   np.float32).reshape(-1)[0])
+            consumed.update((f"{base}.alpha", f"{base}.input_global_scale"))
+        elif f"{base}.input_absmax" in sd \
+                and f"{base}.weight_global_scale" in sd:
+            igs = 2688.0 / float(np.asarray(sd[f"{base}.input_absmax"],
+                                            np.float32).reshape(-1)[0])
+            wgs = float(np.asarray(sd[f"{base}.weight_global_scale"],
+                                   np.float32).reshape(-1)[0])
+            g = (1.0 / (igs * wgs)) * igs     # alpha * igs
+            consumed.update((f"{base}.input_absmax",
+                             f"{base}.weight_global_scale"))
+        else:
+            continue
+        out[key] = dequant_nvfp4(w, np.asarray(sd[scale_key]), g)
+        consumed.update((key, scale_key))
+        for extra in (".pre_quant_scale", ".input_scale",
+                      ".output_scale"):
+            consumed.add(base + extra)
+    for k, v in sd.items():
+        if k not in consumed:
+            out.setdefault(k, v)
+    return out

@@ -29,3 +29,46 @@ def test_system_prompts_distinct():
     assert "video" in T2V_SYSTEM_PROMPT
     assert "image" in T2I_SYSTEM_PROMPT
     assert T2V_SYSTEM_PROMPT != T2I_SYSTEM_PROMPT
+
+
+def test_vl_enhance_with_image_prefix():
+    """The vision-feature prefix must flow through generation (different
+    images -> different continuations with a random tiny LM + tower)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from wan2gp_tpu.prompt_enhancer import PromptEnhancer
+    from wan2gp_tpu.models.qwen.text_encoder import (QwenLMConfig,
+                                                     init_qwen_lm)
+    from wan2gp_tpu.models.qwen.vision import (QwenVisionConfig,
+                                               init_qwen_vision)
+
+    cfg = QwenLMConfig(vocab_size=64, dim=24, n_layers=2, n_heads=2,
+                       n_kv_heads=1, head_dim=12, ffn_dim=48,
+                       qkv_bias=False, qk_norm=True,
+                       compute_dtype=jnp.float32)
+    params = init_qwen_lm(jax.random.key(0), cfg)
+    vcfg = QwenVisionConfig(patch_size=4, temporal_patch_size=2,
+                            hidden_size=16, depth=2, num_heads=2,
+                            intermediate_size=32, out_hidden_size=24,
+                            spatial_merge_size=2, window_size=16,
+                            fullatt_block_indexes=(1,))
+    vparams = init_qwen_vision(jax.random.key(1), vcfg)
+
+    class HashTok:
+        def __call__(self, texts, max_len):
+            ids = np.zeros((len(texts), 8), np.int32)
+            for i, t in enumerate(texts):
+                for j, ch in enumerate(t.encode()[:8]):
+                    ids[i, j] = ch % 64
+            return ids, np.ones_like(ids)
+
+    enh = PromptEnhancer(params, cfg, HashTok(), max_new_tokens=6)
+    enh.set_vision_tower(vparams, vcfg)
+    rng = np.random.default_rng(0)
+    img1 = rng.standard_normal((16, 16, 3)).astype(np.float32)
+    img2 = rng.standard_normal((16, 16, 3)).astype(np.float32)
+    out1 = enh.enhance_with_image(img1, "caption")
+    out2 = enh.enhance_with_image(img2, "caption")
+    assert isinstance(out1, str)
+    assert out1 != out2      # image features steer the tokens

@@ -286,16 +286,22 @@ def make_qwen_text_encode_fn(params, cfg: QwenLMConfig, tokenizer,
 def qwen_lm_generate(params, cfg: QwenLMConfig, ids, mask,
                      max_new_tokens: int = 128,
                      eos_token_id: Optional[int] = None,
-                     lm_head=None):
+                     lm_head=None, prefix_embeds=None):
     """Greedy decode with a KV cache under lax.scan.
 
     ids/mask: [B, L] right-padded prompts.  Returns [B, max_new_tokens]
     int32 (padded with eos after the first eos when eos_token_id is set).
     lm_head: optional [dim, vocab] projection; defaults to tied embeddings
     (Qwen3 ties word embeddings; Qwen2.5 ships an explicit lm_head).
+    prefix_embeds: optional [B, P, dim] embeddings (e.g. the VL vision
+    tower's merged image features) prepended before the text tokens —
+    the multimodal path of the VL prompt enhancer
+    (shared/prompt_enhancer/qwen35_vl.py).
     """
     cdt = cfg.compute_dtype
-    b, l0 = ids.shape
+    b, l_txt = ids.shape
+    n_prefix = 0 if prefix_embeds is None else prefix_embeds.shape[1]
+    l0 = l_txt + n_prefix
     total = l0 + max_new_tokens
     n, nkv, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     head = (params["embed_tokens"].T if lm_head is None else lm_head)
@@ -322,6 +328,10 @@ def qwen_lm_generate(params, cfg: QwenLMConfig, ids, mask,
 
     # ---- prefill: full causal pass, cache k/v padded to `total` --------
     x = params["embed_tokens"][ids].astype(cdt)
+    if prefix_embeds is not None:
+        x = jnp.concatenate([prefix_embeds.astype(cdt), x], axis=1)
+        mask = jnp.concatenate(
+            [jnp.ones((b, n_prefix), mask.dtype), mask], axis=1)
     causal = jnp.tril(jnp.ones((l0, l0), bool))
     valid = (mask[:, None, None, :] > 0) & causal[None, None]
     bias = jnp.where(valid, 0.0, jnp.finfo(jnp.float32).min)

@@ -44,6 +44,11 @@ CHAT_TEMPLATE = ("<|im_start|>system\n{system}<|im_end|>\n"
                  "<|im_start|>user\n{user}<|im_end|>\n"
                  "<|im_start|>assistant\n")
 
+VL_SYSTEM_PROMPT = (
+    "You are an expert visual describer. Looking at the provided image, "
+    "write a rich, precise caption covering subjects, style, lighting, "
+    "composition and atmosphere. Output only the caption.")
+
 
 class PromptEnhancer:
     """Wraps a Qwen-family LM + tokenizer into enhance(prompt)."""
@@ -60,6 +65,7 @@ class PromptEnhancer:
         self.max_new_tokens = max_new_tokens
         self.eos_token_id = eos_token_id
         self.lm_head = lm_head
+        self.vision = None
 
     def enhance(self, prompts: List[str], is_image: bool = False,
                 system_prompt: Optional[str] = None) -> List[str]:
@@ -75,6 +81,36 @@ class PromptEnhancer:
                                 eos_token_id=self.eos_token_id,
                                 lm_head=self.lm_head)
         return [self._decode(row) for row in np.asarray(toks)]
+
+    def enhance_with_image(self, image, prompt: str = "",
+                           system_prompt: Optional[str] = None) -> str:
+        """VL mode (reference shared/prompt_enhancer/qwen35_vl.py +
+        florence2 captioner role): the Qwen2.5-VL vision tower's merged
+        features are prepended to the chat tokens so the LM can caption /
+        rewrite conditioned on the image.  Requires set_vision_tower()."""
+        assert self.vision is not None, "call set_vision_tower() first"
+        from .models.qwen.vision import (qwen_vision_forward,
+                                         image_to_patches)
+        from .models.qwen.text_encoder import qwen_lm_generate
+        vparams, vcfg = self.vision
+        patches, grid = image_to_patches(np.asarray(image, np.float32),
+                                         vcfg)
+        feats = qwen_vision_forward(vparams, vcfg, jnp.asarray(patches),
+                                    grid)
+        system = system_prompt or VL_SYSTEM_PROMPT
+        text = CHAT_TEMPLATE.format(system=system, user=prompt or
+                                    "Describe this image in detail.")
+        ids, mask = self.tokenizer([text], self.max_prompt_tokens)
+        toks = qwen_lm_generate(self.params, self.cfg, jnp.asarray(ids),
+                                jnp.asarray(mask),
+                                max_new_tokens=self.max_new_tokens,
+                                eos_token_id=self.eos_token_id,
+                                lm_head=self.lm_head,
+                                prefix_embeds=feats[None])
+        return self._decode(np.asarray(toks)[0])
+
+    def set_vision_tower(self, vision_params, vision_cfg):
+        self.vision = (vision_params, vision_cfg)
 
     def _decode(self, token_row) -> str:
         toks = list(int(t) for t in token_row)

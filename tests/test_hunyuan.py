@@ -262,3 +262,123 @@ def test_hunyuan_i2v_token_replace_and_latent_concat():
     np.testing.assert_allclose(np.asarray(out[:, :, :1]), np.asarray(img),
                                atol=1e-6)
     assert np.isfinite(np.asarray(out)).all()
+
+
+# ---------------------------------------------------------------------------
+# HV1.5 glyph byT5 branch (models.py:651-653, 1056-1061, 910-945)
+# ---------------------------------------------------------------------------
+
+def test_glyph_text_extraction_and_tokenizer():
+    from wan2gp_tpu.models.hyvideo.glyph import (
+        extract_glyph_texts, format_glyph_prompt, byt5_tokenize)
+    assert extract_glyph_texts('a sign saying "OPEN" here') == ["OPEN"]
+    assert extract_glyph_texts('say “hi” and "hi" and "yo"') == ["hi", "yo"]
+    assert extract_glyph_texts("no quotes") == []
+    assert format_glyph_prompt(["A", "B"]) == 'Text "A". Text "B". '
+    ids, mask = byt5_tokenize("Hi", 8)
+    # utf-8 bytes + 3, eos=1 appended (byT5 byte tokenizer)
+    assert ids.tolist() == [[ord("H") + 3, ord("i") + 3, 1, 0, 0, 0, 0, 0]]
+    assert mask.tolist() == [[1, 1, 1, 0, 0, 0, 0, 0]]
+
+
+def test_reorder_glyph_tokens_matches_reference_order():
+    """Oracle: reorder_txt_token zero_feat=True (models.py:910-931) —
+    per row [byt5 valid, text valid, zeros]."""
+    from wan2gp_tpu.models.hyvideo.dit import reorder_glyph_tokens
+    rng = np.random.default_rng(0)
+    b, lb, lt, d = 2, 5, 7, 3
+    byt5 = rng.standard_normal((b, lb, d)).astype(np.float32)
+    txt = rng.standard_normal((b, lt, d)).astype(np.float32)
+    bm = np.array([[1, 1, 0, 0, 0], [0, 0, 0, 0, 0]], np.int32)
+    tm = np.array([[1, 1, 1, 1, 0, 0, 0], [1, 1, 0, 0, 0, 0, 0]], np.int32)
+    out, om = reorder_glyph_tokens(jnp.asarray(byt5), jnp.asarray(txt),
+                                   jnp.asarray(bm), jnp.asarray(tm))
+    out, om = np.asarray(out), np.asarray(om)
+    for i in range(b):
+        want = np.concatenate([byt5[i][bm[i] > 0], txt[i][tm[i] > 0],
+                               np.zeros((lb + lt - bm[i].sum() - tm[i].sum(),
+                                         d), np.float32)])
+        np.testing.assert_allclose(out[i], want, atol=1e-6)
+        nv = int(bm[i].sum() + tm[i].sum())
+        assert om[i, :nv].all() and not om[i, nv:].any()
+
+
+GLYPH15 = HunyuanConfig(hidden_size=64, heads_num=4,
+                        mm_double_blocks_depth=2, mm_single_blocks_depth=0,
+                        rope_dim_list=(4, 6, 6), text_states_dim=32,
+                        text_pool=False, glyph_byt5=True,
+                        cond_type_embed=True, byt5_in_dim=24,
+                        byt5_hidden=48, compute_dtype=jnp.float32)
+
+
+def test_glyph_forward_and_pipeline():
+    params = init_hunyuan(jax.random.key(5), GLYPH15, jnp.float32)
+    # give the zero-init cond_type_embedding real values so the branch
+    # is exercised
+    params["cond_type_embedding"] = jax.random.normal(
+        jax.random.key(6), params["cond_type_embedding"].shape) * 0.1
+    states, mask = _text()
+    lat = jax.random.normal(jax.random.key(7),
+                            (1, GLYPH15.in_channels, 3, 8, 8), jnp.float32)
+    bs = jax.random.normal(jax.random.key(8), (1, 5, 24), jnp.float32)
+    bmask = jnp.asarray([[1, 1, 1, 0, 0]], jnp.int32)
+    o1 = hunyuan_forward(params, GLYPH15, lat, jnp.asarray([500.0]),
+                         states, mask, attn_backend="xla",
+                         byt5_states=bs, byt5_mask=bmask)
+    assert o1.shape == (1, GLYPH15.out_channels, 3, 8, 8)
+    # zero glyph mask == promptless path; must differ from real glyph
+    o0 = hunyuan_forward(params, GLYPH15, lat, jnp.asarray([500.0]),
+                         states, mask, attn_backend="xla",
+                         byt5_states=jnp.zeros_like(bs),
+                         byt5_mask=jnp.zeros_like(bmask))
+    assert not np.allclose(np.asarray(o1), np.asarray(o0))
+    # masked-out glyph tokens are isolated
+    bs2 = bs.at[:, 3:].set(9.0)
+    o2 = hunyuan_forward(params, GLYPH15, lat, jnp.asarray([500.0]),
+                         states, mask, attn_backend="xla",
+                         byt5_states=bs2, byt5_mask=bmask)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
+
+    pipe = HunyuanPipeline(params, GLYPH15, attn_backend="xla")
+    sampling = HunyuanSamplingConfig(steps=2, guide_scale=2.0)
+    out = pipe.generate(width=32, height=32, frame_num=5, seed=0,
+                        sampling=sampling, text_states=states,
+                        text_mask=mask, text_states_null=states * 0,
+                        text_mask_null=mask, return_latents=True,
+                        byt5_states=bs, byt5_mask=bmask)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_glyph_checkpoint_roundtrip():
+    """byt5_in + cond_type_embedding keys (models.py:653, 823)."""
+    from wan2gp_tpu.io.hyvideo_dit_checkpoint import load_glyph_params
+    params = init_hunyuan(jax.random.key(9), GLYPH15, jnp.float32)
+    p = params["byt5_in"]
+    sd = {"byt5_in.layernorm.weight": np.asarray(p["ln_w"]),
+          "byt5_in.layernorm.bias": np.asarray(p["ln_b"]),
+          "cond_type_embedding.weight":
+              np.asarray(params["cond_type_embedding"])}
+    for nm in ("fc1", "fc2", "fc3"):
+        sd[f"byt5_in.{nm}.weight"] = np.asarray(p[nm]["w"]).T
+        sd[f"byt5_in.{nm}.bias"] = np.asarray(p[nm]["b"])
+    loaded = load_glyph_params(dict(sd), {})
+    q = loaded["byt5_in"]
+    np.testing.assert_allclose(np.asarray(q["fc3"]["w"]),
+                               np.asarray(p["fc3"]["w"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(loaded["cond_type_embedding"]),
+                               np.asarray(params["cond_type_embedding"]),
+                               atol=1e-6)
+
+
+def test_byt5_encode_fn_zeros_without_quotes():
+    from wan2gp_tpu.models.wan.t5 import T5Config, init_t5_encoder
+    from wan2gp_tpu.models.hyvideo.glyph import make_byt5_encode_fn
+    cfg = T5Config(vocab_size=384, dim=32, dim_attn=32, dim_ffn=64,
+                   num_heads=2, num_layers=2, shared_pos=True)
+    params = init_t5_encoder(jax.random.key(0), cfg, jnp.float32)
+    fn = make_byt5_encode_fn(params, cfg, max_len=16)
+    e0, m0 = fn("no glyph text here")
+    assert not np.asarray(m0).any() and not np.asarray(e0).any()
+    e1, m1 = fn('a sign "STOP"')
+    assert np.asarray(m1).sum() > 0
+    assert np.isfinite(np.asarray(e1)).all()

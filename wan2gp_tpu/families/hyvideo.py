@@ -43,13 +43,18 @@ class HunyuanFamilyHandler:
     @staticmethod
     def query_model_files(base_model_type, model_def):
         base = "https://huggingface.co/DeepBeepMeep/HunyuanVideo/resolve/main/"
-        return [{"role": "transformer", "urls": model_def.get("URLs", [])},
-                {"role": "vae",
-                 "urls": [base + "hunyuan_video_VAE_fp32.safetensors"]},
-                {"role": "text_encoder", "urls": [
-                    base + "llava-llama-3-8b/llava_llama3_fp16.safetensors"]},
-                {"role": "clip", "urls": [
-                    base + "clip_vit_large_patch14/model.safetensors"]}]
+        files = [{"role": "transformer", "urls": model_def.get("URLs", [])},
+                 {"role": "vae",
+                  "urls": [base + "hunyuan_video_VAE_fp32.safetensors"]},
+                 {"role": "text_encoder", "urls": [
+                     base + "llava-llama-3-8b/llava_llama3_fp16.safetensors"]},
+                 {"role": "clip", "urls": [
+                     base + "clip_vit_large_patch14/model.safetensors"]}]
+        if "1_5" in base_model_type:
+            # HV1.5 glyph byT5 (hunyuan_handler.py:215-217 Glyph-SDXL-v2)
+            files.append({"role": "byt5", "urls": [
+                base + "Glyph-SDXL-v2/byt5_model.safetensors"]})
+        return files
 
     @classmethod
     def load_model(cls, base_model_type: str, model_def: Dict[str, Any],
@@ -60,6 +65,7 @@ class HunyuanFamilyHandler:
         cfg = make_hunyuan_config(base_model_type, compute_dtype=dtype)
         vae_fn = None
         text_fn = None
+        byt5_fn = None
         if init_random:
             params = init_hunyuan(jax.random.key(seed), cfg, dtype)
         else:
@@ -72,6 +78,8 @@ class HunyuanFamilyHandler:
             if checkpoints.get("text_encoder"):
                 text_fn = cls._load_text_encoder(
                     base_model_type, checkpoints, tokenizer, dtype)
+            if checkpoints.get("byt5") and params.get("byt5_in") is not None:
+                byt5_fn = cls._load_byt5(checkpoints, dtype)
         if not init_random and checkpoints and checkpoints.get("vae"):
             if "1_5" in base_model_type:
                 vae_fn = cls._load_vae15(checkpoints)
@@ -81,7 +89,26 @@ class HunyuanFamilyHandler:
         return HunyuanPipeline(params, cfg, vae_stride=vae_stride,
                                vae_decode_fn=vae_fn,
                                text_encode_fn=text_fn,
+                               byt5_encode_fn=byt5_fn,
                                attn_backend=attn_backend)
+
+    @staticmethod
+    def _load_byt5(checkpoints, dtype):
+        """Glyph-SDXL-v2 byt5-small encoder for the HV1.5 glyph branch
+        (text_encoder/byT5/__init__.py:67-97 — T5EncoderModel weights)."""
+        import dataclasses
+        from ..io.safetensors_reader import load_weights
+        from ..io.wan_checkpoint import load_hf_t5_params
+        from ..models.hyvideo.glyph import BYT5_SMALL, make_byt5_encode_fn
+        sd = load_weights(checkpoints["byt5"])
+        cfg = BYT5_SMALL
+        if "shared.weight" in sd:
+            # Glyph-SDXL-v2 grows the embedding table with color/font
+            # special tokens (byT5/__init__.py:61 byt5_config additions)
+            cfg = dataclasses.replace(
+                cfg, vocab_size=sd["shared.weight"].shape[0])
+        params, _ = load_hf_t5_params(sd, cfg, dtype)
+        return make_byt5_encode_fn(params, cfg)
 
     # llava-llama-3 text tower, video chat template with the system prompt
     # cropped off (constants.py:99-102: crop_start 95)

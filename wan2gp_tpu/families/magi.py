@@ -68,14 +68,48 @@ class MagiFamilyHandler:
             if checkpoints.get("vae"):
                 vae_dec, vae_enc = cls._load_vae(checkpoints)
 
-        def text_fn(prompts, _seed=seed):
-            # T5Gemma encoder is a later round; deterministic stub keeps
-            # the joint-modality path runnable (magi_human_model.py:137).
-            k = jax.random.key(hash((prompts[0], _seed)) & 0x7FFFFFFF)
-            return jax.random.normal(k, (1, 48, cfg.text_in), jnp.float32)
+        text_fn = None
+        if checkpoints and checkpoints.get("text_encoder"):
+            text_fn = cls._load_text_encoder(checkpoints, tokenizer, dtype)
+        if text_fn is None:
+            def text_fn(prompts, _seed=seed):
+                # no text-encoder checkpoint: deterministic stub keeps the
+                # joint-modality path runnable (magi_human_model.py:137).
+                k = jax.random.key(hash((prompts[0], _seed)) & 0x7FFFFFFF)
+                return jax.random.normal(k, (1, 48, cfg.text_in),
+                                         jnp.float32)
         return MagiPipeline(params, cfg, text_encode_fn=text_fn,
                             vae_decode_fn=vae_dec, vae_encode_fn=vae_enc,
                             attn_backend=attn_backend)
+
+    @staticmethod
+    def _load_text_encoder(checkpoints, tokenizer, dtype):
+        """T5Gemma-9B-UL2 encoder (magi_human_model.py:146,160 —
+        last_hidden_state of T5GemmaEncoderModel)."""
+        from ..io.safetensors_reader import load_weights
+        from ..models.magi.t5gemma import (T5GemmaEncConfig,
+                                           load_t5gemma_params,
+                                           t5gemma_encode)
+        tcfg = T5GemmaEncConfig(compute_dtype=dtype)
+        tparams, _ = load_t5gemma_params(
+            load_weights(checkpoints["text_encoder"]), tcfg, dtype)
+        import numpy as _np
+
+        def encode(prompts, max_len=256):
+            if tokenizer is not None:
+                ids, mask = tokenizer(prompts, max_len)
+            else:
+                raws = [(p.encode()[:max_len] or b"\x00") for p in prompts]
+                n = max(len(r) for r in raws)
+                ids = _np.zeros((len(raws), n), _np.int32)
+                mask = _np.zeros((len(raws), n), _np.int32)
+                for i, r in enumerate(raws):
+                    ids[i, :len(r)] = _np.frombuffer(r, _np.uint8)
+                    mask[i, :len(r)] = 1
+            out = t5gemma_encode(tparams, tcfg, jnp.asarray(ids),
+                                 jnp.asarray(mask))
+            return out.astype(jnp.float32)
+        return encode
 
     @staticmethod
     def _load_vae(checkpoints):

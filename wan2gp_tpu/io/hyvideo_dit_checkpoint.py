@@ -145,4 +145,25 @@ def load_hunyuan_dit_params(sd: Dict[str, np.ndarray], cfg,
             "out": _lin(sd, "vector_in.out_layer", jnp.float32)}
     if cfg.guidance_embed and "guidance_in.mlp.0.weight" in sd:
         params["guidance_in"] = _embed(sd, "guidance_in", jnp.float32)
+    load_glyph_params(sd, params)
     return params, sorted(sd.keys())
+
+
+def load_glyph_params(sd: Dict[str, np.ndarray], params: Dict) -> Dict:
+    """HV1.5 glyph branch keys: byt5_in ByT5Mapper (models.py:653,
+    byT5/__init__.py:219) + cond_type_embedding (models.py:823).
+    Consumes from `sd` in place; no-op when the keys are absent."""
+    if "byt5_in.fc1.weight" in sd:
+        params["byt5_in"] = {
+            "ln_w": jnp.asarray(np.asarray(
+                sd.pop("byt5_in.layernorm.weight"), np.float32)),
+            "ln_b": jnp.asarray(np.asarray(
+                sd.pop("byt5_in.layernorm.bias"), np.float32)),
+            "fc1": _lin(sd, "byt5_in.fc1", jnp.float32),
+            "fc2": _lin(sd, "byt5_in.fc2", jnp.float32),
+            "fc3": _lin(sd, "byt5_in.fc3", jnp.float32),
+        }
+    if "cond_type_embedding.weight" in sd:
+        params["cond_type_embedding"] = jnp.asarray(np.asarray(
+            sd.pop("cond_type_embedding.weight"), np.float32))
+    return params

@@ -47,6 +47,10 @@ class HunyuanConfig:
     guidance_embed: bool = False
     text_pool: bool = True           # False for HV1.5 (text_pool_type None)
     refiner_depth: int = 2
+    glyph_byt5: bool = False         # HV1.5 byT5 glyph branch (models.py:653)
+    byt5_in_dim: int = 1472
+    byt5_hidden: int = 2048
+    cond_type_embed: bool = False    # models.py:823 use_cond_type_embedding
     compute_dtype: Any = jnp.bfloat16
 
     @property
@@ -64,11 +68,13 @@ HUNYUAN_VIDEO_CONFIGS = {
     "hunyuan_1_5_t2v": dict(hidden_size=2048, heads_num=16,
                             mm_double_blocks_depth=54,
                             mm_single_blocks_depth=0, text_pool=False,
-                            in_channels=32, out_channels=32),
+                            in_channels=32, out_channels=32,
+                            glyph_byt5=True, cond_type_embed=True),
     "hunyuan_1_5_i2v": dict(hidden_size=2048, heads_num=16,
                             mm_double_blocks_depth=54,
                             mm_single_blocks_depth=0, text_pool=False,
-                            in_channels=65, out_channels=32),
+                            in_channels=65, out_channels=32,
+                            glyph_byt5=True, cond_type_embed=True),
 }
 
 
@@ -200,7 +206,49 @@ def init_hunyuan(key, cfg: HunyuanConfig, dtype=jnp.bfloat16):
     if cfg.guidance_embed:
         params["guidance_in"] = _mlp_embedder(next(keys), 256, h,
                                               jnp.float32)
+    if cfg.glyph_byt5:
+        params["byt5_in"] = {
+            "ln_w": jnp.ones((cfg.byt5_in_dim,), jnp.float32),
+            "ln_b": jnp.zeros((cfg.byt5_in_dim,), jnp.float32),
+            "fc1": _linear(next(keys), cfg.byt5_in_dim, cfg.byt5_hidden,
+                           jnp.float32),
+            "fc2": _linear(next(keys), cfg.byt5_hidden, cfg.byt5_hidden,
+                           jnp.float32),
+            "fc3": _linear(next(keys), cfg.byt5_hidden, h, jnp.float32),
+        }
+    if cfg.cond_type_embed:
+        params["cond_type_embedding"] = jnp.zeros((3, h), jnp.float32)
     return params
+
+
+def _byt5_mapper(p, x):
+    """ByT5Mapper, use_residual=False (text_encoder/byT5/__init__.py:
+    207-249): LN -> fc1 -> gelu -> fc2 -> gelu -> fc3."""
+    x32 = x.astype(jnp.float32)
+    mu = x32.mean(-1, keepdims=True)
+    var = ((x32 - mu) ** 2).mean(-1, keepdims=True)
+    y = (x32 - mu) * jax.lax.rsqrt(var + 1e-5) * p["ln_w"] + p["ln_b"]
+    y = jax.nn.gelu(_dense(y, p["fc1"], jnp.float32), approximate=False)
+    y = _dense(y, p["fc2"], jnp.float32)
+    y = jax.nn.gelu(y, approximate=False)
+    return _dense(y, p["fc3"], jnp.float32)
+
+
+def reorder_glyph_tokens(byt5_txt, txt, byt5_mask, text_mask):
+    """Static-shape version of reorder_txt_token (models.py:910-945,
+    zero_feat=True): per batch row, valid byt5 tokens first, then valid
+    text tokens, then zeroed padding; returns (tokens, merged mask)."""
+    cat = jnp.concatenate([byt5_txt, txt], axis=1)
+    m = jnp.concatenate([byt5_mask, text_mask], axis=1).astype(bool)
+    is_text = jnp.concatenate(
+        [jnp.zeros(byt5_txt.shape[:2], jnp.int32),
+         jnp.ones(txt.shape[:2], jnp.int32)], axis=1)
+    key = jnp.where(m, 0, 2) + is_text     # byt5 valid < text valid < pads
+    order = jnp.argsort(key, axis=1, stable=True)
+    cat = jnp.where(m[..., None], cat, 0.0)
+    cat = jnp.take_along_axis(cat, order[..., None], axis=1)
+    newm = jnp.take_along_axis(m, order, axis=1)
+    return cat, newm.astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -341,11 +389,14 @@ def _single_block(bp, x, vec, cos, sin, cfg, attn_backend):
 
 def hunyuan_forward(params, cfg: HunyuanConfig, latents, t, text_states,
                     text_mask, text_pooled=None, guidance=None,
-                    rope_cos=None, rope_sin=None, attn_backend="auto"):
+                    rope_cos=None, rope_sin=None, attn_backend="auto",
+                    byt5_states=None, byt5_mask=None):
     """latents: [B, C, F, H, W]; t: [B] in 0..1000 (reference feeds t
     directly to sinusoidal embedding); text_states: [B, L, 4096];
-    text_pooled: [B, 768] CLIP pooled (HV1); guidance: [B] cfg_scale*1000.
-    Returns velocity [B, C_out, F, H, W] fp32."""
+    text_pooled: [B, 768] CLIP pooled (HV1); guidance: [B] cfg_scale*1000;
+    byt5_states/byt5_mask: [B, Lb, byt5_in_dim] glyph features (HV1.5
+    byT5 branch, models.py:1056-1061) merged valid-first with the refined
+    text.  Returns velocity [B, C_out, F, H, W] fp32."""
     from ..wan.dit import patchify
     b = latents.shape[0]
     pt, ph, pw = cfg.patch_size
@@ -355,6 +406,8 @@ def hunyuan_forward(params, cfg: HunyuanConfig, latents, t, text_states,
     img = _dense(img, params["img_in"], jnp.float32)
     img_len = img.shape[1]
     txt_len = text_states.shape[1]
+    if byt5_states is not None and params.get("byt5_in") is not None:
+        txt_len = txt_len + byt5_states.shape[1]
     if rope_cos is None:
         rope_cos, rope_sin = build_hunyuan_rope(grid, cfg.rope_dim_list,
                                                 txt_len)
@@ -370,6 +423,16 @@ def hunyuan_forward(params, cfg: HunyuanConfig, latents, t, text_states,
                                               time_factor=1.0))
 
     txt = _refine_text(params, cfg, text_states, text_mask, t)
+    cte = params.get("cond_type_embedding")
+    if cte is not None:
+        txt = txt + cte[0].astype(txt.dtype)            # models.py:1052
+    if byt5_states is not None and params.get("byt5_in") is not None:
+        bt = _byt5_mapper(params["byt5_in"],
+                          byt5_states).astype(txt.dtype)
+        if cte is not None:
+            bt = bt + cte[1].astype(bt.dtype)           # models.py:1059
+        txt, text_mask = reorder_glyph_tokens(bt, txt, byt5_mask,
+                                              text_mask)
 
     def dbody(carry, bp):
         img, txt = carry

@@ -45,7 +45,8 @@ def hunyuan_denoise_scan(params, cfg: HunyuanConfig, latents, text_states,
                          text_mask_null=None, text_pooled=None,
                          sampling: HunyuanSamplingConfig = HunyuanSamplingConfig(),
                          attn_backend: str = "auto", img_latents=None,
-                         i2v_condition_type: str = ""):
+                         i2v_condition_type: str = "",
+                         byt5_states=None, byt5_mask=None):
     """i2v conditioning (pipeline_hunyuan_video.py:1610-1617, 1746-1752):
     'token_replace' (HV1 i2v) pins the first latent frame to img_latents
     each step and solver-steps only frames 1+; 'latent_concat' (HV1.5)
@@ -59,14 +60,23 @@ def hunyuan_denoise_scan(params, cfg: HunyuanConfig, latents, text_states,
     pt, ph, pw = cfg.patch_size
     grid = (latents.shape[2] // pt, latents.shape[3] // ph,
             latents.shape[4] // pw)
-    cos, sin = build_hunyuan_rope(grid, cfg.rope_dim_list,
-                                  text_states.shape[1])
+    txt_len = text_states.shape[1]
+    if byt5_states is not None:
+        txt_len += byt5_states.shape[1]
+    cos, sin = build_hunyuan_rope(grid, cfg.rope_dim_list, txt_len)
 
     if any_guidance:
         ctx = jnp.concatenate([text_states, text_states_null], axis=0)
         msk = jnp.concatenate([text_mask, text_mask_null], axis=0)
         pooled = (None if text_pooled is None
                   else jnp.concatenate([text_pooled, text_pooled], axis=0))
+        if byt5_states is not None:
+            # negative prompts carry no glyph text (pipeline_hunyuan_video
+            # .py:1022 zeros for promptless byt5)
+            byt5_states = jnp.concatenate(
+                [byt5_states, jnp.zeros_like(byt5_states)], axis=0)
+            byt5_mask = jnp.concatenate(
+                [byt5_mask, jnp.zeros_like(byt5_mask)], axis=0)
     else:
         ctx, msk, pooled = text_states, text_mask, text_pooled
 
@@ -103,7 +113,8 @@ def hunyuan_denoise_scan(params, cfg: HunyuanConfig, latents, text_states,
         v = hunyuan_forward(params, cfg, xb, t, ctx, msk,
                             text_pooled=pooled, guidance=guidance,
                             rope_cos=cos, rope_sin=sin,
-                            attn_backend=attn_backend)
+                            attn_backend=attn_backend,
+                            byt5_states=byt5_states, byt5_mask=byt5_mask)
         if any_guidance:
             pred = cfg_combine(v[:b], v[b:], g,
                                jnp.asarray(sampling.cfg_star_switch))
@@ -128,11 +139,13 @@ def hunyuan_denoise_scan(params, cfg: HunyuanConfig, latents, text_states,
 class HunyuanPipeline:
     def __init__(self, dit_params, dit_cfg: HunyuanConfig,
                  vae_decode_fn=None, text_encode_fn=None,
-                 vae_stride=(4, 8, 8), attn_backend: str = "auto"):
+                 vae_stride=(4, 8, 8), attn_backend: str = "auto",
+                 byt5_encode_fn=None):
         self.dit_params = dit_params
         self.dit_cfg = dit_cfg
         self.vae_decode_fn = vae_decode_fn
         self.text_encode_fn = text_encode_fn
+        self.byt5_encode_fn = byt5_encode_fn
         self.vae_stride = vae_stride
         self.attn_backend = attn_backend
         self._cache: Dict[Any, Any] = {}
@@ -143,9 +156,13 @@ class HunyuanPipeline:
                  text_states=None, text_mask=None, text_states_null=None,
                  text_mask_null=None, text_pooled=None,
                  return_latents: bool = False, img_latents=None,
-                 i2v_condition_type: str = ""):
+                 i2v_condition_type: str = "",
+                 byt5_states=None, byt5_mask=None):
         if text_states is None:
             text_states, text_mask, text_pooled = self.text_encode_fn(prompt)
+        if byt5_states is None and self.byt5_encode_fn is not None \
+                and self.dit_params.get("byt5_in") is not None:
+            byt5_states, byt5_mask = self.byt5_encode_fn(prompt)
         st, sh, sw = self.vae_stride
         f_lat = (frame_num - 1) // st + 1
         # latent_concat models carry 2*C+1 input channels (img + mask)
@@ -157,7 +174,8 @@ class HunyuanPipeline:
             (1, gen_channels, f_lat, height // sh, width // sw),
             jnp.float32)
         sig = (sampling, lat.shape, text_states.shape, i2v_condition_type,
-               img_latents is not None)
+               img_latents is not None,
+               None if byt5_states is None else byt5_states.shape)
         fn = self._cache.get(sig)
         if fn is None:
             fn = jax.jit(functools.partial(
@@ -172,6 +190,8 @@ class HunyuanPipeline:
                           text_mask_null=text_mask_null)
         if img_latents is not None:
             kwargs["img_latents"] = img_latents
+        if byt5_states is not None:
+            kwargs.update(byt5_states=byt5_states, byt5_mask=byt5_mask)
         x = fn(self.dit_params, latents=lat, **kwargs)
         if return_latents or self.vae_decode_fn is None:
             return x

@@ -90,13 +90,18 @@ def init_t5_encoder(key, cfg: T5Config, dtype=jnp.bfloat16) -> Dict[str, Any]:
         }
 
     blocks = [block(next(keys)) for _ in range(cfg.num_layers)]
-    return {
+    p = {
         "token_embedding": jax.random.normal(
             next(keys), (cfg.vocab_size, cfg.dim), jnp.float32
         ).astype(dtype),
         "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *blocks),
         "norm": jnp.ones((cfg.dim,), jnp.float32),
     }
+    if cfg.shared_pos:
+        # HF-T5-v1.1 style: one rel-pos table on block 0 (t5_encode
+        # reads params["shared_pos_emb"])
+        p["shared_pos_emb"] = p["blocks"]["pos_emb"][0]
+    return p
 
 
 def _t5_norm(x, weight, eps=1e-6):

@@ -58,6 +58,11 @@ _ARCH: Dict[str, Dict[str, Any]] = {
                               num_layers=40, model_type="t2v", in_dim=36,
                               vae_stride=(4, 8, 8), experts=2,
                               multitalk=True),
+    # FantasyTalking audio-driven portrait i2v (fantasytalking/,
+    # wan_handler.py test_class_i2v: "fantasy")
+    "fantasy": dict(dim=5120, ffn_dim=13824, num_heads=40, num_layers=40,
+                    model_type="i2v", in_dim=36, vae_stride=(4, 8, 8),
+                    fantasy=True),
     # SkyReels diffusion forcing (models/wan/diffusion_forcing.py)
     "sky_df_1.3B": dict(dim=1536, ffn_dim=8960, num_heads=12,
                         num_layers=30, model_type="t2v",
@@ -107,6 +112,7 @@ class WanFamilyHandler:
             "wan_5B_class": base_model_type == "ti2v_2_2",
             "vace_class": arch.get("vace", False),
             "multitalk_class": arch.get("multitalk", False),
+            "fantasy_class": arch.get("fantasy", False),
             "multiple_submodels": arch.get("experts", 1) > 1,
             "sliding_window": True,
             "tea_cache": arch.get("experts", 1) == 1,
@@ -147,6 +153,14 @@ class WanFamilyHandler:
             files.append({"role": "wav2vec", "urls": [
                 "https://huggingface.co/DeepBeepMeep/Wan2.1/resolve/main/"
                 "chinese-wav2vec2-base/model.safetensors"]})
+        if _ARCH[base_model_type].get("fantasy"):
+            # hunyuan_handler-style extra roles (fantasytalking/infer.py)
+            files.append({"role": "fantasy_proj", "urls": [
+                "https://huggingface.co/DeepBeepMeep/Wan2.1/resolve/main/"
+                "fantasy_proj_model.safetensors"]})
+            files.append({"role": "wav2vec", "urls": [
+                "https://huggingface.co/DeepBeepMeep/Wan2.1/resolve/main/"
+                "wav2vec/model.safetensors"]})
         files.append({"role": "text_encoder", "urls": [
             "https://huggingface.co/DeepBeepMeep/Wan2.1/resolve/main/"
             "models_t5_umt5-xxl-enc-bf16.safetensors"]})
@@ -196,6 +210,15 @@ class WanFamilyHandler:
                     "audio_proj_cfg": ap_cfg,
                     "audio_proj_params": init_audio_proj(
                         jax.random.key(seed + 3), ap_cfg)}
+            if arch.get("fantasy"):
+                from ..models.wan.fantasy import (init_fantasy_attn_blocks,
+                                                  init_fantasy_proj)
+                dit_params["fantasy_attn_blocks"] = init_fantasy_attn_blocks(
+                    jax.random.key(seed + 2), dit_cfg.dim,
+                    dit_cfg.num_layers, dtype=dtype, zero=False)
+                multitalk_extras = {
+                    "fantasy_proj_params": init_fantasy_proj(
+                        jax.random.key(seed + 3))}
         else:
             sd = normalize_wan_sd(load_safetensors(checkpoints["transformer"]))
             dit_params, left = load_wan_dit_params(sd, dit_cfg, dtype)
@@ -219,6 +242,20 @@ class WanFamilyHandler:
                 dit_params["audio_attn_blocks"] = audio_blocks
                 multitalk_extras = {"audio_proj_cfg": ap_cfg,
                                     "audio_proj_params": ap}
+                if checkpoints.get("wav2vec"):
+                    w2v_cfg = Wav2Vec2Config()
+                    w2v, _ = load_wav2vec2_params(
+                        load_safetensors(checkpoints["wav2vec"]), w2v_cfg)
+                    multitalk_extras["wav2vec"] = (w2v, w2v_cfg)
+            if arch.get("fantasy") and checkpoints.get("fantasy_proj"):
+                # processor k/v weights ride inside the fantasy DiT
+                # checkpoint (load_wan_dit_params fantasy_attn_blocks)
+                from ..models.wan.fantasy import load_fantasy_proj_params
+                from ..models.wan.multitalk import (load_wav2vec2_params,
+                                                    Wav2Vec2Config)
+                fp, _ = load_fantasy_proj_params(
+                    load_safetensors(checkpoints["fantasy_proj"]))
+                multitalk_extras = {"fantasy_proj_params": fp}
                 if checkpoints.get("wav2vec"):
                     w2v_cfg = Wav2Vec2Config()
                     w2v, _ = load_wav2vec2_params(

@@ -159,6 +159,15 @@ def load_wan_dit_params(sd: Dict[str, np.ndarray], cfg,
 
         p["vace_before_proj"] = _lin(sd, "vace_blocks.0.before_proj", dtype)
         p["vace_blocks"] = _stack([vace_block(i) for i in range(n_vace)])
+    if "blocks.0.cross_attn.processor.k_proj.weight" in sd:
+        # FantasyTalking per-block audio k/v processors
+        # (fantasytalking/model.py:19-30, attached model.py:1210-1213)
+        def fproc(i):
+            pre = f"blocks.{i}.cross_attn.processor"
+            return {"k": _lin(sd, f"{pre}.k_proj", dtype),
+                    "v": _lin(sd, f"{pre}.v_proj", dtype)}
+        p["fantasy_attn_blocks"] = _stack(
+            [fproc(i) for i in range(cfg.num_layers)])
     if "img_emb.proj.1.weight" in sd:
         p["img_emb"] = {
             "norm1": {"w": _vec(sd, "img_emb.proj.0.weight"),

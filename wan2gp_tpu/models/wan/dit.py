@@ -251,7 +251,7 @@ def _nag_combine(x_pos, x_neg, nag):
 
 
 def _cross_attention(p, x, context, context_img, cfg, attn_backend,
-                     context_neg=None, nag=None):
+                     context_neg=None, nag=None, fantasy=None):
     # ring (context-parallel) applies to self-attention only: cross-attn
     # kv (text) is replicated, so per-shard plain attention is exact
     if attn_backend.startswith("ring"):
@@ -278,6 +278,24 @@ def _cross_attention(p, x, context, context_img, cfg, attn_backend,
         k_img = _qkv_heads(k_img, cfg.num_heads)
         v_img = _qkv_heads(v_img, cfg.num_heads)
         o = o + attention(q, k_img, v_img, backend=attn_backend)
+    if fantasy is not None:
+        # FantasyTalking audio processor (fantasytalking/model.py:19-62,
+        # modules/model.py:479-497): per-latent-frame attention reusing
+        # the normed cross-attn query; zero-init k/v; added pre-`o` with
+        # per-sample audio_scale.
+        fp, actx, amask, ascale = fantasy
+        b, l = x.shape[:2]
+        n, hd = cfg.num_heads, cfg.head_dim
+        f, la = actx.shape[1], actx.shape[2]
+        s = l // f
+        qf = q.reshape(b * f, s, n, hd)
+        k_a = _dense(actx, fp["k"], cdt).reshape(b * f, la, n, hd)
+        v_a = _dense(actx, fp["v"], cdt).reshape(b * f, la, n, hd)
+        ao = attention(qf, k_a, v_a, backend=attn_backend,
+                       kv_mask=jnp.broadcast_to(
+                           amask, (b, f, la)).reshape(b * f, la))
+        ao = ao.reshape(b, l, n, hd)
+        o = o + ascale.reshape(b, 1, 1, 1).astype(o.dtype) * ao
     o = o.reshape(*x.shape[:2], cfg.dim)
     return _dense(o, p["o"], cdt)
 
@@ -318,10 +336,12 @@ def _audio_cross_attention(ap, x, audio_ctx, n_frames, cfg, attn_backend):
 
 
 def _block(bp, x, e6, context, context_img, rope_cos, rope_sin, cfg,
-           attn_backend, context_neg=None, nag=None, audio=None):
+           attn_backend, context_neg=None, nag=None, audio=None,
+           fantasy=None):
     """One WanAttentionBlock (model.py:574-718).  x fp32 [B, L, C];
     e6 fp32 [B, T_mod, 6, C] broadcast over tokens (T_mod=1 for scalar t).
-    audio: optional (per-layer audio-attn params, audio_ctx, n_frames)."""
+    audio: optional (per-layer audio-attn params, audio_ctx, n_frames).
+    fantasy: optional (per-layer k/v params, audio_ctx, kv_mask, scale)."""
     rdt = cfg.residual_dtype
     mod = bp["modulation"].astype(jnp.float32)  # [6, C]
     e = e6 + mod[None, None]                    # [B, T, 6, C]
@@ -345,7 +365,7 @@ def _block(bp, x, e6, context, context_img, rope_cos, rope_sin, cfg,
                    eps=cfg.eps)
     x = x + _cross_attention(bp["cross_attn"], y, context, context_img, cfg,
                              attn_backend, context_neg=context_neg,
-                             nag=nag).astype(jnp.float32)
+                             nag=nag, fantasy=fantasy).astype(jnp.float32)
 
     if audio is not None:
         ap, audio_ctx, n_frames = audio
@@ -376,7 +396,7 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
                     context_neg=None, nag=None,
                     vace_context=None, vace_scale: float = 1.0,
                     fbc_state=None, fbc_threshold: float = 0.08,
-                    audio_tokens=None):
+                    audio_tokens=None, fantasy_audio=None):
     """Denoiser forward.
 
     latents:  [B, C, F, H, W] noisy latents
@@ -456,6 +476,8 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
     # scanned alongside the blocks (multitalk_model.py:295-297).
     use_audio = (audio_tokens is not None
                  and "audio_attn_blocks" in params)
+    use_fantasy = (fantasy_audio is not None
+                   and "fantasy_attn_blocks" in params)
     if use_audio:
         audio_ctx = audio_tokens.astype(cfg.compute_dtype)
 
@@ -471,6 +493,24 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
                 body, x, (params["blocks"], hints,
                           params["audio_attn_blocks"]))
             return out
+    elif use_fantasy:
+        # FantasyTalking: per-block processor k/v over the projected audio
+        # windows (model.py:1210-1213, modules/model.py:479-496)
+        f_ctx, f_mask, f_scale = fantasy_audio
+        f_ctx = f_ctx.astype(cfg.compute_dtype)
+
+        def body(carry, xs):
+            bp, hint, fp = xs
+            out = _block(bp, carry, e6, ctx, ctx_img, rope_cos, rope_sin,
+                         cfg, attn_backend, context_neg=ctx_neg, nag=nag,
+                         fantasy=(fp, f_ctx, f_mask, f_scale))
+            return out + hint.astype(out.dtype), None
+
+        def run_blocks(x):
+            out, _ = jax.lax.scan(
+                body, x, (params["blocks"], hints,
+                          params["fantasy_attn_blocks"]))
+            return out
     else:
         def body(carry, xs):
             bp, hint = xs
@@ -484,9 +524,9 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
 
     new_residual = None
     new_fbc = None
-    if fbc_state is not None and use_audio:
+    if fbc_state is not None and (use_audio or use_fantasy):
         raise ValueError("first-block cache is not supported together "
-                         "with multitalk audio conditioning")
+                         "with audio conditioning")
     if fbc_state is not None:
         # First-block cache (reference models/minimax_h3/first_block_cache.py
         # :6-54): run block 0, compare its output signature to the cached

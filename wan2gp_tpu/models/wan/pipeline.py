@@ -518,6 +518,67 @@ def multitalk_denoise_scan(dit_params, dit_cfg: WanDiTConfig,
     return x
 
 
+def fantasy_denoise_scan(dit_params, dit_cfg: WanDiTConfig,
+                         schedule: Schedule, latents, context,
+                         context_null, fantasy_ctx, fantasy_mask,
+                         guide_scale: float, audio_guide_scale: float,
+                         audio_strength: float, rope_cos, rope_sin,
+                         y=None, clip_fea=None,
+                         attn_backend: str = "auto"):
+    """FantasyTalking audio-CFG denoising (any2video.py:1507-1511,
+    1616-1618).
+
+    Branches (guide != 1):
+      [cond(text,audio), noaudio(text), uncond(null)]
+      pred = uncond + g*(noaudio - uncond) + g_a*(cond - noaudio)
+    guide == 1:
+      [cond(text,audio), noaudio(text)]
+      pred = noaudio + g_a*(cond - noaudio)
+    Audio is switched per branch through the per-sample scale vector
+    (reference "audio_scale": [audio_scale, None, None])."""
+    b = latents.shape[0]
+    use_text_cfg = guide_scale != 1.0
+    nb = 3 if use_text_cfg else 2
+    if use_text_cfg:
+        ctx = jnp.concatenate([context, context, context_null], axis=0)
+        scale = jnp.asarray([audio_strength, 0.0, 0.0], jnp.float32)
+    else:
+        ctx = jnp.concatenate([context, context], axis=0)
+        scale = jnp.asarray([audio_strength, 0.0], jnp.float32)
+    scale = jnp.repeat(scale, b)
+    f_ctx = jnp.concatenate([fantasy_ctx] * nb, axis=0)
+    yb = None if y is None else jnp.concatenate([y] * nb, axis=0)
+    clipb = (None if clip_fea is None
+             else jnp.concatenate([clip_fea] * nb, axis=0))
+
+    def body(carry, xs):
+        x, sstate = carry
+        t, coeffs_i, i = xs
+        xb = jnp.concatenate([x] * nb, axis=0)
+        tb = jnp.broadcast_to(t, (nb * b,))
+        v = wan_dit_forward(dit_params, dit_cfg, xb, tb, ctx,
+                            rope_cos, rope_sin, y=yb, clip_fea=clipb,
+                            fantasy_audio=(f_ctx, fantasy_mask, scale),
+                            attn_backend=attn_backend)
+        if use_text_cfg:
+            cond, noaudio, uncond = v[:b], v[b:2 * b], v[2 * b:]
+            pred = (uncond + guide_scale * (noaudio - uncond)
+                    + audio_guide_scale * (cond - noaudio))
+        else:
+            cond, noaudio = v[:b], v[b:]
+            pred = noaudio + audio_guide_scale * (cond - noaudio)
+        x, sstate = solver_step(schedule, i, coeffs_i, pred, x, sstate)
+        return (x, sstate), None
+
+    carry0 = (latents.astype(jnp.float32),
+              init_solver_state(schedule, latents))
+    xs = (schedule.timesteps,
+          {k: v for k, v in schedule.coeffs.items()},
+          jnp.arange(schedule.num_steps, dtype=jnp.int32))
+    (x, _), _ = jax.lax.scan(body, carry0, xs)
+    return x
+
+
 class WanPipeline:
     """End-to-end Wan T2V/I2V generation.
 
@@ -1036,6 +1097,64 @@ class WanPipeline:
                              else context),
                audio_tokens=tokens, audio_tokens_zero=tokens_zero,
                vace_context=vace_context)
+        if return_latents:
+            return x
+        return self.decode(x)[0]
+
+    def generate_fantasy(self, prompt: str, audio_features,
+                         image_start=None, n_prompt: str = "",
+                         width: int = 832, height: int = 480,
+                         frame_num: int = 81, sampling=None, seed: int = 0,
+                         audio_guide_scale: float = 5.0,
+                         audio_strength: float = 1.0,
+                         fantasy_proj_params=None,
+                         context=None, context_null=None,
+                         return_latents: bool = False):
+        """FantasyTalking audio-driven i2v (fantasytalking/infer.py:10,
+        any2video.py:1141-1142,1616-1618).
+
+        audio_features: [1, L, 768] wav2vec2 LAST hidden state
+        interpolated to fps*duration tokens (fantasytalking/utils.py
+        get_audio_features)."""
+        from .fantasy import (fantasy_proj_forward, split_audio_sequence,
+                              split_tensor_with_padding, fantasy_kv_mask)
+        sampling = sampling or SamplingConfig()
+        if context is None:
+            context = self.encode_text([prompt])
+        if context_null is None and sampling.guide_scale != 1.0:
+            context_null = self.encode_text(
+                [n_prompt or DEFAULT_NEGATIVE_PROMPT])
+
+        proj = fantasy_proj_forward(fantasy_proj_params,
+                                    jnp.asarray(audio_features))
+        ranges = split_audio_sequence(proj.shape[1], num_frames=frame_num)
+        windows, k_lens = split_tensor_with_padding(np.asarray(proj),
+                                                    ranges, expand_length=4)
+        mask = fantasy_kv_mask(k_lens, windows.shape[2])
+
+        y = clip_fea = None
+        if image_start is not None:
+            y, clip_fea = self.build_i2v_conditioning(image_start,
+                                                      frame_num, height,
+                                                      width)
+        lat_shape = self.latent_shape(frame_num, height, width)
+        latents = jax.random.normal(jax.random.key(seed), lat_shape,
+                                    jnp.float32)
+        schedule = make_schedule(sampling.solver, sampling.steps,
+                                 sampling.shift,
+                                 solver_order=sampling.solver_order)
+        rope_cos, rope_sin = self._rope(lat_shape, sampling.enable_riflex)
+        fn = jax.jit(functools.partial(
+            fantasy_denoise_scan, dit_cfg=self.dit_cfg,
+            schedule=schedule, guide_scale=sampling.guide_scale,
+            audio_guide_scale=audio_guide_scale,
+            audio_strength=audio_strength, rope_cos=rope_cos,
+            rope_sin=rope_sin, attn_backend=self.attn_backend))
+        x = fn(self.dit_params, latents=latents, context=context,
+               context_null=(context_null if context_null is not None
+                             else context),
+               fantasy_ctx=jnp.asarray(windows),
+               fantasy_mask=jnp.asarray(mask), y=y, clip_fea=clip_fea)
         if return_latents:
             return x
         return self.decode(x)[0]

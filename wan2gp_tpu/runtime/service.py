@@ -304,6 +304,41 @@ class GenerationService:
                     sample_rate=audio_sr,
                     metadata=_clean_settings(merged)))
             return self.plugins.apply_postprocess_hooks(outputs, merged)
+        if model_def.get("fantasy_class") \
+                and getattr(pipe, "fantasy_proj_params", None) is not None:
+            # FantasyTalking audio-driven i2v (fantasytalking/infer.py:10)
+            feats = merged.get("_audio_features")
+            audio_wave = None
+            if feats is None and merged.get("audio_guide") \
+                    and hasattr(pipe, "wav2vec"):
+                from ..models.wan.fantasy import wav2vec2_last_hidden
+                wave, sr = media.read_wav(merged["audio_guide"])
+                audio_wave = wave
+                mono = wave.astype(np.float32).mean(axis=1) / 32767.0
+                mono = (mono - mono.mean()) / (mono.std() + 1e-7)
+                w2v_params, w2v_cfg = pipe.wav2vec
+                feats = wav2vec2_last_hidden(w2v_params, w2v_cfg,
+                                             jnp.asarray(mono[None]))
+            if feats is not None:
+                video = pipe.generate_fantasy(
+                    prompt=merged.get("prompt", ""), audio_features=feats,
+                    image_start=merged.get("_image_start"),
+                    n_prompt=merged.get("negative_prompt", ""),
+                    width=width, height=height, frame_num=frame_num,
+                    sampling=sampling, seed=seed,
+                    audio_guide_scale=float(
+                        merged.get("audio_guidance_scale", 5.0)),
+                    fantasy_proj_params=pipe.fantasy_proj_params,
+                    context=merged.get("_context"),
+                    context_null=merged.get("_context_null"))
+                video, fps = _apply_temporal_upsampling(
+                    video, merged, int(merged.get("fps", 23)))
+                path = os.path.join(self.output_dir,
+                                    f"{model_type}_{stamp}_{seed}.avi")
+                media.save_video(np.asarray(video), path, fps=fps,
+                                 metadata=_clean_settings(merged),
+                                 audio=audio_wave, audio_sample_rate=16000)
+                return self.plugins.apply_postprocess_hooks([path], merged)
         audio_emb = merged.get("_audio_emb")
         if audio_emb is None and merged.get("audio_guide") \
                 and hasattr(pipe, "wav2vec"):

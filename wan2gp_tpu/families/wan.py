@@ -63,6 +63,14 @@ _ARCH: Dict[str, Dict[str, Any]] = {
     "fantasy": dict(dim=5120, ffn_dim=13824, num_heads=40, num_layers=40,
                     model_type="i2v", in_dim=36, vae_stride=(4, 8, 8),
                     fantasy=True),
+    # StandIn identity preservation (in-model LoRA + reference kv,
+    # model.py:1215-1219; wan_handler.py test_standin)
+    "standin": dict(dim=5120, ffn_dim=13824, num_heads=40, num_layers=40,
+                    model_type="t2v", vae_stride=(4, 8, 8), standin=True),
+    "vace_standin_14B": dict(dim=5120, ffn_dim=13824, num_heads=40,
+                             num_layers=40, model_type="t2v",
+                             vae_stride=(4, 8, 8), vace=True,
+                             standin=True),
     # SkyReels diffusion forcing (models/wan/diffusion_forcing.py)
     "sky_df_1.3B": dict(dim=1536, ffn_dim=8960, num_heads=12,
                         num_layers=30, model_type="t2v",
@@ -113,6 +121,7 @@ class WanFamilyHandler:
             "vace_class": arch.get("vace", False),
             "multitalk_class": arch.get("multitalk", False),
             "fantasy_class": arch.get("fantasy", False),
+            "standin_class": arch.get("standin", False),
             "multiple_submodels": arch.get("experts", 1) > 1,
             "sliding_window": True,
             "tea_cache": arch.get("experts", 1) == 1,
@@ -153,6 +162,10 @@ class WanFamilyHandler:
             files.append({"role": "wav2vec", "urls": [
                 "https://huggingface.co/DeepBeepMeep/Wan2.1/resolve/main/"
                 "chinese-wav2vec2-base/model.safetensors"]})
+        if _ARCH[base_model_type].get("standin"):
+            files.append({"role": "standin", "urls": [
+                "https://huggingface.co/DeepBeepMeep/Wan2.1/resolve/main/"
+                "Stand-In_wan2.1_T2V_14B_ver1.0_bf16.safetensors"]})
         if _ARCH[base_model_type].get("fantasy"):
             # hunyuan_handler-style extra roles (fantasytalking/infer.py)
             files.append({"role": "fantasy_proj", "urls": [
@@ -219,6 +232,11 @@ class WanFamilyHandler:
                 multitalk_extras = {
                     "fantasy_proj_params": init_fantasy_proj(
                         jax.random.key(seed + 3))}
+            if arch.get("standin"):
+                from ..models.wan.standin import init_standin_loras
+                dit_params["standin_loras"] = init_standin_loras(
+                    jax.random.key(seed + 4), dit_cfg.dim,
+                    dit_cfg.num_layers, dtype=dtype, zero_up=False)
         else:
             sd = normalize_wan_sd(load_safetensors(checkpoints["transformer"]))
             dit_params, left = load_wan_dit_params(sd, dit_cfg, dtype)
@@ -247,6 +265,12 @@ class WanFamilyHandler:
                     w2v, _ = load_wav2vec2_params(
                         load_safetensors(checkpoints["wav2vec"]), w2v_cfg)
                     multitalk_extras["wav2vec"] = (w2v, w2v_cfg)
+            if arch.get("standin") and checkpoints.get("standin"):
+                from ..models.wan.standin import load_standin_module_params
+                loras, _ = load_standin_module_params(
+                    load_safetensors(checkpoints["standin"]),
+                    dit_cfg.num_layers, dtype)
+                dit_params["standin_loras"] = loras
             if arch.get("fantasy") and checkpoints.get("fantasy_proj"):
                 # processor k/v weights ride inside the fantasy DiT
                 # checkpoint (load_wan_dit_params fantasy_attn_blocks)

@@ -217,12 +217,28 @@ def _qkv_heads(x, n):
     return x.reshape(b, l, n, d // n)
 
 
-def _self_attention(p, x, rope_cos, rope_sin, cfg, attn_backend):
+def _lora_add(lp, x):
+    """In-model LoRA (model.py LoRALinearLayer:125): up(down(x)), both
+    bias-free."""
+    return jnp.dot(jnp.dot(x, lp["down"]["w"].astype(x.dtype)),
+                   lp["up"]["w"].astype(x.dtype))
+
+
+def _self_attention(p, x, rope_cos, rope_sin, cfg, attn_backend,
+                    extra_kv=None, qkv_loras=None):
+    """extra_kv: optional (k_ip, v_ip) already roped/headed — StandIn
+    phase-2 reference kv concatenation (model.py:351-357).
+    qkv_loras: optional per-block LoRA params added to q/k/v pre-norm —
+    StandIn phase-1 (model.py:338-341)."""
     cdt = cfg.compute_dtype
     xc = x.astype(cdt)
     q = _dense(xc, p["q"], cdt)
     k = _dense(xc, p["k"], cdt)
     v = _dense(xc, p["v"], cdt)
+    if qkv_loras is not None:
+        q = q + _lora_add(qkv_loras["q"], xc)
+        k = k + _lora_add(qkv_loras["k"], xc)
+        v = v + _lora_add(qkv_loras["v"], xc)
     q = rms_norm(q, p["norm_q"], cfg.eps)
     k = rms_norm(k, p["norm_k"], cfg.eps)
     q = _qkv_heads(q, cfg.num_heads)
@@ -230,9 +246,14 @@ def _self_attention(p, x, rope_cos, rope_sin, cfg, attn_backend):
     v = _qkv_heads(v, cfg.num_heads)
     q = apply_rope(q, rope_cos, rope_sin)
     k = apply_rope(k, rope_cos, rope_sin)
-    o = attention(q, k, v, backend=attn_backend)
+    k_all, v_all = k, v
+    if extra_kv is not None:
+        k_ip, v_ip = extra_kv
+        k_all = jnp.concatenate([k, k_ip.astype(k.dtype)], axis=1)
+        v_all = jnp.concatenate([v, v_ip.astype(v.dtype)], axis=1)
+    o = attention(q, k_all, v_all, backend=attn_backend)
     o = o.reshape(*x.shape[:2], cfg.dim)
-    return _dense(o, p["o"], cdt)
+    return _dense(o, p["o"], cdt), (k, v)
 
 
 def _nag_combine(x_pos, x_neg, nag):
@@ -335,13 +356,39 @@ def _audio_cross_attention(ap, x, audio_ctx, n_frames, cfg, attn_backend):
     return o.reshape(b, l, c)
 
 
+def _block_standin(bp, lp, sx, e6_0, ref_cos, ref_sin, cfg, attn_backend):
+    """StandIn phase-1 block pass over the reference-face tokens
+    (model.py:1945-1947: full block with q/k/v LoRA adds, t=0 modulation,
+    context=None so cross-attn is skipped).  Returns (new_sx, (k_ip,
+    v_ip)) with the roped reference kv cached for phase 2."""
+    mod = bp["modulation"].astype(jnp.float32)
+    e = (e6_0 + mod[None, None])
+    b, l, c = sx.shape
+
+    def emod(i):
+        return e[:, :, i]                       # [B, 1, C]
+
+    y = layer_norm(sx.astype(jnp.float32), eps=cfg.eps)
+    y = y * (1.0 + emod(1)) + emod(0)
+    y, kv = _self_attention(bp["self_attn"], y, ref_cos, ref_sin, cfg,
+                            attn_backend, qkv_loras=lp)
+    sx = sx + y.astype(jnp.float32) * emod(2)
+    y = layer_norm(sx, eps=cfg.eps)
+    y = y * (1.0 + emod(4)) + emod(3)
+    y = _ffn(bp["ffn"], y, cfg)
+    sx = sx + y.astype(jnp.float32) * emod(5)
+    return sx.astype(cfg.residual_dtype), kv
+
+
 def _block(bp, x, e6, context, context_img, rope_cos, rope_sin, cfg,
            attn_backend, context_neg=None, nag=None, audio=None,
-           fantasy=None):
+           fantasy=None, standin_kv=None):
     """One WanAttentionBlock (model.py:574-718).  x fp32 [B, L, C];
     e6 fp32 [B, T_mod, 6, C] broadcast over tokens (T_mod=1 for scalar t).
     audio: optional (per-layer audio-attn params, audio_ctx, n_frames).
-    fantasy: optional (per-layer k/v params, audio_ctx, kv_mask, scale)."""
+    fantasy: optional (per-layer k/v params, audio_ctx, kv_mask, scale).
+    standin_kv: optional (k_ip, v_ip) reference kv appended to the
+    self-attention keys/values (model.py:355-357)."""
     rdt = cfg.residual_dtype
     mod = bp["modulation"].astype(jnp.float32)  # [6, C]
     e = e6 + mod[None, None]                    # [B, T, 6, C]
@@ -355,8 +402,8 @@ def _block(bp, x, e6, context, context_img, rope_cos, rope_sin, cfg,
     # self-attention with adaLN-zero
     y = layer_norm(xr.astype(jnp.float32), eps=cfg.eps)
     y = (y * (1.0 + emod(1)) + emod(0)).reshape(b, l, c)
-    y = _self_attention(bp["self_attn"], y, rope_cos, rope_sin, cfg,
-                        attn_backend)
+    y, _ = _self_attention(bp["self_attn"], y, rope_cos, rope_sin, cfg,
+                           attn_backend, extra_kv=standin_kv)
     x = (xr + y.astype(jnp.float32).reshape(b, t_mod, -1, c) * emod(2))
     x = x.reshape(b, l, c)
 
@@ -396,7 +443,7 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
                     context_neg=None, nag=None,
                     vace_context=None, vace_scale: float = 1.0,
                     fbc_state=None, fbc_threshold: float = 0.08,
-                    audio_tokens=None, fantasy_audio=None):
+                    audio_tokens=None, fantasy_audio=None, standin=None):
     """Denoiser forward.
 
     latents:  [B, C, F, H, W] noisy latents
@@ -478,7 +525,41 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
                  and "audio_attn_blocks" in params)
     use_fantasy = (fantasy_audio is not None
                    and "fantasy_attn_blocks" in params)
-    if use_audio:
+    use_standin = standin is not None and "standin_loras" in params
+    if use_standin:
+        # StandIn (model.py:1781-1789, 1945-1947): reference-face tokens
+        # run a parallel phase-1 block stack (q/k/v LoRA, t=0 modulation,
+        # ref-offset rope); each main block appends the roped reference
+        # kv to its self-attention.
+        st_lat, ref_cos, ref_sin = standin
+        sx = patchify(st_lat.astype(jnp.float32), cfg.patch_size)
+        sx = _dense(sx, params["patch_embedding"], jnp.float32)
+        if sx.shape[0] != b:
+            sx = jnp.broadcast_to(sx, (b, *sx.shape[1:]))
+        e_st = sinusoidal_embedding_1d(cfg.freq_dim, jnp.zeros((b,)))
+        e_st = _dense(e_st, params["time_embedding"]["fc1"], jnp.float32)
+        e_st = _dense(jax.nn.silu(e_st), params["time_embedding"]["fc2"],
+                      jnp.float32)
+        e0_st = _dense(jax.nn.silu(e_st), params["time_projection"],
+                       jnp.float32)
+        e6_st = e0_st.reshape(b, 1, 6, cfg.dim)
+
+        def body(carry, xs):
+            x, sx = carry
+            bp, hint, lp = xs
+            new_sx, kv = _block_standin(bp, lp, sx, e6_st, ref_cos,
+                                        ref_sin, cfg, attn_backend)
+            out = _block(bp, x, e6, ctx, ctx_img, rope_cos, rope_sin,
+                         cfg, attn_backend, context_neg=ctx_neg, nag=nag,
+                         standin_kv=kv)
+            return (out + hint.astype(out.dtype), new_sx), None
+
+        def run_blocks(x):
+            (out, _), _ = jax.lax.scan(
+                body, (x, sx.astype(cfg.residual_dtype)),
+                (params["blocks"], hints, params["standin_loras"]))
+            return out
+    elif use_audio:
         audio_ctx = audio_tokens.astype(cfg.compute_dtype)
 
         def body(carry, xs):
@@ -524,9 +605,9 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
 
     new_residual = None
     new_fbc = None
-    if fbc_state is not None and (use_audio or use_fantasy):
+    if fbc_state is not None and (use_audio or use_fantasy or use_standin):
         raise ValueError("first-block cache is not supported together "
-                         "with audio conditioning")
+                         "with audio/standin conditioning")
     if fbc_state is not None:
         # First-block cache (reference models/minimax_h3/first_block_cache.py
         # :6-54): run block 0, compare its output signature to the cached

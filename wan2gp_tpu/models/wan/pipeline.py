@@ -579,6 +579,47 @@ def fantasy_denoise_scan(dit_params, dit_cfg: WanDiTConfig,
     return x
 
 
+def standin_denoise_scan(dit_params, dit_cfg: WanDiTConfig,
+                         schedule: Schedule, latents, context,
+                         context_null, standin_latents, ref_cos, ref_sin,
+                         guide_scale: float, rope_cos, rope_sin,
+                         vace_context=None, vace_scale: float = 1.0,
+                         attn_backend: str = "auto"):
+    """StandIn identity-preserved denoising (model.py:1781-1789): plain
+    text CFG with the reference-face kv appended to every self-attention
+    in both branches."""
+    b = latents.shape[0]
+    use_cfg = guide_scale != 1.0
+    nb = 2 if use_cfg else 1
+    ctx = (jnp.concatenate([context, context_null], axis=0) if use_cfg
+           else context)
+    vace_b = (jnp.concatenate([vace_context] * nb, axis=0)
+              if vace_context is not None else None)
+
+    def body(carry, xs):
+        x, sstate = carry
+        t, coeffs_i, i = xs
+        xb = jnp.concatenate([x] * nb, axis=0) if use_cfg else x
+        tb = jnp.broadcast_to(t, (nb * b,))
+        v = wan_dit_forward(dit_params, dit_cfg, xb, tb, ctx,
+                            rope_cos, rope_sin,
+                            standin=(standin_latents, ref_cos, ref_sin),
+                            vace_context=vace_b, vace_scale=vace_scale,
+                            attn_backend=attn_backend)
+        pred = (v[:b] if not use_cfg
+                else v[b:] + guide_scale * (v[:b] - v[b:]))
+        x, sstate = solver_step(schedule, i, coeffs_i, pred, x, sstate)
+        return (x, sstate), None
+
+    carry0 = (latents.astype(jnp.float32),
+              init_solver_state(schedule, latents))
+    xs = (schedule.timesteps,
+          {k: v for k, v in schedule.coeffs.items()},
+          jnp.arange(schedule.num_steps, dtype=jnp.int32))
+    (x, _), _ = jax.lax.scan(body, carry0, xs)
+    return x
+
+
 class WanPipeline:
     """End-to-end Wan T2V/I2V generation.
 
@@ -1038,6 +1079,55 @@ class WanPipeline:
             rope_sin=rope_sin, attn_backend=self.attn_backend))
         x = fn(self.dit_params, latents=latents, context=context,
                context_null=context_null, ref_latents=ref_latents)
+        if return_latents:
+            return x
+        return self.decode(x)[0]
+
+    def generate_standin(self, prompt: str, ref_image,
+                         n_prompt: str = "", width: int = 832,
+                         height: int = 480, frame_num: int = 81,
+                         sampling=None, seed: int = 0,
+                         vace_context=None, vace_scale: float = 1.0,
+                         context=None, context_null=None,
+                         return_latents: bool = False):
+        """StandIn identity-preserved T2V (any2video.py:1072-1088): the
+        reference face image is VAE-encoded; its tokens run the LoRA
+        phase-1 block stack and their kv is appended to every
+        self-attention.  ref_image: [H, W, 3] in [-1, 1] (pre-cropped
+        face, reference face_processor.process)."""
+        sampling = sampling or SamplingConfig()
+        if context is None:
+            context = self.encode_text([prompt])
+        if context_null is None and sampling.guide_scale != 1.0:
+            context_null = self.encode_text(
+                [n_prompt or DEFAULT_NEGATIVE_PROMPT])
+        from .standin import build_standin_ref_rope
+        arr = jnp.asarray(ref_image, jnp.float32)
+        pix = arr[None, None]                    # [1, 1, H, W, 3]
+        st_lat = vae_encode(self.vae_params, self.vae_cfg, pix)
+        st_lat = st_lat.transpose(0, 4, 1, 2, 3)  # [1, C, 1, h, w]
+
+        lat_shape = self.latent_shape(frame_num, height, width)
+        pt, ph, pw = self.dit_cfg.patch_size
+        ref_cos, ref_sin = build_standin_ref_rope(
+            (lat_shape[3] // ph, lat_shape[4] // pw),
+            (st_lat.shape[3] // ph, st_lat.shape[4] // pw),
+            head_dim=self.dit_cfg.head_dim)
+        latents = jax.random.normal(jax.random.key(seed), lat_shape,
+                                    jnp.float32)
+        schedule = make_schedule(sampling.solver, sampling.steps,
+                                 sampling.shift,
+                                 solver_order=sampling.solver_order)
+        rope_cos, rope_sin = self._rope(lat_shape, sampling.enable_riflex)
+        fn = jax.jit(functools.partial(
+            standin_denoise_scan, dit_cfg=self.dit_cfg, schedule=schedule,
+            guide_scale=sampling.guide_scale, rope_cos=rope_cos,
+            rope_sin=rope_sin, ref_cos=ref_cos, ref_sin=ref_sin,
+            vace_scale=vace_scale, attn_backend=self.attn_backend))
+        x = fn(self.dit_params, latents=latents, context=context,
+               context_null=(context_null if context_null is not None
+                             else context),
+               standin_latents=st_lat, vace_context=vace_context)
         if return_latents:
             return x
         return self.decode(x)[0]

@@ -304,6 +304,25 @@ class GenerationService:
                     sample_rate=audio_sr,
                     metadata=_clean_settings(merged)))
             return self.plugins.apply_postprocess_hooks(outputs, merged)
+        if model_def.get("standin_class") and merged.get("_image_refs"):
+            # StandIn identity preservation (any2video.py:1072-1088):
+            # first reference image = the face to preserve
+            video = pipe.generate_standin(
+                prompt=merged.get("prompt", ""),
+                ref_image=np.asarray(merged["_image_refs"][0]),
+                n_prompt=merged.get("negative_prompt", ""),
+                width=width, height=height, frame_num=frame_num,
+                sampling=sampling, seed=seed,
+                context=merged.get("_context"),
+                context_null=merged.get("_context_null"))
+            video = _apply_spatial_upsampling(video, merged)
+            video, fps = _apply_temporal_upsampling(
+                video, merged, int(merged.get("fps", 16)))
+            path = os.path.join(self.output_dir,
+                                f"{model_type}_{stamp}_{seed}.avi")
+            media.save_video(np.asarray(video), path, fps=fps,
+                             metadata=_clean_settings(merged))
+            return self.plugins.apply_postprocess_hooks([path], merged)
         if model_def.get("fantasy_class") \
                 and getattr(pipe, "fantasy_proj_params", None) is not None:
             # FantasyTalking audio-driven i2v (fantasytalking/infer.py:10)

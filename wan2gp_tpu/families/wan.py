@@ -71,6 +71,15 @@ _ARCH: Dict[str, Dict[str, Any]] = {
                              num_layers=40, model_type="t2v",
                              vae_stride=(4, 8, 8), vace=True,
                              standin=True),
+    # Lynx face-identity adapter (models/wan/lynx/; wan_handler.py
+    # test_lynx — lite: 20 ip layers @2048; full: all layers @5120 + ref)
+    "lynx_lite": dict(dim=5120, ffn_dim=13824, num_heads=40, num_layers=40,
+                      model_type="t2v", vae_stride=(4, 8, 8), lynx="lite"),
+    "lynx": dict(dim=5120, ffn_dim=13824, num_heads=40, num_layers=40,
+                 model_type="t2v", vae_stride=(4, 8, 8), lynx="full"),
+    "vace_lynx_14B": dict(dim=5120, ffn_dim=13824, num_heads=40,
+                          num_layers=40, model_type="t2v",
+                          vae_stride=(4, 8, 8), vace=True, lynx="full"),
     # SkyReels diffusion forcing (models/wan/diffusion_forcing.py)
     "sky_df_1.3B": dict(dim=1536, ffn_dim=8960, num_heads=12,
                         num_layers=30, model_type="t2v",
@@ -122,6 +131,7 @@ class WanFamilyHandler:
             "multitalk_class": arch.get("multitalk", False),
             "fantasy_class": arch.get("fantasy", False),
             "standin_class": arch.get("standin", False),
+            "lynx_class": bool(arch.get("lynx")),
             "multiple_submodels": arch.get("experts", 1) > 1,
             "sliding_window": True,
             "tea_cache": arch.get("experts", 1) == 1,
@@ -162,6 +172,15 @@ class WanFamilyHandler:
             files.append({"role": "wav2vec", "urls": [
                 "https://huggingface.co/DeepBeepMeep/Wan2.1/resolve/main/"
                 "chinese-wav2vec2-base/model.safetensors"]})
+        if _ARCH[base_model_type].get("lynx"):
+            lite = _ARCH[base_model_type]["lynx"] == "lite"
+            base = "https://huggingface.co/DeepBeepMeep/Wan2.1/resolve/main/"
+            files.append({"role": "lynx", "urls": [
+                base + ("wan2.1_lynx_lite_module_14B_bf16.safetensors" if lite
+                        else "wan2.1_lynx_full_module_14B_bf16.safetensors")]})
+            files.append({"role": "lynx_resampler", "urls": [
+                base + ("wan2.1_lynx_lite_arc_resampler.safetensors" if lite
+                        else "wan2.1_lynx_full_arc_resampler.safetensors")]})
         if _ARCH[base_model_type].get("standin"):
             files.append({"role": "standin", "urls": [
                 "https://huggingface.co/DeepBeepMeep/Wan2.1/resolve/main/"
@@ -237,6 +256,21 @@ class WanFamilyHandler:
                 dit_params["standin_loras"] = init_standin_loras(
                     jax.random.key(seed + 4), dit_cfg.dim,
                     dit_cfg.num_layers, dtype=dtype, zero_up=False)
+            if arch.get("lynx"):
+                from ..models.wan.lynx import (ResamplerConfig,
+                                               init_lynx_layers,
+                                               init_resampler)
+                full = arch["lynx"] == "full"
+                dit_params["lynx_blocks"] = init_lynx_layers(
+                    jax.random.key(seed + 5), dit_cfg.dim,
+                    dit_cfg.num_layers, full, dtype=dtype)
+                rcfg = ResamplerConfig(
+                    output_dim=5120 if full else 2048)
+                multitalk_extras = dict(
+                    multitalk_extras,
+                    lynx_resampler_cfg=rcfg,
+                    lynx_resampler_params=init_resampler(
+                        jax.random.key(seed + 6), rcfg))
         else:
             sd = normalize_wan_sd(load_safetensors(checkpoints["transformer"]))
             dit_params, left = load_wan_dit_params(sd, dit_cfg, dtype)
@@ -271,6 +305,24 @@ class WanFamilyHandler:
                     load_safetensors(checkpoints["standin"]),
                     dit_cfg.num_layers, dtype)
                 dit_params["standin_loras"] = loras
+            if arch.get("lynx") and checkpoints.get("lynx"):
+                from ..models.wan.lynx import (ResamplerConfig,
+                                               load_lynx_module_params,
+                                               load_resampler_params)
+                full = arch["lynx"] == "full"
+                lynx_blocks, _ = load_lynx_module_params(
+                    load_safetensors(checkpoints["lynx"]),
+                    dit_cfg.num_layers, full, dtype)
+                dit_params["lynx_blocks"] = lynx_blocks
+                if checkpoints.get("lynx_resampler"):
+                    rcfg = ResamplerConfig(
+                        output_dim=5120 if full else 2048)
+                    rp, _ = load_resampler_params(
+                        load_safetensors(checkpoints["lynx_resampler"]),
+                        rcfg)
+                    multitalk_extras = dict(
+                        multitalk_extras, lynx_resampler_cfg=rcfg,
+                        lynx_resampler_params=rp)
             if arch.get("fantasy") and checkpoints.get("fantasy_proj"):
                 # processor k/v weights ride inside the fantasy DiT
                 # checkpoint (load_wan_dit_params fantasy_attn_blocks)

@@ -225,11 +225,15 @@ def _lora_add(lp, x):
 
 
 def _self_attention(p, x, rope_cos, rope_sin, cfg, attn_backend,
-                    extra_kv=None, qkv_loras=None):
+                    extra_kv=None, qkv_loras=None, lynx_ref=None):
     """extra_kv: optional (k_ip, v_ip) already roped/headed — StandIn
     phase-2 reference kv concatenation (model.py:351-357).
     qkv_loras: optional per-block LoRA params added to q/k/v pre-norm —
-    StandIn phase-1 (model.py:338-341)."""
+    StandIn phase-1 (model.py:338-341).
+    lynx_ref: optional (lp {k_ref, v_ref}, ref_feats [B, Lr, C], scale)
+    — Lynx full reference attention with the un-roped normed query
+    (model.py:323-335, :400-404), added pre-`o` scaled by
+    lynx_ref_scale."""
     cdt = cfg.compute_dtype
     xc = x.astype(cdt)
     q = _dense(xc, p["q"], cdt)
@@ -244,6 +248,15 @@ def _self_attention(p, x, rope_cos, rope_sin, cfg, attn_backend,
     q = _qkv_heads(q, cfg.num_heads)
     k = _qkv_heads(k, cfg.num_heads)
     v = _qkv_heads(v, cfg.num_heads)
+    ref_o = None
+    if lynx_ref is not None:
+        lp, ref_feats, ref_scale = lynx_ref
+        rf = ref_feats.astype(cdt)
+        k_r = rms_norm(_dense(rf, lp["k_ref"], cdt), p["norm_k"], cfg.eps)
+        v_r = _dense(rf, lp["v_ref"], cdt)
+        ref_o = attention(q, _qkv_heads(k_r, cfg.num_heads),
+                          _qkv_heads(v_r, cfg.num_heads),
+                          backend=attn_backend) * ref_scale
     q = apply_rope(q, rope_cos, rope_sin)
     k = apply_rope(k, rope_cos, rope_sin)
     k_all, v_all = k, v
@@ -252,6 +265,8 @@ def _self_attention(p, x, rope_cos, rope_sin, cfg, attn_backend,
         k_all = jnp.concatenate([k, k_ip.astype(k.dtype)], axis=1)
         v_all = jnp.concatenate([v, v_ip.astype(v.dtype)], axis=1)
     o = attention(q, k_all, v_all, backend=attn_backend)
+    if ref_o is not None:
+        o = o + ref_o.astype(o.dtype)
     o = o.reshape(*x.shape[:2], cfg.dim)
     return _dense(o, p["o"], cdt), (k, v)
 
@@ -272,7 +287,8 @@ def _nag_combine(x_pos, x_neg, nag):
 
 
 def _cross_attention(p, x, context, context_img, cfg, attn_backend,
-                     context_neg=None, nag=None, fantasy=None):
+                     context_neg=None, nag=None, fantasy=None,
+                     lynx_ip=None):
     # ring (context-parallel) applies to self-attention only: cross-attn
     # kv (text) is replicated, so per-shard plain attention is exact
     if attn_backend.startswith("ring"):
@@ -299,6 +315,30 @@ def _cross_attention(p, x, context, context_img, cfg, attn_backend,
         k_img = _qkv_heads(k_img, cfg.num_heads)
         v_img = _qkv_heads(v_img, cfg.num_heads)
         o = o + attention(q, k_img, v_img, backend=attn_backend)
+    if lynx_ip is not None:
+        # Lynx IP attention (model.py:411-441): to_k_ip/to_v_ip over the
+        # resampled identity tokens (+16 registers for full), reusing the
+        # text query; added pre-`o` scaled by lynx_ip_scale * active.
+        lp, ip_embeds, ip_scale = lynx_ip
+        ip = ip_embeds.astype(cdt)
+        if "registers" in lp:
+            reg = jnp.broadcast_to(lp["registers"],
+                                   (ip.shape[0], *lp["registers"].shape[1:]))
+            ip = jnp.concatenate([ip, reg.astype(cdt)], axis=1)
+            k_ip = rms_norm(_dense(ip, lp["k_ip"], cdt), p["norm_k"],
+                            cfg.eps)
+        else:
+            # lite: affine-free RMSNorm (attention_processor.py:39)
+            k_ip = _dense(ip, lp["k_ip"], cdt)
+            k32 = k_ip.astype(jnp.float32)
+            k_ip = (k32 * jax.lax.rsqrt(
+                jnp.mean(k32 * k32, axis=-1, keepdims=True)
+                + 1e-5)).astype(cdt)
+        v_ip = _dense(ip, lp["v_ip"], cdt)
+        ip_o = attention(q, _qkv_heads(k_ip, cfg.num_heads),
+                         _qkv_heads(v_ip, cfg.num_heads),
+                         backend=attn_backend)
+        o = o + (ip_scale * ip_o.astype(jnp.float32)).astype(o.dtype)
     if fantasy is not None:
         # FantasyTalking audio processor (fantasytalking/model.py:19-62,
         # modules/model.py:479-497): per-latent-frame attention reusing
@@ -382,13 +422,15 @@ def _block_standin(bp, lp, sx, e6_0, ref_cos, ref_sin, cfg, attn_backend):
 
 def _block(bp, x, e6, context, context_img, rope_cos, rope_sin, cfg,
            attn_backend, context_neg=None, nag=None, audio=None,
-           fantasy=None, standin_kv=None):
+           fantasy=None, standin_kv=None, lynx=None):
     """One WanAttentionBlock (model.py:574-718).  x fp32 [B, L, C];
     e6 fp32 [B, T_mod, 6, C] broadcast over tokens (T_mod=1 for scalar t).
     audio: optional (per-layer audio-attn params, audio_ctx, n_frames).
     fantasy: optional (per-layer k/v params, audio_ctx, kv_mask, scale).
     standin_kv: optional (k_ip, v_ip) reference kv appended to the
-    self-attention keys/values (model.py:355-357)."""
+    self-attention keys/values (model.py:355-357).
+    lynx: optional (lp per-layer params, ip_embeds, ref_feats | None,
+    ip_scale, ref_scale) — Lynx IP + reference attention."""
     rdt = cfg.residual_dtype
     mod = bp["modulation"].astype(jnp.float32)  # [6, C]
     e = e6 + mod[None, None]                    # [B, T, 6, C]
@@ -399,11 +441,20 @@ def _block(bp, x, e6, context, context_img, rope_cos, rope_sin, cfg,
     def emod(i):
         return e[:, :, i][:, :, None, :]        # [B, T, 1, C]
 
+    lynx_ref = lynx_ip = None
+    if lynx is not None:
+        lp, ip_embeds, ref_feats, ip_scale, ref_scale = lynx
+        ip_scale = ip_scale * lp["active"]
+        if "k_ref" in lp and ref_feats is not None:
+            lynx_ref = (lp, ref_feats, ref_scale)
+        lynx_ip = (lp, ip_embeds, ip_scale)
+
     # self-attention with adaLN-zero
     y = layer_norm(xr.astype(jnp.float32), eps=cfg.eps)
     y = (y * (1.0 + emod(1)) + emod(0)).reshape(b, l, c)
     y, _ = _self_attention(bp["self_attn"], y, rope_cos, rope_sin, cfg,
-                           attn_backend, extra_kv=standin_kv)
+                           attn_backend, extra_kv=standin_kv,
+                           lynx_ref=lynx_ref)
     x = (xr + y.astype(jnp.float32).reshape(b, t_mod, -1, c) * emod(2))
     x = x.reshape(b, l, c)
 
@@ -412,7 +463,8 @@ def _block(bp, x, e6, context, context_img, rope_cos, rope_sin, cfg,
                    eps=cfg.eps)
     x = x + _cross_attention(bp["cross_attn"], y, context, context_img, cfg,
                              attn_backend, context_neg=context_neg,
-                             nag=nag, fantasy=fantasy).astype(jnp.float32)
+                             nag=nag, fantasy=fantasy,
+                             lynx_ip=lynx_ip).astype(jnp.float32)
 
     if audio is not None:
         ap, audio_ctx, n_frames = audio
@@ -443,7 +495,8 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
                     context_neg=None, nag=None,
                     vace_context=None, vace_scale: float = 1.0,
                     fbc_state=None, fbc_threshold: float = 0.08,
-                    audio_tokens=None, fantasy_audio=None, standin=None):
+                    audio_tokens=None, fantasy_audio=None, standin=None,
+                    lynx=None, lynx_extract: bool = False):
     """Denoiser forward.
 
     latents:  [B, C, F, H, W] noisy latents
@@ -526,7 +579,46 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
     use_fantasy = (fantasy_audio is not None
                    and "fantasy_attn_blocks" in params)
     use_standin = standin is not None and "standin_loras" in params
-    if use_standin:
+    use_lynx = lynx is not None and "lynx_blocks" in params
+    if lynx_extract:
+        # Lynx reference feature extraction (model.py:645): collect each
+        # block's MODULATED self-attn input over the face latents (t=0).
+        def ebody(x, bp):
+            mod = bp["modulation"].astype(jnp.float32)
+            e_ = e6 + mod[None, None]
+            bb, ll, cc = x.shape
+            tm = e_.shape[1]
+            xr_ = x.reshape(bb, tm, ll // tm, cc)
+            ymod = layer_norm(xr_.astype(jnp.float32), eps=cfg.eps)
+            ymod = (ymod * (1.0 + e_[:, :, 1][:, :, None, :])
+                    + e_[:, :, 0][:, :, None, :]).reshape(bb, ll, cc)
+            out = _block(bp, x, e6, ctx, ctx_img, rope_cos, rope_sin,
+                         cfg, attn_backend)
+            return out, ymod.astype(cfg.compute_dtype)
+
+        _, ys = jax.lax.scan(ebody, x, params["blocks"])
+        return ys                               # [layers, B, L, C]
+    if use_lynx:
+        ip_embeds, ref_buf, ip_scale, ref_scale = lynx
+
+        def body(carry, xs):
+            if ref_buf is not None:
+                bp, hint, lp, rfeats = xs
+            else:
+                bp, hint, lp = xs
+                rfeats = None
+            out = _block(bp, carry, e6, ctx, ctx_img, rope_cos, rope_sin,
+                         cfg, attn_backend, context_neg=ctx_neg, nag=nag,
+                         lynx=(lp, ip_embeds, rfeats, ip_scale, ref_scale))
+            return out + hint.astype(out.dtype), None
+
+        def run_blocks(x):
+            xs = (params["blocks"], hints, params["lynx_blocks"])
+            if ref_buf is not None:
+                xs = xs + (ref_buf,)
+            out, _ = jax.lax.scan(body, x, xs)
+            return out
+    elif use_standin:
         # StandIn (model.py:1781-1789, 1945-1947): reference-face tokens
         # run a parallel phase-1 block stack (q/k/v LoRA, t=0 modulation,
         # ref-offset rope); each main block appends the roped reference
@@ -605,9 +697,10 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
 
     new_residual = None
     new_fbc = None
-    if fbc_state is not None and (use_audio or use_fantasy or use_standin):
+    if fbc_state is not None and (use_audio or use_fantasy or use_standin
+                                  or use_lynx):
         raise ValueError("first-block cache is not supported together "
-                         "with audio/standin conditioning")
+                         "with audio/standin/lynx conditioning")
     if fbc_state is not None:
         # First-block cache (reference models/minimax_h3/first_block_cache.py
         # :6-54): run block 0, compare its output signature to the cached

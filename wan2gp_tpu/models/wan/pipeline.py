@@ -620,6 +620,51 @@ def standin_denoise_scan(dit_params, dit_cfg: WanDiTConfig,
     return x
 
 
+def lynx_denoise_scan(dit_params, dit_cfg: WanDiTConfig,
+                      schedule: Schedule, latents, context, context_null,
+                      ip_cond, ip_uncond, guide_scale: float,
+                      ip_scale: float, ref_scale: float,
+                      rope_cos, rope_sin, ref_buf=None,
+                      ref_buf_uncond=None, attn_backend: str = "auto"):
+    """Lynx identity-adapter denoising (any2video.py:1526-1532): text
+    CFG where the positive branch carries the resampled identity tokens
+    (+face ref buffer for full) and the negative branch their uncond
+    counterparts (resampler of a zero embed / zero image)."""
+    b = latents.shape[0]
+    use_cfg = guide_scale != 1.0
+    if use_cfg:
+        ctx = jnp.concatenate([context, context_null], axis=0)
+        ip = jnp.concatenate([ip_cond, ip_uncond], axis=0)
+        rb = (None if ref_buf is None else jnp.concatenate(
+            [ref_buf, ref_buf_uncond if ref_buf_uncond is not None
+             else jnp.zeros_like(ref_buf)], axis=1))
+        nb = 2
+    else:
+        ctx, ip, rb, nb = context, ip_cond, ref_buf, 1
+
+    def body(carry, xs):
+        x, sstate = carry
+        t, coeffs_i, i = xs
+        xb = jnp.concatenate([x] * nb, axis=0) if nb > 1 else x
+        tb = jnp.broadcast_to(t, (nb * b,))
+        v = wan_dit_forward(dit_params, dit_cfg, xb, tb, ctx,
+                            rope_cos, rope_sin,
+                            lynx=(ip, rb, ip_scale, ref_scale),
+                            attn_backend=attn_backend)
+        pred = (v[:b] if nb == 1
+                else v[b:] + guide_scale * (v[:b] - v[b:]))
+        x, sstate = solver_step(schedule, i, coeffs_i, pred, x, sstate)
+        return (x, sstate), None
+
+    carry0 = (latents.astype(jnp.float32),
+              init_solver_state(schedule, latents))
+    xs = (schedule.timesteps,
+          {k: v for k, v in schedule.coeffs.items()},
+          jnp.arange(schedule.num_steps, dtype=jnp.int32))
+    (x, _), _ = jax.lax.scan(body, carry0, xs)
+    return x
+
+
 class WanPipeline:
     """End-to-end Wan T2V/I2V generation.
 
@@ -1079,6 +1124,82 @@ class WanPipeline:
             rope_sin=rope_sin, attn_backend=self.attn_backend))
         x = fn(self.dit_params, latents=latents, context=context,
                context_null=context_null, ref_latents=ref_latents)
+        if return_latents:
+            return x
+        return self.decode(x)[0]
+
+    def extract_lynx_ref_buffer(self, ref_image, context=None):
+        """Lynx full reference pass (any2video.py:354-385): VAE-encode
+        the 256x256 face crop, run the block stack at t=0 with an
+        "image of a face" prompt, collect per-block modulated self-attn
+        inputs.  Returns [layers, 1, L_ref, C]."""
+        if context is None:
+            context = self.encode_text(["image of a face"])
+        arr = jnp.asarray(ref_image, jnp.float32)
+        pix = arr[None, None]
+        lat = vae_encode(self.vae_params, self.vae_cfg, pix)
+        lat = lat.transpose(0, 4, 1, 2, 3)       # [1, C, 1, h, w]
+        pt, ph, pw = self.dit_cfg.patch_size
+        grid = (lat.shape[2] // pt, lat.shape[3] // ph, lat.shape[4] // pw)
+        from ...ops.rope import build_rope_3d
+        cos, sin = build_rope_3d(grid, head_dim=self.dit_cfg.head_dim)
+        fn = jax.jit(functools.partial(
+            wan_dit_forward, cfg=self.dit_cfg, rope_cos=cos, rope_sin=sin,
+            attn_backend=self.attn_backend, lynx_extract=True))
+        return fn(self.dit_params, latents=lat,
+                  t=jnp.zeros((1,), jnp.float32), context=context)
+
+    def generate_lynx(self, prompt: str, arcface_embed, ref_image=None,
+                      n_prompt: str = "", width: int = 832,
+                      height: int = 480, frame_num: int = 81,
+                      sampling=None, seed: int = 0,
+                      resampler_params=None, resampler_cfg=None,
+                      ip_scale: float = 1.0, ref_scale: float = 1.0,
+                      context=None, context_null=None,
+                      return_latents: bool = False):
+        """Lynx face-identity T2V (any2video.py:1039-1069).
+
+        arcface_embed: [512] ArcFace identity vector; ref_image (full
+        variant only): [H, W, 3] 256x256 face crop in [-1, 1]."""
+        from .lynx import ResamplerConfig, resampler_forward
+        sampling = sampling or SamplingConfig()
+        if context is None:
+            context = self.encode_text([prompt])
+        if context_null is None and sampling.guide_scale != 1.0:
+            context_null = self.encode_text(
+                [n_prompt or DEFAULT_NEGATIVE_PROMPT])
+        rcfg = resampler_cfg or ResamplerConfig()
+        arc = jnp.asarray(arcface_embed, jnp.float32).reshape(1, 1, -1)
+        ip_cond = resampler_forward(resampler_params, rcfg, arc)
+        ip_uncond = resampler_forward(resampler_params, rcfg,
+                                      jnp.zeros_like(arc))
+        ref_buf = ref_buf_uncond = None
+        full = "k_ref" in self.dit_params.get("lynx_blocks", {})
+        if full and ref_image is not None:
+            face_ctx = self.encode_text(["image of a face"]) \
+                if self.t5_params is not None else context
+            ref_buf = self.extract_lynx_ref_buffer(ref_image,
+                                                   context=face_ctx)
+            ref_buf_uncond = self.extract_lynx_ref_buffer(
+                jnp.zeros_like(jnp.asarray(ref_image)), context=face_ctx)
+
+        lat_shape = self.latent_shape(frame_num, height, width)
+        latents = jax.random.normal(jax.random.key(seed), lat_shape,
+                                    jnp.float32)
+        schedule = make_schedule(sampling.solver, sampling.steps,
+                                 sampling.shift,
+                                 solver_order=sampling.solver_order)
+        rope_cos, rope_sin = self._rope(lat_shape, sampling.enable_riflex)
+        fn = jax.jit(functools.partial(
+            lynx_denoise_scan, dit_cfg=self.dit_cfg, schedule=schedule,
+            guide_scale=sampling.guide_scale, ip_scale=ip_scale,
+            ref_scale=ref_scale, rope_cos=rope_cos, rope_sin=rope_sin,
+            attn_backend=self.attn_backend))
+        x = fn(self.dit_params, latents=latents, context=context,
+               context_null=(context_null if context_null is not None
+                             else context),
+               ip_cond=ip_cond, ip_uncond=ip_uncond,
+               ref_buf=ref_buf, ref_buf_uncond=ref_buf_uncond)
         if return_latents:
             return x
         return self.decode(x)[0]

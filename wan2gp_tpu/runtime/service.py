@@ -304,6 +304,32 @@ class GenerationService:
                     sample_rate=audio_sr,
                     metadata=_clean_settings(merged)))
             return self.plugins.apply_postprocess_hooks(outputs, merged)
+        if model_def.get("lynx_class") \
+                and merged.get("_arcface_embed") is not None \
+                and getattr(pipe, "lynx_resampler_params", None) is not None:
+            # Lynx face-identity adapter (any2video.py:1039-1069)
+            refs = merged.get("_image_refs") or []
+            video = pipe.generate_lynx(
+                prompt=merged.get("prompt", ""),
+                arcface_embed=np.asarray(merged["_arcface_embed"]),
+                ref_image=(np.asarray(refs[-1]) if refs else None),
+                n_prompt=merged.get("negative_prompt", ""),
+                width=width, height=height, frame_num=frame_num,
+                sampling=sampling, seed=seed,
+                resampler_params=pipe.lynx_resampler_params,
+                resampler_cfg=pipe.lynx_resampler_cfg,
+                ip_scale=float(merged.get("control_net_weight", 1.0)),
+                ref_scale=float(merged.get("control_net_weight", 1.0)),
+                context=merged.get("_context"),
+                context_null=merged.get("_context_null"))
+            video = _apply_spatial_upsampling(video, merged)
+            video, fps = _apply_temporal_upsampling(
+                video, merged, int(merged.get("fps", 16)))
+            path = os.path.join(self.output_dir,
+                                f"{model_type}_{stamp}_{seed}.avi")
+            media.save_video(np.asarray(video), path, fps=fps,
+                             metadata=_clean_settings(merged))
+            return self.plugins.apply_postprocess_hooks([path], merged)
         if model_def.get("standin_class") and merged.get("_image_refs"):
             # StandIn identity preservation (any2video.py:1072-1088):
             # first reference image = the face to preserve

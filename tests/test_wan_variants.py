@@ -1,0 +1,199 @@
+"""Wan-Alpha, ChronoEdit, ShotPlan variant mechanisms
+(reference models/wan/alpha/utils.py, wan_handler.py:778,
+models/wan/shotplan.py, shared/prompt_relay.py)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from wan2gp_tpu.models.wan.dit import (WanDiTConfig, init_wan_dit,
+                                       wan_dit_forward)
+from wan2gp_tpu.models.wan.shotplan import (
+    parse_prompt_relay, compile_shotplan_prompt, build_shotplan_injection)
+from wan2gp_tpu.ops.rope import build_rope_3d
+
+TINY = WanDiTConfig(dim=96, ffn_dim=192, num_heads=4, num_layers=2,
+                    freq_dim=32, text_dim=48, text_len=16,
+                    compute_dtype=jnp.float32)
+
+
+# -- ShotPlan ---------------------------------------------------------------
+
+def test_parse_prompt_relay():
+    plan = parse_prompt_relay(
+        "A woman in a red coat.\n"
+        "[0%:33%] Wide shot.\n[33%:66%] Medium shot.\n[66%:] Close-up.")
+    assert plan.global_prompt == "A woman in a red coat."
+    assert len(plan.segments) == 3
+    assert plan.segments[0].start.unit == "percent"
+    assert plan.segments[2].end is None
+    assert parse_prompt_relay("no markers here") is None
+    # seconds + frame bounds
+    plan2 = parse_prompt_relay("[0s:2s] a\n[2s:] b")
+    assert plan2.segments[0].end.unit == "seconds"
+    plan3 = parse_prompt_relay("[1:41] a\n[41:] b")
+    assert plan3.segments[0].start.unit == "frame"
+
+
+def test_compile_shotplan_prompt():
+    sp = compile_shotplan_prompt(
+        "Global style.\n[0%:50%] First.\n[50%:] Second.", 81, 16.0)
+    assert sp.prompt == "Global style.\nShot 1: First.\nShot 2: Second."
+    assert sp.cut_frames == (40,)
+    # non-relay prompt passes through
+    sp2 = compile_shotplan_prompt("plain prompt", 81, 16.0)
+    assert sp2.prompt == "plain prompt" and sp2.cut_frames == ()
+    with pytest.raises(ValueError):
+        compile_shotplan_prompt("[10%:50%] a\n[50%:] b", 81, 16.0)
+    with pytest.raises(ValueError):
+        compile_shotplan_prompt("[0%:40%] a\n[60%:] b", 81, 16.0)
+
+
+def test_shotplan_injection_maps():
+    grid = (3, 2, 2)
+    cos, sin = build_rope_3d(grid, head_dim=32)
+    inj = build_shotplan_injection(grid, (4,), cos, sin, head_dim=32)
+    s = 4
+    L = 3 * s
+    assert inj.n_cut == 1
+    assert inj.src_map.shape == (L + 1,)
+    assert inj.keep_idx.shape == (L,)
+    # cut at output frame 4 -> position 2.0 -> after latent frame 1
+    assert inj.src_map[2 * s].item() == L       # the injected token slot
+    # gathering originals back through keep_idx is the identity
+    x = np.arange(L)[None, :, None].astype(np.float32)
+    xc = np.concatenate([x, np.full((1, 1, 1), -1, np.float32)], axis=1)
+    xp = xc[:, inj.src_map]
+    np.testing.assert_allclose(xp[:, inj.keep_idx, 0], x[..., 0])
+    # injected rope row: zero spatial phase (cos 1 / sin 0 on spatial
+    # dims — for head_dim 32 the split is (16, 8, 8) -> last 8 entries)
+    row = np.asarray(inj.cos[2 * s])
+    assert np.allclose(row[-8:], 1.0)
+    assert inj.cos.shape[0] == L + 1
+
+
+def test_shotplan_forward_and_pipeline():
+    cfg = TINY
+    params = init_wan_dit(jax.random.key(0), cfg, jnp.float32)
+    params["hardcut_embedding"] = jax.random.normal(
+        jax.random.key(1), (1, 1, cfg.dim), jnp.float32) * 0.1
+    rng = np.random.default_rng(0)
+    lat = jnp.asarray(rng.standard_normal((1, cfg.in_dim, 3, 8, 8)),
+                      jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 8, cfg.text_dim)),
+                      jnp.float32)
+    grid = (3, 4, 4)
+    cos, sin = build_rope_3d(grid, head_dim=cfg.head_dim)
+    t = jnp.full((1,), 500.0)
+    base = wan_dit_forward(params, cfg, lat, t, ctx, cos, sin,
+                           attn_backend="xla")
+    inj = build_shotplan_injection(grid, (4,), cos, sin,
+                                   head_dim=cfg.head_dim)
+    o = wan_dit_forward(params, cfg, lat, t, ctx, cos, sin,
+                        attn_backend="xla", shotplan=inj)
+    assert o.shape == base.shape
+    assert not np.allclose(np.asarray(o), np.asarray(base))
+    assert np.isfinite(np.asarray(o)).all()
+
+    from wan2gp_tpu.models.wan.pipeline import WanPipeline, SamplingConfig
+    pipe = WanPipeline(params, cfg, attn_backend="xla",
+                       base_model_type="shotplan_t2v")
+    out = pipe.generate_shotplan(
+        "[0%:50%] a cat.\n[50%:] a dog.", width=64, height=64,
+        frame_num=9, sampling=SamplingConfig(steps=2, guide_scale=4.0),
+        context=ctx, context_null=ctx * 0, return_latents=True)
+    assert out.shape == (1, 16, 3, 8, 8)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+# -- ChronoEdit -------------------------------------------------------------
+
+def test_chrono_edit_rope_positions():
+    from wan2gp_tpu.models.wan.pipeline import WanPipeline
+    cfg = TINY
+    params = init_wan_dit(jax.random.key(2), cfg, jnp.float32)
+    pipe = WanPipeline(params, cfg, attn_backend="xla",
+                       base_model_type="chrono_edit")
+    cos, sin = pipe._rope((1, 16, 2, 32, 32))
+    s = 16 * 16
+    assert cos.shape[0] == 2 * s
+    # frame 0 rows match standard rope frame 0; frame 1 rows match frame 7
+    full_cos, _ = build_rope_3d((8, 16, 16), head_dim=cfg.head_dim)
+    np.testing.assert_allclose(np.asarray(cos[:s]),
+                               np.asarray(full_cos[:s]), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(cos[s:]),
+                               np.asarray(full_cos[7 * s:8 * s]),
+                               atol=1e-7)
+
+
+# -- Wan-Alpha --------------------------------------------------------------
+
+def test_alpha_dual_vae_generate():
+    from wan2gp_tpu.models.wan.pipeline import WanPipeline, SamplingConfig
+    from wan2gp_tpu.models.wan.vae import WanVAEConfig, init_wan_vae
+    cfg = TINY
+    params = init_wan_dit(jax.random.key(3), cfg, jnp.float32)
+    vae_cfg = WanVAEConfig(dim=8, num_res_blocks=1)
+    pipe = WanPipeline(params, cfg,
+                       vae_params=init_wan_vae(jax.random.key(4), vae_cfg),
+                       vae_cfg=vae_cfg, attn_backend="xla",
+                       base_model_type="alpha")
+    pipe.vae_params_alpha = init_wan_vae(jax.random.key(5), vae_cfg)
+    rng = np.random.default_rng(1)
+    ctx = jnp.asarray(rng.standard_normal((1, 8, cfg.text_dim)),
+                      jnp.float32)
+    rgba = pipe.generate_alpha(
+        "", width=64, height=64, frame_num=5,
+        sampling=SamplingConfig(steps=2, guide_scale=1.0),
+        context=ctx)
+    assert rgba.shape[-1] == 4
+    assert np.isfinite(np.asarray(rgba)).all()
+    # different alpha VAE -> alpha channel differs from rgb mean
+    assert not np.allclose(np.asarray(rgba[..., 3]),
+                           np.asarray(rgba[..., :3].mean(-1)))
+
+
+def test_alpha_gauss_shift():
+    from wan2gp_tpu.models.wan.pipeline import WanPipeline, SamplingConfig
+    cfg = TINY
+    params = init_wan_dit(jax.random.key(6), cfg, jnp.float32)
+    from wan2gp_tpu.models.wan.vae import WanVAEConfig, init_wan_vae
+    vae_cfg = WanVAEConfig(dim=8, num_res_blocks=1)
+    vp = init_wan_vae(jax.random.key(7), vae_cfg)
+    pipe = WanPipeline(params, cfg, vae_params=vp, vae_cfg=vae_cfg,
+                       attn_backend="xla", base_model_type="alpha2")
+    pipe.vae_params_alpha = vp
+    rng = np.random.default_rng(2)
+    ctx = jnp.asarray(rng.standard_normal((1, 8, cfg.text_dim)),
+                      jnp.float32)
+    mask = np.zeros((5, 16, 16), np.float32)   # all-outside -> +0.03
+    r1 = pipe.generate_alpha("", width=64, height=64, frame_num=5,
+                             sampling=SamplingConfig(steps=2,
+                                                     guide_scale=1.0),
+                             context=ctx)
+    r2 = pipe.generate_alpha("", width=64, height=64, frame_num=5,
+                             sampling=SamplingConfig(steps=2,
+                                                     guide_scale=1.0),
+                             gauss_mask=mask, context=ctx)
+    assert not np.allclose(np.asarray(r1), np.asarray(r2))
+
+
+def test_rgba_zip_and_checkerboard():
+    from wan2gp_tpu.utils import media
+    import zipfile, tempfile, os
+    rng = np.random.default_rng(3)
+    rgba = rng.integers(0, 255, (3, 16, 16, 4), dtype=np.uint8)
+    with tempfile.TemporaryDirectory() as d:
+        p = media.save_rgba_zip(rgba, os.path.join(d, "out.zip"),
+                                metadata={"prompt": "x"})
+        with zipfile.ZipFile(p) as zf:
+            names = zf.namelist()
+            assert "img_000.png" in names and "settings.json" in names
+            assert len([n for n in names if n.endswith(".png")]) == 3
+    comp = media.composite_checkerboard(rgba)
+    assert comp.shape == (3, 16, 16, 3) and comp.dtype == np.uint8
+    # fully transparent pixel shows the checkerboard
+    rgba2 = rgba.copy()
+    rgba2[..., 3] = 0
+    comp2 = media.composite_checkerboard(rgba2)
+    assert set(np.unique(comp2)) <= {113, 140}

@@ -71,6 +71,26 @@ _ARCH: Dict[str, Dict[str, Any]] = {
                              num_layers=40, model_type="t2v",
                              vae_stride=(4, 8, 8), vace=True,
                              standin=True),
+    # ShotPlan planned hard cuts (models/wan/shotplan.py)
+    "shotplan_t2v": dict(dim=5120, ffn_dim=13824, num_heads=40,
+                         num_layers=40, model_type="t2v",
+                         vae_stride=(4, 8, 8), shotplan=True),
+    "shotplan_t2v_2_2": dict(dim=5120, ffn_dim=13824, num_heads=40,
+                             num_layers=40, model_type="t2v",
+                             vae_stride=(4, 8, 8), shotplan=True,
+                             experts=2),
+    # ChronoEdit temporal-reasoning image editing (wan_handler.py:778,
+    # any2video.py:810-814 — i2v arch, 2-latent-frame fast mode)
+    "chrono_edit": dict(dim=5120, ffn_dim=13824, num_heads=40,
+                        num_layers=40, model_type="i2v", in_dim=36,
+                        vae_stride=(4, 8, 8), chrono=True),
+    # Wan-Alpha RGBA video (alpha/utils.py; dual rgb/alpha VAE decoders,
+    # any2video.py:152-158)
+    "alpha": dict(dim=5120, ffn_dim=13824, num_heads=40, num_layers=40,
+                  model_type="t2v", vae_stride=(4, 8, 8), alpha=True),
+    "alpha2": dict(dim=5120, ffn_dim=13824, num_heads=40, num_layers=40,
+                   model_type="t2v", vae_stride=(4, 8, 8), alpha=True,
+                   alpha2=True),
     # Lynx face-identity adapter (models/wan/lynx/; wan_handler.py
     # test_lynx — lite: 20 ip layers @2048; full: all layers @5120 + ref)
     "lynx_lite": dict(dim=5120, ffn_dim=13824, num_heads=40, num_layers=40,
@@ -123,7 +143,6 @@ class WanFamilyHandler:
                         model_def: Dict[str, Any]) -> Dict[str, Any]:
         arch = _ARCH[base_model_type]
         return {
-            "image_outputs": False,
             "vae_stride": arch["vae_stride"],
             "i2v_class": arch.get("model_type") == "i2v",
             "wan_5B_class": base_model_type == "ti2v_2_2",
@@ -132,6 +151,10 @@ class WanFamilyHandler:
             "fantasy_class": arch.get("fantasy", False),
             "standin_class": arch.get("standin", False),
             "lynx_class": bool(arch.get("lynx")),
+            "alpha_class": arch.get("alpha", False),
+            "image_outputs": arch.get("chrono", False),
+            "chrono_class": arch.get("chrono", False),
+            "shotplan_class": arch.get("shotplan", False),
             "multiple_submodels": arch.get("experts", 1) > 1,
             "sliding_window": True,
             "tea_cache": arch.get("experts", 1) == 1,
@@ -196,10 +219,18 @@ class WanFamilyHandler:
         files.append({"role": "text_encoder", "urls": [
             "https://huggingface.co/DeepBeepMeep/Wan2.1/resolve/main/"
             "models_t5_umt5-xxl-enc-bf16.safetensors"]})
+        base = "https://huggingface.co/DeepBeepMeep/Wan2.1/resolve/main/"
+        if _ARCH[base_model_type].get("alpha"):
+            # dual rgb/alpha VAEs (any2video.py:152-158)
+            v2 = "_v2" if _ARCH[base_model_type].get("alpha2") else ""
+            files.append({"role": "vae", "urls": [
+                base + f"wan_alpha_2.1_vae_rgb_channel{v2}.safetensors"]})
+            files.append({"role": "vae_alpha", "urls": [
+                base + f"wan_alpha_2.1_vae_alpha_channel{v2}.safetensors"]})
+            return files
         vae = ("Wan2.2_VAE.safetensors" if base_model_type == "ti2v_2_2"
                else "Wan2.1_VAE.safetensors")
-        files.append({"role": "vae", "urls": [
-            f"https://huggingface.co/DeepBeepMeep/Wan2.1/resolve/main/{vae}"]})
+        files.append({"role": "vae", "urls": [base + vae]})
         return files
 
     @classmethod
@@ -256,6 +287,17 @@ class WanFamilyHandler:
                 dit_params["standin_loras"] = init_standin_loras(
                     jax.random.key(seed + 4), dit_cfg.dim,
                     dit_cfg.num_layers, dtype=dtype, zero_up=False)
+            if arch.get("shotplan"):
+                dit_params["hardcut_embedding"] = jax.random.normal(
+                    jax.random.key(seed + 8),
+                    (1, 1, dit_cfg.dim), jnp.float32) * 0.02
+            if arch.get("alpha"):
+                multitalk_extras = dict(
+                    multitalk_extras,
+                    vae_params_alpha=(init_wan22_vae(
+                        jax.random.key(seed + 7), vae_cfg) if is_22_vae
+                        else init_wan_vae(jax.random.key(seed + 7),
+                                          vae_cfg)))
             if arch.get("lynx"):
                 from ..models.wan.lynx import (ResamplerConfig,
                                                init_lynx_layers,
@@ -284,6 +326,11 @@ class WanFamilyHandler:
             if checkpoints.get("vae"):
                 vae_sd = load_safetensors(checkpoints["vae"])
                 vae_params, _ = load_wan_vae_params(vae_sd, vae_cfg)
+            if arch.get("alpha") and checkpoints.get("vae_alpha"):
+                va, _ = load_wan_vae_params(
+                    load_safetensors(checkpoints["vae_alpha"]), vae_cfg)
+                multitalk_extras = dict(multitalk_extras,
+                                        vae_params_alpha=va)
             if arch.get("multitalk") and checkpoints.get("multitalk"):
                 from ..models.wan.multitalk import (
                     load_multitalk_module_params, load_wav2vec2_params,

@@ -159,6 +159,10 @@ def load_wan_dit_params(sd: Dict[str, np.ndarray], cfg,
 
         p["vace_before_proj"] = _lin(sd, "vace_blocks.0.before_proj", dtype)
         p["vace_blocks"] = _stack([vace_block(i) for i in range(n_vace)])
+    if "hardcut_embedding" in sd:
+        # ShotPlan planning token (model.py:1134)
+        p["hardcut_embedding"] = jnp.asarray(
+            np.asarray(sd.pop("hardcut_embedding"), np.float32))
     if "blocks.0.cross_attn.processor.k_proj.weight" in sd:
         # FantasyTalking per-block audio k/v processors
         # (fantasytalking/model.py:19-30, attached model.py:1210-1213)

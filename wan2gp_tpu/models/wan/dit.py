@@ -496,7 +496,8 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
                     vace_context=None, vace_scale: float = 1.0,
                     fbc_state=None, fbc_threshold: float = 0.08,
                     audio_tokens=None, fantasy_audio=None, standin=None,
-                    lynx=None, lynx_extract: bool = False):
+                    lynx=None, lynx_extract: bool = False,
+                    shotplan=None):
     """Denoiser forward.
 
     latents:  [B, C, F, H, W] noisy latents
@@ -516,6 +517,18 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
     x = patchify(x_in.astype(jnp.float32), cfg.patch_size)
     x = _dense(x, params["patch_embedding"], jnp.float32)
     x = x.astype(cfg.residual_dtype)
+
+    shotplan_keep = None
+    if shotplan is not None and "hardcut_embedding" in params:
+        # ShotPlan hardcut-token injection (model.py:1724-1733): insert
+        # learned tokens at the cut boundaries; they attend in every
+        # block and are dropped before the head (model.py:1994-1995).
+        hc = params["hardcut_embedding"].astype(x.dtype)
+        cut = jnp.broadcast_to(hc.reshape(1, 1, -1),
+                               (b, shotplan.n_cut, x.shape[-1]))
+        x = jnp.concatenate([x, cut], axis=1)[:, shotplan.src_map]
+        rope_cos, rope_sin = shotplan.cos, shotplan.sin
+        shotplan_keep = shotplan.keep_idx
 
     # time embeddings (fp32 path, reference lock_layers_dtypes)
     t_flat = t.reshape(-1)                       # [B*T_mod]
@@ -740,6 +753,9 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
         x = jax.lax.cond(should_calc, run_blocks,
                          lambda x: x + prev_residual.astype(x.dtype), x)
         new_residual = jnp.where(should_calc, x - x0, prev_residual)
+
+    if shotplan_keep is not None:
+        x = x[:, shotplan_keep]
 
     # head (model.py Head.forward): adaLN with 2-way modulation, then linear
     hp = params["head"]

@@ -719,6 +719,16 @@ class WanPipeline:
     def _rope(self, lat_shape, enable_riflex=False):
         pt, ph, pw = self.dit_cfg.patch_size
         grid = (lat_shape[2] // pt, lat_shape[3] // ph, lat_shape[4] // pw)
+        if self.base_model_type == "chrono_edit" and grid[0] == 2:
+            # ChronoEdit fast image transformation (any2video.py:810-814):
+            # the two latent frames take temporal rope positions 0 and 7
+            # so the edit frame sits a "week" of motion away.
+            cos, sin = build_rope_3d((8, grid[1], grid[2]),
+                                     head_dim=self.dit_cfg.head_dim)
+            s = grid[1] * grid[2]
+            idx = jnp.concatenate([jnp.arange(s),
+                                   jnp.arange(7 * s, 8 * s)])
+            return cos[idx], sin[idx]
         return build_rope_3d(grid, head_dim=self.dit_cfg.head_dim,
                              enable_riflex=enable_riflex)
 
@@ -1204,6 +1214,73 @@ class WanPipeline:
             return x
         return self.decode(x)[0]
 
+    def generate_shotplan(self, prompt: str, n_prompt: str = "",
+                          width: int = 832, height: int = 480,
+                          frame_num: int = 81, fps: float = 16.0,
+                          sampling=None, seed: int = 0,
+                          context=None, context_null=None,
+                          return_latents: bool = False):
+        """ShotPlan planned-hard-cut T2V (shotplan.py, model.py:1724).
+        The prompt uses relay syntax ([0%:33%] caption...); it compiles
+        to a Shot N: prompt + hardcut tokens injected at cut frames."""
+        from .shotplan import (compile_shotplan_prompt,
+                               build_shotplan_injection)
+        sampling = sampling or SamplingConfig()
+        sp = compile_shotplan_prompt(prompt, frame_num, fps)
+        if context is None:
+            context = self.encode_text([sp.prompt])
+        if context_null is None and sampling.guide_scale != 1.0:
+            context_null = self.encode_text(
+                [n_prompt or DEFAULT_NEGATIVE_PROMPT])
+        lat_shape = self.latent_shape(frame_num, height, width)
+        latents = jax.random.normal(jax.random.key(seed), lat_shape,
+                                    jnp.float32)
+        schedule = make_schedule(sampling.solver, sampling.steps,
+                                 sampling.shift,
+                                 solver_order=sampling.solver_order)
+        rope_cos, rope_sin = self._rope(lat_shape, sampling.enable_riflex)
+        inj = None
+        if sp.cut_frames:
+            pt, ph, pw = self.dit_cfg.patch_size
+            grid = (lat_shape[2] // pt, lat_shape[3] // ph,
+                    lat_shape[4] // pw)
+            inj = build_shotplan_injection(grid, sp.cut_frames, rope_cos,
+                                           rope_sin,
+                                           head_dim=self.dit_cfg.head_dim)
+        b = latents.shape[0]
+        use_cfg = sampling.guide_scale != 1.0
+        nb = 2 if use_cfg else 1
+        ctx = (jnp.concatenate([context, context_null], axis=0)
+               if use_cfg else context)
+        g = sampling.guide_scale
+
+        def scan(dit_params, latents):
+            def body(carry, xs):
+                x, sstate = carry
+                t, coeffs_i, i = xs
+                xb = jnp.concatenate([x] * nb, axis=0) if nb > 1 else x
+                tb = jnp.broadcast_to(t, (nb * b,))
+                v = wan_dit_forward(dit_params, self.dit_cfg, xb, tb, ctx,
+                                    rope_cos, rope_sin, shotplan=inj,
+                                    attn_backend=self.attn_backend)
+                pred = v[:b] if nb == 1 else v[b:] + g * (v[:b] - v[b:])
+                x, sstate = solver_step(schedule, i, coeffs_i, pred, x,
+                                        sstate)
+                return (x, sstate), None
+
+            carry0 = (latents.astype(jnp.float32),
+                      init_solver_state(schedule, latents))
+            xs = (schedule.timesteps,
+                  {k: v for k, v in schedule.coeffs.items()},
+                  jnp.arange(schedule.num_steps, dtype=jnp.int32))
+            (x, _), _ = jax.lax.scan(body, carry0, xs)
+            return x
+
+        x = jax.jit(scan)(self.dit_params, latents)
+        if return_latents:
+            return x
+        return self.decode(x)[0]
+
     def generate_standin(self, prompt: str, ref_image,
                          n_prompt: str = "", width: int = 832,
                          height: int = 480, frame_num: int = 81,
@@ -1370,6 +1447,44 @@ class WanPipeline:
             return x
         return self.decode(x)[0]
 
+    def generate_alpha(self, prompt: str, n_prompt: str = "",
+                       width: int = 832, height: int = 480,
+                       frame_num: int = 81, sampling=None, seed: int = 0,
+                       gauss_mask=None, context=None, context_null=None):
+        """Wan-Alpha RGBA generation (models/wan/alpha/utils.py,
+        any2video.py:152-158, 1436-1438, 1770-1776): one t2v denoise, the
+        SAME latents decoded by two VAEs — RGB-channel and alpha-channel
+        — composed into RGBA.  gauss_mask (alpha2): [F, H, W]-ish array;
+        initial noise gets + (1-mask)*0.03 after trilinear resize.
+
+        Returns [T, H, W, 4] float32 in [-1, 1]."""
+        sampling = sampling or SamplingConfig()
+
+        def shift(lat):
+            if gauss_mask is None:
+                return lat
+            m = jnp.asarray(gauss_mask, jnp.float32)
+            while m.ndim < 5:
+                m = m[None]
+            m = jax.image.resize(m, (*m.shape[:2], *lat.shape[2:]),
+                                 method="trilinear")
+            return lat + (1.0 - m) * 0.03
+
+        lat = self.generate(prompt, n_prompt=n_prompt, width=width,
+                            height=height, frame_num=frame_num,
+                            sampling=sampling, seed=seed, context=context,
+                            context_null=context_null,
+                            return_latents=True, noise_transform=shift)
+        rgb = self.decode(lat)[0]
+        vp, self.vae_params = self.vae_params, self.vae_params_alpha
+        try:
+            pha = self.decode(lat)[0]
+        finally:
+            self.vae_params = vp
+        # alpha channel = channel mean (alpha/utils.py:141-144)
+        a = jnp.mean(pha, axis=-1, keepdims=True)
+        return jnp.concatenate([rgb, a], axis=-1)
+
     def decode(self, latents_bcfhw, mode: str = "auto"):
         """VAE decode [B, C, F, H, W] -> [B, T, H, W, 3].  mode auto uses
         the memory-bounded chunked scan for clips beyond a few latent
@@ -1390,9 +1505,12 @@ class WanPipeline:
                  context: Optional[jnp.ndarray] = None,
                  context_null: Optional[jnp.ndarray] = None,
                  overlap_latents: Optional[jnp.ndarray] = None,
-                 image_start=None, return_latents: bool = False):
+                 image_start=None, return_latents: bool = False,
+                 noise_transform=None):
         """T2V / I2V generation.  image_start: [H, W, 3] in [-1, 1] enables
-        the i2v conditioning path.  Returns video [T, H, W, 3] float32 in
+        the i2v conditioning path.  noise_transform: optional fn applied
+        to the initial noise latents (Wan-Alpha gauss shift,
+        any2video.py:1436-1438).  Returns video [T, H, W, 3] float32 in
         [-1, 1] (or latents if return_latents)."""
         any_guidance = (sampling.guide_scale != 1.0
                         or (sampling.guide_phases >= 2
@@ -1415,6 +1533,8 @@ class WanPipeline:
         lat_shape = self.latent_shape(frame_num, height, width)
         latents = jax.random.normal(jax.random.key(seed), lat_shape,
                                     jnp.float32)
+        if noise_transform is not None:
+            latents = noise_transform(latents)
         x = self.denoise(latents, context, context_null, sampling,
                          y=y, clip_fea=clip_fea,
                          overlap_latents=overlap_latents, seed=seed,

@@ -304,6 +304,48 @@ class GenerationService:
                     sample_rate=audio_sr,
                     metadata=_clean_settings(merged)))
             return self.plugins.apply_postprocess_hooks(outputs, merged)
+        if model_def.get("shotplan_class"):
+            # ShotPlan relay prompts -> hard-cut planning tokens
+            video = pipe.generate_shotplan(
+                prompt=merged.get("prompt", ""),
+                n_prompt=merged.get("negative_prompt", ""),
+                width=width, height=height, frame_num=frame_num,
+                fps=float(merged.get("fps", 16) or 16),
+                sampling=sampling, seed=seed,
+                context=merged.get("_context"),
+                context_null=merged.get("_context_null"))
+            video = _apply_spatial_upsampling(video, merged)
+            video, fps = _apply_temporal_upsampling(
+                video, merged, int(merged.get("fps", 16)))
+            path = os.path.join(self.output_dir,
+                                f"{model_type}_{stamp}_{seed}.avi")
+            media.save_video(np.asarray(video), path, fps=fps,
+                             metadata=_clean_settings(merged))
+            return self.plugins.apply_postprocess_hooks([path], merged)
+        if model_def.get("alpha_class") \
+                and getattr(pipe, "vae_params_alpha", None) is not None:
+            # Wan-Alpha RGBA output (alpha/utils.py): PNG zip + preview
+            rgba = pipe.generate_alpha(
+                prompt=merged.get("prompt", ""),
+                n_prompt=merged.get("negative_prompt", ""),
+                width=width, height=height, frame_num=frame_num,
+                sampling=sampling, seed=seed,
+                gauss_mask=merged.get("_gauss_mask"),
+                context=merged.get("_context"),
+                context_null=merged.get("_context_null"))
+            rgba = np.asarray(rgba)
+            zip_path = os.path.join(self.output_dir,
+                                    f"{model_type}_{stamp}_{seed}.zip")
+            media.save_rgba_zip(rgba, zip_path,
+                                metadata=_clean_settings(merged))
+            preview = media.composite_checkerboard(rgba)
+            path = os.path.join(self.output_dir,
+                                f"{model_type}_{stamp}_{seed}.avi")
+            media.save_video(preview, path,
+                             fps=int(merged.get("fps", 16)),
+                             metadata=_clean_settings(merged))
+            return self.plugins.apply_postprocess_hooks(
+                [zip_path, path], merged)
         if model_def.get("lynx_class") \
                 and merged.get("_arcface_embed") is not None \
                 and getattr(pipe, "lynx_resampler_params", None) is not None:

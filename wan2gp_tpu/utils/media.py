@@ -350,3 +350,43 @@ def combine_video_with_audio(video_frames: np.ndarray, audio: np.ndarray,
                quality=quality, audio=audio,
                audio_sample_rate=audio_sample_rate)
     return path
+
+
+def composite_checkerboard(frames_rgba: np.ndarray, size: int = 30,
+                           color1: int = 140, color2: int = 113
+                           ) -> np.ndarray:
+    """Blend RGBA frames over a checkerboard preview background
+    (reference models/wan/alpha/utils.py render_video:150-162).
+    frames_rgba: [T, H, W, 4] uint8 or [-1,1] float -> [T, H, W, 3]
+    uint8."""
+    frames = to_uint8(frames_rgba[..., :3])
+    alpha = frames_rgba[..., 3:]
+    if alpha.dtype != np.uint8:
+        alpha = to_uint8(np.repeat(alpha, 3, axis=-1))[..., :1]
+    alpha = alpha.astype(np.float32) / 255.0
+    t, h, w = frames.shape[:3]
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    board = np.where(((yy // size + xx // size) % 2 == 0),
+                     color2, color1).astype(np.float32)[None, :, :, None]
+    out = frames.astype(np.float32) * alpha + board * (1.0 - alpha)
+    return out.astype(np.uint8)
+
+
+def save_rgba_zip(frames_rgba: np.ndarray, path: str,
+                  metadata: Optional[Dict[str, Any]] = None) -> str:
+    """RGBA frame sequence as a zip of PNGs (reference alpha/utils.py
+    write_zip_file:176 — the transparent-video delivery format)."""
+    import io
+    import zipfile
+    from PIL import Image
+    frames = frames_rgba
+    if frames.dtype != np.uint8:
+        frames = to_uint8(frames)
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for i, f in enumerate(frames):
+            buf = io.BytesIO()
+            Image.fromarray(f, mode="RGBA").save(buf, format="PNG")
+            zf.writestr(f"img_{i:03d}.png", buf.getvalue())
+        if metadata is not None:
+            zf.writestr("settings.json", json.dumps(metadata, indent=1))
+    return path

@@ -197,3 +197,64 @@ def test_rgba_zip_and_checkerboard():
     rgba2[..., 3] = 0
     comp2 = media.composite_checkerboard(rgba2)
     assert set(np.unique(comp2)) <= {113, 140}
+
+
+# -- Wan-Move ---------------------------------------------------------------
+
+def test_wanmove_tracks_to_latent_pos():
+    from wan2gp_tpu.models.wan.wanmove import (tracks_to_latent_pos,
+                                               replace_track_features)
+    # 9 frames, 2 tracks; track 0 moves right, track 1 leaves the frame
+    t, n = 9, 2
+    tracks = np.zeros((t, n, 2), np.float64)
+    tracks[:, 0, 0] = np.linspace(8, 56, t)     # x
+    tracks[:, 0, 1] = 16.0                      # y
+    tracks[:, 1, 0] = np.linspace(8, 200, t)    # exits width 64
+    tracks[:, 1, 1] = 8.0
+    pos = tracks_to_latent_pos(tracks, height=32, width=64,
+                               strides=(4, 8, 8))
+    assert pos.shape == (2, 3, 2)
+    # sample strategy: frames 0, 4, 8
+    np.testing.assert_array_equal(pos[0, :, 0], [2, 2, 2])      # y cell
+    np.testing.assert_array_equal(pos[0, :, 1], [1, 4, 7])      # x cell
+    assert pos[1, 2, 0] == -1                  # out of frame -> invalid
+    # normalized tracks are scaled by (width, height); use the in-frame
+    # track only (any out-of-range value disables the <=1 heuristic)
+    pos_n = tracks_to_latent_pos(tracks[:, :1] / [64, 32], height=32,
+                                 width=64)
+    np.testing.assert_array_equal(pos_n[0], pos[0])
+
+    feat = np.zeros((3, 3, 4, 8), np.float32)
+    feat[:, 0, 2, 1] = [1.0, 2.0, 3.0]         # frame-0 source content
+    out = replace_track_features(feat, pos)
+    np.testing.assert_allclose(out[:, 1, 2, 4], [1.0, 2.0, 3.0])
+    np.testing.assert_allclose(out[:, 2, 2, 7], [1.0, 2.0, 3.0])
+    # original tensor untouched, other cells untouched
+    assert feat[0, 1, 2, 4] == 0.0
+    assert out[0, 1, 0, 0] == 0.0
+
+
+def test_wanmove_pipeline_e2e():
+    from wan2gp_tpu.models.wan.pipeline import WanPipeline, SamplingConfig
+    from wan2gp_tpu.models.wan.vae import WanVAEConfig, init_wan_vae
+    import dataclasses
+    cfg = dataclasses.replace(TINY, model_type="i2v", in_dim=36)
+    params = init_wan_dit(jax.random.key(8), cfg, jnp.float32)
+    vae_cfg = WanVAEConfig(dim=8, num_res_blocks=1)
+    pipe = WanPipeline(params, cfg,
+                       vae_params=init_wan_vae(jax.random.key(9), vae_cfg),
+                       vae_cfg=vae_cfg, attn_backend="xla",
+                       base_model_type="wanmove")
+    rng = np.random.default_rng(4)
+    ctx = jnp.asarray(rng.standard_normal((1, 8, cfg.text_dim)),
+                      jnp.float32)
+    img = rng.standard_normal((64, 64, 3)).astype(np.float32).clip(-1, 1)
+    tracks = np.zeros((9, 1, 2), np.float64)
+    tracks[:, 0, 0] = np.linspace(8, 56, 9)
+    tracks[:, 0, 1] = 32.0
+    lat = pipe.generate_wanmove(
+        "", tracks=tracks, image_start=img, width=64, height=64,
+        frame_num=9, sampling=SamplingConfig(steps=2, guide_scale=4.0),
+        context=ctx, context_null=ctx * 0, return_latents=True)
+    assert lat.shape == (1, 16, 3, 8, 8)
+    assert np.isfinite(np.asarray(lat)).all()

@@ -71,6 +71,10 @@ _ARCH: Dict[str, Dict[str, Any]] = {
                              num_layers=40, model_type="t2v",
                              vae_stride=(4, 8, 8), vace=True,
                              standin=True),
+    # Wan-Move trajectory control (models/wan/wanmove/trajectory.py)
+    "wanmove": dict(dim=5120, ffn_dim=13824, num_heads=40, num_layers=40,
+                    model_type="i2v", in_dim=36, vae_stride=(4, 8, 8),
+                    wanmove=True),
     # ShotPlan planned hard cuts (models/wan/shotplan.py)
     "shotplan_t2v": dict(dim=5120, ffn_dim=13824, num_heads=40,
                          num_layers=40, model_type="t2v",
@@ -155,6 +159,7 @@ class WanFamilyHandler:
             "image_outputs": arch.get("chrono", False),
             "chrono_class": arch.get("chrono", False),
             "shotplan_class": arch.get("shotplan", False),
+            "wanmove_class": arch.get("wanmove", False),
             "multiple_submodels": arch.get("experts", 1) > 1,
             "sliding_window": True,
             "tea_cache": arch.get("experts", 1) == 1,

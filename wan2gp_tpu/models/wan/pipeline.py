@@ -579,6 +579,46 @@ def fantasy_denoise_scan(dit_params, dit_cfg: WanDiTConfig,
     return x
 
 
+def wanmove_denoise_scan(dit_params, dit_cfg: WanDiTConfig,
+                         schedule: Schedule, latents, context,
+                         context_null, y_cond, y_uncond,
+                         guide_scale: float, rope_cos, rope_sin,
+                         clip_fea=None, attn_backend: str = "auto"):
+    """Wan-Move CFG (any2video.py:1518-1524): the branches differ in the
+    i2v conditioning — dragged tracks (cond) vs untouched (uncond)."""
+    b = latents.shape[0]
+    use_cfg = guide_scale != 1.0
+    if use_cfg:
+        ctx = jnp.concatenate([context, context_null], axis=0)
+        yb = jnp.concatenate([y_cond, y_uncond], axis=0)
+        clipb = (None if clip_fea is None
+                 else jnp.concatenate([clip_fea, clip_fea], axis=0))
+        nb = 2
+    else:
+        ctx, yb, clipb, nb = context, y_cond, clip_fea, 1
+
+    def body(carry, xs):
+        x, sstate = carry
+        t, coeffs_i, i = xs
+        xb = jnp.concatenate([x] * nb, axis=0) if nb > 1 else x
+        tb = jnp.broadcast_to(t, (nb * b,))
+        v = wan_dit_forward(dit_params, dit_cfg, xb, tb, ctx,
+                            rope_cos, rope_sin, y=yb, clip_fea=clipb,
+                            attn_backend=attn_backend)
+        pred = (v[:b] if nb == 1
+                else v[b:] + guide_scale * (v[:b] - v[b:]))
+        x, sstate = solver_step(schedule, i, coeffs_i, pred, x, sstate)
+        return (x, sstate), None
+
+    carry0 = (latents.astype(jnp.float32),
+              init_solver_state(schedule, latents))
+    xs = (schedule.timesteps,
+          {k: v for k, v in schedule.coeffs.items()},
+          jnp.arange(schedule.num_steps, dtype=jnp.int32))
+    (x, _), _ = jax.lax.scan(body, carry0, xs)
+    return x
+
+
 def standin_denoise_scan(dit_params, dit_cfg: WanDiTConfig,
                          schedule: Schedule, latents, context,
                          context_null, standin_latents, ref_cos, ref_sin,
@@ -1210,6 +1250,51 @@ class WanPipeline:
                              else context),
                ip_cond=ip_cond, ip_uncond=ip_uncond,
                ref_buf=ref_buf, ref_buf_uncond=ref_buf_uncond)
+        if return_latents:
+            return x
+        return self.decode(x)[0]
+
+    def generate_wanmove(self, prompt: str, tracks, image_start,
+                         n_prompt: str = "", width: int = 832,
+                         height: int = 480, frame_num: int = 81,
+                         sampling=None, seed: int = 0,
+                         context=None, context_null=None,
+                         return_latents: bool = False):
+        """Wan-Move trajectory-controlled i2v (any2video.py:779-790).
+        tracks: [T, N, 2] pixel (or [0,1]) point tracks."""
+        from .wanmove import tracks_to_latent_pos, replace_track_features
+        sampling = sampling or SamplingConfig()
+        if context is None:
+            context = self.encode_text([prompt])
+        if context_null is None and sampling.guide_scale != 1.0:
+            context_null = self.encode_text(
+                [n_prompt or DEFAULT_NEGATIVE_PROMPT])
+        y, clip_fea = self.build_i2v_conditioning(image_start, frame_num,
+                                                  height, width)
+        track_pos = tracks_to_latent_pos(np.asarray(tracks), height,
+                                         width, (self.vae_stride[0],
+                                                 *self.vae_stride[1:]))
+        y_np = np.asarray(y)
+        dragged = replace_track_features(y_np[0, 4:20], track_pos)
+        y_cond = y_np.copy()
+        y_cond[0, 4:20] = dragged
+        y_cond = jnp.asarray(y_cond)
+
+        lat_shape = self.latent_shape(frame_num, height, width)
+        latents = jax.random.normal(jax.random.key(seed), lat_shape,
+                                    jnp.float32)
+        schedule = make_schedule(sampling.solver, sampling.steps,
+                                 sampling.shift,
+                                 solver_order=sampling.solver_order)
+        rope_cos, rope_sin = self._rope(lat_shape, sampling.enable_riflex)
+        fn = jax.jit(functools.partial(
+            wanmove_denoise_scan, dit_cfg=self.dit_cfg, schedule=schedule,
+            guide_scale=sampling.guide_scale, rope_cos=rope_cos,
+            rope_sin=rope_sin, attn_backend=self.attn_backend))
+        x = fn(self.dit_params, latents=latents, context=context,
+               context_null=(context_null if context_null is not None
+                             else context),
+               y_cond=y_cond, y_uncond=y, clip_fea=clip_fea)
         if return_latents:
             return x
         return self.decode(x)[0]

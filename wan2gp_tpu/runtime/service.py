@@ -304,6 +304,27 @@ class GenerationService:
                     sample_rate=audio_sr,
                     metadata=_clean_settings(merged)))
             return self.plugins.apply_postprocess_hooks(outputs, merged)
+        if model_def.get("wanmove_class") \
+                and merged.get("_tracks") is not None \
+                and merged.get("_image_start") is not None:
+            # Wan-Move trajectory control (any2video.py:779-790)
+            video = pipe.generate_wanmove(
+                prompt=merged.get("prompt", ""),
+                tracks=np.asarray(merged["_tracks"]),
+                image_start=merged["_image_start"],
+                n_prompt=merged.get("negative_prompt", ""),
+                width=width, height=height, frame_num=frame_num,
+                sampling=sampling, seed=seed,
+                context=merged.get("_context"),
+                context_null=merged.get("_context_null"))
+            video = _apply_spatial_upsampling(video, merged)
+            video, fps = _apply_temporal_upsampling(
+                video, merged, int(merged.get("fps", 16)))
+            path = os.path.join(self.output_dir,
+                                f"{model_type}_{stamp}_{seed}.avi")
+            media.save_video(np.asarray(video), path, fps=fps,
+                             metadata=_clean_settings(merged))
+            return self.plugins.apply_postprocess_hooks([path], merged)
         if model_def.get("shotplan_class"):
             # ShotPlan relay prompts -> hard-cut planning tokens
             video = pipe.generate_shotplan(

@@ -71,6 +71,11 @@ _ARCH: Dict[str, Dict[str, Any]] = {
                              num_layers=40, model_type="t2v",
                              vae_stride=(4, 8, 8), vace=True,
                              standin=True),
+    # Wan 2.2 Animate: pose + face-motion driven character animation
+    # (models/wan/animate/; model.py:1226-1241)
+    "animate": dict(dim=5120, ffn_dim=13824, num_heads=40, num_layers=40,
+                    model_type="i2v", in_dim=36, vae_stride=(4, 8, 8),
+                    animate=True),
     # Wan-Move trajectory control (models/wan/wanmove/trajectory.py)
     "wanmove": dict(dim=5120, ffn_dim=13824, num_heads=40, num_layers=40,
                     model_type="i2v", in_dim=36, vae_stride=(4, 8, 8),
@@ -160,6 +165,7 @@ class WanFamilyHandler:
             "chrono_class": arch.get("chrono", False),
             "shotplan_class": arch.get("shotplan", False),
             "wanmove_class": arch.get("wanmove", False),
+            "animate_class": arch.get("animate", False),
             "multiple_submodels": arch.get("experts", 1) > 1,
             "sliding_window": True,
             "tea_cache": arch.get("experts", 1) == 1,
@@ -292,6 +298,26 @@ class WanFamilyHandler:
                 dit_params["standin_loras"] = init_standin_loras(
                     jax.random.key(seed + 4), dit_cfg.dim,
                     dit_cfg.num_layers, dtype=dtype, zero_up=False)
+            if arch.get("animate"):
+                from ..models.wan.animate import (
+                    FaceEncoderConfig, init_face_adapter,
+                    init_face_encoder, init_motion_encoder,
+                    stack_face_adapter)
+                k = jax.random.split(jax.random.key(seed + 9), 4)
+                pe_lim = (16 * 4 + dit_cfg.dim) ** -0.5
+                dit_params["pose_patch_embedding"] = {
+                    "w": jax.random.uniform(
+                        k[0], (16 * 4, dit_cfg.dim), jnp.float32,
+                        -pe_lim, pe_lim),
+                    "b": jnp.zeros((dit_cfg.dim,), jnp.float32)}
+                dit_params["motion_encoder"] = init_motion_encoder(k[1])
+                dit_params["face_encoder"] = init_face_encoder(
+                    k[2], FaceEncoderConfig(hidden_dim=dit_cfg.dim))
+                dit_params["face_adapter"] = stack_face_adapter(
+                    init_face_adapter(k[3], dit_cfg.dim,
+                                      dit_cfg.num_heads,
+                                      dit_cfg.num_layers // 5),
+                    dit_cfg.num_layers)
             if arch.get("shotplan"):
                 dit_params["hardcut_embedding"] = jax.random.normal(
                     jax.random.key(seed + 8),
@@ -320,9 +346,25 @@ class WanFamilyHandler:
                         jax.random.key(seed + 6), rcfg))
         else:
             sd = normalize_wan_sd(load_safetensors(checkpoints["transformer"]))
+            animate_params = None
+            if arch.get("animate"):
+                # animate module keys ride inside the dit checkpoint;
+                # consume them before the strict leftover check
+                from ..models.wan.animate import load_animate_params
+                sd = dict(sd)
+                animate_params, _ = load_animate_params(
+                    sd, dit_cfg.dim, dit_cfg.num_layers,
+                    dit_cfg.num_heads, jnp.float32)
+                for k in list(sd):
+                    if k.startswith(("motion_encoder.", "face_encoder.",
+                                     "face_adapter.",
+                                     "pose_patch_embedding.")):
+                        sd.pop(k)
             dit_params, left = load_wan_dit_params(sd, dit_cfg, dtype)
             if left:
                 raise ValueError(f"unconsumed transformer keys: {left[:8]}")
+            if animate_params:
+                dit_params.update(animate_params)
             t5_params = None
             if checkpoints.get("text_encoder"):
                 t5_sd = load_safetensors(checkpoints["text_encoder"])

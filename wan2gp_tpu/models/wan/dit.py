@@ -497,7 +497,7 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
                     fbc_state=None, fbc_threshold: float = 0.08,
                     audio_tokens=None, fantasy_audio=None, standin=None,
                     lynx=None, lynx_extract: bool = False,
-                    shotplan=None):
+                    shotplan=None, animate=None):
     """Denoiser forward.
 
     latents:  [B, C, F, H, W] noisy latents
@@ -517,6 +517,23 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
     x = patchify(x_in.astype(jnp.float32), cfg.patch_size)
     x = _dense(x, params["patch_embedding"], jnp.float32)
     x = x.astype(cfg.residual_dtype)
+
+    if animate is not None and "pose_patch_embedding" in params:
+        # Wan-Animate pose conditioning (model_animate.py:13-14): pose
+        # latents are patch embedded and ADDED to the video tokens of
+        # latent frames 1+.
+        pose_latents, _ = animate
+        if pose_latents is not None:
+            pose_tok = patchify(pose_latents.astype(jnp.float32),
+                                cfg.patch_size)
+            pose_tok = _dense(pose_tok, params["pose_patch_embedding"],
+                              jnp.float32)
+            s_f = (latents.shape[3] // ph) * (latents.shape[4] // pw)
+            if pose_tok.shape[0] != b:
+                pose_tok = jnp.broadcast_to(pose_tok,
+                                            (b, *pose_tok.shape[1:]))
+            x = x.at[:, s_f:s_f + pose_tok.shape[1]].add(
+                pose_tok.astype(x.dtype))
 
     shotplan_keep = None
     if shotplan is not None and "hardcut_embedding" in params:
@@ -593,6 +610,8 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
                    and "fantasy_attn_blocks" in params)
     use_standin = standin is not None and "standin_loras" in params
     use_lynx = lynx is not None and "lynx_blocks" in params
+    use_animate = (animate is not None and animate[1] is not None
+                   and "face_adapter" in params)
     if lynx_extract:
         # Lynx reference feature extraction (model.py:645): collect each
         # block's MODULATED self-attn input over the face latents (t=0).
@@ -611,7 +630,28 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
 
         _, ys = jax.lax.scan(ebody, x, params["blocks"])
         return ys                               # [layers, B, L, C]
-    if use_lynx:
+    if use_animate:
+        # face-motion adapter at every 5th block (model.py:715-716)
+        from .animate import face_block_forward
+        _, motion_vec = animate
+        if motion_vec.shape[0] != b:
+            motion_vec = jnp.broadcast_to(motion_vec,
+                                          (b, *motion_vec.shape[1:]))
+
+        def body(carry, xs):
+            bp, hint, ap = xs
+            out = _block(bp, carry, e6, ctx, ctx_img, rope_cos, rope_sin,
+                         cfg, attn_backend, context_neg=ctx_neg, nag=nag)
+            fb = face_block_forward(ap, out, motion_vec, cfg.num_heads)
+            out = out + ap["active"] * fb.astype(out.dtype)
+            return out + hint.astype(out.dtype), None
+
+        def run_blocks(x):
+            out, _ = jax.lax.scan(
+                body, x, (params["blocks"], hints,
+                          params["face_adapter"]))
+            return out
+    elif use_lynx:
         ip_embeds, ref_buf, ip_scale, ref_scale = lynx
 
         def body(carry, xs):

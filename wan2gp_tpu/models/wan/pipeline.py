@@ -1254,6 +1254,109 @@ class WanPipeline:
             return x
         return self.decode(x)[0]
 
+    def generate_animate(self, prompt: str, ref_image, pose_video=None,
+                         face_video=None, bg_video=None,
+                         n_prompt: str = "", width: int = 832,
+                         height: int = 480, frame_num: int = 81,
+                         sampling=None, seed: int = 0,
+                         context=None, context_null=None,
+                         return_latents: bool = False):
+        """Wan 2.2 Animate (any2video.py:820-847, model_animate.py): the
+        reference image occupies latent frame 0; pose-video latents are
+        added to frames 1+; face crops drive the motion adapter.
+
+        ref_image: [H, W, 3] in [-1, 1]; pose_video / bg_video:
+        [T, H, W, 3]; face_video: [T, 512, 512, 3] face crops."""
+        from .animate import (motion_encoder_forward, face_encoder_forward,
+                              FaceEncoderConfig)
+        sampling = sampling or SamplingConfig()
+        if context is None:
+            context = self.encode_text([prompt])
+        if context_null is None and sampling.guide_scale != 1.0:
+            context_null = self.encode_text(
+                [n_prompt or DEFAULT_NEGATIVE_PROMPT])
+        st, sh, sw = self.vae_stride
+        f_lat = (frame_num - 1) // st + 1
+        lat_h, lat_w = height // sh, width // sw
+
+        def enc(pix):
+            z = vae_encode(self.vae_params, self.vae_cfg, pix)
+            return z.transpose(0, 4, 1, 2, 3)
+
+        ref = jnp.asarray(ref_image, jnp.float32)[None, None]
+        ref_lat = enc(ref)                       # [1, 16, 1, h, w]
+        bg = (jnp.asarray(bg_video, jnp.float32)[None]
+              if bg_video is not None
+              else -jnp.ones((1, frame_num, height, width, 3),
+                             jnp.float32))
+        lat_y = jnp.concatenate([ref_lat, enc(bg)], axis=2)
+        # msk_ref ones for the ref frame, msk_control zeros
+        # (any2video.py:835-838 get_i2v_mask)
+        msk = jnp.concatenate(
+            [jnp.ones((1, 4, 1, lat_h, lat_w), jnp.float32),
+             jnp.zeros((1, 4, f_lat, lat_h, lat_w), jnp.float32)], axis=2)
+        y = jnp.concatenate([msk, lat_y], axis=1)
+
+        pose_lat = None
+        if pose_video is not None and \
+                self.dit_params.get("pose_patch_embedding") is not None:
+            pose_lat = enc(jnp.asarray(pose_video, jnp.float32)[None])
+
+        motion_vec = None
+        me = self.dit_params.get("motion_encoder")
+        fe = self.dit_params.get("face_encoder")
+        if face_video is not None and me is not None and fe is not None:
+            faces = jnp.asarray(face_video, jnp.float32)
+            faces = faces.transpose(0, 3, 1, 2)      # [T, 3, S, S]
+            motion = motion_encoder_forward(me, faces)[None]  # [1, T, 512]
+            fcfg = FaceEncoderConfig(hidden_dim=self.dit_cfg.dim)
+            motion_vec = face_encoder_forward(fe, fcfg, motion)
+            motion_vec = motion_vec[:, :1 + f_lat]
+
+        lat_shape = (1, self.dit_cfg.out_dim, 1 + f_lat, lat_h, lat_w)
+        latents = jax.random.normal(jax.random.key(seed), lat_shape,
+                                    jnp.float32)
+        schedule = make_schedule(sampling.solver, sampling.steps,
+                                 sampling.shift,
+                                 solver_order=sampling.solver_order)
+        rope_cos, rope_sin = self._rope(lat_shape, sampling.enable_riflex)
+        b = 1
+        use_cfg = sampling.guide_scale != 1.0
+        nb = 2 if use_cfg else 1
+        ctx = (jnp.concatenate([context, context_null], axis=0)
+               if use_cfg else context)
+        yb = jnp.concatenate([y] * nb, axis=0)
+        g = sampling.guide_scale
+
+        def scan(dit_params, latents):
+            def body(carry, xs):
+                x, sstate = carry
+                t, coeffs_i, i = xs
+                xb = jnp.concatenate([x] * nb, axis=0) if nb > 1 else x
+                tb = jnp.broadcast_to(t, (nb * b,))
+                v = wan_dit_forward(
+                    dit_params, self.dit_cfg, xb, tb, ctx, rope_cos,
+                    rope_sin, y=yb, animate=(pose_lat, motion_vec),
+                    attn_backend=self.attn_backend)
+                pred = v[:b] if nb == 1 else v[b:] + g * (v[:b] - v[b:])
+                x, sstate = solver_step(schedule, i, coeffs_i, pred, x,
+                                        sstate)
+                return (x, sstate), None
+
+            carry0 = (latents.astype(jnp.float32),
+                      init_solver_state(schedule, latents))
+            xs = (schedule.timesteps,
+                  {k: v for k, v in schedule.coeffs.items()},
+                  jnp.arange(schedule.num_steps, dtype=jnp.int32))
+            (x, _), _ = jax.lax.scan(body, carry0, xs)
+            return x
+
+        x = jax.jit(scan)(self.dit_params, latents)
+        x = x[:, :, 1:]                          # drop the ref frame
+        if return_latents:
+            return x
+        return self.decode(x)[0]
+
     def generate_wanmove(self, prompt: str, tracks, image_start,
                          n_prompt: str = "", width: int = 832,
                          height: int = 480, frame_num: int = 81,

@@ -258,3 +258,105 @@ def test_wanmove_pipeline_e2e():
         context=ctx, context_null=ctx * 0, return_latents=True)
     assert lat.shape == (1, 16, 3, 8, 8)
     assert np.isfinite(np.asarray(lat)).all()
+
+
+# -- SteadyDancer -----------------------------------------------------------
+
+def test_steadydancer_modules():
+    from wan2gp_tpu.models.wan.steadydancer import (
+        init_steadydancer_modules, steadydancer_fuse, dy_dims)
+    # reference geometry: inp == oup == 16 -> dim 4, squeeze 4
+    assert dy_dims(16, 16) == (1, 4, 4)
+    p = init_steadydancer_modules(jax.random.key(0), dim=96, in_dim=36)
+    rng = np.random.default_rng(0)
+    cond = jnp.asarray(rng.standard_normal((1, 16, 3, 8, 8)), jnp.float32)
+    xn = jnp.asarray(rng.standard_normal((1, 16, 3, 8, 8)), jnp.float32)
+    fused, aligned = steadydancer_fuse(p, cond, xn)
+    assert fused.shape == cond.shape and aligned.shape == cond.shape
+    assert np.isfinite(np.asarray(fused)).all()
+    assert np.isfinite(np.asarray(aligned)).all()
+    # alignment depends on the noisy latents (the point of the unit)
+    _, aligned2 = steadydancer_fuse(p, cond, xn * -1.0)
+    assert not np.allclose(np.asarray(aligned), np.asarray(aligned2))
+
+
+def test_steadydancer_dy_module_torch_oracle():
+    """DYModule vs inline torch re-derivation (mobilenetv2_dcd.py:17-72:
+    SE-gated dynamic phi matmul + scale, GroupNorm(4))."""
+    import torch
+    import torch.nn.functional as F
+    from wan2gp_tpu.models.wan.steadydancer import (init_dy_module,
+                                                    dy_module_forward)
+    p = init_dy_module(jax.random.key(1))
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 16, 8, 8)).astype(np.float32)
+    ours = np.asarray(dy_module_forward(p, jnp.asarray(x)))
+
+    def t(a):
+        return torch.from_numpy(np.asarray(a, np.float32).copy())
+
+    def hsig(v):
+        return F.relu6(v + 3.0) / 6.0
+
+    def gn(v, w, b):
+        return F.group_norm(v, 4, t(w), t(b))
+
+    with torch.no_grad():
+        xt = t(x)
+        r = F.conv2d(xt, t(p["conv"]))
+        y = F.adaptive_avg_pool2d(xt, 1).view(2, 16)
+        y = y @ t(p["fc"])
+        y = y * hsig(y @ t(p["fc_se"]))
+        phi = (y @ t(p["fc_phi"])).view(2, 4, 4)
+        scale = hsig(y @ t(p["fc_scale"])).view(2, -1, 1, 1)
+        r = scale * r
+        q = gn(F.conv2d(xt, t(p["conv_q"])), p["gn1"]["w"], p["gn1"]["b"])
+        qf = q.view(2, 4, 64)
+        qf = gn(torch.matmul(phi, qf), p["gn2"]["w"], p["gn2"]["b"]) + qf
+        want = (F.conv2d(qf.view(2, 4, 8, 8), t(p["conv_p"])) + r).numpy()
+    np.testing.assert_allclose(ours, want, rtol=1e-4, atol=1e-4)
+
+
+def test_steadydancer_forward_and_pipeline():
+    import dataclasses
+    from wan2gp_tpu.models.wan.steadydancer import init_steadydancer_modules
+    from wan2gp_tpu.models.wan.pipeline import WanPipeline, SamplingConfig
+    from wan2gp_tpu.models.wan.vae import WanVAEConfig, init_wan_vae
+    cfg = dataclasses.replace(TINY, model_type="i2v", in_dim=36)
+    params = init_wan_dit(jax.random.key(2), cfg, jnp.float32)
+    params.update(init_steadydancer_modules(jax.random.key(3), cfg.dim,
+                                            in_dim=cfg.in_dim))
+    rng = np.random.default_rng(2)
+    lat = jnp.asarray(rng.standard_normal((1, 16, 3, 8, 8)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((1, 20, 3, 8, 8)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 8, cfg.text_dim)),
+                      jnp.float32)
+    cond = jnp.asarray(rng.standard_normal((1, 16, 3, 8, 8)), jnp.float32)
+    ref_x = jnp.asarray(rng.standard_normal((1, 36, 1, 8, 8)), jnp.float32)
+    ref_c = jnp.asarray(rng.standard_normal((1, 16, 1, 8, 8)), jnp.float32)
+    cos, sin = build_rope_3d((5, 4, 4), head_dim=cfg.head_dim)
+    o = wan_dit_forward(params, cfg, lat, jnp.full((1,), 500.0), ctx,
+                        cos, sin, y=y, attn_backend="xla",
+                        steadydancer=(cond, ref_x, ref_c))
+    assert o.shape == (1, 16, 3, 8, 8)
+    assert np.isfinite(np.asarray(o)).all()
+    # pose condition steers the output
+    o2 = wan_dit_forward(params, cfg, lat, jnp.full((1,), 500.0), ctx,
+                         cos, sin, y=y, attn_backend="xla",
+                         steadydancer=(cond * -1.0, ref_x, ref_c))
+    assert not np.allclose(np.asarray(o), np.asarray(o2))
+
+    vae_cfg = WanVAEConfig(dim=8, num_res_blocks=1)
+    pipe = WanPipeline(params, cfg,
+                       vae_params=init_wan_vae(jax.random.key(4), vae_cfg),
+                       vae_cfg=vae_cfg, attn_backend="xla",
+                       base_model_type="steadydancer")
+    pose = rng.standard_normal((9, 64, 64, 3)).astype(np.float32)
+    src = rng.standard_normal((64, 64, 3)).astype(np.float32).clip(-1, 1)
+    out = pipe.generate_steadydancer(
+        "", pose_video=pose, source_image=src, width=64, height=64,
+        frame_num=9, sampling=SamplingConfig(steps=4, guide_scale=4.0),
+        condition_guide_scale=2.0, context=ctx, context_null=ctx * 0,
+        return_latents=True)
+    assert out.shape == (1, 16, 3, 8, 8)
+    assert np.isfinite(np.asarray(out)).all()

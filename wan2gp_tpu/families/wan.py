@@ -76,6 +76,11 @@ _ARCH: Dict[str, Dict[str, Any]] = {
     "animate": dict(dim=5120, ffn_dim=13824, num_heads=40, num_layers=40,
                     model_type="i2v", in_dim=36, vae_stride=(4, 8, 8),
                     animate=True),
+    # SteadyDancer pose-conditioned i2v (models/wan/steadydancer/,
+    # model.py:1253-1278)
+    "steadydancer": dict(dim=5120, ffn_dim=13824, num_heads=40,
+                         num_layers=40, model_type="i2v", in_dim=36,
+                         vae_stride=(4, 8, 8), steadydancer=True),
     # Wan-Move trajectory control (models/wan/wanmove/trajectory.py)
     "wanmove": dict(dim=5120, ffn_dim=13824, num_heads=40, num_layers=40,
                     model_type="i2v", in_dim=36, vae_stride=(4, 8, 8),
@@ -166,6 +171,7 @@ class WanFamilyHandler:
             "shotplan_class": arch.get("shotplan", False),
             "wanmove_class": arch.get("wanmove", False),
             "animate_class": arch.get("animate", False),
+            "steadydancer_class": arch.get("steadydancer", False),
             "multiple_submodels": arch.get("experts", 1) > 1,
             "sliding_window": True,
             "tea_cache": arch.get("experts", 1) == 1,
@@ -298,6 +304,12 @@ class WanFamilyHandler:
                 dit_params["standin_loras"] = init_standin_loras(
                     jax.random.key(seed + 4), dit_cfg.dim,
                     dit_cfg.num_layers, dtype=dtype, zero_up=False)
+            if arch.get("steadydancer"):
+                from ..models.wan.steadydancer import \
+                    init_steadydancer_modules
+                dit_params.update(init_steadydancer_modules(
+                    jax.random.key(seed + 10), dit_cfg.dim,
+                    in_dim=dit_cfg.in_dim))
             if arch.get("animate"):
                 from ..models.wan.animate import (
                     FaceEncoderConfig, init_face_adapter,
@@ -347,6 +359,17 @@ class WanFamilyHandler:
         else:
             sd = normalize_wan_sd(load_safetensors(checkpoints["transformer"]))
             animate_params = None
+            if arch.get("steadydancer"):
+                from ..models.wan.steadydancer import \
+                    load_steadydancer_params
+                sd = dict(sd)
+                sd_params, _ = load_steadydancer_params(sd, dit_cfg.dim)
+                for k in list(sd):
+                    if k.startswith(("patch_embedding_fuse.",
+                                     "patch_embedding_ref_c.",
+                                     "condition_embedding_")):
+                        sd.pop(k)
+                animate_params = sd_params
             if arch.get("animate"):
                 # animate module keys ride inside the dit checkpoint;
                 # consume them before the strict leftover check

@@ -26,6 +26,7 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ...ops.attention import attention
 from ...ops.norms import rms_norm, layer_norm
@@ -497,7 +498,8 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
                     fbc_state=None, fbc_threshold: float = 0.08,
                     audio_tokens=None, fantasy_audio=None, standin=None,
                     lynx=None, lynx_extract: bool = False,
-                    shotplan=None, animate=None):
+                    shotplan=None, animate=None, steadydancer=None,
+                    clip_fea_extra=None):
     """Denoiser forward.
 
     latents:  [B, C, F, H, W] noisy latents
@@ -513,9 +515,34 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
     grid = (latents.shape[2] // pt, latents.shape[3] // ph,
             latents.shape[4] // pw)
 
+    steady_keep = None
     x_in = latents if y is None else jnp.concatenate([latents, y], axis=1)
-    x = patchify(x_in.astype(jnp.float32), cfg.patch_size)
-    x = _dense(x, params["patch_embedding"], jnp.float32)
+    if steadydancer is not None and "patch_embedding_fuse" in params:
+        # SteadyDancer condition-reconciliation (model.py:1638-1658):
+        # fused/aligned pose conditions join the channel stack through a
+        # dedicated patch embed; ref_x/ref_c tokens append as two extra
+        # latent frames; the head reads only the real video tokens.
+        from .steadydancer import steadydancer_fuse
+        sd_cond, ref_x_lat, ref_c_lat = steadydancer
+        fused, aligned = steadydancer_fuse(params, sd_cond, latents)
+        x_in = jnp.concatenate(
+            [x_in, fused.astype(x_in.dtype), aligned.astype(x_in.dtype)],
+            axis=1)
+        x = patchify(x_in.astype(jnp.float32), cfg.patch_size)
+        x = _dense(x, params["patch_embedding_fuse"], jnp.float32)
+        real_len = x.shape[1]
+        rx = patchify(ref_x_lat.astype(jnp.float32), cfg.patch_size)
+        rx = _dense(rx, params["patch_embedding"], jnp.float32)
+        rc = patchify(ref_c_lat[:, :16].astype(jnp.float32),
+                      cfg.patch_size)
+        rc = _dense(rc, params["patch_embedding_ref_c"], jnp.float32)
+        rx = jnp.broadcast_to(rx, (b, *rx.shape[1:]))
+        rc = jnp.broadcast_to(rc, (b, *rc.shape[1:]))
+        x = jnp.concatenate([x, rx, rc], axis=1)
+        steady_keep = np.arange(real_len)
+    else:
+        x = patchify(x_in.astype(jnp.float32), cfg.patch_size)
+        x = _dense(x, params["patch_embedding"], jnp.float32)
     x = x.astype(cfg.residual_dtype)
 
     if animate is not None and "pose_patch_embedding" in params:
@@ -535,7 +562,7 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
             x = x.at[:, s_f:s_f + pose_tok.shape[1]].add(
                 pose_tok.astype(x.dtype))
 
-    shotplan_keep = None
+    shotplan_keep = steady_keep
     if shotplan is not None and "hardcut_embedding" in params:
         # ShotPlan hardcut-token injection (model.py:1724-1733): insert
         # learned tokens at the cut boundaries; they attend in every
@@ -570,13 +597,22 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
     ctx_img = None
     if clip_fea is not None and cfg.i2v_cross_attn:
         ie = params["img_emb"]
-        h = layer_norm(clip_fea.astype(jnp.float32), ie["norm1"]["w"],
-                       ie["norm1"]["b"])
-        h = _dense(h.astype(cdt), ie["fc1"], cdt)
-        h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(cdt)
-        h = _dense(h, ie["fc2"], cdt)
-        ctx_img = layer_norm(h.astype(jnp.float32), ie["norm2"]["w"],
-                             ie["norm2"]["b"]).astype(cdt)
+
+        def img_emb(f):
+            h = layer_norm(f.astype(jnp.float32), ie["norm1"]["w"],
+                           ie["norm1"]["b"])
+            h = _dense(h.astype(cdt), ie["fc1"], cdt)
+            h = jax.nn.gelu(h.astype(jnp.float32),
+                            approximate=False).astype(cdt)
+            h = _dense(h, ie["fc2"], cdt)
+            return layer_norm(h.astype(jnp.float32), ie["norm2"]["w"],
+                              ie["norm2"]["b"]).astype(cdt)
+
+        ctx_img = img_emb(clip_fea)
+        if clip_fea_extra is not None:
+            # SteadyDancer pose-frame clip features added to the image
+            # context (model.py:1644-1646 steadydancer_clip_fea_c)
+            ctx_img = ctx_img + img_emb(clip_fea_extra)
 
     # VACE control branch: run the parallel hint stack first, collect the
     # per-layer skip additions (zeros at non-vace layers).

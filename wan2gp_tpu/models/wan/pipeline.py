@@ -1254,6 +1254,120 @@ class WanPipeline:
             return x
         return self.decode(x)[0]
 
+    def generate_steadydancer(self, prompt: str, pose_video, source_image,
+                              pose_video_null=None, n_prompt: str = "",
+                              width: int = 832, height: int = 480,
+                              frame_num: int = 81, sampling=None,
+                              seed: int = 0,
+                              condition_guide_scale: float = 2.0,
+                              context=None, context_null=None,
+                              return_latents: bool = False):
+        """SteadyDancer pose-conditioned i2v (any2video.py:793-809,
+        1535-1543, 1620-1628).
+
+        pose_video: [T, H, W, 3] aligned pose renders; source_image:
+        [H, W, 3] the person to animate; DC-CFG applies the pose
+        condition guidance only in the [10%, 50%) step window."""
+        sampling = sampling or SamplingConfig()
+        if context is None:
+            context = self.encode_text([prompt])
+        if context_null is None and sampling.guide_scale != 1.0:
+            context_null = self.encode_text(
+                [n_prompt or DEFAULT_NEGATIVE_PROMPT])
+        st, sh, sw = self.vae_stride
+        lat_h, lat_w = height // sh, width // sw
+        f_lat = (frame_num - 1) // st + 1
+
+        def enc(pix):
+            z = vae_encode(self.vae_params, self.vae_cfg, pix)
+            return z.transpose(0, 4, 1, 2, 3)
+
+        src = jnp.asarray(source_image, jnp.float32)[None, None]
+        pose = jnp.asarray(pose_video, jnp.float32)[None]
+        ref_lat = enc(src)                      # [1, 16, 1, h, w]
+        # ref_x = [lat, ones-mask, lat] (any2video.py:797-799)
+        ref_x = jnp.concatenate(
+            [ref_lat, jnp.ones((1, 4, 1, lat_h, lat_w), jnp.float32),
+             ref_lat], axis=1)
+        pose0_lat = enc(pose[:, :1])
+        ref_c = pose0_lat                       # loader keeps [:16]
+        conditions = enc(pose)
+        conditions_null = (enc(jnp.asarray(pose_video_null,
+                                           jnp.float32)[None])
+                           if pose_video_null is not None
+                           else jnp.zeros_like(conditions))
+        y, clip_fea = self.build_i2v_conditioning(
+            np.asarray(src[0, 0]), frame_num, height, width)
+
+        lat_shape = self.latent_shape(frame_num, height, width)
+        latents = jax.random.normal(jax.random.key(seed), lat_shape,
+                                    jnp.float32)
+        schedule = make_schedule(sampling.solver, sampling.steps,
+                                 sampling.shift,
+                                 solver_order=sampling.solver_order)
+        # rope over f + 2 ref frames (inner_latent_frames = 2,
+        # any2video.py:808)
+        from ...ops.rope import build_rope_3d
+        pt, ph, pw = self.dit_cfg.patch_size
+        rope_cos, rope_sin = build_rope_3d(
+            (f_lat + 2, lat_h // ph, lat_w // pw),
+            head_dim=self.dit_cfg.head_dim)
+        g = sampling.guide_scale
+        cg = condition_guide_scale
+        use_text_cfg = g != 1.0
+        steps = sampling.steps
+        # DC-CFG window weights (any2video.py:1537)
+        w_cond = jnp.asarray(
+            [1.0 if 0.1 <= i / steps < 0.5 else 0.0
+             for i in range(steps)], jnp.float32) * (cg != 1.0)
+
+        if use_text_cfg:
+            ctx = jnp.concatenate([context, context_null, context], axis=0)
+            conds = jnp.concatenate(
+                [conditions, conditions, conditions_null], axis=0)
+            nb = 3
+        else:
+            ctx = jnp.concatenate([context, context], axis=0)
+            conds = jnp.concatenate([conditions, conditions_null], axis=0)
+            nb = 2
+        yb = jnp.concatenate([y] * nb, axis=0)
+        clipb = (None if clip_fea is None
+                 else jnp.concatenate([clip_fea] * nb, axis=0))
+
+        def scan(dit_params, latents):
+            def body(carry, xs):
+                x, sstate = carry
+                t, coeffs_i, i, wc = xs
+                xb = jnp.concatenate([x] * nb, axis=0)
+                tb = jnp.broadcast_to(t, (nb,))
+                v = wan_dit_forward(
+                    dit_params, self.dit_cfg, xb, tb, ctx, rope_cos,
+                    rope_sin, y=yb, clip_fea=clipb,
+                    steadydancer=(conds, ref_x, ref_c),
+                    attn_backend=self.attn_backend)
+                if use_text_cfg:
+                    pred = v[1:2] + g * (v[0:1] - v[1:2]) \
+                        + wc * cg * (v[0:1] - v[2:3])
+                else:
+                    pred = v[1:2] + cg * (v[0:1] - v[1:2])
+                x, sstate = solver_step(schedule, i, coeffs_i, pred, x,
+                                        sstate)
+                return (x, sstate), None
+
+            carry0 = (latents.astype(jnp.float32),
+                      init_solver_state(schedule, latents))
+            xs = (schedule.timesteps,
+                  {k: v for k, v in schedule.coeffs.items()},
+                  jnp.arange(schedule.num_steps, dtype=jnp.int32),
+                  w_cond)
+            (x, _), _ = jax.lax.scan(body, carry0, xs)
+            return x
+
+        x = jax.jit(scan)(self.dit_params, latents)
+        if return_latents:
+            return x
+        return self.decode(x)[0]
+
     def generate_animate(self, prompt: str, ref_image, pose_video=None,
                          face_video=None, bg_video=None,
                          n_prompt: str = "", width: int = 832,

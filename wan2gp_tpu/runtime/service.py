@@ -304,6 +304,30 @@ class GenerationService:
                     sample_rate=audio_sr,
                     metadata=_clean_settings(merged)))
             return self.plugins.apply_postprocess_hooks(outputs, merged)
+        if model_def.get("steadydancer_class") \
+                and merged.get("_pose_video") is not None \
+                and merged.get("_image_start") is not None:
+            # SteadyDancer pose-driven i2v (any2video.py:793-809)
+            video = pipe.generate_steadydancer(
+                prompt=merged.get("prompt", ""),
+                pose_video=merged["_pose_video"],
+                source_image=merged["_image_start"],
+                pose_video_null=merged.get("_pose_video_null"),
+                n_prompt=merged.get("negative_prompt", ""),
+                width=width, height=height, frame_num=frame_num,
+                sampling=sampling, seed=seed,
+                condition_guide_scale=float(
+                    merged.get("alt_guidance_scale", 2.0)),
+                context=merged.get("_context"),
+                context_null=merged.get("_context_null"))
+            video = _apply_spatial_upsampling(video, merged)
+            video, fps = _apply_temporal_upsampling(
+                video, merged, int(merged.get("fps", 16)))
+            path = os.path.join(self.output_dir,
+                                f"{model_type}_{stamp}_{seed}.avi")
+            media.save_video(np.asarray(video), path, fps=fps,
+                             metadata=_clean_settings(merged))
+            return self.plugins.apply_postprocess_hooks([path], merged)
         if model_def.get("animate_class") and merged.get("_image_refs"):
             # Wan 2.2 Animate (any2video.py:820-847)
             video = pipe.generate_animate(

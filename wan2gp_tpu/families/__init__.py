@@ -22,6 +22,7 @@ from .magi import MagiFamilyHandler
 from .ltx2 import LTX2FamilyHandler
 from .tts_ace import ACEStepFamilyHandler
 from .tts_qwen3 import Qwen3TTSFamilyHandler
+from .tts_heartmula import HeartMulaFamilyHandler
 
 _HANDLER_CLASSES = [WanFamilyHandler, FluxFamilyHandler,
                     HunyuanFamilyHandler, LTXVFamilyHandler,
@@ -30,7 +31,8 @@ _HANDLER_CLASSES = [WanFamilyHandler, FluxFamilyHandler,
                     MiniMaxFamilyHandler, Ideogram4FamilyHandler,
                     LongCatFamilyHandler, HiDreamFamilyHandler,
                     MagiFamilyHandler, LTX2FamilyHandler,
-                    ACEStepFamilyHandler, Qwen3TTSFamilyHandler]
+                    ACEStepFamilyHandler, Qwen3TTSFamilyHandler,
+                    HeartMulaFamilyHandler]
 
 
 def build_handler_map():

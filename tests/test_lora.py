@@ -105,3 +105,41 @@ def test_multiplier_segments():
     # constant schedule -> one segment
     segs = multiplier_segments(parse_lora_multipliers("1 1", 2, 6))
     assert len(segs) == 1
+
+
+def test_extract_lora_roundtrip():
+    """SVD extraction (shared/extract_lora.py:219-296): at full rank the
+    extracted LoRA reconstructs the delta exactly; keys round-trip
+    through convert_lora_sd."""
+    from wan2gp_tpu.lora import extract_lora, convert_lora_sd
+    rng = np.random.default_rng(0)
+    base = {"blocks.0.attn.q.weight": rng.standard_normal(
+                (8, 6)).astype(np.float32),
+            "blocks.0.attn.q.bias": rng.standard_normal(
+                8).astype(np.float32),
+            "patch.weight": rng.standard_normal(
+                (4, 3, 2, 2)).astype(np.float32),
+            "same.weight": rng.standard_normal((4, 4)).astype(np.float32)}
+    ft = {k: v + (rng.standard_normal(v.shape).astype(np.float32) * 0.1
+                  if k != "same.weight" else 0.0)
+          for k, v in base.items()}
+    lora = extract_lora(ft, base, rank=8)
+    # unchanged weights are skipped
+    assert not any("same" in k for k in lora)
+    up = lora["diffusion_model.blocks.0.attn.q.lora_up.weight"]
+    down = lora["diffusion_model.blocks.0.attn.q.lora_down.weight"]
+    np.testing.assert_allclose(
+        up @ down, ft["blocks.0.attn.q.weight"]
+        - base["blocks.0.attn.q.weight"], atol=1e-5)
+    np.testing.assert_allclose(
+        lora["diffusion_model.blocks.0.attn.q.diff_b"],
+        ft["blocks.0.attn.q.bias"] - base["blocks.0.attn.q.bias"],
+        atol=1e-6)
+    assert lora["diffusion_model.patch.diff"].shape == (4, 3, 2, 2)
+    # low rank truncates
+    lora_r2 = extract_lora(ft, base, rank=2)
+    assert lora_r2[
+        "diffusion_model.blocks.0.attn.q.lora_down.weight"].shape[0] == 2
+    # converts through the standard normalizer
+    conv = convert_lora_sd(lora)
+    assert any("blocks.0.attn.q" in k for k in conv)

@@ -238,3 +238,43 @@ def multiplier_segments(schedule: np.ndarray) -> List[Tuple[int, int, np.ndarray
             segments.append((start, i, schedule[:, start].copy()))
             start = i
     return segments
+
+
+def extract_lora(sd_finetuned: Dict[str, np.ndarray],
+                 sd_base: Dict[str, np.ndarray], rank: int = 128,
+                 threshold: float = 1e-6) -> Dict[str, np.ndarray]:
+    """Extract a LoRA from the weight delta of two checkpoints
+    (reference shared/extract_lora.py LoRAExtractor:13-294).
+
+    For every 2D weight present in both state dicts: SVD of
+    (finetuned - base); lora_up = U[:, :r] * S[:r] ([out, r]),
+    lora_down = Vt[:r] ([r, in]).  Bias deltas become `.diff_b`, non-2D
+    weight deltas `.diff` (extract_lora.py:192-214).  Keys carry the
+    reference's `diffusion_model.` prefix so the result round-trips
+    through convert_lora_sd/merge_lora."""
+    out: Dict[str, np.ndarray] = {}
+    for name, ft in sd_finetuned.items():
+        if name not in sd_base:
+            continue
+        ft = np.asarray(ft, np.float32)
+        base = np.asarray(sd_base[name], np.float32)
+        if ft.shape != base.shape:
+            continue
+        delta = ft - base
+        if not np.abs(delta).max() > 0:
+            continue
+        stem = name
+        is_bias = stem.endswith(".bias")
+        if stem.endswith((".weight", ".bias")):
+            stem = stem.rsplit(".", 1)[0]
+        key = f"diffusion_model.{stem}"
+        if is_bias:
+            out[f"{key}.diff_b"] = delta
+        elif delta.ndim == 2:
+            u, s, vt = np.linalg.svd(delta, full_matrices=False)
+            r = min(rank, int((s > threshold).sum()) or 1, s.shape[0])
+            out[f"{key}.lora_up.weight"] = u[:, :r] * s[None, :r]
+            out[f"{key}.lora_down.weight"] = vt[:r]
+        else:
+            out[f"{key}.diff"] = delta
+    return out

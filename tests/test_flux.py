@@ -381,3 +381,105 @@ def test_flux2_klein_handler_generate(monkeypatch):
                         seed=3)
     assert np.asarray(img).shape == (64, 64, 3)
     assert np.isfinite(np.asarray(img)).all()
+
+
+# -- Chroma -----------------------------------------------------------------
+
+def test_chroma_modulation_layout():
+    """344 rows = 3*single + 12*double + 2 final (model.py:61-86,
+    413-423); rows vary with both the block index and the timestep."""
+    import dataclasses
+    from wan2gp_tpu.models.flux.dit import (FluxConfig, init_flux,
+                                            chroma_modulations)
+    cfg = FluxConfig(in_channels=16, out_channels=16, hidden_size=64,
+                     num_heads=4, depth=2, depth_single_blocks=3,
+                     context_in_dim=32, axes_dim=(8, 4, 4),
+                     chroma=True, compute_dtype=jnp.float32)
+    params = init_flux(jax.random.key(0), cfg, jnp.float32)
+    assert "time_in" not in params and "mod" not in params["final"]
+    s, di, dt_, fin = chroma_modulations(params, cfg,
+                                         jnp.asarray([0.5]))
+    assert s.shape == (3, 1, 3, 64)
+    assert di.shape == (2, 1, 6, 64) and dt_.shape == (2, 1, 6, 64)
+    assert fin.shape == (1, 2, 64)
+    assert not np.allclose(np.asarray(s[0]), np.asarray(s[1]))
+    s2, _, _, _ = chroma_modulations(params, cfg, jnp.asarray([0.9]))
+    assert not np.allclose(np.asarray(s), np.asarray(s2))
+
+
+def test_chroma_forward_and_loader():
+    import dataclasses
+    from wan2gp_tpu.models.flux.dit import (
+        FluxConfig, init_flux, flux_forward, make_img_ids,
+        rope_from_ids)
+    from wan2gp_tpu.io.flux_checkpoint import load_flux_params
+    cfg = FluxConfig(in_channels=16, out_channels=16, hidden_size=64,
+                     num_heads=4, depth=2, depth_single_blocks=2,
+                     context_in_dim=32, axes_dim=(8, 4, 4),
+                     chroma=True, compute_dtype=jnp.float32)
+    params = init_flux(jax.random.key(1), cfg, jnp.float32)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal((1, 16, 16)), jnp.float32)
+    txt = jnp.asarray(rng.standard_normal((1, 6, 32)), jnp.float32)
+    ids = np.concatenate([np.zeros((6, 3)), make_img_ids(4, 4)])
+    cos, sin = rope_from_ids(ids, cfg.axes_dim, cfg.theta)
+    o1 = flux_forward(params, cfg, img, txt, None, jnp.asarray([0.4]),
+                      cos, sin, attn_backend="xla")
+    assert o1.shape == (1, 16, 16)
+    assert np.isfinite(np.asarray(o1)).all()
+    # timestep flows only through the distilled modulations
+    o2 = flux_forward(params, cfg, img, txt, None, jnp.asarray([0.9]),
+                      cos, sin, attn_backend="xla")
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+    # loader roundtrip on the chroma key space
+    sd = {}
+
+    def put(prefix, p):
+        sd[f"{prefix}.weight"] = np.asarray(p["w"]).T
+        if "b" in p:
+            sd[f"{prefix}.bias"] = np.asarray(p["b"])
+
+    put("img_in", params["img_in"])
+    put("txt_in", params["txt_in"])
+    dg = params["distilled_guidance"]
+    put("distilled_guidance_layer.in_proj", dg["in_proj"])
+    put("distilled_guidance_layer.out_proj", dg["out_proj"])
+    for i, lp in enumerate(dg["layers"]):
+        put(f"distilled_guidance_layer.layers.{i}.in_layer", lp["in"])
+        put(f"distilled_guidance_layer.layers.{i}.out_layer", lp["out"])
+        sd[f"distilled_guidance_layer.norms.{i}.scale"] = \
+            np.asarray(lp["norm"])
+    db = params["double_blocks"]
+    for i in range(cfg.depth):
+        for nm in ("img", "txt"):
+            st = db[nm]
+            pre = f"double_blocks.{i}.{nm}"
+            put(f"{pre}_attn.qkv",
+                {"w": st["qkv"]["w"][i], "b": st["qkv"]["b"][i]})
+            sd[f"{pre}_attn.norm.query_norm.scale"] = \
+                np.asarray(st["norm_q"][i])
+            sd[f"{pre}_attn.norm.key_norm.scale"] = \
+                np.asarray(st["norm_k"][i])
+            put(f"{pre}_attn.proj",
+                {"w": st["proj"]["w"][i], "b": st["proj"]["b"][i]})
+            put(f"{pre}_mlp.0",
+                {"w": st["mlp1"]["w"][i], "b": st["mlp1"]["b"][i]})
+            put(f"{pre}_mlp.2",
+                {"w": st["mlp2"]["w"][i], "b": st["mlp2"]["b"][i]})
+    sb = params["single_blocks"]
+    for i in range(cfg.depth_single_blocks):
+        pre = f"single_blocks.{i}"
+        put(f"{pre}.linear1",
+            {"w": sb["linear1"]["w"][i], "b": sb["linear1"]["b"][i]})
+        put(f"{pre}.linear2",
+            {"w": sb["linear2"]["w"][i], "b": sb["linear2"]["b"][i]})
+        sd[f"{pre}.norm.query_norm.scale"] = np.asarray(sb["norm_q"][i])
+        sd[f"{pre}.norm.key_norm.scale"] = np.asarray(sb["norm_k"][i])
+    put("final_layer.linear", params["final"]["linear"])
+    loaded, left = load_flux_params(sd, cfg, jnp.float32)
+    assert left == []
+    o3 = flux_forward(loaded, cfg, img, txt, None, jnp.asarray([0.4]),
+                      cos, sin, attn_backend="xla")
+    np.testing.assert_allclose(np.asarray(o3), np.asarray(o1),
+                               rtol=2e-4, atol=2e-4)

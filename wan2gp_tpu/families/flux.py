@@ -21,6 +21,9 @@ _ARCH: Dict[str, Dict[str, Any]] = {
     "flux2_klein_4b": dict(flux2="FLUX2_KLEIN_4B"),
     "flux2_klein_9b": dict(flux2="FLUX2_KLEIN_9B"),
     "flux2_dev": dict(flux2="FLUX2_DEV"),
+    # Chroma 8.9B: schnell geometry, modulation distilled into a 5-layer
+    # guidance MLP, T5-only text (flux_handler.py:75-88, model.py:129)
+    "flux_chroma": dict(chroma=True, shift=False),
 }
 
 
@@ -61,6 +64,9 @@ class FluxFamilyHandler:
             from ..models.flux import dit as fdit
             return FluxConfig(compute_dtype=dtype,
                               **getattr(fdit, arch["flux2"]))
+        if arch.get("chroma"):
+            return FluxConfig(chroma=True, guidance_embed=False,
+                              compute_dtype=dtype)
         return FluxConfig(guidance_embed=arch["guidance_embed"],
                           compute_dtype=dtype)
 
@@ -74,6 +80,13 @@ class FluxFamilyHandler:
                     {"role": "vae", "urls": [b2 + "flux2_vae.safetensors"]},
                     {"role": "text_encoder",
                      "urls": [b2 + "qwen3_4b_bf16.safetensors"]}]
+        if base_model_type == "flux_chroma":
+            # T5-only conditioning (flux_handler.py:88)
+            return [{"role": "transformer",
+                     "urls": model_def.get("URLs", [])},
+                    {"role": "vae", "urls": [base + "flux_vae.safetensors"]},
+                    {"role": "text_encoder", "urls": [
+                        base + "T5_xxl_1.1_enc_bf16.safetensors"]}]
         return [{"role": "transformer", "urls": model_def.get("URLs", [])},
                 {"role": "vae", "urls": [base + "flux_vae.safetensors"]},
                 {"role": "text_encoder", "urls": [

@@ -56,6 +56,7 @@ def load_flux_params(sd: Dict[str, np.ndarray], cfg,
                 "out": _lin(sd, f"{prefix}.out_layer", dtype)}
 
     f2 = getattr(cfg, "flux2", False)
+    chroma = getattr(cfg, "chroma", False)
 
     def stream(i, name):
         pre = f"double_blocks.{i}.{name}"
@@ -67,7 +68,7 @@ def load_flux_params(sd: Dict[str, np.ndarray], cfg,
             "mlp1": _lin(sd, f"{pre}_mlp.0", dtype),
             "mlp2": _lin(sd, f"{pre}_mlp.2", dtype),
         }
-        if not f2:
+        if not f2 and not chroma:
             p["mod"] = _lin(sd, f"{pre}_mod.lin", dtype)
         return p
 
@@ -82,7 +83,7 @@ def load_flux_params(sd: Dict[str, np.ndarray], cfg,
             "norm_q": _vec(sd, f"{pre}.norm.query_norm.scale"),
             "norm_k": _vec(sd, f"{pre}.norm.key_norm.scale"),
         }
-        if not f2:
+        if not f2 and not chroma:
             p["mod"] = _lin(sd, f"{pre}.modulation.lin", dtype)
         return p
 
@@ -92,16 +93,31 @@ def load_flux_params(sd: Dict[str, np.ndarray], cfg,
     params: Dict[str, Any] = {
         "img_in": _lin(sd, "img_in", dtype),
         "txt_in": _lin(sd, "txt_in", dtype),
-        "time_in": embedder("time_in"),
         "double_blocks": stack([double_block(i) for i in range(cfg.depth)]),
         "single_blocks": stack([single_block(i)
                                 for i in range(cfg.depth_single_blocks)]),
         "final": {
-            "mod": _lin(sd, "final_layer.adaLN_modulation.1", dtype),
             "linear": _lin(sd, "final_layer.linear", dtype),
         },
     }
-    if f2:
+    if not chroma:
+        params["time_in"] = embedder("time_in")
+        params["final"]["mod"] = _lin(sd, "final_layer.adaLN_modulation.1",
+                                      dtype)
+    if chroma:
+        # DistilledGuidance (layers.py:447-464)
+        dg = "distilled_guidance_layer"
+        params["distilled_guidance"] = {
+            "in_proj": _lin(sd, f"{dg}.in_proj", jnp.float32),
+            "layers": [{"in": _lin(sd, f"{dg}.layers.{i}.in_layer",
+                                   jnp.float32),
+                        "out": _lin(sd, f"{dg}.layers.{i}.out_layer",
+                                    jnp.float32),
+                        "norm": _vec(sd, f"{dg}.norms.{i}.scale")}
+                       for i in range(5)],
+            "out_proj": _lin(sd, f"{dg}.out_proj", jnp.float32),
+        }
+    elif f2:
         # shared global modulation (model.py:125-128)
         params["mod_double_img"] = _lin(
             sd, "double_stream_modulation_img.lin", jnp.float32)
@@ -109,7 +125,7 @@ def load_flux_params(sd: Dict[str, np.ndarray], cfg,
             sd, "double_stream_modulation_txt.lin", jnp.float32)
         params["mod_single"] = _lin(
             sd, "single_stream_modulation.lin", jnp.float32)
-    else:
+    elif not chroma:
         params["vector_in"] = embedder("vector_in")
     if cfg.guidance_embed and "guidance_in.in_layer.weight" in sd:
         params["guidance_in"] = embedder("guidance_in")

@@ -48,6 +48,9 @@ class FluxConfig:
     qkv_bias: bool = True
     guidance_embed: bool = False
     flux2: bool = False
+    # Chroma (model.py:129-135, 413-423): per-block modulation rows
+    # produced by a distilled-guidance MLP instead of per-block tables
+    chroma: bool = False
     # flux2 SwiGLU ratios (util.py:344-348)
     linear1_mlp_ratio: float = 6.0
     compute_dtype: Any = jnp.bfloat16
@@ -83,6 +86,9 @@ FLUX2_DEV = dict(in_channels=128, out_channels=128, vec_in_dim=1,
                  num_heads=48, depth=8, depth_single_blocks=48,
                  axes_dim=(32, 32, 32, 32), theta=2000,
                  qkv_bias=False, guidance_embed=True, flux2=True)
+# Chroma 8.9B: schnell geometry with the modulation stack distilled into
+# a 5-layer guidance MLP, T5-only text (flux_handler.py:75-88)
+CHROMA = dict(chroma=True, guidance_embed=False)
 
 
 def rope_from_ids(ids, axes_dim, theta):
@@ -167,7 +173,7 @@ def init_flux(key, cfg: FluxConfig, dtype=jnp.bfloat16) -> Dict[str, Any]:
             "mlp1": _linear(next(ks), h, cfg.lin1_mlp, dtype, bias=bias),
             "mlp2": _linear(next(ks), mlp2_in, h, dtype, bias=bias),
         }
-        if not f2:
+        if not f2 and not cfg.chroma:
             p["mod"] = _linear(next(ks), h, 6 * h, dtype)
         return p
 
@@ -184,7 +190,7 @@ def init_flux(key, cfg: FluxConfig, dtype=jnp.bfloat16) -> Dict[str, Any]:
             "norm_q": jnp.ones((hd,), jnp.float32),
             "norm_k": jnp.ones((hd,), jnp.float32),
         }
-        if not f2:
+        if not f2 and not cfg.chroma:
             p["mod"] = _linear(next(ks), h, 3 * h, dtype)
         return p
 
@@ -209,11 +215,64 @@ def init_flux(key, cfg: FluxConfig, dtype=jnp.bfloat16) -> Dict[str, Any]:
                                            jnp.float32, bias=False)
         params["mod_single"] = _linear(next(keys), h, 3 * h, jnp.float32,
                                        bias=False)
+    elif cfg.chroma:
+        # DistilledGuidance (layers.py:447-464): in 64 -> 5120, 5
+        # residual RMSNorm+MLPEmbedder layers, out 3072
+        ks = iter(jax.random.split(next(keys), 16))
+        params.pop("time_in")
+        params["distilled_guidance"] = {
+            "in_proj": _linear(next(ks), 64, 5120, jnp.float32),
+            "layers": [{"in": _linear(next(ks), 5120, 5120, jnp.float32),
+                        "out": _linear(next(ks), 5120, 5120,
+                                       jnp.float32),
+                        "norm": jnp.ones((5120,), jnp.float32)}
+                       for _ in range(5)],
+            "out_proj": _linear(next(ks), 5120, h, jnp.float32),
+        }
+        params["final"].pop("mod")   # final shift/scale come from rows
     else:
         params["vector_in"] = mlp_embedder(next(keys), cfg.vec_in_dim)
     if cfg.guidance_embed:
         params["guidance_in"] = mlp_embedder(next(keys), 256)
     return params
+
+
+def chroma_modulations(params, cfg: FluxConfig, t):
+    """Distilled modulation table (model.py:413-423): rows =
+    3*single + 6*double (img) + 6*double (txt) + 2 (final), each row
+    keyed by (timestep emb16 || zero-guidance emb16 || row-index emb32).
+    Returns (singles [S, B, 3, h], d_img [D, B, 6, h],
+    d_txt [D, B, 6, h], final [B, 2, h])."""
+    s_cnt, d_cnt = cfg.depth_single_blocks, cfg.depth
+    n_idx = 3 * s_cnt + 12 * d_cnt + 2
+    b = t.shape[0]
+    dt = timestep_embedding(t, 16)
+    dg = timestep_embedding(jnp.zeros_like(t), 16)
+    idx = timestep_embedding(jnp.arange(n_idx, dtype=jnp.float32), 32,
+                             time_factor=1.0)
+    tg = jnp.concatenate([dt, dg], axis=-1)          # [B, 32]
+    inp = jnp.concatenate(
+        [jnp.broadcast_to(tg[:, None], (b, n_idx, 32)),
+         jnp.broadcast_to(idx[None], (b, n_idx, 32))], axis=-1)
+    dgp = params["distilled_guidance"]
+    x = _dense(inp, dgp["in_proj"], jnp.float32)
+    for lp in dgp["layers"]:
+        x32 = x.astype(jnp.float32)
+        nrm = x32 * jax.lax.rsqrt(
+            jnp.mean(x32 * x32, -1, keepdims=True) + 1e-6) * lp["norm"]
+        x = x + _dense(jax.nn.silu(_dense(nrm, lp["in"], jnp.float32)),
+                       lp["out"], jnp.float32)
+    mv = _dense(x, dgp["out_proj"], jnp.float32)     # [B, n_idx, h]
+    h = mv.shape[-1]
+    singles = mv[:, :3 * s_cnt].reshape(b, s_cnt, 3, h).transpose(
+        1, 0, 2, 3)
+    o = 3 * s_cnt
+    d_img = mv[:, o:o + 6 * d_cnt].reshape(b, d_cnt, 6, h).transpose(
+        1, 0, 2, 3)
+    o += 6 * d_cnt
+    d_txt = mv[:, o:o + 6 * d_cnt].reshape(b, d_cnt, 6, h).transpose(
+        1, 0, 2, 3)
+    return singles, d_img, d_txt, mv[:, -2:]
 
 
 # ---------------------------------------------------------------------------
@@ -344,13 +403,18 @@ def flux_forward(params, cfg: FluxConfig, img, txt, vec_y, t,
     cdt = cfg.compute_dtype
     txt_len = txt.shape[1]
 
-    vec = _embed(params["time_in"], timestep_embedding(t, 256))
-    if cfg.guidance_embed:
-        assert guidance is not None
-        vec = vec + _embed(params["guidance_in"],
-                           timestep_embedding(guidance, 256))
-    if not cfg.flux2:
-        vec = vec + _embed(params["vector_in"], vec_y.astype(jnp.float32))
+    if cfg.chroma:
+        vec = jnp.zeros((img.shape[0], cfg.hidden_size), jnp.float32)
+        ch_s, ch_di, ch_dt, ch_final = chroma_modulations(params, cfg, t)
+    else:
+        vec = _embed(params["time_in"], timestep_embedding(t, 256))
+        if cfg.guidance_embed:
+            assert guidance is not None
+            vec = vec + _embed(params["guidance_in"],
+                               timestep_embedding(guidance, 256))
+        if not cfg.flux2:
+            vec = vec + _embed(params["vector_in"],
+                               vec_y.astype(jnp.float32))
 
     img = _dense(img.astype(cdt), params["img_in"], cdt).astype(jnp.float32)
     txt = _dense(txt.astype(cdt), params["txt_in"], cdt).astype(jnp.float32)
@@ -367,6 +431,37 @@ def flux_forward(params, cfg: FluxConfig, img, txt, vec_y, t,
         dmods = tuple(mi) + tuple(mt)
         smods = tuple(jnp.split(_dense(sv, params["mod_single"],
                                        jnp.float32)[:, None], 3, axis=-1))
+
+    if cfg.chroma:
+        # per-block distilled modulation rows scanned alongside the
+        # blocks (model.py:446-449, 467-469)
+        def dbody_ch(carry, xs):
+            img, txt = carry
+            bp, mi, mt = xs
+            mods = tuple(mi[:, i][:, None] for i in range(6)) \
+                + tuple(mt[:, i][:, None] for i in range(6))
+            img, txt = _double_block(bp, img, txt, vec, rope_cos,
+                                     rope_sin, txt_len, cfg,
+                                     attn_backend, mods=mods)
+            return (img, txt), None
+
+        (img, txt), _ = jax.lax.scan(
+            dbody_ch, (img, txt), (params["double_blocks"], ch_di, ch_dt))
+        x = jnp.concatenate([txt, img], axis=1)
+
+        def sbody_ch(x, xs):
+            bp, sm = xs
+            mods = tuple(sm[:, i][:, None] for i in range(3))
+            return _single_block(bp, x, vec, rope_cos, rope_sin, cfg,
+                                 attn_backend, mods=mods), None
+
+        x, _ = jax.lax.scan(sbody_ch, x,
+                            (params["single_blocks"], ch_s))
+        x = x[:, txt_len:]
+        shift = ch_final[:, 0][:, None]
+        scale = ch_final[:, 1][:, None]
+        x = layer_norm(x) * (1 + scale) + shift
+        return _dense(x, params["final"]["linear"], jnp.float32)
 
     def dbody(carry, bp):
         img, txt = carry

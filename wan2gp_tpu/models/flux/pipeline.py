@@ -92,7 +92,10 @@ class FluxPipeline:
         if context is None:
             context = self.t5_encode_fn([prompt])
         if vec_y is None:
-            vec_y = (jnp.zeros((1, 1), jnp.float32) if f2
+            # flux2 / chroma: no CLIP pooled vector (model.py:129-138)
+            vec_y = (jnp.zeros((1, 1), jnp.float32)
+                     if f2 or getattr(self.dit_cfg, "chroma", False)
+                     or self.clip_encode_fn is None
                      else self.clip_encode_fn([prompt]))
 
         h_lat, w_lat = height // 8, width // 8

@@ -196,3 +196,154 @@ def test_loader_roundtrip_fused_qkvg_and_mm_norms():
 def test_handler_registered():
     from wan2gp_tpu.families import build_handler_map
     assert "magi_human" in build_handler_map()
+
+
+# -- SA audio VAE (Stable-Audio-Open Oobleck) -------------------------------
+
+def test_sa_audio_torch_oracle():
+    """Tiny Oobleck encoder/decoder vs an inline torch re-derivation
+    (sa_audio_module.py: SnakeBeta log-scale, ResidualUnit dilations
+    1/3/9, strided enc k=2s pad ceil(s/2), ConvTranspose dec)."""
+    import torch
+    import torch.nn.functional as F
+    from wan2gp_tpu.models.magi.sa_audio import (
+        SAAudioConfig, init_sa_audio, sa_audio_encode, sa_audio_decode)
+    cfg = SAAudioConfig(io_channels=2, channels=4, latent_dim=3,
+                        c_mults=(1, 2), strides=(2, 2))
+    params = init_sa_audio(jax.random.key(0), cfg)
+    # randomize snakes so the activation is exercised
+    rng = np.random.default_rng(0)
+
+    def rand_snake(p):
+        c = p["alpha"].shape[0]
+        return {"alpha": jnp.asarray(rng.standard_normal(c).astype(
+                    np.float32) * 0.3),
+                "beta": jnp.asarray(rng.standard_normal(c).astype(
+                    np.float32) * 0.3)}
+
+    def walk(p):
+        if isinstance(p, dict):
+            if set(p.keys()) == {"alpha", "beta"}:
+                return rand_snake(p)
+            return {k: walk(v) for k, v in p.items()}
+        if isinstance(p, list):
+            return [walk(v) for v in p]
+        return p
+
+    params = walk(params)
+    wave = rng.standard_normal((1, 16, 2)).astype(np.float32)
+    lat = np.asarray(sa_audio_encode(params, cfg, jnp.asarray(wave)))
+    out = np.asarray(sa_audio_decode(params, cfg, jnp.asarray(lat)))
+    assert lat.shape == (1, 4, 3)           # /4 downsample
+    assert out.shape == (1, 16, 2)
+
+    def t(a):
+        return torch.from_numpy(np.asarray(a, np.float32).copy())
+
+    def tw(p):   # [k, cin, cout] -> torch conv [cout, cin, k]
+        return t(np.asarray(p["w"]).transpose(2, 1, 0))
+
+    def conv(p, v, stride=1, dilation=1, padding=0):
+        b = t(p["b"]) if "b" in p else None
+        return F.conv1d(v, tw(p), b, stride=stride, padding=padding,
+                        dilation=dilation)
+
+    def snake(p, v):
+        a = torch.exp(t(p["alpha"])).view(1, -1, 1)
+        bb = torch.exp(t(p["beta"])).view(1, -1, 1)
+        return v + (1.0 / (bb + 1e-9)) * torch.sin(v * a) ** 2
+
+    def res(p, v, dil):
+        y = snake(p["s1"], v)
+        y = conv(p["c1"], y, dilation=dil, padding=(dil * 6) // 2)
+        y = snake(p["s2"], y)
+        return conv(p["c2"], y) + v
+
+    with torch.no_grad():
+        x = t(wave).permute(0, 2, 1)
+        x = conv(params["enc_in"], x, padding=3)
+        for i, bp in enumerate(params["enc_blocks"]):
+            for j, rp in enumerate(bp["res"]):
+                x = res(rp, x, (1, 3, 9)[j])
+            x = snake(bp["snake"], x)
+            s = cfg.strides[i]
+            x = conv(bp["down"], x, stride=s,
+                     padding=int(np.ceil(s / 2)))
+        x = snake(params["enc_snake"], x)
+        x = conv(params["enc_out"], x, padding=1)
+        want_lat = x.chunk(2, dim=1)[0].permute(0, 2, 1).numpy()
+    np.testing.assert_allclose(lat, want_lat, rtol=1e-4, atol=1e-4)
+
+    with torch.no_grad():
+        x = t(want_lat).permute(0, 2, 1)
+        x = conv(params["dec_in"], x, padding=3)
+        for i, bp in enumerate(params["dec_blocks"]):
+            x = snake(bp["snake"], x)
+            s = list(cfg.strides)[::-1][i]
+            w = np.asarray(bp["up"]["w"])          # [k, cin, cout] flipped
+            wt = t(np.ascontiguousarray(w[::-1].transpose(1, 2, 0)))
+            x = F.conv_transpose1d(x, wt, t(bp["up"]["b"]), stride=s,
+                                   padding=int(np.ceil(s / 2)))
+            for j, rp in enumerate(bp["res"]):
+                x = res(rp, x, (1, 3, 9)[j])
+        x = snake(params["dec_snake"], x)
+        x = conv(params["dec_out"], x, padding=3)
+        want_out = torch.tanh(x).permute(0, 2, 1).numpy()
+    # untrained weights blow up activations pre-tanh; allow small fp drift
+    np.testing.assert_allclose(out, want_out, rtol=5e-3, atol=2e-3)
+
+
+def test_sa_audio_loader_roundtrip():
+    from wan2gp_tpu.models.magi.sa_audio import (
+        SAAudioConfig, init_sa_audio, sa_audio_encode,
+        load_sa_audio_params)
+    cfg = SAAudioConfig(io_channels=2, channels=4, latent_dim=3,
+                        c_mults=(1, 2), strides=(2, 2))
+    params = init_sa_audio(jax.random.key(1), cfg)
+    sd = {}
+
+    def put_conv(prefix, p, transpose=False, bias=True):
+        w = np.asarray(p["w"])
+        if transpose:   # stored pre-flipped [k, cin, cout]
+            w = np.ascontiguousarray(w[::-1]).transpose(1, 2, 0)
+        else:
+            w = w.transpose(2, 1, 0)
+        sd[f"{prefix}.weight"] = w
+        if bias and "b" in p:
+            sd[f"{prefix}.bias"] = np.asarray(p["b"])
+
+    def put_snake(prefix, p):
+        sd[f"{prefix}.alpha"] = np.asarray(p["alpha"])
+        sd[f"{prefix}.beta"] = np.asarray(p["beta"])
+
+    def put_res(prefix, p):
+        put_snake(f"{prefix}.layers.0", p["s1"])
+        put_conv(f"{prefix}.layers.1", p["c1"])
+        put_snake(f"{prefix}.layers.2", p["s2"])
+        put_conv(f"{prefix}.layers.3", p["c2"])
+
+    put_conv("encoder.layers.0", params["enc_in"])
+    for i, bp in enumerate(params["enc_blocks"]):
+        pre = f"encoder.layers.{i + 1}.layers"
+        for j, rp in enumerate(bp["res"]):
+            put_res(f"{pre}.{j}", rp)
+        put_snake(f"{pre}.3", bp["snake"])
+        put_conv(f"{pre}.4", bp["down"])
+    put_snake("encoder.layers.3", params["enc_snake"])
+    put_conv("encoder.layers.4", params["enc_out"])
+    put_conv("decoder.layers.0", params["dec_in"])
+    for i, bp in enumerate(params["dec_blocks"]):
+        pre = f"decoder.layers.{i + 1}.layers"
+        put_snake(f"{pre}.0", bp["snake"])
+        put_conv(f"{pre}.1", bp["up"], transpose=True)
+        for j, rp in enumerate(bp["res"]):
+            put_res(f"{pre}.{j + 2}", rp)
+    put_snake("decoder.layers.3", params["dec_snake"])
+    put_conv("decoder.layers.4", params["dec_out"], bias=False)
+    loaded, left = load_sa_audio_params(sd, cfg)
+    assert left == []
+    wave = jnp.asarray(np.random.default_rng(2).standard_normal(
+        (1, 16, 2)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(sa_audio_encode(loaded, cfg, wave)),
+        np.asarray(sa_audio_encode(params, cfg, wave)), atol=1e-5)

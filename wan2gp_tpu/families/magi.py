@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, List
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -47,6 +48,8 @@ class MagiFamilyHandler:
         base = "https://huggingface.co/DeepBeepMeep/MagiHuman/resolve/main/"
         return [{"role": "transformer", "urls": model_def.get("URLs", [])},
                 {"role": "vae", "urls": [base + "wan2.2_vae.safetensors"]},
+                {"role": "audio_vae", "urls": [
+                    base + "stable_audio_open_vae.safetensors"]},
                 {"role": "text_encoder",
                  "urls": [base + "t5gemma_encoder_bf16.safetensors"]}]
 
@@ -78,9 +81,26 @@ class MagiFamilyHandler:
                 k = jax.random.key(hash((prompts[0], _seed)) & 0x7FFFFFFF)
                 return jax.random.normal(k, (1, 48, cfg.text_in),
                                          jnp.float32)
-        return MagiPipeline(params, cfg, text_encode_fn=text_fn,
+        pipe = MagiPipeline(params, cfg, text_encode_fn=text_fn,
                             vae_decode_fn=vae_dec, vae_encode_fn=vae_enc,
                             attn_backend=attn_backend)
+        if checkpoints and checkpoints.get("audio_vae"):
+            # SA audio VAE (magi_human_model.py:234, :440, :467): encode
+            # driving audio / decode generated audio latents
+            from ..io.safetensors_reader import load_weights
+            from ..models.magi.sa_audio import (SAAudioConfig,
+                                                load_sa_audio_params,
+                                                sa_audio_decode,
+                                                sa_audio_encode)
+            acfg = SAAudioConfig()
+            ap, _ = load_sa_audio_params(
+                load_weights(checkpoints["audio_vae"]), acfg)
+            pipe.audio_vae_encode_fn = (
+                lambda wave: sa_audio_encode(ap, acfg, wave))
+            pipe.audio_vae_decode_fn = (
+                lambda lat: sa_audio_decode(ap, acfg, lat))
+            pipe.audio_sample_rate = acfg.sample_rate
+        return pipe
 
     @staticmethod
     def _load_text_encoder(checkpoints, tokenizer, dtype):
@@ -146,8 +166,15 @@ class MagiFamilyHandler:
             audio_latent=merged.get("_audio_latent"),
             sampling=sampling, seed=seed)
         out = {"video": video}
-        if audio is not None and getattr(pipe, "audio_vae_decode_fn", None):
-            # decoded waveform (SA audio VAE); latents are dropped
-            out["audio"] = audio
-            out["audio_sample_rate"] = 16000
+        if audio is not None and getattr(pipe, "audio_vae_decode_fn",
+                                         None) is not None:
+            # generated audio latents -> waveform via the SA audio VAE
+            # decoder (magi_human_model.py:467 _decode_audio)
+            lat = jnp.asarray(audio)
+            if lat.ndim == 2:
+                lat = lat[None]
+            wave = pipe.audio_vae_decode_fn(lat)
+            out["audio"] = np.asarray(wave[0])
+            out["audio_sample_rate"] = getattr(pipe, "audio_sample_rate",
+                                               44100)
         return out

@@ -347,3 +347,146 @@ def test_sa_audio_loader_roundtrip():
     np.testing.assert_allclose(
         np.asarray(sa_audio_encode(loaded, cfg, wave)),
         np.asarray(sa_audio_encode(params, cfg, wave)), atol=1e-5)
+
+
+# -- Turbo VAE decoder ------------------------------------------------------
+
+def test_turbo_vaed_torch_oracle():
+    """Tiny decoder vs inline torch re-derivation (turbo_vaed_module.py:
+    replicate-pad conv3d, affine-free channel RMSNorm 1e-8, ReLU-first
+    resnets in upsampling stages, time-conv temporal interleave,
+    nearest 2x + conv resample, pixel-shuffle upsampler)."""
+    import torch
+    import torch.nn.functional as F
+    from wan2gp_tpu.models.magi.turbo_vae import (
+        TurboVAEDConfig, init_turbo_vaed, turbo_vaed_decode)
+    cfg = TurboVAEDConfig(latent_channels=4, out_channels=3,
+                          block_out_channels=(4, 8),
+                          layers_per_block=(1, 1, 1),
+                          spatio_temporal_scaling=(True, False),
+                          spatio_only=(False, False))
+    params = init_turbo_vaed(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    z = rng.standard_normal((1, 4, 2, 4, 4)).astype(np.float32)
+    ours = np.asarray(turbo_vaed_decode(params, cfg, jnp.asarray(z)))
+    # spatial x4 (1 resample + pixel shuffle), temporal 2->3 (2*2-1)
+    assert ours.shape == (1, 3, 3, 16, 16)
+
+    def t(a):
+        return torch.from_numpy(np.asarray(a, np.float32).copy())
+
+    def conv3(p, v):
+        kt = p["w"].shape[2]
+        if kt > 1:
+            n = (kt - 1) // 2
+            v = torch.cat([v[:, :, :1].repeat(1, 1, n, 1, 1), v,
+                           v[:, :, -1:].repeat(1, 1, n, 1, 1)], dim=2)
+        kh = p["w"].shape[3] // 2
+        kw = p["w"].shape[4] // 2
+        return F.conv3d(v, t(p["w"]), t(p["b"]),
+                        padding=(0, kh, kw))
+
+    def rms(v, eps=1e-8):
+        var = v.float().pow(2).mean(1, keepdim=True)
+        return v * torch.rsqrt(var + eps)
+
+    def resnet(p, v, relu_first=False):
+        h = rms(v)
+        h = F.relu(h) if relu_first else F.silu(h)
+        h = conv3(p["conv1"], h)
+        h = F.silu(rms(h))
+        h = conv3(p["conv2"], h)
+        sc = v
+        if "shortcut" in p:
+            sc = conv3(p["shortcut"], rms(v, 1e-6))
+        return h + sc
+
+    with torch.no_grad():
+        x = conv3(params["conv_in"], t(z))
+        for rp in params["mid"]:
+            x = resnet(rp, x)
+        rev_sts = tuple(reversed(cfg.spatio_temporal_scaling))
+        for i, ub in enumerate(params["up_blocks"]):
+            if "conv_in" in ub:
+                x = resnet(ub["conv_in"], x)
+            if "resample" in ub:
+                rs = ub["resample"]
+                b, c, tt, hh, ww = x.shape
+                x = conv3(rs["time_conv"], x)
+                x = x.view(b, 2, c, tt, hh, ww).permute(
+                    0, 2, 3, 1, 4, 5).reshape(b, c, tt * 2, hh, ww)
+                x = x[:, :, 1:]
+                b, c, t2, hh, ww = x.shape
+                y = x.permute(0, 2, 1, 3, 4).reshape(b * t2, c, hh, ww)
+                y = F.interpolate(y.float(), scale_factor=2.0,
+                                  mode="nearest-exact")
+                y = F.conv2d(y, t(rs["conv"]["w"]), t(rs["conv"]["b"]),
+                             padding=1)
+                x = y.view(b, t2, -1, 2 * hh, 2 * ww).permute(
+                    0, 2, 1, 3, 4)
+            for rp in ub["resnets"]:
+                x = resnet(rp, x, relu_first=rev_sts[i])
+        x = rms(x)
+        b, c, tt, hh, ww = x.shape
+        y = x.permute(0, 2, 1, 3, 4).reshape(b * tt, c, hh, ww)
+        y = F.conv2d(y, t(params["upsampler2d"]["w"]),
+                     t(params["upsampler2d"]["b"]), padding=1)
+        y = F.pixel_shuffle(y, 2)
+        x = y.view(b, tt, -1, 2 * hh, 2 * ww).permute(0, 2, 1, 3, 4)
+        x = F.silu(rms(x))
+        want = conv3(params["conv_out"], x).numpy()
+    np.testing.assert_allclose(ours, want, rtol=1e-4, atol=1e-4)
+
+
+def test_turbo_vaed_loader_roundtrip():
+    from wan2gp_tpu.models.magi.turbo_vae import (
+        TurboVAEDConfig, init_turbo_vaed, turbo_vaed_decode,
+        load_turbo_vaed_params)
+    cfg = TurboVAEDConfig(latent_channels=4, out_channels=3,
+                          block_out_channels=(4, 8),
+                          layers_per_block=(1, 1, 1),
+                          spatio_temporal_scaling=(True, False),
+                          spatio_only=(False, False))
+    params = init_turbo_vaed(jax.random.key(1), cfg)
+    sd = {}
+
+    def put_conv(name, p):
+        sd[f"decoder.{name}.conv.weight"] = np.asarray(p["w"])
+        sd[f"decoder.{name}.conv.bias"] = np.asarray(p["b"])
+
+    def put_resnet(name, p):
+        put_conv(f"{name}.conv1", p["conv1"])
+        put_conv(f"{name}.conv2", p["conv2"])
+        if "shortcut" in p:
+            put_conv(f"{name}.conv_shortcut", p["shortcut"])
+
+    put_conv("conv_in", params["conv_in"])
+    for j, rp in enumerate(params["mid"]):
+        put_resnet(f"mid_block.resnets.{j}", rp)
+    for i, ub in enumerate(params["up_blocks"]):
+        if "conv_in" in ub:
+            put_resnet(f"up_blocks.{i}.conv_in", ub["conv_in"])
+        if "resample" in ub:
+            rs = ub["resample"]
+            sd[f"decoder.up_blocks.{i}.upsamplers.0.resample.1.weight"] \
+                = np.asarray(rs["conv"]["w"])
+            sd[f"decoder.up_blocks.{i}.upsamplers.0.resample.1.bias"] \
+                = np.asarray(rs["conv"]["b"])
+            put_conv(f"up_blocks.{i}.upsamplers.0.time_conv",
+                     rs["time_conv"])
+        for j, rp in enumerate(ub["resnets"]):
+            put_resnet(f"up_blocks.{i}.resnets.{j}", rp)
+    sd["decoder.upsampler2d_1.conv.weight"] = np.asarray(
+        params["upsampler2d"]["w"])
+    sd["decoder.upsampler2d_1.conv.bias"] = np.asarray(
+        params["upsampler2d"]["b"])
+    put_conv("conv_out", params["conv_out"])
+    sd["mean"] = np.zeros(4, np.float32)
+    sd["std"] = np.ones(4, np.float32)
+    loaded, left = load_turbo_vaed_params(sd, cfg)
+    assert left == []
+    z = jnp.asarray(np.random.default_rng(2).standard_normal(
+        (1, 4, 2, 4, 4)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(turbo_vaed_decode(loaded, cfg, z)),
+        np.asarray(turbo_vaed_decode(params, cfg, z)), atol=1e-5)

@@ -50,6 +50,9 @@ class MagiFamilyHandler:
                 {"role": "vae", "urls": [base + "wan2.2_vae.safetensors"]},
                 {"role": "audio_vae", "urls": [
                     base + "stable_audio_open_vae.safetensors"]},
+                {"role": "turbo_vae", "urls": [
+                    base + "turbo_vae/TurboV3-Wan22-TinyShallow_7_7"
+                    ".safetensors"]},
                 {"role": "text_encoder",
                  "urls": [base + "t5gemma_encoder_bf16.safetensors"]}]
 
@@ -100,6 +103,24 @@ class MagiFamilyHandler:
             pipe.audio_vae_decode_fn = (
                 lambda lat: sa_audio_decode(ap, acfg, lat))
             pipe.audio_sample_rate = acfg.sample_rate
+        if checkpoints and checkpoints.get("turbo_vae"):
+            # distilled fast decoder replaces the full Wan2.2 VAE decode
+            # (magi_human_model.py:235-237, :443 _decode_video)
+            from ..io.safetensors_reader import load_weights
+            from ..models.magi.turbo_vae import (TurboVAEDConfig,
+                                                 load_turbo_vaed_params,
+                                                 turbo_vaed_decode)
+            tcfg = TurboVAEDConfig()
+            tp, _ = load_turbo_vaed_params(
+                load_weights(checkpoints["turbo_vae"]), tcfg)
+
+            def turbo_decode(z):
+                # pipeline passes [B, F, H, W, C]; decoder wants NCTHW
+                zc = jnp.transpose(jnp.asarray(z), (0, 4, 1, 2, 3))
+                px = turbo_vaed_decode(tp, tcfg, zc)
+                return jnp.clip(jnp.transpose(px, (0, 2, 3, 4, 1)),
+                                -1.0, 1.0)
+            pipe.vae_decode_fn = turbo_decode
         return pipe
 
     @staticmethod

@@ -76,6 +76,10 @@ _ARCH: Dict[str, Dict[str, Any]] = {
     "animate": dict(dim=5120, ffn_dim=13824, num_heads=40, num_layers=40,
                     model_type="i2v", in_dim=36, vae_stride=(4, 8, 8),
                     animate=True),
+    # Ovi joint audio+video (ovi_fusion_engine.py; twin 5B stacks)
+    "ovi": dict(dim=3072, ffn_dim=14336, num_heads=24, num_layers=30,
+                model_type="t2v", in_dim=48, out_dim=48,
+                vae_stride=(4, 16, 16), ovi=True),
     # SteadyDancer pose-conditioned i2v (models/wan/steadydancer/,
     # model.py:1253-1278)
     "steadydancer": dict(dim=5120, ffn_dim=13824, num_heads=40,
@@ -172,6 +176,8 @@ class WanFamilyHandler:
             "wanmove_class": arch.get("wanmove", False),
             "animate_class": arch.get("animate", False),
             "steadydancer_class": arch.get("steadydancer", False),
+            "ovi_class": arch.get("ovi", False),
+            "audio_outputs": arch.get("ovi", False),
             "multiple_submodels": arch.get("experts", 1) > 1,
             "sliding_window": True,
             "tea_cache": arch.get("experts", 1) == 1,
@@ -258,6 +264,10 @@ class WanFamilyHandler:
                    seed: int = 0) -> WanPipeline:
         """checkpoints: {"transformer": path, "text_encoder": path,
         "vae": path, ...}.  init_random builds random weights (tests/bench)."""
+        if _ARCH[base_model_type].get("ovi"):
+            return cls._load_ovi(model_def, checkpoints, dtype,
+                                 attn_backend, init_random, tokenizer,
+                                 seed)
         from ..io.safetensors_reader import load_weights as load_safetensors
         from ..io.wan_checkpoint import (
             normalize_wan_sd, load_wan_dit_params, load_t5_params,
@@ -464,3 +474,77 @@ class WanFamilyHandler:
         for k, v in multitalk_extras.items():
             setattr(pipe, k, v)
         return pipe
+
+    @classmethod
+    def _load_ovi(cls, model_def, checkpoints, dtype, attn_backend,
+                  init_random, tokenizer, seed):
+        """Ovi twin-stack loader (ovi_fusion_engine.py:50-127): video +
+        audio Wan checkpoints with injected fusion kv projections."""
+        import dataclasses as _dc
+        from ..models.wan.ovi import (OVI_VIDEO, OVI_AUDIO, OviPipeline,
+                                      init_ovi_fusion,
+                                      load_ovi_fusion_params)
+        vcfg = WanDiTConfig(**OVI_VIDEO, compute_dtype=dtype)
+        acfg = _dc.replace(WanDiTConfig(**OVI_AUDIO, compute_dtype=dtype),
+                           patch_size=(1, 1, 1))
+        t5_cfg = T5Config()
+        text_fn = vae_dec = vae_enc = None
+        if init_random:
+            k = jax.random.split(jax.random.key(seed), 4)
+            vp = init_wan_dit(k[0], vcfg, dtype)
+            ap = init_wan_dit(k[1], acfg, dtype)
+            vfu = init_ovi_fusion(k[2], vcfg.num_layers, vcfg.dim, dtype)
+            afu = init_ovi_fusion(k[3], acfg.num_layers, acfg.dim, dtype)
+        else:
+            from ..io.safetensors_reader import load_weights
+            from ..io.wan_checkpoint import (normalize_wan_sd,
+                                             load_wan_dit_params,
+                                             load_t5_params,
+                                             load_wan_vae_params)
+            vsd = normalize_wan_sd(load_weights(
+                checkpoints["transformer"]))
+            vfu = load_ovi_fusion_params(vsd, vcfg.num_layers, dtype)
+            vp, left = load_wan_dit_params(vsd, vcfg, dtype)
+            if left:
+                raise ValueError(f"unconsumed ovi video keys: {left[:8]}")
+            asd = normalize_wan_sd(load_weights(
+                checkpoints["transformer2"]))
+            afu = load_ovi_fusion_params(asd, acfg.num_layers, dtype)
+            ap, left = load_wan_dit_params(asd, acfg, dtype)
+            if left:
+                raise ValueError(f"unconsumed ovi audio keys: {left[:8]}")
+            if checkpoints.get("text_encoder"):
+                t5_sd = load_weights(checkpoints["text_encoder"])
+                t5_params, _ = load_t5_params(t5_sd, t5_cfg, dtype)
+                from ..models.wan.t5 import t5_encode
+
+                def text_fn(prompts, max_len=512):
+                    tok = tokenizer
+                    if tok is None:
+                        import numpy as _np
+                        raws = [(p.encode()[:max_len] or b"\x00")
+                                for p in prompts]
+                        n = max(len(r) for r in raws)
+                        ids = _np.zeros((len(raws), n), _np.int32)
+                        mask = _np.zeros((len(raws), n), _np.int32)
+                        for i, r in enumerate(raws):
+                            ids[i, :len(r)] = _np.frombuffer(r, _np.uint8)
+                            mask[i, :len(r)] = 1
+                    else:
+                        ids, mask = tok(prompts, max_len)
+                    out = t5_encode(t5_params, t5_cfg, jnp.asarray(ids),
+                                    jnp.asarray(mask))
+                    return out.astype(jnp.float32)
+            if checkpoints.get("vae"):
+                from ..models.wan import vae2_2 as v22
+                vvcfg = Wan22VAEConfig()
+                vparams, _ = load_wan_vae_params(
+                    load_weights(checkpoints["vae"]), vvcfg)
+                vae_dec = (lambda z: jnp.clip(
+                    v22.wan22_vae_decode(vparams, vvcfg, z), -1, 1))
+                vae_enc = (lambda p: v22.wan22_vae_encode(
+                    vparams, vvcfg, p))
+        return OviPipeline(vp, ap, vfu, afu, vcfg, acfg,
+                           text_encode_fn=text_fn, vae_decode_fn=vae_dec,
+                           vae_encode_fn=vae_enc,
+                           attn_backend=attn_backend)

@@ -304,6 +304,29 @@ class GenerationService:
                     sample_rate=audio_sr,
                     metadata=_clean_settings(merged)))
             return self.plugins.apply_postprocess_hooks(outputs, merged)
+        if model_def.get("ovi_class"):
+            # Ovi joint audio+video (ovi_fusion_engine.py:129-331)
+            video, audio = pipe.generate(
+                prompt=merged.get("prompt", ""),
+                n_prompt=merged.get("negative_prompt", ""),
+                audio_n_prompt=merged.get("audio_negative_prompt", ""),
+                width=width, height=height, frame_num=frame_num,
+                steps=int(merged.get("num_inference_steps", 50)),
+                shift=float(merged.get("flow_shift", 5.0)),
+                guide_scale=float(merged.get("guidance_scale", 5.0)),
+                audio_guide_scale=float(
+                    merged.get("audio_guidance_scale", 4.0)),
+                seed=seed, image_start=merged.get("_image_start"))
+            fps = int(merged.get("fps", 24) or 24)
+            path = os.path.join(self.output_dir,
+                                f"{model_type}_{stamp}_{seed}.avi")
+            audio_np = np.asarray(audio)
+            has_wave = audio_np.ndim <= 2 and audio_np.size > 1000
+            media.save_video(np.asarray(video), path, fps=fps,
+                             metadata=_clean_settings(merged),
+                             audio=(audio_np if has_wave else None),
+                             audio_sample_rate=16000)
+            return self.plugins.apply_postprocess_hooks([path], merged)
         if model_def.get("steadydancer_class") \
                 and merged.get("_pose_video") is not None \
                 and merged.get("_image_start") is not None:

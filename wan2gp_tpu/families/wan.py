@@ -544,7 +544,26 @@ class WanFamilyHandler:
                     v22.wan22_vae_decode(vparams, vvcfg, z), -1, 1))
                 vae_enc = (lambda p: v22.wan22_vae_encode(
                     vparams, vvcfg, p))
+        audio_dec = None
+        if not init_random and checkpoints and \
+                checkpoints.get("audio_vae"):
+            # MMAudio TOD-VAE + BigVGAN 16k (ovi_fusion_engine.py:37-48)
+            from ..io.safetensors_reader import load_weights
+            from ..postprocessing.mmaudio_vae import (
+                MMAudioVAEConfig, BigVGANConfig,
+                load_mmaudio_vae_params, load_bigvgan_vocoder_params,
+                mmaudio_latents_to_wave)
+            avcfg = MMAudioVAEConfig()
+            av, _ = load_mmaudio_vae_params(
+                load_weights(checkpoints["audio_vae"]), avcfg)
+            if checkpoints.get("vocoder"):
+                bcfg = BigVGANConfig()
+                bv, _ = load_bigvgan_vocoder_params(
+                    load_weights(checkpoints["vocoder"]), bcfg)
+                audio_dec = (lambda z: mmaudio_latents_to_wave(
+                    av, bv, z, avcfg, bcfg))
         return OviPipeline(vp, ap, vfu, afu, vcfg, acfg,
                            text_encode_fn=text_fn, vae_decode_fn=vae_dec,
                            vae_encode_fn=vae_enc,
+                           audio_vae_decode_fn=audio_dec,
                            attn_backend=attn_backend)

@@ -185,3 +185,130 @@ def test_bigvgan_shapes():
     assert wave.shape == (1, 40)             # x4 upsample
     assert np.isfinite(np.asarray(wave)).all()
     assert np.abs(np.asarray(wave)).max() <= 1.0
+
+
+# -- MMAudio flow network ---------------------------------------------------
+
+def test_mmaudio_net_forward_and_generate():
+    from wan2gp_tpu.postprocessing.mmaudio_net import (
+        MMAudioNetConfig, init_mmaudio_net,
+        mmaudio_preprocess_conditions, empty_conditions,
+        mmaudio_predict_flow, mmaudio_generate_latents)
+    cfg = MMAudioNetConfig(latent_dim=4, clip_dim=8, sync_dim=16,
+                           text_dim=8, hidden_dim=16, depth=3,
+                           fused_depth=1, num_heads=2,
+                           latent_seq_len=10, clip_seq_len=4,
+                           sync_seq_len=8, text_seq_len=5)
+    params = init_mmaudio_net(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    clip_f = jnp.asarray(rng.standard_normal((1, 4, 8)), jnp.float32)
+    sync_f = jnp.asarray(rng.standard_normal((1, 8, 16)), jnp.float32)
+    text_f = jnp.asarray(rng.standard_normal((1, 5, 8)), jnp.float32)
+    cond = mmaudio_preprocess_conditions(params, cfg, clip_f, sync_f,
+                                         text_f)
+    assert cond["sync_f"].shape == (1, 10, 16)   # resampled to latent
+    lat = jnp.asarray(rng.standard_normal((1, 10, 4)), jnp.float32)
+    v1 = mmaudio_predict_flow(params, cfg, lat, jnp.asarray([0.3]),
+                              cond)
+    assert v1.shape == (1, 10, 4)
+    assert np.isfinite(np.asarray(v1)).all()
+    # timestep and text features steer the flow
+    v2 = mmaudio_predict_flow(params, cfg, lat, jnp.asarray([0.9]),
+                              cond)
+    assert not np.allclose(np.asarray(v1), np.asarray(v2))
+    cond2 = mmaudio_preprocess_conditions(params, cfg, clip_f, sync_f,
+                                          text_f * -1.0)
+    v3 = mmaudio_predict_flow(params, cfg, lat, jnp.asarray([0.3]),
+                              cond2)
+    assert not np.allclose(np.asarray(v1), np.asarray(v3))
+
+    un = empty_conditions(params, cfg)
+    out = mmaudio_generate_latents(params, cfg, cond, un, num_steps=2,
+                                   cfg_strength=4.5,
+                                   key=jax.random.key(1))
+    assert out.shape == (1, 10, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_mmaudio_net_loader_roundtrip():
+    from wan2gp_tpu.postprocessing.mmaudio_net import (
+        MMAudioNetConfig, init_mmaudio_net, load_mmaudio_net_params,
+        mmaudio_preprocess_conditions, mmaudio_predict_flow)
+    cfg = MMAudioNetConfig(latent_dim=4, clip_dim=8, sync_dim=16,
+                           text_dim=8, hidden_dim=16, depth=3,
+                           fused_depth=1, num_heads=2,
+                           latent_seq_len=10, clip_seq_len=4,
+                           sync_seq_len=8, text_seq_len=5)
+    params = init_mmaudio_net(jax.random.key(2), cfg)
+    sd = {}
+
+    def put_lin(name, p):
+        sd[f"{name}.weight"] = np.asarray(p["w"]).T
+        if "b" in p:
+            sd[f"{name}.bias"] = np.asarray(p["b"])
+
+    def put_auto(name, p):
+        w = np.asarray(p["w"])
+        if w.ndim == 3:
+            sd[f"{name}.weight"] = w.transpose(2, 1, 0)
+            if "b" in p:
+                sd[f"{name}.bias"] = np.asarray(p["b"])
+        else:
+            put_lin(name, p)
+
+    def put_swiglu(name, p):
+        for k in ("w1", "w2", "w3"):
+            put_auto(f"{name}.{k}", p[k])
+
+    put_auto("audio_input_proj.0", params["audio_in"]["in"])
+    put_swiglu("audio_input_proj.2", params["audio_in"]["mlp"])
+    put_auto("clip_input_proj.0", params["clip_in"]["in"])
+    put_swiglu("clip_input_proj.1", params["clip_in"]["mlp"])
+    put_auto("sync_input_proj.0", params["sync_in"]["in"])
+    put_swiglu("sync_input_proj.2", params["sync_in"]["mlp"])
+    put_auto("text_input_proj.0", params["text_in"]["in"])
+    put_swiglu("text_input_proj.1", params["text_in"]["mlp"])
+    put_lin("clip_cond_proj", params["clip_cond_proj"])
+    put_lin("text_cond_proj", params["text_cond_proj"])
+    put_swiglu("global_cond_mlp", params["global_cond_mlp"])
+    sd["sync_pos_emb"] = np.asarray(params["sync_pos_emb"])
+    put_lin("t_embed.mlp.0", params["t_embed"]["fc1"])
+    put_lin("t_embed.mlp.2", params["t_embed"]["fc2"])
+    put_lin("final_layer.adaLN_modulation.1", params["final_mod"])
+    put_auto("final_layer.conv", params["final_conv"])
+    for k in ("latent_mean", "latent_std", "empty_string_feat",
+              "empty_clip_feat", "empty_sync_feat"):
+        sd[k] = np.asarray(params[k])
+
+    def put_block(name, bp):
+        put_lin(f"{name}.attn.qkv", bp["qkv"])
+        sd[f"{name}.attn.q_norm.weight"] = np.asarray(bp["q_norm"])
+        sd[f"{name}.attn.k_norm.weight"] = np.asarray(bp["k_norm"])
+        put_lin(f"{name}.adaLN_modulation.1", bp["mod"])
+        if not bp["pre_only"]:
+            put_auto(f"{name}.linear1", bp["linear1"])
+            put_swiglu(f"{name}.ffn", bp["ffn"])
+
+    for i, jb in enumerate(params["joint_blocks"]):
+        put_block(f"joint_blocks.{i}.latent_block", jb["latent"])
+        put_block(f"joint_blocks.{i}.clip_block", jb["clip"])
+        put_block(f"joint_blocks.{i}.text_block", jb["text"])
+    for i, fb in enumerate(params["fused_blocks"]):
+        put_block(f"fused_blocks.{i}", fb)
+    loaded, left = load_mmaudio_net_params(sd, cfg)
+    assert left == []
+    rng = np.random.default_rng(3)
+    clip_f = jnp.asarray(rng.standard_normal((1, 4, 8)), jnp.float32)
+    sync_f = jnp.asarray(rng.standard_normal((1, 8, 16)), jnp.float32)
+    text_f = jnp.asarray(rng.standard_normal((1, 5, 8)), jnp.float32)
+    lat = jnp.asarray(rng.standard_normal((1, 10, 4)), jnp.float32)
+    c1 = mmaudio_preprocess_conditions(params, cfg, clip_f, sync_f,
+                                       text_f)
+    c2 = mmaudio_preprocess_conditions(loaded, cfg, clip_f, sync_f,
+                                       text_f)
+    np.testing.assert_allclose(
+        np.asarray(mmaudio_predict_flow(loaded, cfg, lat,
+                                        jnp.asarray([0.4]), c2)),
+        np.asarray(mmaudio_predict_flow(params, cfg, lat,
+                                        jnp.asarray([0.4]), c1)),
+        atol=1e-5)

@@ -72,3 +72,51 @@ def test_vl_enhance_with_image_prefix():
     out2 = enh.enhance_with_image(img2, "caption")
     assert isinstance(out1, str)
     assert out1 != out2      # image features steer the tokens
+
+
+def test_service_prompt_enhancer_with_model_instructions():
+    """Service-level enhancement (reference wgp.py prompt enhancer flow)
+    picks per-model instructions (Ideogram Magic Prompt)."""
+    from wan2gp_tpu.runtime.service import GenerationService
+    from wan2gp_tpu.families.ideogram4 import Ideogram4FamilyHandler
+
+    md = Ideogram4FamilyHandler.query_model_def("ideogram4", {})
+    assert "JSON" in md["text_prompt_enhancer_instructions"]
+
+    class FakeEnhancer:
+        def __init__(self):
+            self.calls = []
+
+        def enhance(self, prompts, is_image=False, system_prompt=None):
+            self.calls.append((prompts, is_image, system_prompt))
+            return [f"ENHANCED:{p}" for p in prompts]
+
+    svc = GenerationService(output_dir="/tmp/_enh_out")
+    svc.prompt_enhancer = FakeEnhancer()
+
+    captured = {}
+
+    class FakePipe:
+        pass
+
+    # monkeypatch through a tiny fake registry path: call generate on a
+    # model with audio_only to exit early through a stub handler
+    class FakeHandler:
+        @staticmethod
+        def generate_audio(pipe, merged, seed):
+            captured.update(merged)
+            return {"audio": np.zeros((16, 1), np.float32),
+                    "sample_rate": 16000}
+
+    svc._pipelines = {"ideogram4": FakePipe()}
+    svc.registry.models_def["ideogram4"] = dict(
+        svc.registry.models_def.get("ideogram4", {}),
+        audio_only=True,
+        text_prompt_enhancer_instructions=md[
+            "text_prompt_enhancer_instructions"])
+    svc.registry.handlers["ideogram4"] = FakeHandler
+    svc.generate({"model_type": "ideogram4", "prompt": "a cat",
+                  "prompt_enhancer": "T", "seed": 1})
+    assert captured.get("prompt") == "ENHANCED:a cat"
+    assert captured.get("original_prompt") == "a cat"
+    assert svc.prompt_enhancer.calls[0][2] is not None

@@ -43,9 +43,30 @@ class Ideogram4FamilyHandler:
     def query_family_infos():
         return {"ideogram4": (1130, "Ideogram 4")}
 
-    @staticmethod
-    def query_model_def(base_model_type, model_def):
-        return {"image_outputs": True, "group": "ideogram4"}
+    # Magic Prompt (reference models/ideogram4/prompt_enhancer.py +
+    # magic_prompt_system_prompts/v1.txt): rewrite the idea into the
+    # structured JSON caption Ideogram 4 was trained on.  Restated in
+    # our own words with the same output contract.
+    MAGIC_PROMPT = (
+        "You turn a short image idea into the structured JSON caption "
+        "this renderer was trained on.  Output exactly one minified "
+        "single-line JSON object with three keys in order: "
+        "aspect_ratio (a W:H string such as 1:1 or 16:9 — pick one "
+        "that suits the subject, never the word auto), "
+        "high_level_description (one vivid sentence summarizing the "
+        "whole image), and compositional_deconstruction (an object "
+        "with a background description string and an elements array; "
+        "each element describes one subject, object or piece of text "
+        "with its appearance, position and styling).  Any words the "
+        "user put in quotes must appear verbatim as the text field of "
+        "a text element.  Keep non-ASCII characters as-is.  Output "
+        "only the JSON object — no markdown, labels or commentary.")
+
+    @classmethod
+    def query_model_def(cls, base_model_type, model_def):
+        return {"image_outputs": True, "group": "ideogram4",
+                "text_prompt_enhancer_instructions": cls.MAGIC_PROMPT,
+                "prompt_enhancer_button_label": "Magic Prompt"}
 
     @staticmethod
     def default_settings(base_model_type: str) -> Dict[str, Any]:

@@ -188,6 +188,20 @@ class GenerationService:
         if on_progress:
             on_progress("status", f"generating with {model_type}")
 
+        if merged.get("prompt_enhancer") and \
+                getattr(self, "prompt_enhancer", None) is not None:
+            # per-model enhancer instructions (reference wgp.py
+            # process_prompt_enhancer; e.g. Ideogram's Magic Prompt,
+            # ideogram4_handler.py text_prompt_enhancer_instructions)
+            instructions = model_def.get(
+                "text_prompt_enhancer_instructions")
+            enhanced = self.prompt_enhancer.enhance(
+                [merged.get("prompt", "")],
+                is_image=bool(model_def.get("image_outputs")),
+                system_prompt=instructions)
+            merged = dict(merged, prompt=enhanced[0],
+                          original_prompt=merged.get("prompt", ""))
+
         if model_def.get("audio_only"):
             # TTS / music families: audio is the sole output (reference
             # models/TTS/*_handler.py; saved via save_audio_file,

@@ -382,3 +382,103 @@ def test_byt5_encode_fn_zeros_without_quotes():
     e1, m1 = fn('a sign "STOP"')
     assert np.asarray(m1).sum() > 0
     assert np.isfinite(np.asarray(e1)).all()
+
+
+# ---------------------------------------------------------------------------
+# HV1.5 SR upsampler (modules/upsample.py, pipeline:1473-1488)
+# ---------------------------------------------------------------------------
+
+def test_sr720_torch_oracle():
+    """SRTo720p vs inline torch re-derivation (causal replicate-pad
+    convs, conv-silu-conv-silu-conv residual blocks)."""
+    import torch
+    import torch.nn.functional as F
+    from wan2gp_tpu.models.hyvideo.upsampler import (
+        SR720Config, init_sr720, sr720_forward)
+    cfg = SR720Config(in_channels=4, out_channels=4, hidden_channels=6,
+                      num_blocks=2, global_residual=True)
+    params = init_sr720(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    z = rng.standard_normal((1, 3, 4, 4, 4)).astype(np.float32)
+    ours = np.asarray(sr720_forward(params, cfg, jnp.asarray(z)))
+
+    def t(a):
+        return torch.from_numpy(np.asarray(a, np.float32).copy())
+
+    def cconv(p, v):
+        # v [B, C, T, H, W]; our w [kt, kh, kw, in, out]; replicate pad
+        # on all axes, temporal left-only (hunyuanvideo_15_vae.py:148)
+        w = t(np.asarray(p["w"]).transpose(4, 3, 0, 1, 2))
+        k = w.shape[2]
+        v = F.pad(v, (1, 1, 1, 1, k - 1, 0), mode="replicate")
+        return F.conv3d(v, w, t(p["b"]))
+
+    with torch.no_grad():
+        x = t(z).permute(0, 4, 1, 2, 3)
+        y = cconv(params["in_conv"], x)
+        for blk in params["blocks"]:
+            h = F.silu(cconv(blk[0], y))
+            h = F.silu(cconv(blk[1], h))
+            h = cconv(blk[2], h)
+            y = y + h
+        y = cconv(params["out_conv"], y)
+        want = (y + x).permute(0, 2, 3, 4, 1).numpy()
+    np.testing.assert_allclose(ours, want, rtol=1e-4, atol=1e-4)
+
+
+def test_sr_loaders_roundtrip():
+    from wan2gp_tpu.models.hyvideo.upsampler import (
+        SR720Config, SR1080Config, init_sr720, init_sr1080,
+        sr720_forward, sr1080_forward, load_sr720_params,
+        load_sr1080_params)
+    cfg7 = SR720Config(in_channels=4, out_channels=4,
+                       hidden_channels=6, num_blocks=1)
+    p7 = init_sr720(jax.random.key(1), cfg7)
+    sd = {}
+
+    def put(name, p):
+        sd[f"{name}.conv.weight"] = np.asarray(
+            p["w"]).transpose(4, 3, 0, 1, 2)
+        sd[f"{name}.conv.bias"] = np.asarray(p["b"])
+
+    put("in_conv", p7["in_conv"])
+    for j, idx in enumerate((0, 2, 4)):
+        put(f"blocks.0.block.{idx}", p7["blocks"][0][j])
+    put("out_conv", p7["out_conv"])
+    l7, left = load_sr720_params(sd, cfg7)
+    assert left == []
+    z = jnp.asarray(np.random.default_rng(2).standard_normal(
+        (1, 2, 4, 4, 4)), jnp.float32)
+    np.testing.assert_allclose(np.asarray(sr720_forward(l7, cfg7, z)),
+                               np.asarray(sr720_forward(p7, cfg7, z)),
+                               atol=1e-6)
+
+    cfg10 = SR1080Config(z_channels=4, out_channels=4,
+                         block_out_channels=(8, 16), num_res_blocks=1)
+    p10 = init_sr1080(jax.random.key(3), cfg10)
+    out = sr1080_forward(p10, cfg10, z, target_hw=(8, 8))
+    assert out.shape == (1, 2, 8, 8, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_upsampler_pipeline_meanflow():
+    import dataclasses as dc
+    from wan2gp_tpu.models.hyvideo.upsampler import (SR720Config,
+                                                     init_sr720)
+    cfg = dc.replace(GLYPH15, in_channels=98, out_channels=32,
+                     meanflow=True)
+    params = init_hunyuan(jax.random.key(10), cfg, jnp.float32)
+    assert "time_r_in" in params
+    pipe = HunyuanPipeline(params, cfg, attn_backend="xla")
+    states, mask = _text()
+    sr_cfg = SR720Config(in_channels=32, out_channels=32,
+                         hidden_channels=6, num_blocks=1)
+    sr_p = init_sr720(jax.random.key(11), sr_cfg)
+    z = jnp.asarray(np.random.default_rng(5).standard_normal(
+        (1, 32, 2, 8, 8)), jnp.float32)
+    out = pipe.generate_upsample(
+        z, sr_params=sr_p, sr_cfg=sr_cfg,
+        sampling=HunyuanSamplingConfig(steps=2, guide_scale=1.0),
+        text_states=states, text_mask=mask)
+    assert out.shape == (1, 32, 2, 8, 8)
+    assert np.isfinite(np.asarray(out)).all()

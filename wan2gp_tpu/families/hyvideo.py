@@ -54,6 +54,10 @@ class HunyuanFamilyHandler:
             # HV1.5 glyph byT5 (hunyuan_handler.py:215-217 Glyph-SDXL-v2)
             files.append({"role": "byt5", "urls": [
                 base + "Glyph-SDXL-v2/byt5_model.safetensors"]})
+        if base_model_type == "hunyuan_1_5_upsampler":
+            files.append({"role": "sr_upsampler", "urls": [
+                base + "hunyuan_video_1.5_upsampler_720p_sr_distilled"
+                ".safetensors"]})
         return files
 
     @classmethod
@@ -66,6 +70,7 @@ class HunyuanFamilyHandler:
         vae_fn = None
         text_fn = None
         byt5_fn = None
+        sr_extras = {}
         if init_random:
             params = init_hunyuan(jax.random.key(seed), cfg, dtype)
         else:
@@ -80,17 +85,27 @@ class HunyuanFamilyHandler:
                     base_model_type, checkpoints, tokenizer, dtype)
             if checkpoints.get("byt5") and params.get("byt5_in") is not None:
                 byt5_fn = cls._load_byt5(checkpoints, dtype)
+            if checkpoints.get("sr_upsampler"):
+                from ..models.hyvideo.upsampler import (SR720Config,
+                                                        load_sr720_params)
+                scfg = SR720Config()
+                sp, _ = load_sr720_params(
+                    load_weights(checkpoints["sr_upsampler"]), scfg)
+                sr_extras = {"sr_params": sp, "sr_cfg": scfg}
         if not init_random and checkpoints and checkpoints.get("vae"):
             if "1_5" in base_model_type:
                 vae_fn = cls._load_vae15(checkpoints)
             else:
                 vae_fn = cls._load_vae(checkpoints)
         vae_stride = (4, 16, 16) if "1_5" in base_model_type else (4, 8, 8)
-        return HunyuanPipeline(params, cfg, vae_stride=vae_stride,
+        pipe = HunyuanPipeline(params, cfg, vae_stride=vae_stride,
                                vae_decode_fn=vae_fn,
                                text_encode_fn=text_fn,
                                byt5_encode_fn=byt5_fn,
                                attn_backend=attn_backend)
+        for k, v in sr_extras.items():
+            setattr(pipe, k, v)
+        return pipe
 
     @staticmethod
     def _load_byt5(checkpoints, dtype):

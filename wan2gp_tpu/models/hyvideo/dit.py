@@ -51,6 +51,7 @@ class HunyuanConfig:
     byt5_in_dim: int = 1472
     byt5_hidden: int = 2048
     cond_type_embed: bool = False    # models.py:823 use_cond_type_embedding
+    meanflow: bool = False           # models.py:723-727 time_r_in
     compute_dtype: Any = jnp.bfloat16
 
     @property
@@ -75,6 +76,14 @@ HUNYUAN_VIDEO_CONFIGS = {
                             mm_single_blocks_depth=0, text_pool=False,
                             in_channels=65, out_channels=32,
                             glyph_byt5=True, cond_type_embed=True),
+    # SR-distilled upsampler DiT (models.py HYVideo-1_5-upsampler:1364:
+    # meanflow time_r; in = 32 noise + 32 img + 1 mask + 32 lq + 1 mask)
+    "hunyuan_1_5_upsampler": dict(hidden_size=2048, heads_num=16,
+                                  mm_double_blocks_depth=54,
+                                  mm_single_blocks_depth=0,
+                                  text_pool=False, in_channels=98,
+                                  out_channels=32, glyph_byt5=True,
+                                  cond_type_embed=True, meanflow=True),
 }
 
 
@@ -199,6 +208,10 @@ def init_hunyuan(key, cfg: HunyuanConfig, dtype=jnp.bfloat16):
                               cfg.out_channels * pt * ph * pw, jnp.float32),
         },
     }
+    if cfg.meanflow:
+        # meanflow second timestep r (models.py:723-727 time_r_in)
+        params["time_r_in"] = _mlp_embedder(next(keys), 256, h,
+                                            jnp.float32)
     if cfg.text_pool:
         params["vector_in"] = _mlp_embedder(next(keys),
                                             cfg.text_states_dim_2, h,
@@ -390,7 +403,7 @@ def _single_block(bp, x, vec, cos, sin, cfg, attn_backend):
 def hunyuan_forward(params, cfg: HunyuanConfig, latents, t, text_states,
                     text_mask, text_pooled=None, guidance=None,
                     rope_cos=None, rope_sin=None, attn_backend="auto",
-                    byt5_states=None, byt5_mask=None):
+                    byt5_states=None, byt5_mask=None, t_r=None):
     """latents: [B, C, F, H, W]; t: [B] in 0..1000 (reference feeds t
     directly to sinusoidal embedding); text_states: [B, L, 4096];
     text_pooled: [B, 768] CLIP pooled (HV1); guidance: [B] cfg_scale*1000;
@@ -414,6 +427,9 @@ def hunyuan_forward(params, cfg: HunyuanConfig, latents, t, text_states,
 
     vec = _embed(params["time_in"], timestep_embedding(t, 256,
                                                        time_factor=1.0))
+    if cfg.meanflow and t_r is not None and "time_r_in" in params:
+        vec = vec + _embed(params["time_r_in"],
+                           timestep_embedding(t_r, 256, time_factor=1.0))
     if cfg.text_pool and text_pooled is not None:
         vec = vec + _embed(params["vector_in"],
                            text_pooled.astype(jnp.float32))

@@ -150,6 +150,77 @@ class HunyuanPipeline:
         self.attn_backend = attn_backend
         self._cache: Dict[Any, Any] = {}
 
+    def generate_upsample(self, video_latents, prompt: str = "",
+                          sr_params=None, sr_cfg=None,
+                          sampling: HunyuanSamplingConfig = None,
+                          seed: int = 0, noise_scale: float = 0.7,
+                          text_states=None, text_mask=None,
+                          return_latents: bool = True):
+        """HV1.5 SR upsampling (pipeline_hunyuan_video.py:1473-1488,
+        1602-1612): SR-refine the low-quality latents, noise-mix at
+        `noise_scale`, then meanflow-denoise with the 98-channel
+        conditioning [noise | img(0) | mask(0) | lq | lq_mask]; the lq
+        channels switch to zeros once t < 1000 * noise_scale.
+
+        video_latents: [1, 32, F, h, w] encoded low-res video latents
+        (already bilinearly resized to the target latent grid for the
+        720p path)."""
+        from .upsampler import sr720_forward, sr1080_forward
+        sampling = sampling or HunyuanSamplingConfig(steps=4,
+                                                     guide_scale=1.0)
+        if text_states is None:
+            text_states, text_mask, _ = self.text_encode_fn(prompt)
+        z = jnp.asarray(video_latents, jnp.float32)
+        z_tl = z.transpose(0, 2, 3, 4, 1)       # [B, F, h, w, C]
+        if sr_params is not None:
+            from .upsampler import SR720Config
+            fwd = (sr720_forward if isinstance(sr_cfg, SR720Config)
+                   else sr1080_forward)
+            z_tl = fwd(sr_params, sr_cfg, z_tl)
+        lq = z_tl.transpose(0, 4, 1, 2, 3)      # [B, 32, F, h, w]
+        key = jax.random.key(seed)
+        noise_lq = jax.random.normal(key, lq.shape, jnp.float32)
+        lq = (1 - noise_scale) * lq + noise_scale * noise_lq
+        ones_mask = jnp.ones((1, 1, *lq.shape[2:]), jnp.float32)
+        lq_cond = jnp.concatenate([lq, ones_mask], axis=1)
+        zero_cond = jnp.zeros_like(lq_cond)
+        img_cond = jnp.zeros((1, 33, *lq.shape[2:]), jnp.float32)
+
+        latents = jax.random.normal(jax.random.split(key)[0], lq.shape,
+                                    jnp.float32)
+        sigmas = jnp.asarray(hunyuan_schedule(sampling.steps,
+                                              sampling.shift),
+                             jnp.float32)
+        ts = sigmas * 1000.0
+        pt, ph, pw = self.dit_cfg.patch_size
+        grid = (lq.shape[2] // pt, lq.shape[3] // ph, lq.shape[4] // pw)
+        cos, sin = build_hunyuan_rope(grid, self.dit_cfg.rope_dim_list,
+                                      text_states.shape[1])
+
+        def scan(params, latents):
+            def body(x, i):
+                t = ts[i]
+                t_r = ts[i + 1]
+                cond = jnp.where(t < 1000.0 * noise_scale, zero_cond,
+                                 lq_cond)
+                xin = jnp.concatenate([x, img_cond, cond], axis=1)
+                v = hunyuan_forward(params, self.dit_cfg, xin,
+                                    jnp.broadcast_to(t, (1,)),
+                                    text_states, text_mask,
+                                    rope_cos=cos, rope_sin=sin,
+                                    attn_backend=self.attn_backend,
+                                    t_r=jnp.broadcast_to(t_r, (1,)))
+                return x + v * (sigmas[i + 1] - sigmas[i]), None
+
+            x, _ = jax.lax.scan(body, latents.astype(jnp.float32),
+                                jnp.arange(sampling.steps))
+            return x
+
+        x = jax.jit(scan)(self.dit_params, latents)
+        if return_latents or self.vae_decode_fn is None:
+            return x
+        return self.vae_decode_fn(x)
+
     def generate(self, prompt: str = "", width: int = 832, height: int = 480,
                  frame_num: int = 97, seed: int = 0,
                  sampling: HunyuanSamplingConfig = HunyuanSamplingConfig(),

@@ -102,3 +102,156 @@ def test_service_tools():
     assert tools["list_models"].fn() == {"models": ["t2v"]}
     assert tools["get_default_settings"].fn("t2v")[
         "num_inference_steps"] == 30
+
+
+def _write_clip(path, t=6, h=16, w=24, fps=4, with_audio=False,
+                seed=0):
+    import numpy as np
+    from wan2gp_tpu.utils import media
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 255, (t, h, w, 3), dtype=np.uint8)
+    audio = None
+    if with_audio:
+        audio = np.sin(np.linspace(0, 40, int(16000 * t / fps),
+                                   dtype=np.float32))[:, None]
+    media.save_video(frames, path, fps=fps, metadata={"fps": fps},
+                     audio=audio, audio_sample_rate=16000)
+    return frames
+
+
+def test_media_registry_resolve():
+    from wan2gp_tpu.media_registry import MediaRegistry
+    reg = MediaRegistry()
+    reg.register("/tmp/a_cat.avi", "video", prompt="a fluffy cat")
+    reg.register("/tmp/b_dog.avi", "video", prompt="a big dog")
+    reg.register("/tmp/c.png", "image", prompt="a sunset")
+    # aliases
+    assert reg.resolve("the last video", "video")["path"].endswith(
+        "b_dog.avi")
+    assert reg.resolve("previous video", "video")["path"].endswith(
+        "a_cat.avi")
+    # type filter + last
+    assert reg.resolve("latest", "image")["path"].endswith("c.png")
+    # token match on prompt
+    hit = reg.resolve("the cat clip")
+    assert hit["status"] == "resolved" and "a_cat" in hit["path"]
+    # id lookup
+    mid = reg.list("image")[0]["media_id"]
+    assert reg.resolve(mid)["media_type"] == "image"
+    # empty registry
+    assert MediaRegistry().resolve("last")["status"] == "empty"
+    # re-registering a path refreshes instead of duplicating
+    n = len(reg.list(limit=100))
+    reg.register("/tmp/c.png", "image", prompt="a sunset v2")
+    assert len(reg.list(limit=100)) == n
+
+
+def test_video_tools_roundtrip(tmp_path):
+    import numpy as np
+    from wan2gp_tpu.utils import video_tools as vt
+    from wan2gp_tpu.utils import media
+    p1 = str(tmp_path / "one.avi")
+    p2 = str(tmp_path / "two.avi")
+    f1 = _write_clip(p1, t=6, with_audio=True, seed=0)
+    _write_clip(p2, t=4, with_audio=True, seed=1)
+    info = vt.video_info(p1)
+    assert info["frames"] == 6 and info["fps"] == 4
+    assert info["has_audio"]
+    # merge: 6 + 4 frames
+    merged = str(tmp_path / "merged.avi")
+    vt.merge_videos(p1, p2, merged)
+    assert vt.video_info(merged)["frames"] == 10
+    assert media.read_avi_audio(merged) is not None
+    # trim 0.5s..1.0s at fps 4 -> frames 2..4
+    trimmed = str(tmp_path / "trim.avi")
+    vt.extract_video(p1, trimmed, 0.5, 1.0)
+    assert vt.video_info(trimmed)["frames"] == 2
+    # frame extraction matches the source frame (JPEG-lossy: loose)
+    png = str(tmp_path / "frame.png")
+    vt.extract_video_frame(p1, png, frame_no=3)
+    from PIL import Image
+    got = np.asarray(Image.open(png))
+    src = media.read_mjpeg_avi(p1)[3]
+    assert got.shape == src.shape
+    assert np.mean(np.abs(got.astype(float) - src.astype(float))) < 30
+    # audio extraction
+    wav = vt.extract_audio(p1, str(tmp_path / "a.wav"))
+    wave, sr = media.read_wav(wav)
+    assert sr == 16000 and wave.shape[0] > 0
+    # resize
+    rs = str(tmp_path / "small.avi")
+    vt.resize_video(p1, rs, height=8, width=12)
+    i2 = vt.video_info(rs)
+    assert (i2["height"], i2["width"]) == (8, 12)
+    # resize_frames identity when same size
+    same = vt.resize_frames(f1, f1.shape[1], f1.shape[2])
+    assert np.array_equal(same, f1)
+
+
+def test_media_tools_agent_integration(tmp_path):
+    from wan2gp_tpu.agent import build_media_tools
+    from wan2gp_tpu.media_registry import MediaRegistry
+    reg = MediaRegistry()
+    p1 = str(tmp_path / "clip.avi")
+    _write_clip(p1, t=5, with_audio=True)
+    reg.register(p1, "video", prompt="dancing robot")
+    tools = {t.name: t for t in build_media_tools(
+        reg, transcribe_fn=lambda path: "hello world")}
+    # registry-reference resolution inside a tool arg
+    info = tools["get_video_info"].fn("the last video")
+    assert info["frames"] == 5
+    out = tools["trim_video"].fn("dancing robot",
+                                 str(tmp_path / "cut.avi"), 0.0, 0.5)
+    assert out["media_type"] == "video"
+    assert len(reg.list("video", 10)) == 2
+    # transcription goes via audio extraction for videos
+    assert tools["transcribe"].fn(p1) == {"text": "hello world"}
+    notools = {t.name: t for t in build_media_tools(MediaRegistry())}
+    assert "error" in notools["transcribe"].fn(p1)
+    assert tools["list_media"].fn("video")["media"][0][
+        "media_id"].startswith("m")
+
+
+def test_build_agent_and_console(tmp_path):
+    from wan2gp_tpu.agent import build_agent, run_console
+
+    class FakeResult:
+        def __init__(self, outputs):
+            self.outputs = outputs
+
+    class FakeSession:
+        def __init__(self):
+            self.out = str(tmp_path / "gen.avi")
+
+        def submit_task(self, task):
+            _write_clip(self.out, t=4)
+            return 1
+
+        def wait(self):
+            return [FakeResult([self.out])]
+
+        def list_models(self):
+            return ["t2v"]
+
+        def default_settings(self, m):
+            return {"steps": 30}
+
+    script = iter([
+        '<tool_call>{"name": "gen_video", "arguments": '
+        '{"prompt": "a robot"}}</tool_call>',
+        'Generated your robot video.',
+    ])
+    agent = build_agent(FakeSession(), lambda p: next(script))
+    ans = agent.chat("make a robot video")
+    assert ans == "Generated your robot video."
+    # output landed in the registry with the prompt attached
+    rec = agent.media_registry.resolve("the robot video")
+    assert rec["status"] == "resolved" and rec["path"].endswith("gen.avi")
+    # console REPL drives chat and exits cleanly
+    lines = iter(["what did I make?", "exit"])
+    script2 = iter(["You made a robot video."])
+    agent.generate_fn = lambda p: next(script2)
+    printed = []
+    run_console(agent, input_fn=lambda _: next(lines),
+                print_fn=printed.append)
+    assert any("robot video" in s for s in printed)

@@ -18,6 +18,7 @@ from __future__ import annotations
 import dataclasses
 import inspect
 import json
+import os
 import re
 from typing import Any, Callable, Dict, List, Optional
 
@@ -139,12 +140,138 @@ class DeepyAgent:
         return "(max tool turns reached)"
 
 
-def build_service_tools(session) -> List[Tool]:
+def build_media_tools(registry=None,
+                      transcribe_fn: Optional[Callable[[str], str]] = None
+                      ) -> List[Tool]:
+    """Media registry + video chore tools (reference shared/deepy/
+    media_registry.py, video_tools.py, transcription.py).
+
+    ``transcribe_fn(audio_path) -> text`` is a pluggable hook — the
+    reference loads whisper-medium (transcription.py:40); here any
+    speech-to-text callable can be injected, and the tool reports
+    unavailability otherwise."""
+    from .media_registry import MediaRegistry
+    from .utils import video_tools as vt
+    registry = registry if registry is not None else MediaRegistry()
+
+    def list_media(media_type: str = "any", limit: int = 20) -> dict:
+        return {"media": registry.list(media_type, limit)}
+
+    def find_media(reference: str, media_type: str = "any") -> dict:
+        return registry.resolve(reference, media_type)
+
+    def get_video_info(path: str) -> dict:
+        return vt.video_info(_resolve_path(path))
+
+    def merge_videos(first: str, second: str, output_path: str) -> dict:
+        out = vt.merge_videos(_resolve_path(first), _resolve_path(second),
+                              output_path)
+        return registry.register(out, "video",
+                                 label=os.path.basename(out))
+
+    def trim_video(source: str, output_path: str,
+                   start_time: float = 0.0,
+                   end_time: float = -1.0) -> dict:
+        out = vt.extract_video(
+            _resolve_path(source), output_path, start_time,
+            None if end_time < 0 else end_time)
+        return registry.register(out, "video")
+
+    def extract_frame(source: str, output_path: str,
+                      time_seconds: float = 0.0) -> dict:
+        out = vt.extract_video_frame(_resolve_path(source), output_path,
+                                     time_seconds=time_seconds)
+        return registry.register(out, "image")
+
+    def extract_audio(source: str, output_path: str) -> dict:
+        out = vt.extract_audio(_resolve_path(source), output_path)
+        return registry.register(out, "audio")
+
+    def resize_video(source: str, output_path: str, width: int,
+                     height: int) -> dict:
+        out = vt.resize_video(_resolve_path(source), output_path,
+                              height, width)
+        return registry.register(out, "video")
+
+    def transcribe(source: str) -> dict:
+        if transcribe_fn is None:
+            return {"error": "no speech-to-text model is configured"}
+        path = _resolve_path(source)
+        if path.lower().endswith((".avi", ".mp4")):
+            import tempfile
+            tmp = tempfile.mktemp(suffix=".wav")
+            path = vt.extract_audio(path, tmp)
+        return {"text": transcribe_fn(path)}
+
+    def _resolve_path(ref: str) -> str:
+        if os.path.exists(ref):
+            return ref
+        hit = registry.resolve(ref)
+        if hit.get("status") == "resolved":
+            return hit["path"]
+        return ref
+
+    tools = [
+        Tool("list_media", "List recently generated media items.",
+             list_media),
+        Tool("find_media",
+             "Resolve a reference like 'the last video' or a media id "
+             "to a concrete file.", find_media),
+        Tool("get_video_info",
+             "Frame count, fps, resolution and audio presence of a "
+             "video.", get_video_info),
+        Tool("merge_videos", "Concatenate two videos into one file.",
+             merge_videos),
+        Tool("trim_video",
+             "Cut a video between start_time and end_time seconds "
+             "(end_time -1 = to the end).", trim_video),
+        Tool("extract_frame",
+             "Save a single frame of a video as an image.",
+             extract_frame),
+        Tool("extract_audio", "Extract a video's audio track as WAV.",
+             extract_audio),
+        Tool("resize_video", "Resize a video to a new resolution.",
+             resize_video),
+        Tool("transcribe",
+             "Transcribe speech from an audio or video file.",
+             transcribe),
+    ]
+    return tools
+
+
+def build_service_tools(session, registry=None) -> List[Tool]:
     """Default tool set over a runtime.api Session (submit/manifest)."""
 
+    def _register_outputs(outputs, prompt, settings):
+        if registry is None:
+            return
+        for p in outputs:
+            try:
+                registry.register(p, prompt=prompt, settings=settings)
+            except Exception:
+                pass
+
     def list_models() -> dict:
+        if hasattr(session, "list_models"):
+            return {"models": sorted(session.list_models())}
         return {"models": sorted(session.manifest().keys())
                 if hasattr(session, "manifest") else []}
+
+    def _submit(task):
+        if hasattr(session, "submit_task"):
+            return session.submit_task(task)
+        return session.submit(task)
+
+    def _maybe_wait(task):
+        """If the session can block for results, do so and register the
+        outputs in the media registry."""
+        tid = _submit(task)
+        if hasattr(session, "wait"):
+            results = session.wait()
+            outs = [p for r in results for p in getattr(r, "outputs", [])]
+            _register_outputs(outs, task.get("prompt", ""), task)
+            return {"task_id": tid, "status": "done", "outputs": outs}
+        return {"task_id": tid, "status": "queued"}
 
     def gen_image(prompt: str, model: str = "", width: int = 1024,
                   height: int = 1024, seed: int = -1) -> dict:
@@ -152,8 +279,7 @@ def build_service_tools(session) -> List[Tool]:
                 "seed": seed}
         if model:
             task["model"] = model
-        tid = session.submit(task)
-        return {"task_id": tid, "status": "queued"}
+        return _maybe_wait(task)
 
     def gen_video(prompt: str, model: str = "", width: int = 832,
                   height: int = 480, num_frames: int = 81,
@@ -162,10 +288,11 @@ def build_service_tools(session) -> List[Tool]:
                 "video_length": num_frames, "seed": seed}
         if model:
             task["model"] = model
-        tid = session.submit(task)
-        return {"task_id": tid, "status": "queued"}
+        return _maybe_wait(task)
 
     def get_default_settings(model: str) -> dict:
+        if hasattr(session, "default_settings"):
+            return dict(session.default_settings(model) or {})
         man = session.manifest() if hasattr(session, "manifest") else {}
         return dict(man.get(model, {}))
 
@@ -180,6 +307,38 @@ def build_service_tools(session) -> List[Tool]:
              "Inspect a model's default generation settings.",
              get_default_settings),
     ]
+
+
+def build_agent(session, generate_fn,
+                transcribe_fn: Optional[Callable[[str], str]] = None,
+                max_turns: int = 6) -> DeepyAgent:
+    """Full-toolset agent over a Session: generation + media registry +
+    video chores (the reference Deepy controller's default tool wiring,
+    shared/deepy/engine.py:111-130)."""
+    from .media_registry import MediaRegistry
+    registry = MediaRegistry()
+    tools = build_service_tools(session, registry=registry)
+    tools += build_media_tools(registry, transcribe_fn=transcribe_fn)
+    agent = DeepyAgent(generate_fn, tools=tools, max_turns=max_turns)
+    agent.media_registry = registry
+    return agent
+
+
+def run_console(agent: DeepyAgent, input_fn=input, print_fn=print):
+    """Interactive REPL (reference deepy chat panel equivalent for a
+    terminal).  'exit'/'quit'/EOF ends the session."""
+    print_fn("Deepy agent console — type a request, 'exit' to quit.")
+    while True:
+        try:
+            line = input_fn("you> ")
+        except (EOFError, KeyboardInterrupt):
+            break
+        line = (line or "").strip()
+        if line.lower() in ("exit", "quit", ""):
+            if line.lower() in ("exit", "quit"):
+                break
+            continue
+        print_fn("deepy> " + agent.chat(line))
 
 
 def make_llm_generate_fn(params, cfg, tokenizer, max_new_tokens: int = 512,

@@ -55,6 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="load plugins (register(api) modules) from this dir")
     p.add_argument("--config", default=None, metavar="WGP_CONFIG",
                    help="wgp_config.json-compatible server config file")
+    p.add_argument("--agent", action="store_true",
+                   help="interactive Deepy agent console (needs a local "
+                        "LLM checkpoint via --agent-llm)")
+    p.add_argument("--agent-llm", default=None,
+                   help="safetensors path of the Qwen-family LLM backing "
+                        "the agent")
     return p
 
 
@@ -99,6 +105,23 @@ def main(argv=None) -> int:
         from .api import Session
         WebUI(session=Session(service=service),
               save_path=args.output_dir).serve(args.listen, args.server_port)
+        return 0
+
+    if args.agent:
+        from ..agent import build_agent, run_console, make_llm_generate_fn
+        if not args.agent_llm:
+            print("--agent needs --agent-llm <qwen checkpoint>",
+                  file=sys.stderr)
+            return 1
+        from ..io.safetensors_reader import load_weights
+        from ..models.qwen.text_encoder import (QwenLMConfig,
+                                                load_qwen_lm_params,
+                                                QWEN25_VL_7B_TEXT)
+        from ..utils.tokenizer import load_tokenizer
+        cfg = QwenLMConfig(**QWEN25_VL_7B_TEXT)
+        params, _ = load_qwen_lm_params(load_weights(args.agent_llm), cfg)
+        gen = make_llm_generate_fn(params, cfg, load_tokenizer(None))
+        run_console(build_agent(Session(service=service), gen))
         return 0
 
     if args.list_models:

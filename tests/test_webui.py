@@ -99,3 +99,52 @@ def test_webui_queue_zip_download(ui, tmp_path):
     with zipfile.ZipFile(io.BytesIO(body)) as zf:
         manifest = json.loads(zf.read("queue.json"))
     assert manifest[0]["params"]["prompt"] == "queued"
+
+
+def test_webui_gallery_endpoints(ui, tmp_path):
+    import numpy as np
+    import time
+    from wan2gp_tpu.utils import media
+    fr = np.random.default_rng(0).integers(0, 255, (4, 16, 24, 3),
+                                           dtype=np.uint8)
+    media.save_video(fr, str(tmp_path / "vid.avi"), fps=4,
+                     metadata={"prompt": "a cat", "model_type": "t2v",
+                               "resolution": "832x480", "seed": 7})
+    time.sleep(0.01)
+    media.save_image(fr[0], str(tmp_path / "img.png"),
+                     metadata={"prompt": "a dog"})
+    media.save_audio(np.zeros(800, np.float32), str(tmp_path / "a.wav"))
+    (tmp_path / "notes.txt").write_text("ignored")
+    (tmp_path / "_ui_queue.zip").write_bytes(b"zz")
+
+    status, _, body = ui.handle("GET", "/api/gallery")
+    recs = json.loads(body)
+    assert status == 200
+    assert [r["file"] for r in recs] == ["a.wav", "img.png", "vid.avi"]
+    assert recs[2]["prompt"] == "a cat"
+    assert recs[2]["model_type"] == "t2v"
+    # type filter
+    _, _, body = ui.handle("GET", "/api/gallery?type=video")
+    assert [r["file"] for r in json.loads(body)] == ["vid.avi"]
+    # metadata recall
+    _, _, body = ui.handle("GET", "/api/gallery/meta?file=vid.avi")
+    meta = json.loads(body)
+    assert meta["resolution"] == "832x480" and meta["seed"] == 7
+    # thumbnails decode as JPEG for both video and image
+    from PIL import Image
+    import io as _io
+    for f in ("vid.avi", "img.png"):
+        status, ctype, data = ui.handle("GET", f"/api/thumb?file={f}")
+        assert status == 200 and ctype == "image/jpeg"
+        img = Image.open(_io.BytesIO(data))
+        assert img.size == (24, 16)
+    status, _, _ = ui.handle("GET", "/api/thumb?file=a.wav")
+    assert status == 404
+    status, _, _ = ui.handle("GET", "/api/thumb?file=missing.avi")
+    assert status == 404
+    # path traversal is neutralised by basename()
+    _, _, body = ui.handle("GET",
+                           "/api/gallery/meta?file=../../etc/passwd")
+    assert json.loads(body) == {}
+    _, _, body = ui.handle("GET", "/api/gallery/meta?file=../vid.avi")
+    assert json.loads(body)["prompt"] == "a cat"

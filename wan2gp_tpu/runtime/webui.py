@@ -17,6 +17,14 @@ Endpoints:
   GET  /api/queue/save        download queue.zip (reference manifest format)
   POST /api/queue/load        body: {"path": "..."} load queue.zip/json
   GET  /outputs/<name>        serve a generated media file
+  GET  /api/gallery?type=T    generated-media gallery records (newest
+                              first; type: any|video|image|audio)
+  GET  /api/gallery/meta?file=N  embedded generation settings of a file
+  GET  /api/thumb?file=N      JPEG thumbnail (first video frame / image)
+
+The gallery trio is the HTTP counterpart of the reference's output
+galleries (wgp.py refresh_gallery:4332, shared/gradio/gallery.py
+AdvancedMediaGallery) including settings recall into the form.
 """
 from __future__ import annotations
 
@@ -53,6 +61,15 @@ textarea{width:100%}button{margin-right:.5em}
 </fieldset>
 <table id="queue"><tr><th>id</th><th>status</th><th>prompt</th>
 <th>outputs</th><th></th></tr></table>
+<fieldset><legend>Gallery</legend>
+<p>
+<button onclick="setTab('any')">All</button>
+<button onclick="setTab('video')">Videos</button>
+<button onclick="setTab('image')">Images</button>
+<button onclick="setTab('audio')">Audio</button>
+</p>
+<div id="gallery" style="display:flex;flex-wrap:wrap;gap:8px"></div>
+</fieldset>
 <script>
 async function j(u,opt){const r=await fetch(u,opt);return r.json()}
 async function loadModels(){const ms=await j('/api/models');
@@ -78,7 +95,27 @@ async function refresh(){const ts=await j('/api/queue');
  document.getElementById('queue').innerHTML=
   '<tr><th>id</th><th>status</th><th>prompt</th><th>outputs</th><th></th></tr>'
   +rows.join('')}
-loadModels();refresh();setInterval(refresh,2000);
+let tab='any';
+function setTab(t){tab=t;refreshGallery()}
+async function recallSettings(f){
+ const m=await j('/api/gallery/meta?file='+encodeURIComponent(f));
+ const set=(id,v)=>{if(v!==undefined&&v!==null&&v!=='')
+  document.getElementById(id).value=v};
+ set('prompt',m.prompt);set('res',m.resolution);
+ set('frames',m.video_length);set('steps',m.num_inference_steps);
+ set('seed',m.seed);
+ if(m.model_type){document.getElementById('model').value=m.model_type}}
+async function refreshGallery(){
+ const rs=await j('/api/gallery?type='+tab+'&limit=48');
+ document.getElementById('gallery').innerHTML=rs.map(r=>
+  `<div style="width:200px;font-size:12px">
+   <a href="/outputs/${r.file}">${r.type=='audio'?'&#127925; '+r.file:
+    `<img src="/api/thumb?file=${r.file}" style="max-width:192px">`}
+   </a><br>${r.file}<br><i>${r.prompt}</i><br>
+   <button onclick="recallSettings('${r.file}')">&#8635; settings</button>
+  </div>`).join('')}
+loadModels();refresh();refreshGallery();
+setInterval(refresh,2000);setInterval(refreshGallery,5000);
 </script></body></html>"""
 
 _MEDIA_TYPES = {".png": "image/png", ".jpg": "image/jpeg",
@@ -143,6 +180,20 @@ class WebUI:
                 return 404, "text/plain", b"queue is empty"
             with open(path, "rb") as f:
                 return 200, "application/zip", f.read()
+        if route == "/api/gallery":
+            mtype = (qs.get("type") or ["any"])[0]
+            limit = int((qs.get("limit") or ["60"])[0])
+            return ok(self._gallery_records(mtype, limit))
+        if route == "/api/gallery/meta":
+            name = os.path.basename(qs["file"][0])
+            return ok(self._file_metadata(
+                os.path.join(self.save_path, name)) or {})
+        if route == "/api/thumb":
+            name = os.path.basename(qs["file"][0])
+            data = self._thumbnail(os.path.join(self.save_path, name))
+            if data is None:
+                return 404, "text/plain", b"no thumbnail"
+            return 200, "image/jpeg", data
         if route.startswith("/outputs/"):
             name = os.path.basename(route[len("/outputs/"):])
             fpath = os.path.join(self.save_path, name)
@@ -173,6 +224,69 @@ class WebUI:
                 self.session._ensure_worker()
             return ok({"tasks": len(self.session.queue.tasks())})
         return 404, "text/plain", b"not found"
+
+    # -- gallery ------------------------------------------------------------
+
+    def _gallery_records(self, media_type: str = "any", limit: int = 60):
+        """Newest-first records of generated files in save_path."""
+        from ..media_registry import detect_media_type
+        if not os.path.isdir(self.save_path):
+            return []
+        recs = []
+        for name in os.listdir(self.save_path):
+            if name.startswith("_") or name.endswith(".json"):
+                continue
+            path = os.path.join(self.save_path, name)
+            if not os.path.isfile(path):
+                continue
+            mtype = detect_media_type(path)
+            if mtype == "any" or \
+                    (media_type not in ("any", "") and mtype != media_type):
+                continue
+            meta = self._file_metadata(path) or {}
+            recs.append({"file": name, "type": mtype,
+                         "size": os.path.getsize(path),
+                         "mtime": os.path.getmtime(path),
+                         "prompt": str(meta.get("prompt", ""))[:160],
+                         "model_type": meta.get("model_type", "")})
+        recs.sort(key=lambda r: -r["mtime"])
+        return recs[:limit]
+
+    def _file_metadata(self, path):
+        from ..utils import media
+        if not os.path.isfile(path):
+            return None
+        ext = os.path.splitext(path)[1].lower()
+        try:
+            if ext == ".avi":
+                return media.read_video_metadata(path)
+            if ext in (".png", ".jpg", ".jpeg", ".webp"):
+                return media.read_image_metadata(path)
+            return media._read_sidecar(path)
+        except Exception:
+            return None
+
+    def _thumbnail(self, path, size: int = 192):
+        """JPEG thumbnail bytes for a video (first frame) or image."""
+        from ..utils import media
+        if not os.path.isfile(path):
+            return None
+        ext = os.path.splitext(path)[1].lower()
+        frame = None
+        if ext == ".avi":
+            frame = media.read_first_frame(path)
+        elif ext in (".png", ".jpg", ".jpeg", ".webp", ".bmp"):
+            from PIL import Image
+            import numpy as np
+            frame = np.asarray(Image.open(path).convert("RGB"))
+        if frame is None:
+            return None
+        from PIL import Image
+        img = Image.fromarray(frame)
+        img.thumbnail((size, size))
+        buf = io.BytesIO()
+        img.save(buf, "JPEG", quality=85)
+        return buf.getvalue()
 
     # -- server lifecycle ---------------------------------------------------
 

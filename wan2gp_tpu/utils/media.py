@@ -307,6 +307,27 @@ def read_mjpeg_avi(path: str) -> np.ndarray:
     return np.stack(frames)
 
 
+def read_first_frame(path: str) -> Optional[np.ndarray]:
+    """First MJPEG frame of an AVI without decoding the whole clip
+    (gallery thumbnails)."""
+    from PIL import Image
+    with open(path, "rb") as f:
+        data = f.read()
+    for fourcc, kind, start, size in _iter_avi_chunks(data):
+        if fourcc == b"LIST" and kind == b"movi":
+            sub = start + 4
+            end = start + size
+            while sub + 8 <= end:
+                cc = data[sub:sub + 4]
+                sz = struct.unpack("<I", data[sub + 4:sub + 8])[0]
+                if cc == b"00dc":
+                    jpg = data[sub + 8:sub + 8 + sz]
+                    return np.asarray(
+                        Image.open(io.BytesIO(jpg)).convert("RGB"))
+                sub += 8 + sz + (sz % 2)
+    return None
+
+
 def read_avi_audio(path: str) -> Optional[Tuple[np.ndarray, int]]:
     """Extract the interleaved PCM track -> (int16 [T, C], rate), or None."""
     with open(path, "rb") as f:

@@ -360,3 +360,129 @@ def test_steadydancer_forward_and_pipeline():
         return_latents=True)
     assert out.shape == (1, 16, 3, 8, 8)
     assert np.isfinite(np.asarray(out)).all()
+
+
+# -- ReCamMaster ------------------------------------------------------------
+
+def test_recam_camera_embedding():
+    from wan2gp_tpu.models.wan.recam import (
+        parse_matrix, camera_embedding_from_json, get_camera_embedding,
+        CAMERA_MODES)
+    # parse_matrix on the reference's bracketed row format
+    m = parse_matrix("[1 0 0 5] [0 1 0 6] [0 0 1 7] [0 0 0 1]")
+    assert m.shape == (4, 4) and m[0, 3] == 5 and m[2, 3] == 7
+    # identical extrinsics on every frame -> every relative pose is the
+    # identity [I | 0] (cammmaster_tools.py get_relative_pose)
+    mat = "[0 1 0 10] [0 0 1 20] [1 0 0 30] [0 0 0 1]"
+    data = {f"frame{i}": {"cam01": mat} for i in range(81)}
+    emb = camera_embedding_from_json(data, 1, 81)
+    assert emb.shape == (21, 12)
+    ident = np.eye(4)[:3].reshape(-1)
+    np.testing.assert_allclose(emb, np.tile(ident, (21, 1)), atol=1e-6)
+    # procedural fallback: every mode produces [21, 12] with an identity
+    # first row and non-trivial later rows
+    for mode in CAMERA_MODES:
+        e = get_camera_embedding(mode, 81)
+        assert e.shape == (21, 12)
+        np.testing.assert_allclose(e[0], ident, atol=1e-6)
+        assert np.abs(e[-1] - ident).max() > 1e-3
+    # zoom-in translates forward monotonically more than zoom-out
+    zin = get_camera_embedding(5, 81)
+    zout = get_camera_embedding(6, 81)
+    assert zin[-1, 11] * zout[-1, 11] < 0  # opposite z translations
+
+
+def test_recam_loader_roundtrip_and_frame_map():
+    import torch
+    from wan2gp_tpu.models.wan.recam import (load_recam_blocks,
+                                             build_cam_frame_map)
+    L, dim = 3, 16
+    sd = {}
+    rng = np.random.default_rng(0)
+    for i in range(L):
+        sd[f"blocks.{i}.cam_encoder.weight"] = rng.normal(
+            size=(dim, 12)).astype(np.float32)
+        sd[f"blocks.{i}.cam_encoder.bias"] = rng.normal(
+            size=(dim,)).astype(np.float32)
+        sd[f"blocks.{i}.projector.weight"] = rng.normal(
+            size=(dim, dim)).astype(np.float32)
+        sd[f"blocks.{i}.projector.bias"] = rng.normal(
+            size=(dim,)).astype(np.float32)
+    keep = {k: v.copy() for k, v in sd.items()}
+    p = load_recam_blocks(sd, L)
+    assert not sd
+    # jax linear x @ W == torch Linear(weight)(x)
+    x = rng.normal(size=(2, 12)).astype(np.float32)
+    got = np.asarray(x @ np.asarray(p["cam_w"][1]) + np.asarray(p["cam_b"][1]))
+    ref = torch.nn.functional.linear(
+        torch.from_numpy(x), torch.from_numpy(keep["blocks.1.cam_encoder.weight"]),
+        torch.from_numpy(keep["blocks.1.cam_encoder.bias"])).numpy()
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+    # token map: doubled frame stack tiles the cam rows (model.py:639)
+    fm = build_cam_frame_map(6, 3, 2, 2)
+    assert fm.shape == (24,)
+    np.testing.assert_array_equal(fm[:4], 0)
+    np.testing.assert_array_equal(fm[12:16], 0)  # source frames reuse rows
+
+
+def test_recam_forward_and_scan():
+    from wan2gp_tpu.models.wan.recam import init_recam_blocks
+    from wan2gp_tpu.models.wan.pipeline import (recam_denoise_scan,
+                                                make_schedule)
+    cfg = TINY
+    params = init_wan_dit(jax.random.key(0), cfg, jnp.float32)
+    params["recam_blocks"] = init_recam_blocks(cfg.num_layers, cfg.dim)
+    rng = np.random.default_rng(1)
+    f_lat, h, w = 2, 4, 4
+    x2 = jnp.asarray(rng.normal(size=(1, 16, 2 * f_lat, h, w)),
+                     jnp.float32)
+    t = jnp.asarray([500.0])
+    ctx = jnp.asarray(rng.normal(size=(1, cfg.text_len, cfg.text_dim)),
+                      jnp.float32)
+    cos, sin = build_rope_3d((2 * f_lat, h // 2, w // 2),
+                             head_dim=cfg.head_dim)
+    cam = jnp.asarray(rng.normal(size=(21, 12)), jnp.float32)
+    # zero cam encoder + identity projector == plain forward
+    out_recam = wan_dit_forward(params, cfg, x2, t, ctx, cos, sin,
+                                cam_emb=cam)
+    plain = {k: v for k, v in params.items() if k != "recam_blocks"}
+    out_plain = wan_dit_forward(plain, cfg, x2, t, ctx, cos, sin)
+    np.testing.assert_allclose(np.asarray(out_recam),
+                               np.asarray(out_plain), atol=1e-5)
+    # non-zero camera encoder steers the output
+    params["recam_blocks"]["cam_w"] = jnp.asarray(
+        rng.normal(size=(cfg.num_layers, 12, cfg.dim)), jnp.float32) * 0.1
+    out_cam = wan_dit_forward(params, cfg, x2, t, ctx, cos, sin,
+                              cam_emb=cam)
+    assert np.abs(np.asarray(out_cam) - np.asarray(out_plain)).max() > 1e-3
+    # denoise scan: source concat on time, pred sliced back to f_lat
+    schedule = make_schedule("unipc", 3, 3.0)
+    lat = jnp.asarray(rng.normal(size=(1, 16, f_lat, h, w)), jnp.float32)
+    src = jnp.asarray(rng.normal(size=(1, 16, f_lat, h, w)), jnp.float32)
+    out = recam_denoise_scan(params, cfg, schedule, lat, ctx, ctx, src,
+                             cam, 3.0, cos, sin)
+    assert out.shape == lat.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_recam_pipeline_e2e():
+    from wan2gp_tpu.models.wan.recam import init_recam_blocks
+    from wan2gp_tpu.models.wan.pipeline import WanPipeline, SamplingConfig
+    from wan2gp_tpu.models.wan.vae import WanVAEConfig, init_wan_vae
+    cfg = TINY
+    params = init_wan_dit(jax.random.key(7), cfg, jnp.float32)
+    params["recam_blocks"] = init_recam_blocks(cfg.num_layers, cfg.dim)
+    vae_cfg = WanVAEConfig(dim=8, num_res_blocks=1)
+    pipe = WanPipeline(params, cfg, vae_params=init_wan_vae(
+        jax.random.key(9), vae_cfg), vae_cfg=vae_cfg,
+        attn_backend="xla", base_model_type="recam_1.3B")
+    rng = np.random.default_rng(8)
+    ctx = jnp.asarray(rng.standard_normal((1, 8, cfg.text_dim)),
+                      jnp.float32)
+    src = rng.standard_normal((5, 64, 64, 3)).astype(np.float32)
+    video = pipe.generate_recam(
+        "", source_frames=src.clip(-1, 1), camera_mode=9,
+        sampling=SamplingConfig(steps=2, guide_scale=4.0),
+        context=ctx, context_null=ctx * 0)
+    assert video.shape == (5, 64, 64, 3)
+    assert np.isfinite(np.asarray(video)).all()

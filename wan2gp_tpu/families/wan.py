@@ -142,7 +142,18 @@ _ARCH: Dict[str, Dict[str, Any]] = {
     "lucy_edit": dict(dim=3072, ffn_dim=14336, num_heads=24, num_layers=30,
                       model_type="t2v", in_dim=48, out_dim=48,
                       vae_stride=(4, 16, 16)),
+    # ReCamMaster camera-controlled re-rendering (models/wan/recam.py;
+    # reference model.py:1196-1204, any2video.py:928-943)
+    "recam_1.3B": dict(dim=1536, ffn_dim=8960, num_heads=12, num_layers=30,
+                       model_type="t2v", vae_stride=(4, 8, 8), recam=True),
 }
+
+
+def _recam_modes():
+    """ReCamMaster camera-movement picker (wan_handler.py:843-858)."""
+    from ..models.wan.recam import CAMERA_MODES
+    return {"choices": [(v, k) for k, v in CAMERA_MODES.items()],
+            "default": 1, "label": "Camera Movement Type"}
 
 
 class WanFamilyHandler:
@@ -178,6 +189,8 @@ class WanFamilyHandler:
             "steadydancer_class": arch.get("steadydancer", False),
             "ovi_class": arch.get("ovi", False),
             "audio_outputs": arch.get("ovi", False),
+            "recam_class": arch.get("recam", False),
+            "model_modes": _recam_modes() if arch.get("recam") else None,
             "multiple_submodels": arch.get("experts", 1) > 1,
             "sliding_window": True,
             "tea_cache": arch.get("experts", 1) == 1,
@@ -314,6 +327,10 @@ class WanFamilyHandler:
                 dit_params["standin_loras"] = init_standin_loras(
                     jax.random.key(seed + 4), dit_cfg.dim,
                     dit_cfg.num_layers, dtype=dtype, zero_up=False)
+            if arch.get("recam"):
+                from ..models.wan.recam import init_recam_blocks
+                dit_params["recam_blocks"] = init_recam_blocks(
+                    dit_cfg.num_layers, dit_cfg.dim)
             if arch.get("steadydancer"):
                 from ..models.wan.steadydancer import \
                     init_steadydancer_modules
@@ -393,11 +410,20 @@ class WanFamilyHandler:
                                      "face_adapter.",
                                      "pose_patch_embedding.")):
                         sd.pop(k)
+            recam_params = None
+            if arch.get("recam"):
+                # per-block cam_encoder/projector ride inside the dit
+                # checkpoint (model.py:1196-1204)
+                from ..models.wan.recam import load_recam_blocks
+                sd = dict(sd)
+                recam_params = load_recam_blocks(sd, dit_cfg.num_layers)
             dit_params, left = load_wan_dit_params(sd, dit_cfg, dtype)
             if left:
                 raise ValueError(f"unconsumed transformer keys: {left[:8]}")
             if animate_params:
                 dit_params.update(animate_params)
+            if recam_params is not None:
+                dit_params["recam_blocks"] = recam_params
             t5_params = None
             if checkpoints.get("text_encoder"):
                 t5_sd = load_safetensors(checkpoints["text_encoder"])

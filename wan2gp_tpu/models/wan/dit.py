@@ -423,7 +423,7 @@ def _block_standin(bp, lp, sx, e6_0, ref_cos, ref_sin, cfg, attn_backend):
 
 def _block(bp, x, e6, context, context_img, rope_cos, rope_sin, cfg,
            attn_backend, context_neg=None, nag=None, audio=None,
-           fantasy=None, standin_kv=None, lynx=None):
+           fantasy=None, standin_kv=None, lynx=None, recam=None):
     """One WanAttentionBlock (model.py:574-718).  x fp32 [B, L, C];
     e6 fp32 [B, T_mod, 6, C] broadcast over tokens (T_mod=1 for scalar t).
     audio: optional (per-layer audio-attn params, audio_ctx, n_frames).
@@ -453,9 +453,19 @@ def _block(bp, x, e6, context, context_img, rope_cos, rope_sin, cfg,
     # self-attention with adaLN-zero
     y = layer_norm(xr.astype(jnp.float32), eps=cfg.eps)
     y = (y * (1.0 + emod(1)) + emod(0)).reshape(b, l, c)
+    if recam is not None:
+        # ReCamMaster (model.py:634-642): per-block camera-pose tokens
+        # added to the MODULATED self-attn input.
+        rp, cam_emb, cam_map = recam
+        cam = cam_emb.astype(jnp.float32) @ rp["cam_w"] + rp["cam_b"]
+        y = y + cam[:, cam_map].astype(y.dtype)
     y, _ = _self_attention(bp["self_attn"], y, rope_cos, rope_sin, cfg,
                            attn_backend, extra_kv=standin_kv,
                            lynx_ref=lynx_ref)
+    if recam is not None:
+        # projector on the self-attn output (model.py:650)
+        y = (y.astype(jnp.float32) @ recam[0]["proj_w"]
+             + recam[0]["proj_b"]).astype(y.dtype)
     x = (xr + y.astype(jnp.float32).reshape(b, t_mod, -1, c) * emod(2))
     x = x.reshape(b, l, c)
 
@@ -499,7 +509,7 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
                     audio_tokens=None, fantasy_audio=None, standin=None,
                     lynx=None, lynx_extract: bool = False,
                     shotplan=None, animate=None, steadydancer=None,
-                    clip_fea_extra=None):
+                    clip_fea_extra=None, cam_emb=None):
     """Denoiser forward.
 
     latents:  [B, C, F, H, W] noisy latents
@@ -646,6 +656,7 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
                    and "fantasy_attn_blocks" in params)
     use_standin = standin is not None and "standin_loras" in params
     use_lynx = lynx is not None and "lynx_blocks" in params
+    use_recam = cam_emb is not None and "recam_blocks" in params
     use_animate = (animate is not None and animate[1] is not None
                    and "face_adapter" in params)
     if lynx_extract:
@@ -740,6 +751,27 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
                 body, (x, sx.astype(cfg.residual_dtype)),
                 (params["blocks"], hints, params["standin_loras"]))
             return out
+    elif use_recam:
+        # ReCamMaster (model.py:1196-1204): per-block zero-init camera
+        # encoder + identity projector, scanned alongside the blocks.
+        from .recam import build_cam_frame_map
+        cam = cam_emb if cam_emb.ndim == 3 else cam_emb[None]
+        cam = jnp.broadcast_to(cam, (b, *cam.shape[1:]))
+        cam_map = jnp.asarray(build_cam_frame_map(
+            grid[0], cam.shape[1], grid[1], grid[2]))
+
+        def body(carry, xs):
+            bp, hint, rp = xs
+            out = _block(bp, carry, e6, ctx, ctx_img, rope_cos, rope_sin,
+                         cfg, attn_backend, context_neg=ctx_neg, nag=nag,
+                         recam=(rp, cam, cam_map))
+            return out + hint.astype(out.dtype), None
+
+        def run_blocks(x):
+            out, _ = jax.lax.scan(
+                body, x, (params["blocks"], hints,
+                          params["recam_blocks"]))
+            return out
     elif use_audio:
         audio_ctx = audio_tokens.astype(cfg.compute_dtype)
 
@@ -787,7 +819,7 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
     new_residual = None
     new_fbc = None
     if fbc_state is not None and (use_audio or use_fantasy or use_standin
-                                  or use_lynx):
+                                  or use_lynx or use_recam):
         raise ValueError("first-block cache is not supported together "
                          "with audio/standin/lynx conditioning")
     if fbc_state is not None:

@@ -619,6 +619,45 @@ def wanmove_denoise_scan(dit_params, dit_cfg: WanDiTConfig,
     return x
 
 
+def recam_denoise_scan(dit_params, dit_cfg: WanDiTConfig,
+                       schedule: Schedule, latents, context, context_null,
+                       source_latents, cam_emb, guide_scale: float,
+                       rope_cos, rope_sin, attn_backend: str = "auto"):
+    """ReCamMaster denoising (any2video.py:1495-1496, 1689): the source
+    video's latents are concatenated on TIME each step, camera-pose
+    tokens condition every block, and the solver steps on the first
+    T latent frames of the prediction."""
+    b, _, f_lat = latents.shape[:3]
+    use_cfg = guide_scale != 1.0
+    nb = 2 if use_cfg else 1
+    ctx = (jnp.concatenate([context, context_null], axis=0) if use_cfg
+           else context)
+    src = jnp.broadcast_to(source_latents,
+                           (nb * b, *source_latents.shape[1:]))
+
+    def body(carry, xs):
+        x, sstate = carry
+        t, coeffs_i, i = xs
+        xb = jnp.concatenate([x] * nb, axis=0) if use_cfg else x
+        xb = jnp.concatenate([xb, src.astype(xb.dtype)], axis=2)
+        tb = jnp.broadcast_to(t, (nb * b,))
+        v = wan_dit_forward(dit_params, dit_cfg, xb, tb, ctx,
+                            rope_cos, rope_sin, cam_emb=cam_emb,
+                            attn_backend=attn_backend)[:, :, :f_lat]
+        pred = (v[:b] if not use_cfg
+                else v[b:] + guide_scale * (v[:b] - v[b:]))
+        x, sstate = solver_step(schedule, i, coeffs_i, pred, x, sstate)
+        return (x, sstate), None
+
+    carry0 = (latents.astype(jnp.float32),
+              init_solver_state(schedule, latents))
+    xs = (schedule.timesteps,
+          {k: v for k, v in schedule.coeffs.items()},
+          jnp.arange(schedule.num_steps, dtype=jnp.int32))
+    (x, _), _ = jax.lax.scan(body, carry0, xs)
+    return x
+
+
 def standin_denoise_scan(dit_params, dit_cfg: WanDiTConfig,
                          schedule: Schedule, latents, context,
                          context_null, standin_latents, ref_cos, ref_sin,
@@ -1512,6 +1551,64 @@ class WanPipeline:
                context_null=(context_null if context_null is not None
                              else context),
                y_cond=y_cond, y_uncond=y, clip_fea=clip_fea)
+        if return_latents:
+            return x
+        return self.decode(x)[0]
+
+    def encode_video(self, frames):
+        """[T, H, W, 3] in [-1, 1] -> latents [1, 16, f_lat, h, w]."""
+        from .vae2_2 import Wan22VAEConfig, wan22_vae_encode
+        enc = jnp.asarray(frames, jnp.float32)[None]
+        if isinstance(self.vae_cfg, Wan22VAEConfig):
+            lat = wan22_vae_encode(self.vae_params, self.vae_cfg, enc)
+        else:
+            lat = vae_encode(self.vae_params, self.vae_cfg, enc)
+        return lat.transpose(0, 4, 1, 2, 3)
+
+    def generate_recam(self, prompt: str, source_frames,
+                       camera_mode: int = 1, n_prompt: str = "",
+                       sampling=None, seed: int = 0,
+                       extrinsics_json: Optional[str] = None,
+                       source_latents=None, context=None,
+                       context_null=None, return_latents: bool = False):
+        """ReCamMaster camera-controlled re-rendering
+        (any2video.py:928-943).  source_frames: [T, H, W, 3] in [-1, 1]
+        (or pass source_latents [1, 16, f, h, w] directly);
+        camera_mode: 1..10 (wan_handler.py:843-856)."""
+        from .recam import get_camera_embedding
+        sampling = sampling or SamplingConfig()
+        if source_latents is None:
+            source_latents = self.encode_video(source_frames)
+        _, _, f_lat, lat_h, lat_w = source_latents.shape
+        st, sh, sw = self.vae_stride
+        frame_num = (f_lat - 1) * st + 1
+        if context is None:
+            context = self.encode_text([prompt])
+        if context_null is None and sampling.guide_scale != 1.0:
+            context_null = self.encode_text(
+                [n_prompt or DEFAULT_NEGATIVE_PROMPT])
+        cam = jnp.asarray(get_camera_embedding(
+            camera_mode, frame_num, extrinsics_json=extrinsics_json))
+
+        lat_shape = (1, self.dit_cfg.out_dim, f_lat, lat_h, lat_w)
+        latents = jax.random.normal(jax.random.key(seed), lat_shape,
+                                    jnp.float32)
+        schedule = make_schedule(sampling.solver, sampling.steps,
+                                 sampling.shift,
+                                 solver_order=sampling.solver_order)
+        # rope over the doubled (target+source) span
+        # (any2video.py:1152-1154)
+        rope_cos, rope_sin = self._rope(
+            (1, self.dit_cfg.out_dim, 2 * f_lat, lat_h, lat_w))
+        fn = jax.jit(functools.partial(
+            recam_denoise_scan, dit_cfg=self.dit_cfg, schedule=schedule,
+            guide_scale=sampling.guide_scale, rope_cos=rope_cos,
+            rope_sin=rope_sin, attn_backend=self.attn_backend))
+        x = fn(self.dit_params, latents=latents, context=context,
+               context_null=(context_null if context_null is not None
+                             else context),
+               source_latents=jnp.asarray(source_latents, jnp.float32),
+               cam_emb=cam)
         if return_latents:
             return x
         return self.decode(x)[0]

@@ -407,6 +407,26 @@ class GenerationService:
             media.save_video(np.asarray(video), path, fps=fps,
                              metadata=_clean_settings(merged))
             return self.plugins.apply_postprocess_hooks([path], merged)
+        if model_def.get("recam_class") \
+                and merged.get("_video_guide") is not None:
+            # ReCamMaster camera re-rendering (any2video.py:928-943)
+            video = pipe.generate_recam(
+                prompt=merged.get("prompt", ""),
+                source_frames=np.asarray(merged["_video_guide"]),
+                camera_mode=int(merged.get("model_mode", 1) or 1),
+                n_prompt=merged.get("negative_prompt", ""),
+                sampling=sampling, seed=seed,
+                extrinsics_json=merged.get("_camera_extrinsics_json"),
+                context=merged.get("_context"),
+                context_null=merged.get("_context_null"))
+            video = _apply_spatial_upsampling(video, merged)
+            video, fps = _apply_temporal_upsampling(
+                video, merged, int(merged.get("fps", 16)))
+            path = os.path.join(self.output_dir,
+                                f"{model_type}_{stamp}_{seed}.avi")
+            media.save_video(np.asarray(video), path, fps=fps,
+                             metadata=_clean_settings(merged))
+            return self.plugins.apply_postprocess_hooks([path], merged)
         if model_def.get("shotplan_class"):
             # ShotPlan relay prompts -> hard-cut planning tokens
             video = pipe.generate_shotplan(

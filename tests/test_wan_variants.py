@@ -486,3 +486,73 @@ def test_recam_pipeline_e2e():
         context=ctx, context_null=ctx * 0)
     assert video.shape == (5, 64, 64, 3)
     assert np.isfinite(np.asarray(video)).all()
+
+
+# -- MoCha ------------------------------------------------------------------
+
+def test_mocha_mask_and_rope():
+    import torch
+    import torch.nn.functional as F
+    from wan2gp_tpu.models.wan.mocha import (nearest_resize_2d,
+                                             build_mocha_latents,
+                                             build_mocha_rope)
+    rng = np.random.default_rng(0)
+    m = rng.random((30, 40)).astype(np.float32)
+    got = nearest_resize_2d(m, 8, 10)
+    ref = F.interpolate(torch.from_numpy(m)[None, None], size=(8, 10),
+                        mode="nearest")[0, 0].numpy()
+    np.testing.assert_allclose(got, ref)
+    # conditioning stack layout: [source Ts | mask 1 | refs R]
+    src = rng.normal(size=(1, 16, 3, 8, 10)).astype(np.float32)
+    refs = [rng.normal(size=(1, 16, 1, 8, 10)).astype(np.float32)
+            for _ in range(2)]
+    ext = np.asarray(build_mocha_latents(src, m, refs))
+    assert ext.shape == (1, 16, 6, 8, 10)
+    np.testing.assert_allclose(ext[:, :, :3], src, atol=1e-6)
+    # mask broadcast over channels
+    assert np.allclose(ext[0, 0, 3], ext[0, 7, 3])
+    np.testing.assert_allclose(ext[0, 0, 3], got, atol=1e-6)
+    # rope segments: target/source/mask at t>=1, refs at t=0; second ref
+    # spatially offset (any2video.py:398-410)
+    T, Ts, h, w = 2, 3, 4, 5
+    cos, sin = build_mocha_rope(T, Ts, 2, h, w, head_dim=32)
+    s = h * w
+    assert cos.shape == ((T + Ts + 1 + 2) * s, 16)
+    single = build_rope_3d((1, h, w), head_dim=32, offsets=(1, 1, 1))[0]
+    np.testing.assert_allclose(np.asarray(cos[:s]), np.asarray(single),
+                               atol=1e-7)   # target frame 0 at t=1
+    np.testing.assert_allclose(np.asarray(cos[T * s:(T + 1) * s]),
+                               np.asarray(single), atol=1e-7)  # src t=1
+    ref0 = build_rope_3d((1, h, w), head_dim=32, offsets=(0, 1, 1))[0]
+    np.testing.assert_allclose(np.asarray(cos[(T + Ts + 1) * s:
+                                              (T + Ts + 2) * s]),
+                               np.asarray(ref0), atol=1e-7)
+    ref1 = build_rope_3d((1, h, w), head_dim=32,
+                         offsets=(0, 1 + h, 1 + w))[0]
+    np.testing.assert_allclose(np.asarray(cos[-s:]), np.asarray(ref1),
+                               atol=1e-7)
+
+
+def test_mocha_pipeline_e2e():
+    from wan2gp_tpu.models.wan.pipeline import WanPipeline, SamplingConfig
+    from wan2gp_tpu.models.wan.vae import WanVAEConfig, init_wan_vae
+    cfg = TINY
+    params = init_wan_dit(jax.random.key(11), cfg, jnp.float32)
+    vae_cfg = WanVAEConfig(dim=8, num_res_blocks=1)
+    pipe = WanPipeline(params, cfg, vae_params=init_wan_vae(
+        jax.random.key(12), vae_cfg), vae_cfg=vae_cfg,
+        attn_backend="xla", base_model_type="mocha")
+    rng = np.random.default_rng(9)
+    ctx = jnp.asarray(rng.standard_normal((1, 8, cfg.text_dim)),
+                      jnp.float32)
+    src = rng.standard_normal((5, 64, 64, 3)).astype(np.float32)
+    refs = [rng.standard_normal((64, 64, 3)).astype(np.float32).clip(-1, 1)
+            for _ in range(2)]
+    mask = (rng.random((64, 64)) > 0.5).astype(np.float32)
+    video = pipe.generate_mocha(
+        "", source_frames=src.clip(-1, 1), mask_frame=mask,
+        ref_images=refs, frame_num=5,
+        sampling=SamplingConfig(steps=2, guide_scale=5.0),
+        context=ctx, context_null=ctx * 0)
+    assert video.shape == (5, 64, 64, 3)
+    assert np.isfinite(np.asarray(video)).all()

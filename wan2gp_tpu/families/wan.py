@@ -146,6 +146,10 @@ _ARCH: Dict[str, Dict[str, Any]] = {
     # reference model.py:1196-1204, any2video.py:928-943)
     "recam_1.3B": dict(dim=1536, ffn_dim=8960, num_heads=12, num_layers=30,
                        model_type="t2v", vae_stride=(4, 8, 8), recam=True),
+    # MoCha single-character replacement (models/wan/mocha.py;
+    # reference any2video.py:387-412)
+    "mocha": dict(dim=5120, ffn_dim=13824, num_heads=40, num_layers=40,
+                  model_type="t2v", vae_stride=(4, 8, 8), mocha=True),
 }
 
 
@@ -190,6 +194,7 @@ class WanFamilyHandler:
             "ovi_class": arch.get("ovi", False),
             "audio_outputs": arch.get("ovi", False),
             "recam_class": arch.get("recam", False),
+            "mocha_class": arch.get("mocha", False),
             "model_modes": _recam_modes() if arch.get("recam") else None,
             "multiple_submodels": arch.get("experts", 1) > 1,
             "sliding_window": True,

@@ -623,10 +623,11 @@ def recam_denoise_scan(dit_params, dit_cfg: WanDiTConfig,
                        schedule: Schedule, latents, context, context_null,
                        source_latents, cam_emb, guide_scale: float,
                        rope_cos, rope_sin, attn_backend: str = "auto"):
-    """ReCamMaster denoising (any2video.py:1495-1496, 1689): the source
-    video's latents are concatenated on TIME each step, camera-pose
-    tokens condition every block, and the solver steps on the first
-    T latent frames of the prediction."""
+    """Time-extended conditioning denoise (any2video.py:1495-1496,
+    1689): extra conditioning latents are concatenated on TIME each
+    step and the solver steps on the first T latent frames of the
+    prediction.  With cam_emb, camera-pose tokens condition every block
+    (ReCamMaster); with cam_emb=None this is the MoCha input scheme."""
     b, _, f_lat = latents.shape[:3]
     use_cfg = guide_scale != 1.0
     nb = 2 if use_cfg else 1
@@ -1609,6 +1610,53 @@ class WanPipeline:
                              else context),
                source_latents=jnp.asarray(source_latents, jnp.float32),
                cam_emb=cam)
+        if return_latents:
+            return x
+        return self.decode(x)[0]
+
+    def generate_mocha(self, prompt: str, source_frames, mask_frame,
+                       ref_images, n_prompt: str = "", frame_num: int = 81,
+                       sampling=None, seed: int = 0, context=None,
+                       context_null=None, return_latents: bool = False):
+        """MoCha character replacement (any2video.py:387-412, 1123-1125).
+        source_frames: [T, H, W, 3] control video in [-1, 1];
+        mask_frame: [H, W] first-frame person mask;
+        ref_images: up to two [H, W, 3] reference images (second a face
+        close-up)."""
+        from .mocha import build_mocha_latents, build_mocha_rope
+        sampling = sampling or SamplingConfig()
+        source_latents = self.encode_video(source_frames)
+        _, _, src_f, lat_h, lat_w = source_latents.shape
+        st = self.vae_stride[0]
+        f_lat = (frame_num - 1) // st + 1
+        ref_lats = [self.encode_video(np.asarray(r)[None])
+                    for r in ref_images[:2]]
+        extended = build_mocha_latents(source_latents, mask_frame,
+                                       ref_lats)
+        if context is None:
+            context = self.encode_text([prompt])
+        if context_null is None and sampling.guide_scale != 1.0:
+            context_null = self.encode_text(
+                [n_prompt or DEFAULT_NEGATIVE_PROMPT])
+        pt, ph, pw = self.dit_cfg.patch_size
+        rope_cos, rope_sin = build_mocha_rope(
+            f_lat // pt, src_f // pt, len(ref_lats), lat_h // ph,
+            lat_w // pw, head_dim=self.dit_cfg.head_dim)
+        lat_shape = (1, self.dit_cfg.out_dim, f_lat, lat_h, lat_w)
+        latents = jax.random.normal(jax.random.key(seed), lat_shape,
+                                    jnp.float32)
+        schedule = make_schedule(sampling.solver, sampling.steps,
+                                 sampling.shift,
+                                 solver_order=sampling.solver_order)
+        fn = jax.jit(functools.partial(
+            recam_denoise_scan, dit_cfg=self.dit_cfg, schedule=schedule,
+            guide_scale=sampling.guide_scale, rope_cos=rope_cos,
+            rope_sin=rope_sin, attn_backend=self.attn_backend,
+            cam_emb=None))
+        x = fn(self.dit_params, latents=latents, context=context,
+               context_null=(context_null if context_null is not None
+                             else context),
+               source_latents=extended)
         if return_latents:
             return x
         return self.decode(x)[0]

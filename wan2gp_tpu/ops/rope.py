@@ -36,10 +36,14 @@ def _axis_freqs(dim: int, positions: np.ndarray, theta: float = 10000.0,
 
 def build_rope_3d(grid_fhw, head_dim: int = 128, theta: float = 10000.0,
                   enable_riflex: bool = False, riflex_k: int = 6,
-                  dtype=jnp.float32):
+                  dtype=jnp.float32, offsets=(0, 0, 0)):
     """Build compact cos/sin RoPE tables for a 3D token grid.
 
     grid_fhw: (F, H, W) token-grid sizes (after patchification).
+    offsets:  per-axis starting positions — segments of a composite grid
+    (reference posemb_layers.py get_nd_rotary_pos_embed takes
+    (start, end) position ranges; e.g. MoCha's reference-image tokens sit
+    at t=0 with shifted spatial windows, any2video.py:400-410).
     Returns (cos, sin), each [F*H*W, head_dim//2] in `dtype`.
 
     Feature-dim split per reference: t-axis gets head_dim//2 - 2*(head_dim//6
@@ -47,6 +51,7 @@ def build_rope_3d(grid_fhw, head_dim: int = 128, theta: float = 10000.0,
     with rope_dim_list default [44, 42, 42]).
     """
     f, h, w = (int(v) for v in grid_fhw)
+    f0, h0, w0 = (int(v) for v in offsets)
     if head_dim == 128:
         dims = (44, 42, 42)
     else:
@@ -55,11 +60,11 @@ def build_rope_3d(grid_fhw, head_dim: int = 128, theta: float = 10000.0,
         dims = (head_dim - 2 * d_sp, d_sp, d_sp)
     assert sum(dims) == head_dim
 
-    tf = _axis_freqs(dims[0], np.arange(f), theta,
+    tf = _axis_freqs(dims[0], np.arange(f0, f0 + f), theta,
                      riflex_k=riflex_k if enable_riflex else None,
                      riflex_L=f if enable_riflex else None)  # [F, d0/2]
-    th = _axis_freqs(dims[1], np.arange(h), theta)            # [H, d1/2]
-    tw = _axis_freqs(dims[2], np.arange(w), theta)            # [W, d2/2]
+    th = _axis_freqs(dims[1], np.arange(h0, h0 + h), theta)   # [H, d1/2]
+    tw = _axis_freqs(dims[2], np.arange(w0, w0 + w), theta)   # [W, d2/2]
 
     # Broadcast to the full grid and concatenate along feature dim.
     full = np.concatenate([

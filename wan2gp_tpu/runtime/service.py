@@ -27,6 +27,21 @@ def parse_resolution(res: str):
     return int(w), int(h)
 
 
+def _mocha_mask_frame(merged):
+    """First-frame person mask for MoCha (any2video.py:390: the mask
+    video's first frame).  Defaults to all-ones when absent."""
+    mask = merged.get("_video_mask")
+    if mask is None:
+        guide = np.asarray(merged["_video_guide"])
+        return np.ones(guide.shape[1:3], np.float32)
+    m = np.asarray(mask, np.float32)
+    if m.ndim == 4:                      # [T, H, W, C]
+        m = m[0, ..., 0]
+    elif m.ndim == 3:                    # [T, H, W] mask video
+        m = m[0]
+    return m
+
+
 def _apply_spatial_upsampling(video, merged):
     """'lanczos1.5'/'lanczos2' resampling or 'flashvsr' one-step diffusion
     4x VSR (reference postprocessing/spatial_upsamplers.py + flashvsr/).
@@ -417,6 +432,28 @@ class GenerationService:
                 n_prompt=merged.get("negative_prompt", ""),
                 sampling=sampling, seed=seed,
                 extrinsics_json=merged.get("_camera_extrinsics_json"),
+                context=merged.get("_context"),
+                context_null=merged.get("_context_null"))
+            video = _apply_spatial_upsampling(video, merged)
+            video, fps = _apply_temporal_upsampling(
+                video, merged, int(merged.get("fps", 16)))
+            path = os.path.join(self.output_dir,
+                                f"{model_type}_{stamp}_{seed}.avi")
+            media.save_video(np.asarray(video), path, fps=fps,
+                             metadata=_clean_settings(merged))
+            return self.plugins.apply_postprocess_hooks([path], merged)
+        if model_def.get("mocha_class") \
+                and merged.get("_video_guide") is not None \
+                and merged.get("_image_refs"):
+            # MoCha character replacement (any2video.py:387-412)
+            video = pipe.generate_mocha(
+                prompt=merged.get("prompt", ""),
+                source_frames=np.asarray(merged["_video_guide"]),
+                mask_frame=_mocha_mask_frame(merged),
+                ref_images=[np.asarray(r)
+                            for r in merged["_image_refs"][:2]],
+                n_prompt=merged.get("negative_prompt", ""),
+                frame_num=frame_num, sampling=sampling, seed=seed,
                 context=merged.get("_context"),
                 context_null=merged.get("_context_null"))
             video = _apply_spatial_upsampling(video, merged)

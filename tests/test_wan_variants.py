@@ -556,3 +556,50 @@ def test_mocha_pipeline_e2e():
         context=ctx, context_null=ctx * 0)
     assert video.shape == (5, 64, 64, 3)
     assert np.isfinite(np.asarray(video)).all()
+
+
+# -- SVI2Pro ----------------------------------------------------------------
+
+def test_svi_conditioning_and_generate():
+    from wan2gp_tpu.models.wan.pipeline import WanPipeline, SamplingConfig
+    from wan2gp_tpu.models.wan.vae import WanVAEConfig, init_wan_vae
+    cfg = WanDiTConfig(dim=96, ffn_dim=192, num_heads=4, num_layers=2,
+                       freq_dim=32, text_dim=48, text_len=16, in_dim=36,
+                       compute_dtype=jnp.float32)
+    params = init_wan_dit(jax.random.key(13), cfg, jnp.float32)
+    vae_cfg = WanVAEConfig(dim=8, num_res_blocks=1)
+    pipe = WanPipeline(params, cfg, vae_params=init_wan_vae(
+        jax.random.key(14), vae_cfg), vae_cfg=vae_cfg,
+        attn_backend="xla", base_model_type="i2v_2_2_svi2pro")
+    rng = np.random.default_rng(10)
+    ref = rng.standard_normal((64, 64, 3)).astype(np.float32).clip(-1, 1)
+    y, clip_fea = pipe.build_svi_conditioning(ref, 9, 64, 64)
+    assert y.shape == (1, 20, 3, 8, 8) and clip_fea is None
+    # mask marks only latent frame 0 (svi_mode=2, any2video.py:746)
+    msk = np.asarray(y[0, :4])
+    assert msk[:, 0].min() == 1.0 and msk[:, 1:].max() == 0.0
+    # frame 0 carries the ref's latent, later cond frames are zero
+    ref_lat = np.asarray(pipe.encode_video(ref[None]))
+    np.testing.assert_allclose(np.asarray(y[:, 4:, :1]), ref_lat,
+                               atol=1e-5)
+    assert np.abs(np.asarray(y[0, 4:, 1:])).max() == 0.0
+    # end-frame anchor fills the last frame and flips its mask bit
+    end = rng.standard_normal((64, 64, 3)).astype(np.float32).clip(-1, 1)
+    y2, _ = pipe.build_svi_conditioning(ref, 9, 64, 64, image_end=end)
+    assert np.abs(np.asarray(y2[0, 4:, -1])).max() > 0.0
+    assert np.asarray(y2[0, :4])[:, -1].max() == 1.0
+    # overlap latents slot in after the ref frame
+    ov = rng.standard_normal((1, 16, 1, 8, 8)).astype(np.float32)
+    y3, _ = pipe.build_svi_conditioning(ref, 9, 64, 64,
+                                        overlap_latents=ov)
+    np.testing.assert_allclose(np.asarray(y3[:, 4:, 1:2]), ov, atol=1e-6)
+    # end-to-end through generate(i2v_cond=...)
+    ctx = jnp.asarray(rng.standard_normal((1, 8, cfg.text_dim)),
+                      jnp.float32)
+    video = pipe.generate("", width=64, height=64, frame_num=9,
+                          sampling=SamplingConfig(steps=2,
+                                                  guide_scale=5.0),
+                          context=ctx, context_null=ctx * 0,
+                          i2v_cond=(y, clip_fea))
+    assert video.shape == (9, 64, 64, 3)
+    assert np.isfinite(np.asarray(video)).all()

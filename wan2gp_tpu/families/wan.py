@@ -150,6 +150,17 @@ _ARCH: Dict[str, Dict[str, Any]] = {
     # reference any2video.py:387-412)
     "mocha": dict(dim=5120, ffn_dim=13824, num_heads=40, num_layers=40,
                   model_type="t2v", vae_stride=(4, 8, 8), mocha=True),
+    # Stable Video Infinity 2 Pro — i2v 2.2 with latent-reference
+    # conditioning (any2video.py:707-722; wan_handler.py:63-64)
+    "i2v_2_2_svi2pro": dict(dim=5120, ffn_dim=13824, num_heads=40,
+                            num_layers=40, model_type="t2v", in_dim=36,
+                            vae_stride=(4, 8, 8), experts=2,
+                            svi2pro=True),
+    # Ditto VACE finetune with global/style/sim2real modes
+    # (wan_handler.py:766-775; rides the standard VACE path)
+    "vace_ditto_14B": dict(dim=5120, ffn_dim=13824, num_heads=40,
+                           num_layers=40, model_type="t2v",
+                           vae_stride=(4, 8, 8), vace=True, ditto=True),
 }
 
 
@@ -195,6 +206,12 @@ class WanFamilyHandler:
             "audio_outputs": arch.get("ovi", False),
             "recam_class": arch.get("recam", False),
             "mocha_class": arch.get("mocha", False),
+            "svi2pro_class": arch.get("svi2pro", False),
+            "ditto_modes": ({"choices": [("Global", 0),
+                                         ("Global Style", 1),
+                                         ("Sim 2 Real", 2)],
+                             "default": 0, "label": "Ditto Process"}
+                            if arch.get("ditto") else None),
             "model_modes": _recam_modes() if arch.get("recam") else None,
             "multiple_submodels": arch.get("experts", 1) > 1,
             "sliding_window": True,

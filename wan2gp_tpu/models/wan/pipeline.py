@@ -964,6 +964,52 @@ class WanPipeline:
                                           pixels).astype(jnp.float32)
         return y, clip_fea
 
+    def build_svi_conditioning(self, ref_image, frame_num: int,
+                               height: int, width: int, image_end=None,
+                               overlap_latents=None):
+        """SVI2Pro (Stable Video Infinity) i2v conditioning
+        (any2video.py:707-722): the reference image's LATENT occupies
+        conditioning frame 0 directly (instead of encoding
+        [start, zeros] in pixel space), optionally followed by window
+        overlap latents, zero padding, and an end-frame latent; the
+        mask marks only frame 0 (svi_mode=2: msk[:, 1:] = 0)."""
+        st, sh, sw = self.vae_stride
+        f_lat = (frame_num - 1) // st + 1
+        lat_h, lat_w = height // sh, width // sw
+        img = jnp.asarray(ref_image, jnp.float32)
+        if img.shape[:2] != (height, width):
+            img = jax.image.resize(img, (height, width, 3), "bicubic")
+        ref_lat = self.encode_video(img[None])          # [1,16,1,h,w]
+        parts = [ref_lat]
+        if overlap_latents is not None:
+            parts.append(jnp.asarray(overlap_latents, jnp.float32))
+        used = sum(p.shape[2] for p in parts)
+        if f_lat > used:
+            parts.append(jnp.zeros((1, 16, f_lat - used, lat_h, lat_w),
+                                   jnp.float32))
+        lat_y = jnp.concatenate(parts, axis=2)[:, :, :f_lat]
+        if image_end is not None:
+            end = jnp.asarray(image_end, jnp.float32)
+            if end.shape[:2] != (height, width):
+                end = jax.image.resize(end, (height, width, 3), "bicubic")
+            lat_y = lat_y.at[:, :, -1:].set(self.encode_video(end[None]))
+
+        msk = np.zeros((frame_num, lat_h, lat_w), np.float32)
+        msk[0] = 1.0
+        if image_end is not None:
+            msk[-1] = 1.0
+        msk = np.concatenate([np.repeat(msk[:1], st, axis=0), msk[1:]])
+        msk = msk.reshape(f_lat, st, lat_h, lat_w).transpose(1, 0, 2, 3)
+        y = jnp.concatenate([jnp.asarray(msk)[None], lat_y], axis=1)
+
+        clip_fea = None
+        if self.clip_params is not None:
+            from .clip_vision import preprocess_image, clip_vision_encode
+            pixels = preprocess_image(img, self.clip_cfg.image_size)
+            clip_fea = clip_vision_encode(self.clip_params, self.clip_cfg,
+                                          pixels).astype(jnp.float32)
+        return y, clip_fea
+
     def plan_sub_parallel(self, f_lat: int, window_frames: int,
                           overlap_frames: int):
         """Uniform latent windows for joint per-step denoising
@@ -1953,12 +1999,15 @@ class WanPipeline:
                  context_null: Optional[jnp.ndarray] = None,
                  overlap_latents: Optional[jnp.ndarray] = None,
                  image_start=None, return_latents: bool = False,
-                 noise_transform=None):
+                 noise_transform=None, i2v_cond=None):
         """T2V / I2V generation.  image_start: [H, W, 3] in [-1, 1] enables
         the i2v conditioning path.  noise_transform: optional fn applied
         to the initial noise latents (Wan-Alpha gauss shift,
-        any2video.py:1436-1438).  Returns video [T, H, W, 3] float32 in
-        [-1, 1] (or latents if return_latents)."""
+        any2video.py:1436-1438).  i2v_cond: optional prebuilt
+        (y, clip_fea) pair overriding the standard i2v conditioning
+        (SVI2Pro latent-ref scheme, any2video.py:707-722).  Returns
+        video [T, H, W, 3] float32 in [-1, 1] (or latents if
+        return_latents)."""
         any_guidance = (sampling.guide_scale != 1.0
                         or (sampling.guide_phases >= 2
                             and sampling.guide2_scale != 1.0)
@@ -1974,7 +2023,9 @@ class WanPipeline:
             context_null = context  # unused when guidance off
 
         y = clip_fea = None
-        if image_start is not None:
+        if i2v_cond is not None:
+            y, clip_fea = i2v_cond
+        elif image_start is not None:
             y, clip_fea = self.build_i2v_conditioning(image_start, frame_num,
                                                       height, width)
         lat_shape = self.latent_shape(frame_num, height, width)

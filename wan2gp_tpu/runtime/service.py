@@ -662,6 +662,15 @@ class GenerationService:
                 context=merged.get("_context"),
                 context_null=merged.get("_context_null"))
         else:
+            i2v_cond = None
+            if model_def.get("svi2pro_class"):
+                # SVI2Pro latent-ref conditioning (any2video.py:707-722)
+                ref = (merged.get("_image_refs") or
+                       [merged.get("_image_start")])[0]
+                if ref is not None:
+                    i2v_cond = pipe.build_svi_conditioning(
+                        np.asarray(ref), frame_num, height, width,
+                        image_end=merged.get("_image_end"))
             video = pipe.generate(
                 prompt=merged.get("prompt", ""),
                 n_prompt=merged.get("negative_prompt", ""),
@@ -670,7 +679,8 @@ class GenerationService:
                 sampling=sampling, seed=seed,
                 context=merged.get("_context"),
                 context_null=merged.get("_context_null"),
-                image_start=merged.get("_image_start"))
+                image_start=merged.get("_image_start"),
+                i2v_cond=i2v_cond)
         video = _apply_spatial_upsampling(video, merged)
         video, fps = _apply_temporal_upsampling(
             video, merged, int(merged.get("fps", 16)))

@@ -603,3 +603,94 @@ def test_svi_conditioning_and_generate():
                           i2v_cond=(y, clip_fea))
     assert video.shape == (9, 64, 64, 3)
     assert np.isfinite(np.asarray(video)).all()
+
+
+# -- SCAIL ------------------------------------------------------------------
+
+def test_scail_pose_rope_and_masks():
+    import torch
+    import torch.nn.functional as F
+    from wan2gp_tpu.models.wan.scail import (build_scail_pose_rope,
+                                             build_scail_masks,
+                                             scail_pose_input)
+    t, h, w, hd = 2, 6, 8, 32
+    cos, sin = build_scail_pose_rope(t, h, w, head_dim=hd)
+    assert cos.shape == (t * (h // 2) * (w // 2), hd // 2)
+    # oracle: full-res table with offsets (1, 0, 120) then avg_pool2d
+    full_cos, _ = build_rope_3d((t, h, w), head_dim=hd,
+                                offsets=(1, 0, 120))
+    f4 = torch.from_numpy(np.asarray(full_cos)).view(t, h, w, hd // 2)
+    pooled = F.avg_pool2d(f4.permute(0, 3, 1, 2), 2, 2)
+    pooled = pooled.permute(0, 2, 3, 1).reshape(-1, hd // 2).numpy()
+    np.testing.assert_allclose(np.asarray(cos), pooled, atol=1e-6)
+    # masks: ref frame kept, control frames generated
+    y = np.asarray(build_scail_masks(3, 4, 5))
+    assert y.shape == (1, 4, 4, 4, 5)
+    assert y[0, :, 0].min() == 1.0 and y[0, :, 1:].max() == 0.0
+    # pose input gains the all-ones 4-ch mask (model_scail.py:27-35)
+    z = np.zeros((1, 16, 2, 4, 5), np.float32)
+    pi = np.asarray(scail_pose_input(z))
+    assert pi.shape == (1, 20, 2, 4, 5)
+    assert pi[0, 16:].min() == 1.0 and pi[0, :16].max() == 0.0
+
+
+def test_scail_forward_token_append():
+    cfg = WanDiTConfig(dim=96, ffn_dim=192, num_heads=4, num_layers=2,
+                       freq_dim=32, text_dim=48, text_len=16, in_dim=20,
+                       model_type="i2v", compute_dtype=jnp.float32)
+    params = init_wan_dit(jax.random.key(20), cfg, jnp.float32)
+    cin = 20 * 4
+    params["pose_patch_embedding"] = {
+        "w": jax.random.normal(jax.random.key(21), (cin, cfg.dim),
+                               jnp.float32) * 0.02,
+        "b": jnp.zeros((cfg.dim,), jnp.float32)}
+    rng = np.random.default_rng(3)
+    f_lat, h, w = 3, 8, 8
+    lat = jnp.asarray(rng.normal(size=(1, 16, f_lat, h, w)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(1, 4, f_lat, h, w)), jnp.float32)
+    pose = jnp.asarray(rng.normal(size=(1, 20, 2, h // 2, w // 2)),
+                       jnp.float32)
+    ctx = jnp.asarray(rng.normal(size=(1, 8, cfg.text_dim)), jnp.float32)
+    clip = jnp.asarray(rng.normal(size=(1, 257, 1280)), jnp.float32)
+    from wan2gp_tpu.models.wan.scail import build_scail_pose_rope
+    m_cos, m_sin = build_rope_3d((f_lat, h // 2, w // 2),
+                                 head_dim=cfg.head_dim)
+    p_cos, p_sin = build_scail_pose_rope(2, h // 2, w // 2,
+                                         head_dim=cfg.head_dim)
+    cos = jnp.concatenate([m_cos, p_cos]); sin = jnp.concatenate([m_sin, p_sin])
+    t = jnp.asarray([400.0])
+    out = wan_dit_forward(params, cfg, lat, t, ctx, cos, sin, y=y,
+                          clip_fea=clip, scail_pose=pose)
+    assert out.shape == (1, 16, f_lat, h, w)
+    # pose content changes the output (tokens really attend)
+    out2 = wan_dit_forward(params, cfg, lat, t, ctx, cos, sin, y=y,
+                           clip_fea=clip, scail_pose=pose * 0.0)
+    assert np.abs(np.asarray(out) - np.asarray(out2)).max() > 1e-6
+
+
+def test_scail_pipeline_e2e():
+    from wan2gp_tpu.models.wan.pipeline import WanPipeline, SamplingConfig
+    from wan2gp_tpu.models.wan.vae import WanVAEConfig, init_wan_vae
+    cfg = WanDiTConfig(dim=96, ffn_dim=192, num_heads=4, num_layers=2,
+                       freq_dim=32, text_dim=48, text_len=16, in_dim=20,
+                       model_type="i2v", compute_dtype=jnp.float32)
+    params = init_wan_dit(jax.random.key(22), cfg, jnp.float32)
+    params["pose_patch_embedding"] = {
+        "w": jax.random.normal(jax.random.key(23), (20 * 4, cfg.dim),
+                               jnp.float32) * 0.02,
+        "b": jnp.zeros((cfg.dim,), jnp.float32)}
+    vae_cfg = WanVAEConfig(dim=8, num_res_blocks=1)
+    pipe = WanPipeline(params, cfg, vae_params=init_wan_vae(
+        jax.random.key(24), vae_cfg), vae_cfg=vae_cfg,
+        attn_backend="xla", base_model_type="scail")
+    rng = np.random.default_rng(4)
+    ctx = jnp.asarray(rng.standard_normal((1, 8, cfg.text_dim)),
+                      jnp.float32)
+    ref = rng.standard_normal((64, 64, 3)).astype(np.float32).clip(-1, 1)
+    pose = rng.standard_normal((5, 64, 64, 3)).astype(np.float32).clip(-1, 1)
+    video = pipe.generate_scail(
+        "", ref_image=ref, pose_video=pose,
+        sampling=SamplingConfig(steps=2, guide_scale=5.0),
+        context=ctx, context_null=ctx * 0)
+    assert video.shape == (5, 64, 64, 3)
+    assert np.isfinite(np.asarray(video)).all()

@@ -161,6 +161,12 @@ _ARCH: Dict[str, Dict[str, Any]] = {
     "vace_ditto_14B": dict(dim=5120, ffn_dim=13824, num_heads=40,
                            num_layers=40, model_type="t2v",
                            vae_stride=(4, 8, 8), vace=True, ditto=True),
+    # SCAIL 3D-pose-guided character animation (models/wan/scail.py;
+    # reference models/wan/scail/model_scail.py, any2video.py:850-899;
+    # in_dim 20 = 16 latents + 4-ch mask, pose tokens appended)
+    "scail": dict(dim=5120, ffn_dim=13824, num_heads=40, num_layers=40,
+                  model_type="i2v", in_dim=20, vae_stride=(4, 8, 8),
+                  scail=True),
 }
 
 
@@ -207,6 +213,7 @@ class WanFamilyHandler:
             "recam_class": arch.get("recam", False),
             "mocha_class": arch.get("mocha", False),
             "svi2pro_class": arch.get("svi2pro", False),
+            "scail_class": arch.get("scail", False),
             "ditto_modes": ({"choices": [("Global", 0),
                                          ("Global Style", 1),
                                          ("Sim 2 Real", 2)],
@@ -353,6 +360,15 @@ class WanFamilyHandler:
                 from ..models.wan.recam import init_recam_blocks
                 dit_params["recam_blocks"] = init_recam_blocks(
                     dit_cfg.num_layers, dit_cfg.dim)
+            if arch.get("scail"):
+                # pose patch embed Conv3d(20, dim) (model.py:1244-1247)
+                cin = dit_cfg.in_dim * 1 * 2 * 2
+                lim = (cin + dit_cfg.dim) ** -0.5
+                dit_params["pose_patch_embedding"] = {
+                    "w": jax.random.uniform(
+                        jax.random.key(seed + 11), (cin, dit_cfg.dim),
+                        jnp.float32, -lim, lim),
+                    "b": jnp.zeros((dit_cfg.dim,), jnp.float32)}
             if arch.get("steadydancer"):
                 from ..models.wan.steadydancer import \
                     init_steadydancer_modules
@@ -432,6 +448,16 @@ class WanFamilyHandler:
                                      "face_adapter.",
                                      "pose_patch_embedding.")):
                         sd.pop(k)
+            scail_pe = None
+            if arch.get("scail") and "pose_patch_embedding.weight" in sd:
+                # SCAIL pose patch embed rides in the dit checkpoint
+                sd = dict(sd)
+                w = np.asarray(sd.pop("pose_patch_embedding.weight"),
+                               np.float32)
+                scail_pe = {
+                    "w": jnp.asarray(w.reshape(w.shape[0], -1).T),
+                    "b": jnp.asarray(np.asarray(
+                        sd.pop("pose_patch_embedding.bias"), np.float32))}
             recam_params = None
             if arch.get("recam"):
                 # per-block cam_encoder/projector ride inside the dit
@@ -446,6 +472,8 @@ class WanFamilyHandler:
                 dit_params.update(animate_params)
             if recam_params is not None:
                 dit_params["recam_blocks"] = recam_params
+            if scail_pe is not None:
+                dit_params["pose_patch_embedding"] = scail_pe
             t5_params = None
             if checkpoints.get("text_encoder"):
                 t5_sd = load_safetensors(checkpoints["text_encoder"])

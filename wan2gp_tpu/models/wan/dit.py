@@ -509,7 +509,7 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
                     audio_tokens=None, fantasy_audio=None, standin=None,
                     lynx=None, lynx_extract: bool = False,
                     shotplan=None, animate=None, steadydancer=None,
-                    clip_fea_extra=None, cam_emb=None):
+                    clip_fea_extra=None, cam_emb=None, scail_pose=None):
     """Denoiser forward.
 
     latents:  [B, C, F, H, W] noisy latents
@@ -573,6 +573,20 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
                 pose_tok.astype(x.dtype))
 
     shotplan_keep = steady_keep
+    if scail_pose is not None and "pose_patch_embedding" in params:
+        # SCAIL pose tokens (model_scail.py:8-37): the 20-ch pose stack
+        # goes through its own patch embed and is APPENDED to the main
+        # tokens; rope_cos/rope_sin must already cover the extension and
+        # the extra tokens are dropped before the head (model.py:1999).
+        main_len = x.shape[1]
+        pose_tok = patchify(scail_pose.astype(jnp.float32),
+                            cfg.patch_size)
+        pose_tok = _dense(pose_tok, params["pose_patch_embedding"],
+                          jnp.float32)
+        if pose_tok.shape[0] != b:
+            pose_tok = jnp.broadcast_to(pose_tok, (b, *pose_tok.shape[1:]))
+        x = jnp.concatenate([x, pose_tok.astype(x.dtype)], axis=1)
+        shotplan_keep = np.arange(main_len)
     if shotplan is not None and "hardcut_embedding" in params:
         # ShotPlan hardcut-token injection (model.py:1724-1733): insert
         # learned tokens at the cut boundaries; they attend in every

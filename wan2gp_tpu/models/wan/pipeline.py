@@ -659,6 +659,47 @@ def recam_denoise_scan(dit_params, dit_cfg: WanDiTConfig,
     return x
 
 
+def scail_denoise_scan(dit_params, dit_cfg: WanDiTConfig,
+                       schedule: Schedule, latents, context, context_null,
+                       ref_latent, y, scail_pose, guide_scale: float,
+                       rope_cos, rope_sin, clip_fea=None,
+                       attn_backend: str = "auto"):
+    """SCAIL denoising (any2video.py:850-899): the reference latent
+    frame is re-injected noise-free every step
+    (no_noise_latents_injection), pose tokens append to the stream."""
+    b = latents.shape[0]
+    use_cfg = guide_scale != 1.0
+    nb = 2 if use_cfg else 1
+    ctx = (jnp.concatenate([context, context_null], axis=0) if use_cfg
+           else context)
+    clipb = (None if clip_fea is None
+             else jnp.concatenate([clip_fea] * nb, axis=0))
+    yb = jnp.concatenate([y] * nb, axis=0)
+
+    def body(carry, xs):
+        x, sstate = carry
+        t, coeffs_i, i = xs
+        x = x.at[:, :, :1].set(ref_latent.astype(x.dtype))
+        xb = jnp.concatenate([x] * nb, axis=0) if use_cfg else x
+        tb = jnp.broadcast_to(t, (nb * b,))
+        v = wan_dit_forward(dit_params, dit_cfg, xb, tb, ctx,
+                            rope_cos, rope_sin, y=yb, clip_fea=clipb,
+                            scail_pose=scail_pose,
+                            attn_backend=attn_backend)
+        pred = (v[:b] if not use_cfg
+                else v[b:] + guide_scale * (v[:b] - v[b:]))
+        x, sstate = solver_step(schedule, i, coeffs_i, pred, x, sstate)
+        return (x, sstate), None
+
+    carry0 = (latents.astype(jnp.float32),
+              init_solver_state(schedule, latents))
+    xs = (schedule.timesteps,
+          {k: v for k, v in schedule.coeffs.items()},
+          jnp.arange(schedule.num_steps, dtype=jnp.int32))
+    (x, _), _ = jax.lax.scan(body, carry0, xs)
+    return x.at[:, :, :1].set(ref_latent.astype(x.dtype))
+
+
 def standin_denoise_scan(dit_params, dit_cfg: WanDiTConfig,
                          schedule: Schedule, latents, context,
                          context_null, standin_latents, ref_cos, ref_sin,
@@ -1659,6 +1700,77 @@ class WanPipeline:
         if return_latents:
             return x
         return self.decode(x)[0]
+
+    def generate_scail(self, prompt: str, ref_image, pose_video,
+                       n_prompt: str = "", sampling=None, seed: int = 0,
+                       context=None, context_null=None,
+                       return_latents: bool = False):
+        """SCAIL 3D-pose-guided animation (any2video.py:850-899).
+        ref_image: [H, W, 3] in [-1, 1]; pose_video: [T, H, W, 3]
+        rendered pose skeleton video."""
+        from .scail import (downsample_half, scail_pose_input,
+                            build_scail_pose_rope, build_scail_masks)
+        sampling = sampling or SamplingConfig()
+        pose_video = np.asarray(pose_video, np.float32)
+        frame_num, height, width = pose_video.shape[:3]
+        st, sh, sw = self.vae_stride
+        lat_t = (frame_num - 1) // st + 1
+        lat_h, lat_w = height // sh, width // sw
+        if context is None:
+            context = self.encode_text([prompt])
+        if context_null is None and sampling.guide_scale != 1.0:
+            context_null = self.encode_text(
+                [n_prompt or DEFAULT_NEGATIVE_PROMPT])
+        # tiny ref perturbation before encode (any2video.py:862-864)
+        key = jax.random.key(seed)
+        k_sig, k_eps, k_lat = jax.random.split(key, 3)
+        img = jnp.asarray(ref_image, jnp.float32)
+        if img.shape[:2] != (height, width):
+            img = jax.image.resize(img, (height, width, 3), "bicubic")
+        sigma = jnp.exp(-5.0 + 0.5 * jax.random.normal(k_sig, ()))
+        noisy_ref = img + sigma * jax.random.normal(k_eps, img.shape)
+        ref_lat = self.encode_video(noisy_ref[None])
+        pose_lat = self.encode_video(downsample_half(pose_video))
+        pose_in = scail_pose_input(pose_lat)
+        y = build_scail_masks(lat_t, lat_h, lat_w)
+
+        pt, ph, pw = self.dit_cfg.patch_size
+        main_cos, main_sin = build_rope_3d(
+            ((1 + lat_t) // pt, lat_h // ph, lat_w // pw),
+            head_dim=self.dit_cfg.head_dim)
+        pose_cos, pose_sin = build_scail_pose_rope(
+            pose_lat.shape[2] // pt, lat_h // ph, lat_w // pw,
+            head_dim=self.dit_cfg.head_dim)
+        rope_cos = jnp.concatenate([main_cos, pose_cos], axis=0)
+        rope_sin = jnp.concatenate([main_sin, pose_sin], axis=0)
+
+        clip_fea = None
+        if self.clip_params is not None:
+            from .clip_vision import preprocess_image, clip_vision_encode
+            pixels = preprocess_image(img, self.clip_cfg.image_size)
+            clip_fea = clip_vision_encode(
+                self.clip_params, self.clip_cfg, pixels
+            ).astype(jnp.float32)
+
+        latents = jax.random.normal(
+            k_lat, (1, self.dit_cfg.out_dim, 1 + lat_t, lat_h, lat_w),
+            jnp.float32)
+        schedule = make_schedule(sampling.solver, sampling.steps,
+                                 sampling.shift,
+                                 solver_order=sampling.solver_order)
+        fn = jax.jit(functools.partial(
+            scail_denoise_scan, dit_cfg=self.dit_cfg, schedule=schedule,
+            guide_scale=sampling.guide_scale, rope_cos=rope_cos,
+            rope_sin=rope_sin, attn_backend=self.attn_backend))
+        x = fn(self.dit_params, latents=latents, context=context,
+               context_null=(context_null if context_null is not None
+                             else context),
+               ref_latent=ref_lat, y=y, scail_pose=pose_in,
+               clip_fea=clip_fea)
+        if return_latents:
+            return x
+        # drop the reference latent frame (ref_images_before trim)
+        return self.decode(x[:, :, 1:])[0]
 
     def generate_mocha(self, prompt: str, source_frames, mask_frame,
                        ref_images, n_prompt: str = "", frame_num: int = 81,

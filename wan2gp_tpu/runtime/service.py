@@ -442,6 +442,30 @@ class GenerationService:
             media.save_video(np.asarray(video), path, fps=fps,
                              metadata=_clean_settings(merged))
             return self.plugins.apply_postprocess_hooks([path], merged)
+        if model_def.get("scail_class") \
+                and merged.get("_video_guide") is not None \
+                and (merged.get("_image_refs")
+                     or merged.get("_image_start") is not None):
+            # SCAIL pose-guided animation (any2video.py:850-899);
+            # _video_guide carries the rendered 3D-pose video
+            ref = (merged.get("_image_refs")
+                   or [merged["_image_start"]])[0]
+            video = pipe.generate_scail(
+                prompt=merged.get("prompt", ""),
+                ref_image=np.asarray(ref),
+                pose_video=np.asarray(merged["_video_guide"]),
+                n_prompt=merged.get("negative_prompt", ""),
+                sampling=sampling, seed=seed,
+                context=merged.get("_context"),
+                context_null=merged.get("_context_null"))
+            video = _apply_spatial_upsampling(video, merged)
+            video, fps = _apply_temporal_upsampling(
+                video, merged, int(merged.get("fps", 16)))
+            path = os.path.join(self.output_dir,
+                                f"{model_type}_{stamp}_{seed}.avi")
+            media.save_video(np.asarray(video), path, fps=fps,
+                             metadata=_clean_settings(merged))
+            return self.plugins.apply_postprocess_hooks([path], merged)
         if model_def.get("mocha_class") \
                 and merged.get("_video_guide") is not None \
                 and merged.get("_image_refs"):

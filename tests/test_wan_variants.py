@@ -694,3 +694,82 @@ def test_scail_pipeline_e2e():
         context=ctx, context_null=ctx * 0)
     assert video.shape == (5, 64, 64, 3)
     assert np.isfinite(np.asarray(video)).all()
+
+
+# -- SCAIL-2 ----------------------------------------------------------------
+
+def test_scail2_mask_compression():
+    import torch
+    import torch.nn.functional as F
+    from wan2gp_tpu.models.wan.scail2 import (compress_mask_to_latent,
+                                              adaptive_avg_pool_2d)
+    rng = np.random.default_rng(5)
+    # adaptive pooling matches torch mode='area'
+    x = rng.random((2, 3, 13, 17)).astype(np.float32)
+    got = adaptive_avg_pool_2d(x, 5, 6)
+    ref = F.interpolate(torch.from_numpy(x), size=(5, 6),
+                        mode="area").numpy()
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+    # full compression against a torch oracle re-deriving
+    # scail2/__init__.py:140-182
+    t, h, w = 6, 32, 24
+    m = rng.choice([-1.0, 1.0], size=(t, h, w, 3)).astype(np.float32)
+    got = compress_mask_to_latent(m)
+    mk = torch.from_numpy(m).permute(0, 3, 1, 2).float()
+    thr = (225.0 - 127.5) / 127.5
+    r, g, b = [(mk[:, i:i + 1] > thr).float() for i in range(3)]
+    nr, ng, nb = 1 - r, 1 - g, 1 - b
+    b7 = torch.cat([r * g * b, r * ng * nb, nr * g * nb, nr * ng * b,
+                    r * g * nb, r * ng * b, nr * g * b], dim=1)
+    hl, wl = h, w
+    for _ in range(3):
+        hl, wl = (hl + 1) // 2, (wl + 1) // 2
+    b7 = F.interpolate(b7, size=(hl, wl), mode="area")
+    t_lat = (t - 1) // 4 + 1
+    pad = torch.cat([b7[:1].repeat(4, 1, 1, 1), b7[1:]], dim=0)
+    if pad.shape[0] < t_lat * 4:
+        pad = torch.cat([pad, pad[-1:].repeat(t_lat * 4 - pad.shape[0],
+                                              1, 1, 1)])
+    ref28 = pad[:t_lat * 4].view(t_lat, 28, hl, wl).permute(
+        1, 0, 2, 3).numpy()
+    assert got.shape == (28, t_lat, hl, wl)
+    np.testing.assert_allclose(got, ref28, rtol=1e-5, atol=1e-6)
+
+
+def test_scail2_forward_and_e2e():
+    from wan2gp_tpu.models.wan.pipeline import WanPipeline, SamplingConfig
+    from wan2gp_tpu.models.wan.vae import WanVAEConfig, init_wan_vae
+    cfg = WanDiTConfig(dim=96, ffn_dim=192, num_heads=4, num_layers=2,
+                       freq_dim=32, text_dim=48, text_len=16, in_dim=20,
+                       model_type="i2v", compute_dtype=jnp.float32)
+    params = init_wan_dit(jax.random.key(30), cfg, jnp.float32)
+    params["pose_patch_embedding"] = {
+        "w": jax.random.normal(jax.random.key(31), (20 * 4, cfg.dim),
+                               jnp.float32) * 0.02,
+        "b": jnp.zeros((cfg.dim,), jnp.float32)}
+    params["mask_patch_embedding"] = {
+        "w": jax.random.normal(jax.random.key(32), (28 * 4, cfg.dim),
+                               jnp.float32) * 0.02,
+        "b": jnp.zeros((cfg.dim,), jnp.float32)}
+    vae_cfg = WanVAEConfig(dim=8, num_res_blocks=1)
+    pipe = WanPipeline(params, cfg, vae_params=init_wan_vae(
+        jax.random.key(33), vae_cfg), vae_cfg=vae_cfg,
+        attn_backend="xla", base_model_type="scail2_14B")
+    rng = np.random.default_rng(6)
+    ctx = jnp.asarray(rng.standard_normal((1, 8, cfg.text_dim)),
+                      jnp.float32)
+    ref = rng.standard_normal((64, 64, 3)).astype(np.float32).clip(-1, 1)
+    ref_mask = np.ones((64, 64, 3), np.float32)    # white = person
+    pose = rng.standard_normal((5, 64, 64, 3)).astype(np.float32).clip(-1, 1)
+    video = pipe.generate_scail2(
+        "", ref_image=ref, ref_mask=ref_mask, pose_video=pose,
+        sampling=SamplingConfig(steps=2, guide_scale=5.0),
+        context=ctx, context_null=ctx * 0)
+    assert video.shape == (5, 64, 64, 3)
+    assert np.isfinite(np.asarray(video)).all()
+    # replace mode uses the offset ref rope and still runs
+    lat = pipe.generate_scail2(
+        "", ref_image=ref, ref_mask=ref_mask, pose_video=pose,
+        replace=True, sampling=SamplingConfig(steps=2, guide_scale=1.0),
+        context=ctx, return_latents=True)
+    assert lat.shape == (1, 16, 2, 8, 8)

@@ -167,6 +167,14 @@ _ARCH: Dict[str, Dict[str, Any]] = {
     "scail": dict(dim=5120, ffn_dim=13824, num_heads=40, num_layers=40,
                   model_type="i2v", in_dim=20, vae_stride=(4, 8, 8),
                   scail=True),
+    # SCAIL-2 mask-token conditioning (models/wan/scail2.py; reference
+    # models/wan/scail2/__init__.py — adds a 28-ch mask patch embed)
+    "scail2_14B": dict(dim=5120, ffn_dim=13824, num_heads=40,
+                       num_layers=40, model_type="i2v", in_dim=20,
+                       vae_stride=(4, 8, 8), scail2=True),
+    "scail2_1.3B": dict(dim=1536, ffn_dim=8960, num_heads=12,
+                        num_layers=30, model_type="i2v", in_dim=20,
+                        vae_stride=(4, 8, 8), scail2=True),
 }
 
 
@@ -214,6 +222,7 @@ class WanFamilyHandler:
             "mocha_class": arch.get("mocha", False),
             "svi2pro_class": arch.get("svi2pro", False),
             "scail_class": arch.get("scail", False),
+            "scail2_class": arch.get("scail2", False),
             "ditto_modes": ({"choices": [("Global", 0),
                                          ("Global Style", 1),
                                          ("Sim 2 Real", 2)],
@@ -360,13 +369,22 @@ class WanFamilyHandler:
                 from ..models.wan.recam import init_recam_blocks
                 dit_params["recam_blocks"] = init_recam_blocks(
                     dit_cfg.num_layers, dit_cfg.dim)
-            if arch.get("scail"):
+            if arch.get("scail") or arch.get("scail2"):
                 # pose patch embed Conv3d(20, dim) (model.py:1244-1247)
                 cin = dit_cfg.in_dim * 1 * 2 * 2
                 lim = (cin + dit_cfg.dim) ** -0.5
                 dit_params["pose_patch_embedding"] = {
                     "w": jax.random.uniform(
                         jax.random.key(seed + 11), (cin, dit_cfg.dim),
+                        jnp.float32, -lim, lim),
+                    "b": jnp.zeros((dit_cfg.dim,), jnp.float32)}
+            if arch.get("scail2"):
+                # 28-ch mask patch embed (model.py:1249-1251)
+                cin = 28 * 1 * 2 * 2
+                lim = (cin + dit_cfg.dim) ** -0.5
+                dit_params["mask_patch_embedding"] = {
+                    "w": jax.random.uniform(
+                        jax.random.key(seed + 12), (cin, dit_cfg.dim),
                         jnp.float32, -lim, lim),
                     "b": jnp.zeros((dit_cfg.dim,), jnp.float32)}
             if arch.get("steadydancer"):
@@ -448,16 +466,26 @@ class WanFamilyHandler:
                                      "face_adapter.",
                                      "pose_patch_embedding.")):
                         sd.pop(k)
-            scail_pe = None
-            if arch.get("scail") and "pose_patch_embedding.weight" in sd:
-                # SCAIL pose patch embed rides in the dit checkpoint
+            scail_pe = {}
+            if arch.get("scail") or arch.get("scail2"):
+                # SCAIL pose/mask patch embeds ride in the dit
+                # checkpoint (patch_embedding_mask is normalized to
+                # mask_patch_embedding, model.py:927)
                 sd = dict(sd)
-                w = np.asarray(sd.pop("pose_patch_embedding.weight"),
-                               np.float32)
-                scail_pe = {
-                    "w": jnp.asarray(w.reshape(w.shape[0], -1).T),
-                    "b": jnp.asarray(np.asarray(
-                        sd.pop("pose_patch_embedding.bias"), np.float32))}
+
+                def conv_pe(name):
+                    w = np.asarray(sd.pop(f"{name}.weight"), np.float32)
+                    return {"w": jnp.asarray(w.reshape(w.shape[0], -1).T),
+                            "b": jnp.asarray(np.asarray(
+                                sd.pop(f"{name}.bias"), np.float32))}
+
+                if "pose_patch_embedding.weight" in sd:
+                    scail_pe["pose_patch_embedding"] = conv_pe(
+                        "pose_patch_embedding")
+                for cand in ("mask_patch_embedding",
+                             "patch_embedding_mask"):
+                    if f"{cand}.weight" in sd:
+                        scail_pe["mask_patch_embedding"] = conv_pe(cand)
             recam_params = None
             if arch.get("recam"):
                 # per-block cam_encoder/projector ride inside the dit
@@ -472,8 +500,7 @@ class WanFamilyHandler:
                 dit_params.update(animate_params)
             if recam_params is not None:
                 dit_params["recam_blocks"] = recam_params
-            if scail_pe is not None:
-                dit_params["pose_patch_embedding"] = scail_pe
+            dit_params.update(scail_pe)
             t5_params = None
             if checkpoints.get("text_encoder"):
                 t5_sd = load_safetensors(checkpoints["text_encoder"])

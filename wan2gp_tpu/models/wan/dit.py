@@ -509,7 +509,8 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
                     audio_tokens=None, fantasy_audio=None, standin=None,
                     lynx=None, lynx_extract: bool = False,
                     shotplan=None, animate=None, steadydancer=None,
-                    clip_fea_extra=None, cam_emb=None, scail_pose=None):
+                    clip_fea_extra=None, cam_emb=None, scail_pose=None,
+                    scail2=None):
     """Denoiser forward.
 
     latents:  [B, C, F, H, W] noisy latents
@@ -527,6 +528,15 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
 
     steady_keep = None
     x_in = latents if y is None else jnp.concatenate([latents, y], axis=1)
+    if scail2 is not None and "mask_patch_embedding" in params:
+        # SCAIL-2 (modules/model.py:1578-1585): the matted reference
+        # latents (20ch) PREPEND on time; their 28-ch color-mask
+        # embedding adds to the tokens; the output slice drops the
+        # reference frames.
+        ref = jnp.broadcast_to(scail2["ref"].astype(x_in.dtype),
+                               (b, *scail2["ref"].shape[1:]))
+        n_ref = ref.shape[2]
+        x_in = jnp.concatenate([ref, x_in], axis=2)
     if steadydancer is not None and "patch_embedding_fuse" in params:
         # SteadyDancer condition-reconciliation (model.py:1638-1658):
         # fused/aligned pose conditions join the channel stack through a
@@ -573,6 +583,30 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
                 pose_tok.astype(x.dtype))
 
     shotplan_keep = steady_keep
+    if scail2 is not None and "mask_patch_embedding" in params:
+        s_f = (latents.shape[3] // ph) * (latents.shape[4] // pw)
+        # 28-ch ref+null mask embedding ADDED over all main tokens
+        # (model.py:1610-1614)
+        mask_tok = patchify(scail2["ref_masks"].astype(jnp.float32),
+                            cfg.patch_size)
+        mask_tok = _dense(mask_tok, params["mask_patch_embedding"],
+                          jnp.float32)
+        x = x + jnp.broadcast_to(mask_tok.astype(x.dtype),
+                                 x.shape)
+        # pose tokens = pose embed + driving-mask embed, appended
+        # (scail2/__init__.py:508-521)
+        pose_tok = _dense(patchify(scail2["pose"].astype(jnp.float32),
+                                   cfg.patch_size),
+                          params["pose_patch_embedding"], jnp.float32)
+        pose_tok = pose_tok + _dense(
+            patchify(scail2["driving_masks"].astype(jnp.float32),
+                     cfg.patch_size),
+            params["mask_patch_embedding"], jnp.float32)
+        pose_tok = jnp.broadcast_to(pose_tok, (b, *pose_tok.shape[1:]))
+        main_end = x.shape[1]
+        x = jnp.concatenate([x, pose_tok.astype(x.dtype)], axis=1)
+        # keep only the video span (drop ref frames + pose tokens)
+        shotplan_keep = np.arange(n_ref * s_f, main_end)
     if scail_pose is not None and "pose_patch_embedding" in params:
         # SCAIL pose tokens (model_scail.py:8-37): the 20-ch pose stack
         # goes through its own patch embed and is APPENDED to the main

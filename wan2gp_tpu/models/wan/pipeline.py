@@ -700,6 +700,46 @@ def scail_denoise_scan(dit_params, dit_cfg: WanDiTConfig,
     return x.at[:, :, :1].set(ref_latent.astype(x.dtype))
 
 
+def scail2_denoise_scan(dit_params, dit_cfg: WanDiTConfig,
+                        schedule: Schedule, latents, context,
+                        context_null, y, scail2_cond, guide_scale: float,
+                        rope_cos, rope_sin, clip_fea=None,
+                        attn_backend: str = "auto"):
+    """SCAIL-2 denoising: the model prepends the reference latents and
+    appends pose+mask tokens internally (modules/model.py:1578-1619);
+    standard 2-branch text CFG."""
+    b = latents.shape[0]
+    use_cfg = guide_scale != 1.0
+    nb = 2 if use_cfg else 1
+    ctx = (jnp.concatenate([context, context_null], axis=0) if use_cfg
+           else context)
+    clipb = (None if clip_fea is None
+             else jnp.concatenate([clip_fea] * nb, axis=0))
+    yb = jnp.concatenate([y] * nb, axis=0)
+
+    def body(carry, xs):
+        x, sstate = carry
+        t, coeffs_i, i = xs
+        xb = jnp.concatenate([x] * nb, axis=0) if use_cfg else x
+        tb = jnp.broadcast_to(t, (nb * b,))
+        v = wan_dit_forward(dit_params, dit_cfg, xb, tb, ctx,
+                            rope_cos, rope_sin, y=yb, clip_fea=clipb,
+                            scail2=scail2_cond,
+                            attn_backend=attn_backend)
+        pred = (v[:b] if not use_cfg
+                else v[b:] + guide_scale * (v[:b] - v[b:]))
+        x, sstate = solver_step(schedule, i, coeffs_i, pred, x, sstate)
+        return (x, sstate), None
+
+    carry0 = (latents.astype(jnp.float32),
+              init_solver_state(schedule, latents))
+    xs = (schedule.timesteps,
+          {k: v for k, v in schedule.coeffs.items()},
+          jnp.arange(schedule.num_steps, dtype=jnp.int32))
+    (x, _), _ = jax.lax.scan(body, carry0, xs)
+    return x
+
+
 def standin_denoise_scan(dit_params, dit_cfg: WanDiTConfig,
                          schedule: Schedule, latents, context,
                          context_null, standin_latents, ref_cos, ref_sin,
@@ -1771,6 +1811,89 @@ class WanPipeline:
             return x
         # drop the reference latent frame (ref_images_before trim)
         return self.decode(x[:, :, 1:])[0]
+
+    def generate_scail2(self, prompt: str, ref_image, ref_mask,
+                        pose_video, driving_mask_video=None,
+                        n_prompt: str = "", sampling=None, seed: int = 0,
+                        replace: bool = False, context=None,
+                        context_null=None, return_latents: bool = False):
+        """SCAIL-2 reference-driven animation
+        (scail2/__init__.py:701-821).  ref_image: matted [H, W, 3];
+        ref_mask: color-coded RGB mask image; pose_video: [T, H, W, 3]
+        rendered pose; driving_mask_video: color-coded RGB mask video
+        (defaults to all-white)."""
+        from .scail import downsample_half, build_scail_pose_rope
+        from .scail2 import (compress_mask_to_latent, with_ones_mask,
+                             build_scail2_main_rope)
+        sampling = sampling or SamplingConfig()
+        pose_video = np.asarray(pose_video, np.float32)
+        frame_num, height, width = pose_video.shape[:3]
+        st, sh, sw = self.vae_stride
+        lat_t = (frame_num - 1) // st + 1
+        lat_h, lat_w = height // sh, width // sw
+        if context is None:
+            context = self.encode_text([prompt])
+        if context_null is None and sampling.guide_scale != 1.0:
+            context_null = self.encode_text(
+                [n_prompt or DEFAULT_NEGATIVE_PROMPT])
+        img = jnp.asarray(ref_image, jnp.float32)
+        if img.shape[:2] != (height, width):
+            img = jax.image.resize(img, (height, width, 3), "bicubic")
+        ref_lat = with_ones_mask(self.encode_video(img[None]))
+        n_ref = ref_lat.shape[2]
+        ref_mask_28 = compress_mask_to_latent(
+            np.asarray(ref_mask, np.float32)[None])      # [28, 1, h, w]
+        null_mask = np.zeros((28, lat_t, lat_h, lat_w), np.float32)
+        ref_masks = jnp.asarray(np.concatenate(
+            [ref_mask_28, null_mask], axis=1))[None]
+        pose_lat = with_ones_mask(
+            self.encode_video(downsample_half(pose_video)))
+        if driving_mask_video is None:
+            driving_mask_video = np.ones((frame_num, height, width, 3),
+                                         np.float32)
+        dm = downsample_half(np.asarray(driving_mask_video, np.float32))
+        driving_masks = jnp.asarray(compress_mask_to_latent(dm))[None]
+
+        y = jnp.zeros((1, 4, lat_t, lat_h, lat_w), jnp.float32)
+        pt, ph, pw = self.dit_cfg.patch_size
+        h_tok, w_tok = lat_h // ph, lat_w // pw
+        main_cos, main_sin = build_scail2_main_rope(
+            n_ref, lat_t, h_tok, w_tok, head_dim=self.dit_cfg.head_dim,
+            replace=replace)
+        pose_cos, pose_sin = build_scail_pose_rope(
+            pose_lat.shape[2] // pt, h_tok, w_tok,
+            head_dim=self.dit_cfg.head_dim,
+            t_offset=0 if replace else n_ref)
+        rope_cos = jnp.concatenate([main_cos, pose_cos], axis=0)
+        rope_sin = jnp.concatenate([main_sin, pose_sin], axis=0)
+
+        clip_fea = None
+        if self.clip_params is not None:
+            from .clip_vision import preprocess_image, clip_vision_encode
+            pixels = preprocess_image(img, self.clip_cfg.image_size)
+            clip_fea = clip_vision_encode(
+                self.clip_params, self.clip_cfg, pixels
+            ).astype(jnp.float32)
+
+        latents = jax.random.normal(
+            jax.random.key(seed),
+            (1, self.dit_cfg.out_dim, lat_t, lat_h, lat_w), jnp.float32)
+        schedule = make_schedule(sampling.solver, sampling.steps,
+                                 sampling.shift,
+                                 solver_order=sampling.solver_order)
+        scail2_cond = {"ref": ref_lat, "ref_masks": ref_masks,
+                       "pose": pose_lat, "driving_masks": driving_masks}
+        fn = jax.jit(functools.partial(
+            scail2_denoise_scan, dit_cfg=self.dit_cfg, schedule=schedule,
+            guide_scale=sampling.guide_scale, rope_cos=rope_cos,
+            rope_sin=rope_sin, attn_backend=self.attn_backend))
+        x = fn(self.dit_params, latents=latents, context=context,
+               context_null=(context_null if context_null is not None
+                             else context),
+               y=y, scail2_cond=scail2_cond, clip_fea=clip_fea)
+        if return_latents:
+            return x
+        return self.decode(x)[0]
 
     def generate_mocha(self, prompt: str, source_frames, mask_frame,
                        ref_images, n_prompt: str = "", frame_num: int = 81,

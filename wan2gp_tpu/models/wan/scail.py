@@ -49,14 +49,16 @@ def scail_pose_input(pose_latents) -> jnp.ndarray:
 
 
 def build_scail_pose_rope(pose_grid_t: int, h_tok: int, w_tok: int,
-                          head_dim: int = 128
+                          head_dim: int = 128, t_offset: int = 1
                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pose-token rope (any2video.py:884-894): positions
-    (t in [1, 1+T), h in [0, H), w in [120, 120+W)) built on the FULL
-    latent token grid, then 2x2 average-pooled to the half-res pose
-    grid."""
+    (t in [t_offset, t_offset+T), h in [0, H), w in [120, 120+W)) built
+    on the FULL latent token grid, then 2x2 average-pooled to the
+    half-res pose grid.  SCAIL-2 reuses this with t_offset = number of
+    reference frames (scail2/__init__.py:804,814)."""
     cos, sin = build_rope_3d((pose_grid_t, h_tok, w_tok),
-                             head_dim=head_dim, offsets=(1, 0, 120))
+                             head_dim=head_dim,
+                             offsets=(t_offset, 0, 120))
     d = cos.shape[-1]
 
     def pool(tab):

@@ -466,6 +466,31 @@ class GenerationService:
             media.save_video(np.asarray(video), path, fps=fps,
                              metadata=_clean_settings(merged))
             return self.plugins.apply_postprocess_hooks([path], merged)
+        if model_def.get("scail2_class") \
+                and merged.get("_video_guide") is not None \
+                and merged.get("_image_refs"):
+            # SCAIL-2: matted ref + color mask as the first two image
+            # refs (scail2/__init__.py:726-729)
+            refs = merged["_image_refs"]
+            ref_mask = (np.asarray(refs[1]) if len(refs) > 1
+                        else np.ones_like(np.asarray(refs[0])))
+            video = pipe.generate_scail2(
+                prompt=merged.get("prompt", ""),
+                ref_image=np.asarray(refs[0]), ref_mask=ref_mask,
+                pose_video=np.asarray(merged["_video_guide"]),
+                driving_mask_video=merged.get("_video_mask"),
+                n_prompt=merged.get("negative_prompt", ""),
+                sampling=sampling, seed=seed,
+                context=merged.get("_context"),
+                context_null=merged.get("_context_null"))
+            video = _apply_spatial_upsampling(video, merged)
+            video, fps = _apply_temporal_upsampling(
+                video, merged, int(merged.get("fps", 16)))
+            path = os.path.join(self.output_dir,
+                                f"{model_type}_{stamp}_{seed}.avi")
+            media.save_video(np.asarray(video), path, fps=fps,
+                             metadata=_clean_settings(merged))
+            return self.plugins.apply_postprocess_hooks([path], merged)
         if model_def.get("mocha_class") \
                 and merged.get("_video_guide") is not None \
                 and merged.get("_image_refs"):

@@ -773,3 +773,69 @@ def test_scail2_forward_and_e2e():
         replace=True, sampling=SamplingConfig(steps=2, guide_scale=1.0),
         context=ctx, return_latents=True)
     assert lat.shape == (1, 16, 2, 8, 8)
+
+
+# -- Bernini ----------------------------------------------------------------
+
+def test_bernini_branches_and_source_rope():
+    import torch
+    from wan2gp_tpu.models.wan.bernini import (bernini_branch_defs,
+                                               sources_for_key,
+                                               rotate_rope_source)
+    # branch decomposition (any2video.py:1569-1578)
+    defs = bernini_branch_defs(True, True, 2.0, 1.5, 5.0)
+    assert [d[0] for d in defs] == [-1.0, 0.5, -3.5, 5.0]
+    assert [d[1] for d in defs] == ["", "V", "VI", "VI"]
+    assert [d[2] for d in defs] == [False, False, False, True]
+    assert sum(d[0] for d in defs) == 1.0
+    # zero-coefficient branches dropped; V-only case
+    defs2 = bernini_branch_defs(True, False, 1.0, 1.0, 1.0)
+    assert defs2 == [(1.0, "V", True)]
+    # source ids: V 1..nv; I 1..ni; VI videos then images
+    v = ["v0"]; im = ["i0", "i1"]
+    assert sources_for_key("V", v, im) == [("v0", 1)]
+    assert sources_for_key("I", v, im) == [("i0", 1), ("i1", 2)]
+    assert sources_for_key("VI", v, im) == [("v0", 1), ("i0", 2),
+                                            ("i1", 3)]
+    # source rotation == torch angle-addition oracle
+    cos, sin = build_rope_3d((2, 2, 2), head_dim=32)
+    rc, rs = rotate_rope_source(cos, sin, 3)
+    d2 = 16
+    inv = 1.0 / (10000.0 ** (np.arange(d2) / d2))
+    sc, ss = np.cos(3 * inv), np.sin(3 * inv)
+    c = torch.from_numpy(np.asarray(cos)).double()
+    s = torch.from_numpy(np.asarray(sin)).double()
+    np.testing.assert_allclose(np.asarray(rc),
+                               (c * sc - s * ss).numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rs),
+                               (s * sc + c * ss).numpy(), atol=1e-6)
+    assert rotate_rope_source(cos, sin, 0) == (cos, sin)
+
+
+def test_bernini_pipeline_e2e():
+    from wan2gp_tpu.models.wan.pipeline import WanPipeline, SamplingConfig
+    from wan2gp_tpu.models.wan.vae import WanVAEConfig, init_wan_vae
+    cfg = TINY
+    params = init_wan_dit(jax.random.key(40), cfg, jnp.float32)
+    vae_cfg = WanVAEConfig(dim=8, num_res_blocks=1)
+    pipe = WanPipeline(params, cfg, vae_params=init_wan_vae(
+        jax.random.key(41), vae_cfg), vae_cfg=vae_cfg,
+        attn_backend="xla", base_model_type="bernini")
+    rng = np.random.default_rng(7)
+    ctx = jnp.asarray(rng.standard_normal((1, 8, cfg.text_dim)),
+                      jnp.float32)
+    ctrl = rng.standard_normal((5, 64, 64, 3)).astype(np.float32).clip(-1, 1)
+    ref = rng.standard_normal((64, 64, 3)).astype(np.float32).clip(-1, 1)
+    video = pipe.generate_bernini(
+        "", control_video=ctrl, ref_images=[ref], width=64, height=64,
+        frame_num=5, omega_v=2.0, omega_i=1.5,
+        sampling=SamplingConfig(steps=2, guide_scale=5.0),
+        context=ctx, context_null=ctx * 0)
+    assert video.shape == (5, 64, 64, 3)
+    assert np.isfinite(np.asarray(video)).all()
+    # text-only degenerate case still works (plain 2-branch CFG)
+    lat = pipe.generate_bernini(
+        "", width=64, height=64, frame_num=5,
+        sampling=SamplingConfig(steps=2, guide_scale=4.0),
+        context=ctx, context_null=ctx * 0, return_latents=True)
+    assert lat.shape == (1, 16, 2, 8, 8)

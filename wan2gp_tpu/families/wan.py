@@ -175,6 +175,13 @@ _ARCH: Dict[str, Dict[str, Any]] = {
     "scail2_1.3B": dict(dim=1536, ffn_dim=8960, num_heads=12,
                         num_layers=30, model_type="i2v", in_dim=20,
                         vae_stride=(4, 8, 8), scail2=True),
+    # Bernini compositional multi-source editing (models/wan/bernini.py;
+    # reference any2video.py:950-966, 1567-1607)
+    "bernini": dict(dim=5120, ffn_dim=13824, num_heads=40, num_layers=40,
+                    model_type="t2v", vae_stride=(4, 8, 8), bernini=True),
+    "bernini_1.3B": dict(dim=1536, ffn_dim=8960, num_heads=12,
+                         num_layers=30, model_type="t2v",
+                         vae_stride=(4, 8, 8), bernini=True),
 }
 
 
@@ -223,6 +230,7 @@ class WanFamilyHandler:
             "svi2pro_class": arch.get("svi2pro", False),
             "scail_class": arch.get("scail", False),
             "scail2_class": arch.get("scail2", False),
+            "bernini_class": arch.get("bernini", False),
             "ditto_modes": ({"choices": [("Global", 0),
                                          ("Global Style", 1),
                                          ("Sim 2 Real", 2)],

@@ -510,7 +510,7 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
                     lynx=None, lynx_extract: bool = False,
                     shotplan=None, animate=None, steadydancer=None,
                     clip_fea_extra=None, cam_emb=None, scail_pose=None,
-                    scail2=None):
+                    scail2=None, bernini=None):
     """Denoiser forward.
 
     latents:  [B, C, F, H, W] noisy latents
@@ -607,6 +607,19 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
         x = jnp.concatenate([x, pose_tok.astype(x.dtype)], axis=1)
         # keep only the video span (drop ref frames + pose tokens)
         shotplan_keep = np.arange(n_ref * s_f, main_end)
+    if bernini is not None and len(bernini) > 0:
+        # Bernini sources (model.py:1587-1605): each source's latents go
+        # through the MAIN patch embedding and append to the stream;
+        # rope_cos/rope_sin must already cover (and phase-rotate) them.
+        main_len = x.shape[1]
+        toks = []
+        for src in bernini:
+            st = patchify(src.astype(jnp.float32), cfg.patch_size)
+            st = _dense(st, params["patch_embedding"], jnp.float32)
+            toks.append(jnp.broadcast_to(st, (b, *st.shape[1:])))
+        x = jnp.concatenate([x] + [t_.astype(x.dtype) for t_ in toks],
+                            axis=1)
+        shotplan_keep = np.arange(main_len)
     if scail_pose is not None and "pose_patch_embedding" in params:
         # SCAIL pose tokens (model_scail.py:8-37): the 20-ch pose stack
         # goes through its own patch embed and is APPENDED to the main

@@ -1895,6 +1895,102 @@ class WanPipeline:
             return x
         return self.decode(x)[0]
 
+    def generate_bernini(self, prompt: str, control_video=None,
+                         ref_images=None, n_prompt: str = "",
+                         width: int = 832, height: int = 480,
+                         frame_num: int = 81, omega_v: float = 1.0,
+                         omega_i: float = 1.0, sampling=None,
+                         seed: int = 0, context=None, context_null=None,
+                         return_latents: bool = False):
+        """Bernini compositional editing (any2video.py:950-966,
+        1567-1607).  control_video: [T, H, W, 3]; ref_images: list of
+        [H, W, 3]; omega_v/omega_i: video/image source weights;
+        sampling.guide_scale is the text weight (omega_ti)."""
+        from .bernini import (bernini_branch_defs, sources_for_key,
+                              rotate_rope_source)
+        sampling = sampling or SamplingConfig()
+        if context is None:
+            context = self.encode_text([prompt])
+        omega_ti = sampling.guide_scale
+        video_srcs, image_srcs = [], []
+        if control_video is not None:
+            video_srcs.append(self.encode_video(
+                np.asarray(control_video, np.float32)))
+        for r in (ref_images or []):
+            img = jnp.asarray(r, jnp.float32)
+            if img.shape[:2] != (height, width):
+                img = jax.image.resize(img, (height, width, 3),
+                                       "bicubic")
+            image_srcs.append(self.encode_video(img[None]))
+        defs = bernini_branch_defs(bool(video_srcs), bool(image_srcs),
+                                   omega_v, omega_i, omega_ti)
+        needs_null = any(not use_cond for _, _, use_cond in defs)
+        if context_null is None and needs_null:
+            context_null = self.encode_text(
+                [n_prompt or DEFAULT_NEGATIVE_PROMPT])
+
+        lat_shape = self.latent_shape(frame_num, height, width)
+        latents = jax.random.normal(jax.random.key(seed), lat_shape,
+                                    jnp.float32)
+        schedule = make_schedule(sampling.solver, sampling.steps,
+                                 sampling.shift,
+                                 solver_order=sampling.solver_order)
+        main_cos, main_sin = self._rope(lat_shape)
+        pt, ph, pw = self.dit_cfg.patch_size
+        branches = []
+        for coeff, key, use_cond in defs:
+            srcs = sources_for_key(key, video_srcs, image_srcs)
+            cos_parts, sin_parts = [main_cos], [main_sin]
+            lats = []
+            for lat, sid in srcs:
+                grid = (lat.shape[2] // pt, lat.shape[3] // ph,
+                        lat.shape[4] // pw)
+                c, s = build_rope_3d(grid,
+                                     head_dim=self.dit_cfg.head_dim)
+                c, s = rotate_rope_source(c, s, sid)
+                cos_parts.append(c)
+                sin_parts.append(s)
+                lats.append(lat)
+            branches.append((coeff,
+                             context if use_cond else context_null,
+                             tuple(lats),
+                             jnp.concatenate(cos_parts, axis=0),
+                             jnp.concatenate(sin_parts, axis=0)))
+
+        dit_cfg, backend = self.dit_cfg, self.attn_backend
+
+        @jax.jit
+        def scan(dit_params, latents, *ctxs):
+            def body(carry, xs):
+                x, sstate = carry
+                t, coeffs_i, i = xs
+                tb = jnp.broadcast_to(t, (x.shape[0],))
+                pred = jnp.zeros_like(x)
+                for (coeff, _, lats, cosb, sinb), ctx in zip(branches,
+                                                             ctxs):
+                    v = wan_dit_forward(dit_params, dit_cfg, x, tb, ctx,
+                                        cosb, sinb,
+                                        bernini=lats or None,
+                                        attn_backend=backend)
+                    pred = pred + coeff * v
+                x, sstate = solver_step(schedule, i, coeffs_i, pred, x,
+                                        sstate)
+                return (x, sstate), None
+
+            carry0 = (latents.astype(jnp.float32),
+                      init_solver_state(schedule, latents))
+            xs = (schedule.timesteps,
+                  {k: v for k, v in schedule.coeffs.items()},
+                  jnp.arange(schedule.num_steps, dtype=jnp.int32))
+            (x, _), _ = jax.lax.scan(body, carry0, xs)
+            return x
+
+        x = scan(self.dit_params, latents,
+                 *[ctx for _, ctx, *_ in branches])
+        if return_latents:
+            return x
+        return self.decode(x)[0]
+
     def generate_mocha(self, prompt: str, source_frames, mask_frame,
                        ref_images, n_prompt: str = "", frame_num: int = 81,
                        sampling=None, seed: int = 0, context=None,

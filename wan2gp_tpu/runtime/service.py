@@ -491,6 +491,31 @@ class GenerationService:
             media.save_video(np.asarray(video), path, fps=fps,
                              metadata=_clean_settings(merged))
             return self.plugins.apply_postprocess_hooks([path], merged)
+        if model_def.get("bernini_class"):
+            # Bernini multi-source compositional editing
+            video = pipe.generate_bernini(
+                prompt=merged.get("prompt", ""),
+                control_video=merged.get("_video_guide"),
+                ref_images=[np.asarray(r) for r in
+                            (merged.get("_image_refs") or [])],
+                n_prompt=merged.get("negative_prompt", ""),
+                width=width, height=height, frame_num=frame_num,
+                omega_v=float(merged.get("control_net_weight", 1.0)
+                              or 1.0),
+                omega_i=float(merged.get("audio_guidance_scale",
+                                         merged.get("guidance2_scale",
+                                                    1.0)) or 1.0),
+                sampling=sampling, seed=seed,
+                context=merged.get("_context"),
+                context_null=merged.get("_context_null"))
+            video = _apply_spatial_upsampling(video, merged)
+            video, fps = _apply_temporal_upsampling(
+                video, merged, int(merged.get("fps", 16)))
+            path = os.path.join(self.output_dir,
+                                f"{model_type}_{stamp}_{seed}.avi")
+            media.save_video(np.asarray(video), path, fps=fps,
+                             metadata=_clean_settings(merged))
+            return self.plugins.apply_postprocess_hooks([path], merged)
         if model_def.get("mocha_class") \
                 and merged.get("_video_guide") is not None \
                 and merged.get("_image_refs"):

@@ -839,3 +839,94 @@ def test_bernini_pipeline_e2e():
         sampling=SamplingConfig(steps=2, guide_scale=4.0),
         context=ctx, context_null=ctx * 0, return_latents=True)
     assert lat.shape == (1, 16, 2, 8, 8)
+
+
+# -- Vista4D ----------------------------------------------------------------
+
+def test_vista4d_plucker_and_masks():
+    import torch
+    from einops import rearrange
+    from wan2gp_tpu.models.wan.vista4d import (get_plucker_embedding,
+                                               pack_masks,
+                                               build_vista_rope)
+    rng = np.random.default_rng(11)
+    b, f, H, W, hd, wd = 1, 3, 64, 96, 8, 12
+    intr = np.stack([np.full((b, f), 60.0), np.full((b, f), 60.0),
+                     np.full((b, f), W / 2), np.full((b, f), H / 2)],
+                    axis=-1).astype(np.float64)
+    c2w = np.tile(np.eye(4), (b, f, 1, 1))
+    c2w[..., :3, 3] = rng.normal(size=(b, f, 3))
+    got = get_plucker_embedding(intr, c2w, H, W, hd, wd)
+    # torch oracle re-deriving camera.py:6-56
+    ti = torch.from_numpy(intr)
+    tc = torch.from_numpy(c2w)
+    jj, ii = torch.meshgrid(torch.arange(hd).double(),
+                            torch.arange(wd).double(), indexing="ij")
+    pw_, ph_ = W / wd, H / hd
+    i = (ii.reshape(1, 1, -1).expand(b, f, -1) + 0.5) * pw_ + pw_ / 2
+    j = (jj.reshape(1, 1, -1).expand(b, f, -1) + 0.5) * ph_ + ph_ / 2
+    fx, fy, cx, cy = ti.chunk(4, dim=-1)
+    zs = torch.ones_like(i)
+    xs = (i - cx) / fx * zs
+    ys = (j - cy) / fy * zs
+    dirs = torch.stack((xs, ys, zs.expand_as(ys)), dim=-1)
+    dirs = dirs / dirs.norm(dim=-1, keepdim=True)
+    rays_d = dirs @ tc[..., :3, :3].transpose(-1, -2)
+    rays_o = tc[..., :3, 3][:, :, None].expand_as(rays_d)
+    ref = torch.cat([torch.cross(rays_o, rays_d, dim=-1), rays_d],
+                    dim=-1).reshape(b, f, hd, wd, 6).numpy()
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+    # mask packing == einops fold oracle (preprocess.py:675-681)
+    t, hh, ww = 5, 16, 24
+    am = rng.random((t, hh, ww)).astype(np.float32)
+    mm = rng.random((t, hh, ww)).astype(np.float32)
+    got_m = np.asarray(pack_masks(am, mm))
+    m = torch.from_numpy(np.stack((am, mm), 0)[None])
+    m = torch.cat([m[:, :, :1].repeat_interleave(4, dim=2), m[:, :, 1:]],
+                  dim=2)
+    ref_m = rearrange(m, "b c (f sf) (h sh) (w sw) -> b (c sf sh sw) f h w",
+                      sf=4, sh=8, sw=8).numpy()
+    assert got_m.shape == (1, 512, 2, 2, 3)
+    np.testing.assert_allclose(got_m, ref_m, atol=1e-6)
+    # rope: 3 segments, temporal offsets (0, 31, 62) for small grids
+    cos, sin = build_vista_rope(2, 3, 4, head_dim=32)
+    s = 2 * 3 * 4
+    assert cos.shape == (3 * s, 16)
+    seg = build_rope_3d((2, 3, 4), head_dim=32, offsets=(31, 0, 0))[0]
+    np.testing.assert_allclose(np.asarray(cos[s:2 * s]),
+                               np.asarray(seg), atol=1e-7)
+
+
+def test_vista4d_pipeline_e2e():
+    from wan2gp_tpu.models.wan.pipeline import WanPipeline, SamplingConfig
+    from wan2gp_tpu.models.wan.vae import WanVAEConfig, init_wan_vae
+    from wan2gp_tpu.models.wan.recam import init_recam_blocks
+    from wan2gp_tpu.models.wan.vista4d import init_vista_encoder
+    cfg = TINY
+    params = init_wan_dit(jax.random.key(50), cfg, jnp.float32)
+    rb = init_recam_blocks(cfg.num_layers, cfg.dim)
+    rb["cam_w"] = jax.random.normal(jax.random.key(51),
+                                    (cfg.num_layers, 6, cfg.dim),
+                                    jnp.float32) * 0.02
+    params["recam_blocks"] = rb
+    params["vista_encoder"] = init_vista_encoder(
+        cfg.dim, params["patch_embedding"])
+    vae_cfg = WanVAEConfig(dim=8, num_res_blocks=1)
+    pipe = WanPipeline(params, cfg, vae_params=init_wan_vae(
+        jax.random.key(52), vae_cfg), vae_cfg=vae_cfg,
+        attn_backend="xla", base_model_type="vista4d")
+    rng = np.random.default_rng(12)
+    ctx = jnp.asarray(rng.standard_normal((1, 8, cfg.text_dim)),
+                      jnp.float32)
+    T, H, W = 5, 64, 64
+    src = rng.standard_normal((T, H, W, 3)).astype(np.float32).clip(-1, 1)
+    pc = rng.standard_normal((T, H, W, 3)).astype(np.float32).clip(-1, 1)
+    c2w = np.tile(np.eye(4, dtype=np.float32), (T, 1, 1))
+    intr = np.tile(np.asarray([60, 60, 32, 32], np.float32), (T, 1))
+    video = pipe.generate_vista4d(
+        "", source_video=src, point_cloud_video=pc, cam_c2w=c2w,
+        intrinsics=intr, sampling=SamplingConfig(steps=2,
+                                                 guide_scale=5.0),
+        context=ctx, context_null=ctx * 0)
+    assert video.shape == (T, H, W, 3)
+    assert np.isfinite(np.asarray(video)).all()

@@ -182,6 +182,10 @@ _ARCH: Dict[str, Dict[str, Any]] = {
     "bernini_1.3B": dict(dim=1536, ffn_dim=8960, num_heads=12,
                          num_layers=30, model_type="t2v",
                          vae_stride=(4, 8, 8), bernini=True),
+    # Vista4D camera-controllable re-rendering (models/wan/vista4d.py;
+    # reference models/wan/vista4d/, model.py:1206-1208, 1661-1683)
+    "vista4d": dict(dim=5120, ffn_dim=13824, num_heads=40, num_layers=40,
+                    model_type="t2v", vae_stride=(4, 8, 8), vista=True),
 }
 
 
@@ -231,6 +235,7 @@ class WanFamilyHandler:
             "scail_class": arch.get("scail", False),
             "scail2_class": arch.get("scail2", False),
             "bernini_class": arch.get("bernini", False),
+            "vista_class": arch.get("vista", False),
             "ditto_modes": ({"choices": [("Global", 0),
                                          ("Global Style", 1),
                                          ("Sim 2 Real", 2)],
@@ -386,6 +391,16 @@ class WanFamilyHandler:
                         jax.random.key(seed + 11), (cin, dit_cfg.dim),
                         jnp.float32, -lim, lim),
                     "b": jnp.zeros((dit_cfg.dim,), jnp.float32)}
+            if arch.get("vista"):
+                from ..models.wan.recam import init_recam_blocks
+                from ..models.wan.vista4d import init_vista_encoder
+                rb = init_recam_blocks(dit_cfg.num_layers, dit_cfg.dim)
+                # vista cam encoder takes 6-dim Plucker rays
+                rb["cam_w"] = jnp.zeros((dit_cfg.num_layers, 6,
+                                         dit_cfg.dim), jnp.float32)
+                dit_params["recam_blocks"] = rb
+                dit_params["vista_encoder"] = init_vista_encoder(
+                    dit_cfg.dim, dit_params["patch_embedding"])
             if arch.get("scail2"):
                 # 28-ch mask patch embed (model.py:1249-1251)
                 cin = 28 * 1 * 2 * 2
@@ -494,6 +509,15 @@ class WanFamilyHandler:
                              "patch_embedding_mask"):
                     if f"{cand}.weight" in sd:
                         scail_pe["mask_patch_embedding"] = conv_pe(cand)
+            vista_params = None
+            if arch.get("vista"):
+                from ..models.wan.recam import load_recam_blocks
+                from ..models.wan.vista4d import load_vista_encoder
+                sd = dict(sd)
+                vista_params = {
+                    "recam_blocks": load_recam_blocks(
+                        sd, dit_cfg.num_layers),
+                    "vista_encoder": load_vista_encoder(sd)}
             recam_params = None
             if arch.get("recam"):
                 # per-block cam_encoder/projector ride inside the dit
@@ -508,6 +532,8 @@ class WanFamilyHandler:
                 dit_params.update(animate_params)
             if recam_params is not None:
                 dit_params["recam_blocks"] = recam_params
+            if vista_params is not None:
+                dit_params.update(vista_params)
             dit_params.update(scail_pe)
             t5_params = None
             if checkpoints.get("text_encoder"):

@@ -455,10 +455,14 @@ def _block(bp, x, e6, context, context_img, rope_cos, rope_sin, cfg,
     y = (y * (1.0 + emod(1)) + emod(0)).reshape(b, l, c)
     if recam is not None:
         # ReCamMaster (model.py:634-642): per-block camera-pose tokens
-        # added to the MODULATED self-attn input.
+        # added to the MODULATED self-attn input.  cam_map=None means
+        # the embedding is already per-token (Vista4D Plucker rays,
+        # model.py:636-637).
         rp, cam_emb, cam_map = recam
         cam = cam_emb.astype(jnp.float32) @ rp["cam_w"] + rp["cam_b"]
-        y = y + cam[:, cam_map].astype(y.dtype)
+        if cam_map is not None:
+            cam = cam[:, cam_map]
+        y = y + cam.astype(y.dtype)
     y, _ = _self_attention(bp["self_attn"], y, rope_cos, rope_sin, cfg,
                            attn_backend, extra_kv=standin_kv,
                            lynx_ref=lynx_ref)
@@ -510,7 +514,7 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
                     lynx=None, lynx_extract: bool = False,
                     shotplan=None, animate=None, steadydancer=None,
                     clip_fea_extra=None, cam_emb=None, scail_pose=None,
-                    scail2=None, bernini=None):
+                    scail2=None, bernini=None, vista=None):
     """Denoiser forward.
 
     latents:  [B, C, F, H, W] noisy latents
@@ -607,6 +611,38 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
         x = jnp.concatenate([x, pose_tok.astype(x.dtype)], axis=1)
         # keep only the video span (drop ref frames + pose tokens)
         shotplan_keep = np.arange(n_ref * s_f, main_end)
+    if vista is not None and "vista_encoder" in params:
+        # Vista4D (model.py:1661-1683): point-cloud and source token
+        # streams append after the main tokens as
+        # [main | point | source]; each stream = rgb patch embed +
+        # zero-init mask patch embed (latent_encoder.py:100-127).
+        ve = params["vista_encoder"]
+        main_len = x.shape[1]
+
+        def stream(rgb, mask, rk, mk):
+            t_ = _dense(patchify(rgb.astype(jnp.float32),
+                                 cfg.patch_size), ve[rk], jnp.float32)
+            if mask is not None:
+                t_ = t_ + _dense(patchify(mask.astype(jnp.float32),
+                                          cfg.patch_size), ve[mk],
+                                 jnp.float32)
+            return jnp.broadcast_to(t_, (b, *t_.shape[1:]))
+
+        point = stream(vista["point_latents"],
+                       vista.get("point_mask_latents"),
+                       "point_rgb", "point_mask")
+        source = stream(vista["source_latents"],
+                        vista.get("source_mask_latents"),
+                        "source_rgb", "source_mask")
+        x = jnp.concatenate([x, point.astype(x.dtype),
+                             source.astype(x.dtype)], axis=1)
+        shotplan_keep = np.arange(main_len)
+        if vista.get("cam_emb") is not None and cam_emb is None:
+            # per-token Plucker rays tiled over the 3 streams
+            # (model.py:1679-1681)
+            ce = vista["cam_emb"]
+            ce = ce.reshape(ce.shape[0], -1, ce.shape[-1])
+            cam_emb = jnp.tile(ce, (1, 3, 1))
     if bernini is not None and len(bernini) > 0:
         # Bernini sources (model.py:1587-1605): each source's latents go
         # through the MAIN patch embedding and append to the stream;
@@ -815,11 +851,15 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
     elif use_recam:
         # ReCamMaster (model.py:1196-1204): per-block zero-init camera
         # encoder + identity projector, scanned alongside the blocks.
+        # Vista4D reuses the adapters with per-token 6-dim rays.
         from .recam import build_cam_frame_map
         cam = cam_emb if cam_emb.ndim == 3 else cam_emb[None]
         cam = jnp.broadcast_to(cam, (b, *cam.shape[1:]))
-        cam_map = jnp.asarray(build_cam_frame_map(
-            grid[0], cam.shape[1], grid[1], grid[2]))
+        if cam.shape[1] == x.shape[1]:
+            cam_map = None
+        else:
+            cam_map = jnp.asarray(build_cam_frame_map(
+                grid[0], cam.shape[1], grid[1], grid[2]))
 
         def body(carry, xs):
             bp, hint, rp = xs

@@ -1895,6 +1895,102 @@ class WanPipeline:
             return x
         return self.decode(x)[0]
 
+    def generate_vista4d(self, prompt: str, source_video,
+                         point_cloud_video, cam_c2w, intrinsics,
+                         source_alpha_mask=None, source_motion_mask=None,
+                         point_alpha_mask=None, point_motion_mask=None,
+                         n_prompt: str = "", sampling=None, seed: int = 0,
+                         context=None, context_null=None,
+                         return_latents: bool = False):
+        """Vista4D camera-controllable re-rendering
+        (vista4d/preprocess.py:684-723).  source_video /
+        point_cloud_video: [T, H, W, 3] in [-1, 1]; cam_c2w: [T, 4, 4];
+        intrinsics: [T, 4] (fx, fy, cx, cy); masks: [T, H, W] in
+        [0, 1] (default ones alpha / zeros motion)."""
+        from .vista4d import (get_plucker_embedding, pack_masks,
+                              build_vista_rope)
+        sampling = sampling or SamplingConfig()
+        src = np.asarray(source_video, np.float32)
+        frame_num, height, width = src.shape[:3]
+        st, sh, sw = self.vae_stride
+        lat_t = (frame_num - 1) // st + 1
+        lat_h, lat_w = height // sh, width // sw
+        if context is None:
+            context = self.encode_text([prompt])
+        if context_null is None and sampling.guide_scale != 1.0:
+            context_null = self.encode_text(
+                [n_prompt or DEFAULT_NEGATIVE_PROMPT])
+
+        def msk(m, default):
+            return (np.asarray(m, np.float32) if m is not None
+                    else np.full((frame_num, height, width), default,
+                                 np.float32))
+
+        vista = {
+            "source_latents": self.encode_video(src),
+            "point_latents": self.encode_video(
+                np.asarray(point_cloud_video, np.float32)),
+            "source_mask_latents": pack_masks(
+                msk(source_alpha_mask, 1.0),
+                msk(source_motion_mask, 0.0)),
+            "point_mask_latents": pack_masks(
+                msk(point_alpha_mask, 1.0),
+                msk(point_motion_mask, 0.0)),
+        }
+        pt, ph, pw = self.dit_cfg.patch_size
+        h_tok, w_tok = lat_h // ph, lat_w // pw
+        cam = get_plucker_embedding(
+            np.asarray(intrinsics, np.float32)[None],
+            np.asarray(cam_c2w, np.float32)[None], height, width,
+            h_tok, w_tok)[:, ::st]                 # [1, lat_t, h, w, 6]
+        vista["cam_emb"] = jnp.asarray(cam)
+        rope_cos, rope_sin = build_vista_rope(
+            lat_t // pt, h_tok, w_tok, head_dim=self.dit_cfg.head_dim)
+
+        latents = jax.random.normal(
+            jax.random.key(seed),
+            (1, self.dit_cfg.out_dim, lat_t, lat_h, lat_w), jnp.float32)
+        schedule = make_schedule(sampling.solver, sampling.steps,
+                                 sampling.shift,
+                                 solver_order=sampling.solver_order)
+        use_cfg = sampling.guide_scale != 1.0
+        nb = 2 if use_cfg else 1
+        ctx = (jnp.concatenate(
+            [context, context_null if context_null is not None
+             else context], axis=0) if use_cfg else context)
+        dit_cfg, backend = self.dit_cfg, self.attn_backend
+        gs = sampling.guide_scale
+
+        @jax.jit
+        def scan(dit_params, latents, ctx, vista):
+            def body(carry, xs):
+                x, sstate = carry
+                t, coeffs_i, i = xs
+                xb = (jnp.concatenate([x] * nb, axis=0) if use_cfg
+                      else x)
+                tb = jnp.broadcast_to(t, (nb,))
+                v = wan_dit_forward(dit_params, dit_cfg, xb, tb, ctx,
+                                    rope_cos, rope_sin, vista=vista,
+                                    attn_backend=backend)
+                pred = (v[:1] if not use_cfg
+                        else v[1:] + gs * (v[:1] - v[1:]))
+                x, sstate = solver_step(schedule, i, coeffs_i, pred, x,
+                                        sstate)
+                return (x, sstate), None
+
+            carry0 = (latents.astype(jnp.float32),
+                      init_solver_state(schedule, latents))
+            xs = (schedule.timesteps,
+                  {k: v for k, v in schedule.coeffs.items()},
+                  jnp.arange(schedule.num_steps, dtype=jnp.int32))
+            (x, _), _ = jax.lax.scan(body, carry0, xs)
+            return x
+
+        x = scan(self.dit_params, latents, ctx, vista)
+        if return_latents:
+            return x
+        return self.decode(x)[0]
+
     def generate_bernini(self, prompt: str, control_video=None,
                          ref_images=None, n_prompt: str = "",
                          width: int = 832, height: int = 480,

@@ -491,6 +491,32 @@ class GenerationService:
             media.save_video(np.asarray(video), path, fps=fps,
                              metadata=_clean_settings(merged))
             return self.plugins.apply_postprocess_hooks([path], merged)
+        if model_def.get("vista_class") \
+                and merged.get("_vista_inputs") is not None:
+            # Vista4D re-rendering from preprocessed scene inputs
+            vi = merged["_vista_inputs"]
+            video = pipe.generate_vista4d(
+                prompt=merged.get("prompt", ""),
+                source_video=np.asarray(vi["source_video"]),
+                point_cloud_video=np.asarray(vi["point_cloud_video"]),
+                cam_c2w=np.asarray(vi["cam_c2w"]),
+                intrinsics=np.asarray(vi["intrinsics"]),
+                source_alpha_mask=vi.get("source_alpha_mask"),
+                source_motion_mask=vi.get("source_motion_mask"),
+                point_alpha_mask=vi.get("point_cloud_alpha_mask"),
+                point_motion_mask=vi.get("point_cloud_motion_mask"),
+                n_prompt=merged.get("negative_prompt", ""),
+                sampling=sampling, seed=seed,
+                context=merged.get("_context"),
+                context_null=merged.get("_context_null"))
+            video = _apply_spatial_upsampling(video, merged)
+            video, fps = _apply_temporal_upsampling(
+                video, merged, int(merged.get("fps", 16)))
+            path = os.path.join(self.output_dir,
+                                f"{model_type}_{stamp}_{seed}.avi")
+            media.save_video(np.asarray(video), path, fps=fps,
+                             metadata=_clean_settings(merged))
+            return self.plugins.apply_postprocess_hooks([path], merged)
         if model_def.get("bernini_class"):
             # Bernini multi-source compositional editing
             video = pipe.generate_bernini(

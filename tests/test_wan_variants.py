@@ -930,3 +930,139 @@ def test_vista4d_pipeline_e2e():
         context=ctx, context_null=ctx * 0)
     assert video.shape == (T, H, W, 3)
     assert np.isfinite(np.asarray(video)).all()
+
+
+# -- Kiwi Edit --------------------------------------------------------------
+
+def test_kiwi_mllm_and_embedder():
+    import torch
+    from wan2gp_tpu.models.wan.kiwi import (KiwiMLLMConfig,
+                                            init_kiwi_mllm,
+                                            kiwi_mllm_encode,
+                                            load_kiwi_mllm_params,
+                                            init_kiwi_embedder,
+                                            load_kiwi_embedder,
+                                            embed_kiwi_condition)
+    from wan2gp_tpu.models.qwen.text_encoder import (QwenLMConfig,
+                                                     init_qwen_lm)
+    lm_cfg = QwenLMConfig(vocab_size=128, dim=32, n_layers=2, n_heads=4,
+                          n_kv_heads=2, head_dim=8, ffn_dim=64,
+                          compute_dtype=jnp.float32)
+    lm = init_qwen_lm(jax.random.key(0), lm_cfg)
+    kcfg = KiwiMLLMConfig(hidden_size=32, dit_dim=24,
+                          num_image_queries=3, num_video_queries=5,
+                          num_ref_queries=7)
+    kp = init_kiwi_mllm(jax.random.key(1), kcfg)
+
+    class Tok:
+        def __call__(self, texts, n):
+            ids = np.ones((len(texts), 6), np.int32)
+            return ids, np.ones_like(ids)
+
+    rng = np.random.default_rng(0)
+    vf = rng.normal(size=(4, 32)).astype(np.float32)
+    # video mode -> num_video_queries context rows
+    ctx = kiwi_mllm_encode(lm, lm_cfg, kp, kcfg, Tok(), "edit it",
+                           video_feats=vf)
+    assert ctx.shape == (1, 5, 24)
+    # zero-init connector fc2 -> context is the fc2 bias (zeros)
+    np.testing.assert_allclose(np.asarray(ctx), 0.0, atol=1e-6)
+    # ref mode -> ref span rows prepend to ref-query rows
+    rf = rng.normal(size=(2, 32)).astype(np.float32)
+    ctx2 = kiwi_mllm_encode(lm, lm_cfg, kp, kcfg, Tok(), "edit it",
+                            video_feats=vf, ref_feats=rf)
+    assert ctx2.shape == (1, 2 + 7, 24)
+    # loader roundtrip against torch-keyed sd
+    sd = {"image_queries": rng.normal(size=(3, 32)).astype(np.float32),
+          "video_queries": rng.normal(size=(5, 32)).astype(np.float32),
+          "ref_queries": rng.normal(size=(7, 32)).astype(np.float32)}
+    for pre in ("connector", "ref_connector"):
+        sd[f"{pre}.0.weight"] = rng.normal(size=(24, 32)).astype(np.float32)
+        sd[f"{pre}.0.bias"] = rng.normal(size=(24,)).astype(np.float32)
+        sd[f"{pre}.2.weight"] = rng.normal(size=(24, 24)).astype(np.float32)
+        sd[f"{pre}.2.bias"] = rng.normal(size=(24,)).astype(np.float32)
+    lp, left = load_kiwi_mllm_params(sd, kcfg)
+    assert left == []
+    x = rng.normal(size=(1, 2, 32)).astype(np.float32)
+    from wan2gp_tpu.models.wan.kiwi import _connector
+    got = np.asarray(_connector(lp["connector"], jnp.asarray(x)))
+    h = torch.nn.functional.linear(torch.from_numpy(x),
+                                   torch.from_numpy(np.asarray(
+                                       lp["connector"]["fc1"]["w"]).T),
+                                   torch.from_numpy(np.asarray(
+                                       lp["connector"]["fc1"]["b"])))
+    h = torch.nn.functional.gelu(h, approximate="tanh")
+    ref = torch.nn.functional.linear(h, torch.from_numpy(np.asarray(
+        lp["connector"]["fc2"]["w"]).T), torch.from_numpy(np.asarray(
+            lp["connector"]["fc2"]["b"]))).numpy()
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+    # embedder: conv-as-dense == torch Conv3d oracle
+    emb_sd = {"patch_embedding.weight": rng.normal(
+        size=(24, 48, 1, 2, 2)).astype(np.float32),
+        "patch_embedding.bias": rng.normal(size=(24,)).astype(np.float32)}
+    ep = load_kiwi_embedder(emb_sd)
+    lat = rng.normal(size=(1, 48, 2, 4, 6)).astype(np.float32)
+    tok = np.asarray(embed_kiwi_condition(ep, lat))
+    conv = torch.nn.Conv3d(48, 24, (1, 2, 2), (1, 2, 2))
+    conv.weight.data = torch.from_numpy(emb_sd["patch_embedding.weight"])
+    conv.bias.data = torch.from_numpy(emb_sd["patch_embedding.bias"])
+    ref_t = conv(torch.from_numpy(lat)).detach().numpy()  # [1,24,2,2,3]
+    ref_t = ref_t.transpose(0, 2, 3, 4, 1)
+    np.testing.assert_allclose(tok, ref_t, rtol=1e-4, atol=1e-4)
+    init_kiwi_embedder(jax.random.key(2), 48, 24)  # smoke
+
+
+def test_kiwi_dit_and_pipeline():
+    from wan2gp_tpu.models.wan.pipeline import WanPipeline, SamplingConfig
+    from wan2gp_tpu.models.wan.vae import WanVAEConfig, init_wan_vae
+    from wan2gp_tpu.models.wan.kiwi import init_kiwi_embedder
+    cfg = WanDiTConfig(dim=96, ffn_dim=192, num_heads=4, num_layers=2,
+                       freq_dim=32, text_dim=48, text_len=16,
+                       compute_dtype=jnp.float32)
+    params = init_wan_dit(jax.random.key(60), cfg, jnp.float32)
+    rng = np.random.default_rng(13)
+    f_lat, h, w = 2, 8, 8
+    lat = jnp.asarray(rng.normal(size=(1, 16, f_lat, h, w)), jnp.float32)
+    ctx = jnp.asarray(rng.normal(size=(1, 8, cfg.text_dim)), jnp.float32)
+    t = jnp.asarray([600.0])
+    cos, sin = build_rope_3d((f_lat, h // 2, w // 2),
+                             head_dim=cfg.head_dim)
+    base = wan_dit_forward(params, cfg, lat, t, ctx, cos, sin)
+    # source condition shifts output proportionally to sigma
+    src = jnp.asarray(rng.normal(size=(1, f_lat, h // 2, w // 2,
+                                       cfg.dim)), jnp.float32)
+    o1 = wan_dit_forward(params, cfg, lat, t, ctx, cos, sin,
+                         kiwi={"source": src, "ref_pad_first": False})
+    assert not np.allclose(np.asarray(o1), np.asarray(base))
+    # zero source == base
+    o0 = wan_dit_forward(params, cfg, lat, t, ctx, cos, sin,
+                         kiwi={"source": src * 0,
+                               "ref_pad_first": False})
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(base),
+                               atol=1e-5)
+    # ref concat keeps the output frame count; both pad modes run
+    cos3, sin3 = build_rope_3d((f_lat + 1, h // 2, w // 2),
+                               head_dim=cfg.head_dim)
+    ref = jnp.asarray(rng.normal(size=(1, 1, h // 2, w // 2, cfg.dim)),
+                      jnp.float32)
+    for pf in (False, True):
+        o = wan_dit_forward(params, cfg, lat, t, ctx, cos3, sin3,
+                            kiwi={"ref": ref, "ref_pad_first": pf})
+        assert o.shape == base.shape
+        assert np.isfinite(np.asarray(o)).all()
+    # pipeline e2e with embedders
+    vae_cfg = WanVAEConfig(dim=8, num_res_blocks=1)
+    pipe = WanPipeline(params, cfg, vae_params=init_wan_vae(
+        jax.random.key(61), vae_cfg), vae_cfg=vae_cfg,
+        attn_backend="xla", base_model_type="kiwi_edit")
+    src_v = rng.standard_normal((5, 64, 64, 3)).astype(np.float32)
+    refi = rng.standard_normal((64, 64, 3)).astype(np.float32).clip(-1, 1)
+    se = init_kiwi_embedder(jax.random.key(62), 16, cfg.dim)
+    re = init_kiwi_embedder(jax.random.key(63), 16, cfg.dim)
+    video = pipe.generate_kiwi(
+        context=ctx, context_null=ctx * 0,
+        source_frames=src_v.clip(-1, 1), ref_image=refi,
+        source_embedder=se, ref_embedder=re,
+        sampling=SamplingConfig(steps=2, guide_scale=5.0))
+    assert video.shape == (5, 64, 64, 3)
+    assert np.isfinite(np.asarray(video)).all()

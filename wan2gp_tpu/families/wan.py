@@ -186,6 +186,13 @@ _ARCH: Dict[str, Dict[str, Any]] = {
     # reference models/wan/vista4d/, model.py:1206-1208, 1661-1683)
     "vista4d": dict(dim=5120, ffn_dim=13824, num_heads=40, num_layers=40,
                     model_type="t2v", vae_stride=(4, 8, 8), vista=True),
+    # Kiwi Edit instruction+reference video editing on the 5B base
+    # (models/wan/kiwi.py; reference models/wan/kiwi/,
+    # configs/kiwi_edit.json — MLLM context at dim 3072)
+    "kiwi_edit": dict(dim=3072, ffn_dim=14336, num_heads=24,
+                      num_layers=30, model_type="t2v", in_dim=48,
+                      out_dim=48, vae_stride=(4, 16, 16), kiwi=True,
+                      text_dim=3072),
 }
 
 
@@ -236,6 +243,7 @@ class WanFamilyHandler:
             "scail2_class": arch.get("scail2", False),
             "bernini_class": arch.get("bernini", False),
             "vista_class": arch.get("vista", False),
+            "kiwi_class": arch.get("kiwi", False),
             "ditto_modes": ({"choices": [("Global", 0),
                                          ("Global Style", 1),
                                          ("Sim 2 Real", 2)],
@@ -266,6 +274,7 @@ class WanFamilyHandler:
             num_heads=arch["num_heads"], num_layers=arch["num_layers"],
             in_dim=arch.get("in_dim", 16), out_dim=arch.get("out_dim", 16),
             model_type=arch["model_type"], vace=arch.get("vace", False),
+            text_dim=arch.get("text_dim", 4096),
             compute_dtype=dtype)
 
     @staticmethod
@@ -307,6 +316,20 @@ class WanFamilyHandler:
             "https://huggingface.co/DeepBeepMeep/Wan2.1/resolve/main/"
             "models_t5_umt5-xxl-enc-bf16.safetensors"]})
         base = "https://huggingface.co/DeepBeepMeep/Wan2.1/resolve/main/"
+        if _ARCH[base_model_type].get("kiwi"):
+            base22 = ("https://huggingface.co/DeepBeepMeep/Wan2.2/"
+                      "resolve/main/")
+            files += [
+                {"role": "kiwi_mllm", "urls": [
+                    base22 + "kiwi_mllm_encoder_instruct_reference/"
+                    "instruct_reference_mllm_encoder_bf16.safetensors"]},
+                {"role": "kiwi_source_embedder", "urls": [
+                    base22 + "wan2.2_kiwi_edit_5B_instruct_reference_"
+                    "source_embedder.safetensors"]},
+                {"role": "kiwi_ref_embedder", "urls": [
+                    base22 + "wan2.2_kiwi_edit_5B_instruct_reference_"
+                    "ref_embedder.safetensors"]},
+            ]
         if _ARCH[base_model_type].get("alpha"):
             # dual rgb/alpha VAEs (any2video.py:152-158)
             v2 = "_v2" if _ARCH[base_model_type].get("alpha2") else ""
@@ -401,6 +424,17 @@ class WanFamilyHandler:
                 dit_params["recam_blocks"] = rb
                 dit_params["vista_encoder"] = init_vista_encoder(
                     dit_cfg.dim, dit_params["patch_embedding"])
+            if arch.get("kiwi"):
+                from ..models.wan.kiwi import init_kiwi_embedder
+                multitalk_extras = dict(
+                    multitalk_extras,
+                    kiwi_source_embedder=init_kiwi_embedder(
+                        jax.random.key(seed + 13), dit_cfg.in_dim,
+                        dit_cfg.dim),
+                    kiwi_ref_embedder=init_kiwi_embedder(
+                        jax.random.key(seed + 14), dit_cfg.in_dim,
+                        dit_cfg.dim),
+                    kiwi_mllm=None)
             if arch.get("scail2"):
                 # 28-ch mask patch embed (model.py:1249-1251)
                 cin = 28 * 1 * 2 * 2
@@ -602,6 +636,35 @@ class WanFamilyHandler:
                         load_safetensors(checkpoints["wav2vec"]), w2v_cfg)
                     multitalk_extras["wav2vec"] = (w2v, w2v_cfg)
 
+        if arch.get("kiwi") and not init_random and checkpoints:
+            from ..io.safetensors_reader import load_weights
+            from ..models.wan.kiwi import (load_kiwi_embedder,
+                                           load_kiwi_mllm_params,
+                                           KiwiMLLMConfig,
+                                           QWEN25_VL_3B_TEXT)
+            if checkpoints.get("kiwi_source_embedder"):
+                multitalk_extras["kiwi_source_embedder"] = \
+                    load_kiwi_embedder(load_weights(
+                        checkpoints["kiwi_source_embedder"]))
+            if checkpoints.get("kiwi_ref_embedder"):
+                multitalk_extras["kiwi_ref_embedder"] = \
+                    load_kiwi_embedder(load_weights(
+                        checkpoints["kiwi_ref_embedder"]))
+            if checkpoints.get("kiwi_mllm"):
+                kcfg = KiwiMLLMConfig()
+                kp, _ = load_kiwi_mllm_params(
+                    load_weights(checkpoints["kiwi_mllm"]), kcfg)
+                lm = None
+                if checkpoints.get("kiwi_qwen"):
+                    from ..models.qwen.text_encoder import (
+                        QwenLMConfig, load_qwen_lm_params)
+                    lm_cfg = QwenLMConfig(**QWEN25_VL_3B_TEXT,
+                                          compute_dtype=dtype)
+                    lm_params, _ = load_qwen_lm_params(
+                        load_weights(checkpoints["kiwi_qwen"]), lm_cfg,
+                        dtype)
+                    lm = (lm_params, lm_cfg)
+                multitalk_extras["kiwi_mllm"] = (kp, kcfg, lm)
         pipe = WanPipeline(dit_params, dit_cfg, t5_params=t5_params,
                            t5_cfg=t5_cfg, vae_params=vae_params,
                            vae_cfg=vae_cfg, tokenizer=tokenizer,

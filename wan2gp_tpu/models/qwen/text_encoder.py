@@ -132,15 +132,22 @@ def _apply_neox_rope(x, cos, sin):
 
 
 def qwen_lm_forward(params, cfg: QwenLMConfig, ids, mask,
-                    collect_layers: Optional[Sequence[int]] = None):
+                    collect_layers: Optional[Sequence[int]] = None,
+                    input_embeds=None):
     """ids/mask: [B, L] int32.  Returns final hidden [B, L, dim] (post final
     norm, == HF hidden_states[-1]); with collect_layers, also returns
     [B, L, len(collect), dim] stacked per-layer hidden states (HF indexing:
     k = output of layer k, k=0 embeddings; the final index includes the
-    final norm)."""
+    final norm).  input_embeds: optional [B, L, dim] replacing the token
+    embedding lookup (VL feature splicing — the reference Qwen2.5-VL
+    masked_scatter path)."""
     cdt = cfg.compute_dtype
-    b, l = ids.shape
-    x = params["embed_tokens"][ids].astype(cdt)
+    if input_embeds is not None:
+        b, l = input_embeds.shape[:2]
+        x = input_embeds.astype(cdt)
+    else:
+        b, l = ids.shape
+        x = params["embed_tokens"][ids].astype(cdt)
 
     cos, sin = _neox_rope_tables(l, cfg.head_dim, cfg.rope_theta)
     causal = jnp.tril(jnp.ones((l, l), bool))
@@ -178,7 +185,8 @@ def qwen_lm_forward(params, cfg: QwenLMConfig, ids, mask,
     if collect_layers is None:
         return final
     # hidden_states[k]: k=0 embeddings; k=n_layers gets the final norm
-    emb = params["embed_tokens"][ids].astype(cdt)
+    emb = (input_embeds.astype(cdt) if input_embeds is not None
+           else params["embed_tokens"][ids].astype(cdt))
     stacked = [emb if k == 0 else final if k >= cfg.n_layers
                else per_layer[k - 1] for k in collect_layers]
     return final, jnp.stack(stacked, axis=2)   # [B, L, n_sel, D]

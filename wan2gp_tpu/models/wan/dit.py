@@ -514,7 +514,7 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
                     lynx=None, lynx_extract: bool = False,
                     shotplan=None, animate=None, steadydancer=None,
                     clip_fea_extra=None, cam_emb=None, scail_pose=None,
-                    scail2=None, bernini=None, vista=None):
+                    scail2=None, bernini=None, vista=None, kiwi=None):
     """Denoiser forward.
 
     latents:  [B, C, F, H, W] noisy latents
@@ -611,6 +611,35 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
         x = jnp.concatenate([x, pose_tok.astype(x.dtype)], axis=1)
         # keep only the video span (drop ref frames + pose tokens)
         shotplan_keep = np.arange(n_ref * s_f, main_end)
+    if kiwi is not None:
+        # Kiwi Edit (model.py:1616-1631): the source condition adds to
+        # the tokens scaled by sigma = t/1000, the ref condition
+        # concatenates one latent frame on time; the output slice
+        # drops the ref frame.
+        main_len = x.shape[1]
+        if kiwi.get("source") is not None:
+            src = kiwi["source"]                  # [1, Ts, H', W', C]
+            t_x = latents.shape[2] // pt
+            if src.shape[1] < t_x:
+                src = jnp.concatenate(
+                    [src, jnp.zeros((src.shape[0], t_x - src.shape[1],
+                                     *src.shape[2:]), src.dtype)],
+                    axis=1)
+            src = src[:, :t_x].reshape(src.shape[0], -1, src.shape[-1])
+            sigma = (t.reshape(-1)[0] / 1000.0).astype(jnp.float32)
+            x = x + jnp.broadcast_to(src, x.shape).astype(x.dtype) \
+                * sigma.astype(x.dtype)
+        if kiwi.get("ref") is not None:
+            ref = kiwi["ref"].reshape(kiwi["ref"].shape[0], -1,
+                                      kiwi["ref"].shape[-1])
+            ref = jnp.broadcast_to(ref, (b, *ref.shape[1:]))
+            if kiwi.get("ref_pad_first"):
+                x = jnp.concatenate([ref.astype(x.dtype), x], axis=1)
+                shotplan_keep = np.arange(ref.shape[1],
+                                          ref.shape[1] + main_len)
+            else:
+                x = jnp.concatenate([x, ref.astype(x.dtype)], axis=1)
+                shotplan_keep = np.arange(main_len)
     if vista is not None and "vista_encoder" in params:
         # Vista4D (model.py:1661-1683): point-cloud and source token
         # streams append after the main tokens as

@@ -1895,6 +1895,91 @@ class WanPipeline:
             return x
         return self.decode(x)[0]
 
+    def generate_kiwi(self, context, source_frames=None, ref_image=None,
+                      context_null=None, width: int = 832,
+                      height: int = 480, frame_num: int = 81,
+                      source_embedder=None, ref_embedder=None,
+                      ref_pad_first: bool = False, sampling=None,
+                      seed: int = 0, return_latents: bool = False):
+        """Kiwi Edit denoise (model.py:1616-1631).  context: MLLM
+        context [1, n, text_dim] (kiwi.kiwi_mllm_encode);
+        source_frames: [T, H, W, 3] video to edit; ref_image:
+        [H, W, 3] reference."""
+        from .kiwi import embed_kiwi_condition
+        sampling = sampling or SamplingConfig()
+        if source_frames is not None:
+            src = np.asarray(source_frames, np.float32)
+            frame_num, height, width = src.shape[:3]
+        st, sh, sw = self.vae_stride
+        lat_t = (frame_num - 1) // st + 1
+        lat_h, lat_w = height // sh, width // sw
+        kiwi = {}
+        if source_frames is not None and source_embedder is not None:
+            kiwi["source"] = embed_kiwi_condition(
+                source_embedder, self.encode_video(src),
+                self.dit_cfg.patch_size)
+        if ref_image is not None and ref_embedder is not None:
+            img = jnp.asarray(ref_image, jnp.float32)
+            if img.shape[:2] != (height, width):
+                img = jax.image.resize(img, (height, width, 3),
+                                       "bicubic")
+            kiwi["ref"] = embed_kiwi_condition(
+                ref_embedder, self.encode_video(img[None]),
+                self.dit_cfg.patch_size)
+        pt, ph, pw = self.dit_cfg.patch_size
+        extra_t = 1 if kiwi.get("ref") is not None else 0
+        rope_cos, rope_sin = build_rope_3d(
+            (lat_t // pt + extra_t, lat_h // ph, lat_w // pw),
+            head_dim=self.dit_cfg.head_dim)
+        if extra_t and ref_pad_first:
+            # ref tokens lead: natural frame order already matches
+            pass
+        latents = jax.random.normal(
+            jax.random.key(seed),
+            (1, self.dit_cfg.out_dim, lat_t, lat_h, lat_w), jnp.float32)
+        schedule = make_schedule(sampling.solver, sampling.steps,
+                                 sampling.shift,
+                                 solver_order=sampling.solver_order)
+        use_cfg = (sampling.guide_scale != 1.0
+                   and context_null is not None)
+        nb = 2 if use_cfg else 1
+        ctxs = ([context, context_null] if use_cfg else [context])
+        dit_cfg, backend = self.dit_cfg, self.attn_backend
+        gs = sampling.guide_scale
+
+        pad_first = bool(ref_pad_first)
+
+        @jax.jit
+        def scan(dit_params, latents, ctxs, kiwi):
+            def body(carry, xs):
+                x, sstate = carry
+                t, coeffs_i, i = xs
+                tb = jnp.broadcast_to(t, (1,))
+                kw = dict(kiwi)
+                kw["ref_pad_first"] = pad_first
+                preds = [wan_dit_forward(dit_params, dit_cfg, x, tb, c,
+                                         rope_cos, rope_sin, kiwi=kw,
+                                         attn_backend=backend)
+                         for c in ctxs]
+                pred = (preds[0] if not use_cfg
+                        else preds[1] + gs * (preds[0] - preds[1]))
+                x, sstate = solver_step(schedule, i, coeffs_i, pred, x,
+                                        sstate)
+                return (x, sstate), None
+
+            carry0 = (latents.astype(jnp.float32),
+                      init_solver_state(schedule, latents))
+            xs = (schedule.timesteps,
+                  {k: v for k, v in schedule.coeffs.items()},
+                  jnp.arange(schedule.num_steps, dtype=jnp.int32))
+            (x, _), _ = jax.lax.scan(body, carry0, xs)
+            return x
+
+        x = scan(self.dit_params, latents, ctxs, kiwi)
+        if return_latents:
+            return x
+        return self.decode(x)[0]
+
     def generate_vista4d(self, prompt: str, source_video,
                          point_cloud_video, cam_c2w, intrinsics,
                          source_alpha_mask=None, source_motion_mask=None,

@@ -517,6 +517,45 @@ class GenerationService:
             media.save_video(np.asarray(video), path, fps=fps,
                              metadata=_clean_settings(merged))
             return self.plugins.apply_postprocess_hooks([path], merged)
+        if model_def.get("kiwi_class") \
+                and merged.get("_video_guide") is not None:
+            # Kiwi Edit (models/wan/kiwi/): MLLM context over the source
+            # video (+ref), source/ref embedder conditioning
+            src = np.asarray(merged["_video_guide"])
+            refs = merged.get("_image_refs") or []
+            ref = np.asarray(refs[0]) if refs else None
+            mllm = getattr(pipe, "kiwi_mllm", None)
+            if mllm is not None:
+                from ..models.wan.kiwi import kiwi_mllm_encode
+                kp, kcfg, lm = mllm
+                lm_params, lm_cfg = lm
+                ctx = kiwi_mllm_encode(
+                    lm_params, lm_cfg, kp, kcfg, pipe.tokenizer,
+                    merged.get("prompt", ""))
+                ctx_null = kiwi_mllm_encode(
+                    lm_params, lm_cfg, kp, kcfg, pipe.tokenizer,
+                    merged.get("negative_prompt", ""))
+            else:
+                ctx = merged.get("_context")
+                if ctx is None:
+                    ctx = jnp.zeros((1, 512, pipe.dit_cfg.text_dim),
+                                    jnp.float32)
+                ctx_null = merged.get("_context_null")
+            video = pipe.generate_kiwi(
+                context=ctx, context_null=ctx_null, source_frames=src,
+                ref_image=ref,
+                source_embedder=getattr(pipe, "kiwi_source_embedder",
+                                        None),
+                ref_embedder=getattr(pipe, "kiwi_ref_embedder", None),
+                sampling=sampling, seed=seed)
+            video = _apply_spatial_upsampling(video, merged)
+            video, fps = _apply_temporal_upsampling(
+                video, merged, int(merged.get("fps", 16)))
+            path = os.path.join(self.output_dir,
+                                f"{model_type}_{stamp}_{seed}.avi")
+            media.save_video(np.asarray(video), path, fps=fps,
+                             metadata=_clean_settings(merged))
+            return self.plugins.apply_postprocess_hooks([path], merged)
         if model_def.get("bernini_class"):
             # Bernini multi-source compositional editing
             video = pipe.generate_bernini(

@@ -482,3 +482,141 @@ def test_upsampler_pipeline_meanflow():
         text_states=states, text_mask=mask)
     assert out.shape == (1, 32, 2, 8, 8)
     assert np.isfinite(np.asarray(out)).all()
+
+
+# -- HunyuanCustom / Avatar -------------------------------------------------
+
+def test_audio_proj_and_perceiver_oracle():
+    import torch
+    import torch.nn as nn
+    from einops import rearrange
+    from wan2gp_tpu.models.hyvideo.custom import (
+        init_audio_proj, audio_proj_forward, init_perceiver_ca,
+        perceiver_ca, window_audio_features)
+    rng = np.random.default_rng(0)
+    # AudioProjNet2 oracle (audio_adapters.py:98-116)
+    dim = 48
+    p = init_audio_proj(jax.random.key(0), seq_len=4, blocks=3,
+                        channels=8, intermediate=16, context_tokens=2,
+                        output_dim=dim)
+    ae = rng.normal(size=(1, 5, 4, 3, 8)).astype(np.float32)
+    got = np.asarray(audio_proj_forward(p, jnp.asarray(ae)))
+    x = torch.from_numpy(ae)
+    xr = rearrange(x, "bz f w b c -> (bz f) w b c").reshape(5, -1)
+    w1 = torch.from_numpy(np.asarray(p["proj1"]["w"]))
+    h = torch.relu(xr @ w1 + torch.from_numpy(np.asarray(p["proj1"]["b"])))
+    h = torch.relu(h @ torch.from_numpy(np.asarray(p["proj2"]["w"]))
+                   + torch.from_numpy(np.asarray(p["proj2"]["b"])))
+    h = (h @ torch.from_numpy(np.asarray(p["proj3"]["w"]))
+         + torch.from_numpy(np.asarray(p["proj3"]["b"]))).reshape(5, 2, dim)
+    ref = torch.nn.functional.layer_norm(
+        h, (dim,), torch.from_numpy(np.asarray(p["norm_w"])),
+        torch.from_numpy(np.asarray(p["norm_b"])), eps=1e-5)
+    np.testing.assert_allclose(got[0], ref.numpy(), rtol=1e-4, atol=1e-5)
+    # PerceiverAttentionCA oracle (audio_adapters.py:150-173)
+    cp = init_perceiver_ca(jax.random.key(1), dim=dim, dim_head=16)
+    cp["to_out"]["w"] = jnp.asarray(
+        rng.normal(size=(16, dim)).astype(np.float32) * 0.1)
+    audio = rng.normal(size=(1, 3, 2, dim)).astype(np.float32)
+    imgf = rng.normal(size=(1, 3, 6, dim)).astype(np.float32)
+    got = np.asarray(perceiver_ca(cp, jnp.asarray(audio),
+                                  jnp.asarray(imgf)))
+    xa = torch.nn.functional.layer_norm(
+        torch.from_numpy(audio), (dim,),
+        torch.from_numpy(np.asarray(cp["norm1_w"])),
+        torch.from_numpy(np.asarray(cp["norm1_b"])), eps=1e-5)
+    la = torch.nn.functional.layer_norm(
+        torch.from_numpy(imgf), (dim,),
+        torch.from_numpy(np.asarray(cp["norm2_w"])),
+        torch.from_numpy(np.asarray(cp["norm2_b"])), eps=1e-5)
+    q = la @ torch.from_numpy(np.asarray(cp["to_q"]["w"]))
+    kv = xa @ torch.from_numpy(np.asarray(cp["to_kv"]["w"]))
+    k, v = kv.chunk(2, dim=-1)
+    import math
+    sc = 1 / math.sqrt(math.sqrt(16))
+    wgt = torch.softmax((q * sc) @ (k * sc).transpose(-2, -1), dim=-1)
+    ref = (wgt @ v) @ torch.from_numpy(np.asarray(cp["to_out"]["w"]))
+    np.testing.assert_allclose(got, ref.numpy(), rtol=1e-4, atol=1e-5)
+    # audio windowing (audio_preprocessor.py:49-75): zero-pad 4, stride 2
+    feats = rng.normal(size=(30, 5, 8)).astype(np.float32)
+    win = window_audio_features(feats, 6)
+    assert win.shape == (1, 6, 10, 5, 8)
+    padded = np.concatenate([np.zeros_like(feats[:4]), feats])
+    for f in range(6):
+        np.testing.assert_allclose(win[0, f], padded[2 * f:2 * f + 10])
+
+
+def test_hunyuan_custom_avatar_forward():
+    from wan2gp_tpu.models.hyvideo.dit import (make_hunyuan_config,
+                                               init_hunyuan,
+                                               hunyuan_forward)
+    rng = np.random.default_rng(1)
+    for bmt, is_avatar in (("hunyuan_custom_audio", False),
+                           ("hunyuan_avatar", True)):
+        cfg = make_hunyuan_config(
+            bmt, hidden_size=48, heads_num=4, mm_double_blocks_depth=2,
+            mm_single_blocks_depth=2, rope_dim_list=(4, 4, 4),
+            text_states_dim=32, refiner_depth=1,
+            compute_dtype=jnp.float32)
+        params = init_hunyuan(jax.random.key(2), cfg, jnp.float32)
+        lat = jnp.asarray(rng.normal(size=(1, 16, 2, 8, 8)), jnp.float32)
+        txt = jnp.asarray(rng.normal(size=(1, 6, 32)), jnp.float32)
+        msk = jnp.ones((1, 6), jnp.int32)
+        t = jnp.asarray([700.0])
+        ref_frames = 2 if is_avatar else 1
+        ref = jnp.asarray(rng.normal(size=(1, 16, ref_frames, 8, 8)),
+                          jnp.float32)
+        audio = jnp.asarray(rng.normal(size=(1, 5, 10, 5, 384)),
+                            jnp.float32)
+        kw = dict(ref_latents=ref, audio_prompts=audio)
+        if is_avatar:
+            kw.update(motion_exp=jnp.ones((1, 4)) * 5,
+                      motion_pose=jnp.zeros((1, 4)),
+                      fps=jnp.asarray([25.0]),
+                      face_mask=jnp.ones((1, 2 * 4 * 4, 1)))
+        out = hunyuan_forward(params, cfg, lat, t, txt, msk,
+                              text_pooled=jnp.zeros((1, 768)), **kw)
+        assert out.shape == (1, 16, 2, 8, 8)
+        assert np.isfinite(np.asarray(out)).all()
+        # ref changes the output; zero-init audio adapters are inert
+        out2 = hunyuan_forward(params, cfg, lat, t, txt, msk,
+                               text_pooled=jnp.zeros((1, 768)),
+                               **{**kw, "ref_latents": ref * 0})
+        assert np.abs(np.asarray(out) - np.asarray(out2)).max() > 1e-6
+        no_audio = hunyuan_forward(params, cfg, lat, t, txt, msk,
+                                   text_pooled=jnp.zeros((1, 768)),
+                                   **{k: v for k, v in kw.items()
+                                      if k != "audio_prompts"})
+        np.testing.assert_allclose(np.asarray(out), np.asarray(no_audio),
+                                   atol=1e-5)
+
+
+def test_hunyuan_custom_pipeline_e2e():
+    from wan2gp_tpu.models.hyvideo.dit import (make_hunyuan_config,
+                                               init_hunyuan)
+    from wan2gp_tpu.models.hyvideo.pipeline import (HunyuanPipeline,
+                                                    HunyuanSamplingConfig)
+    rng = np.random.default_rng(2)
+    cfg = make_hunyuan_config(
+        "hunyuan_avatar", hidden_size=48, heads_num=4,
+        mm_double_blocks_depth=2, mm_single_blocks_depth=2,
+        rope_dim_list=(4, 4, 4), text_states_dim=32, refiner_depth=1,
+        compute_dtype=jnp.float32)
+    params = init_hunyuan(jax.random.key(3), cfg, jnp.float32)
+    pipe = HunyuanPipeline(params, cfg, attn_backend="xla")
+    txt = jnp.asarray(rng.normal(size=(1, 6, 32)), jnp.float32)
+    msk = jnp.ones((1, 6), jnp.int32)
+    ref = jnp.asarray(rng.normal(size=(1, 16, 2, 8, 8)), jnp.float32)
+    audio = jnp.asarray(rng.normal(size=(1, 5, 10, 5, 384)), jnp.float32)
+    face = np.ones((32, 32), np.float32)
+    lat = pipe.generate_custom(
+        ref_latents=ref, audio_prompts=audio, face_mask=face,
+        motion_exp=np.ones((1, 4)) * 5, motion_pose=np.zeros((1, 4)),
+        fps_value=25.0, width=64, height=64, frame_num=5, seed=0,
+        sampling=HunyuanSamplingConfig(steps=2, guide_scale=1.0,
+                                       embedded_guidance=0.0),
+        text_states=txt, text_mask=msk,
+        text_pooled=jnp.zeros((1, 768), jnp.float32),
+        return_latents=True)
+    assert lat.shape == (1, 16, 2, 8, 8)
+    assert np.isfinite(np.asarray(lat)).all()

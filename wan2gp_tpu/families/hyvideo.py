@@ -43,9 +43,12 @@ class HunyuanFamilyHandler:
     @staticmethod
     def query_model_files(base_model_type, model_def):
         base = "https://huggingface.co/DeepBeepMeep/HunyuanVideo/resolve/main/"
+        vae_file = ("hunyuan_video_custom_VAE_fp32.safetensors"
+                    if "custom" in base_model_type
+                    or "avatar" in base_model_type
+                    else "hunyuan_video_VAE_fp32.safetensors")
         files = [{"role": "transformer", "urls": model_def.get("URLs", [])},
-                 {"role": "vae",
-                  "urls": [base + "hunyuan_video_VAE_fp32.safetensors"]},
+                 {"role": "vae", "urls": [base + vae_file]},
                  {"role": "text_encoder", "urls": [
                      base + "llava-llama-3-8b/llava_llama3_fp16.safetensors"]},
                  {"role": "clip", "urls": [

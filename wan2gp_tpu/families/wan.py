@@ -113,6 +113,11 @@ _ARCH: Dict[str, Dict[str, Any]] = {
     # test_lynx — lite: 20 ip layers @2048; full: all layers @5120 + ref)
     "lynx_lite": dict(dim=5120, ffn_dim=13824, num_heads=40, num_layers=40,
                       model_type="t2v", vae_stride=(4, 8, 8), lynx="lite"),
+    # Wan-Alpha with the Lynx face adapter (wan_handler.py:73-74
+    # "alpha_lynx")
+    "alpha_lynx": dict(dim=5120, ffn_dim=13824, num_heads=40,
+                       num_layers=40, model_type="t2v",
+                       vae_stride=(4, 8, 8), alpha=True, lynx="full"),
     "lynx": dict(dim=5120, ffn_dim=13824, num_heads=40, num_layers=40,
                  model_type="t2v", vae_stride=(4, 8, 8), lynx="full"),
     "vace_lynx_14B": dict(dim=5120, ffn_dim=13824, num_heads=40,

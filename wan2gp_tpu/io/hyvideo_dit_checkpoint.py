@@ -146,7 +146,46 @@ def load_hunyuan_dit_params(sd: Dict[str, np.ndarray], cfg,
     if cfg.guidance_embed and "guidance_in.mlp.0.weight" in sd:
         params["guidance_in"] = _embed(sd, "guidance_in", jnp.float32)
     load_glyph_params(sd, params)
+    load_custom_params(sd, params, cfg)
     return params, sorted(sd.keys())
+
+
+def load_custom_params(sd: Dict[str, np.ndarray], params: Dict, cfg):
+    """HunyuanCustom / Avatar modules riding in the dit checkpoint
+    (models.py:773-816): ref_in/before_proj/motion/fps (avatar),
+    bg_in/bg_proj (custom-edit), audio_proj + adapter blocks."""
+    def conv_pe(name):
+        w = np.asarray(sd.pop(f"{name}.proj.weight"), np.float32)
+        return {"w": jnp.asarray(w.reshape(w.shape[0], -1).T),
+                "b": jnp.asarray(np.asarray(
+                    sd.pop(f"{name}.proj.bias"), np.float32))}
+
+    if "ref_in.proj.weight" in sd:
+        params["ref_in"] = conv_pe("ref_in")
+    if "bg_in.proj.weight" in sd:
+        params["bg_in"] = conv_pe("bg_in")
+        params["bg_proj"] = _lin(sd, "bg_proj", jnp.float32)
+    if "before_proj.weight" in sd:
+        params["before_proj"] = _lin(sd, "before_proj", jnp.float32)
+    for name in ("motion_exp", "motion_pose", "fps_proj"):
+        if f"{name}.mlp.0.weight" in sd:
+            params[name] = _embed(sd, name, jnp.float32)
+    if "audio_proj.proj1.weight" in sd:
+        from ..models.hyvideo.custom import (load_audio_proj,
+                                             load_audio_adapters,
+                                             AUDIO_LAYERS_AVATAR,
+                                             AUDIO_LAYERS_CUSTOM)
+        params["audio_proj"] = load_audio_proj(sd)
+        avatar = getattr(cfg, "avatar", False)
+        prefix = ("audio_adapter_blocks" if avatar else "audio_models")
+        if f"{prefix}.0.norm1.weight" not in sd:
+            prefix = ("audio_models" if avatar
+                      else "audio_adapter_blocks")
+        params["audio_adapters"] = load_audio_adapters(
+            sd, cfg.mm_double_blocks_depth,
+            AUDIO_LAYERS_AVATAR if avatar else AUDIO_LAYERS_CUSTOM,
+            prefix)
+    return params
 
 
 def load_glyph_params(sd: Dict[str, np.ndarray], params: Dict) -> Dict:

@@ -52,6 +52,10 @@ class HunyuanConfig:
     byt5_hidden: int = 2048
     cond_type_embed: bool = False    # models.py:823 use_cond_type_embedding
     meanflow: bool = False           # models.py:723-727 time_r_in
+    custom: bool = False             # HunyuanCustom (models.py:1306)
+    avatar: bool = False             # HunyuanAvatar (models.py:1335)
+    audio_condition: bool = False    # audio adapters (models.py:779)
+    video_condition: bool = False    # custom-edit bg branch (models.py:773)
     compute_dtype: Any = jnp.bfloat16
 
     @property
@@ -66,6 +70,10 @@ class HunyuanConfig:
 HUNYUAN_VIDEO_CONFIGS = {
     "hunyuan": dict(guidance_embed=True),                     # T/2-cfgdistill
     "hunyuan_i2v": dict(guidance_embed=True, in_channels=33),
+    "hunyuan_custom": dict(custom=True),
+    "hunyuan_custom_audio": dict(custom=True, audio_condition=True),
+    "hunyuan_custom_edit": dict(custom=True, video_condition=True),
+    "hunyuan_avatar": dict(avatar=True, audio_condition=True),
     "hunyuan_1_5_t2v": dict(hidden_size=2048, heads_num=16,
                             mm_double_blocks_depth=54,
                             mm_single_blocks_depth=0, text_pool=False,
@@ -94,23 +102,42 @@ def make_hunyuan_config(base_model_type: str, **overrides) -> HunyuanConfig:
 
 
 def build_hunyuan_rope(grid_fhw, rope_dim_list=(16, 56, 56),
-                       txt_len: int = 0, theta: float = 10000.0):
+                       txt_len: int = 0, theta: float = 10000.0,
+                       ref_mode: str = None):
     """cos/sin [img_len + txt_len, head_dim/2]; txt rows are identity
-    (cos=1, sin=0) — HV applies RoPE to img tokens only."""
+    (cos=1, sin=0) — HV applies RoPE to img tokens only.
+
+    ref_mode (HunyuanCustom/Avatar, posemb_layers.py:295-317
+    get_nd_rotary_pos_embed_new): 'timecat' prepends one frame of
+    reference tokens at t = -1; 'timecat-w' additionally offsets their
+    w positions by +W (OminiControl-style)."""
     f, h, w = grid_fhw
-    parts = []
-    for dim, n, idx in zip(rope_dim_list, (f, h, w), range(3)):
-        omega = 1.0 / (theta ** (np.arange(0, dim, 2, np.float64) / dim))
-        pos = np.arange((f, h, w)[idx], dtype=np.float64)
-        parts.append(np.outer(pos, omega))
-    ang = np.concatenate([
-        np.broadcast_to(parts[0][:, None, None, :],
-                        (f, h, w, parts[0].shape[-1])),
-        np.broadcast_to(parts[1][None, :, None, :],
-                        (f, h, w, parts[1].shape[-1])),
-        np.broadcast_to(parts[2][None, None, :, :],
-                        (f, h, w, parts[2].shape[-1])),
-    ], axis=-1).reshape(f * h * w, -1)
+
+    def angles(tf, th_, tw_):
+        parts = []
+        for dim, pos in zip(rope_dim_list, (tf, th_, tw_)):
+            omega = 1.0 / (theta ** (np.arange(0, dim, 2,
+                                               np.float64) / dim))
+            parts.append(pos[..., None] * omega)
+        ff, hh, ww = len(tf), len(th_), len(tw_)
+        return np.concatenate([
+            np.broadcast_to(parts[0][:, None, None, :],
+                            (ff, hh, ww, parts[0].shape[-1])),
+            np.broadcast_to(parts[1][None, :, None, :],
+                            (ff, hh, ww, parts[1].shape[-1])),
+            np.broadcast_to(parts[2][None, None, :, :],
+                            (ff, hh, ww, parts[2].shape[-1])),
+        ], axis=-1).reshape(ff * hh * ww, -1)
+
+    ang = angles(np.arange(f, dtype=np.float64),
+                 np.arange(h, dtype=np.float64),
+                 np.arange(w, dtype=np.float64))
+    if ref_mode in ("timecat", "timecat-w"):
+        w_off = float(w) if ref_mode == "timecat-w" else 0.0
+        ref_ang = angles(np.asarray([-1.0]),
+                         np.arange(h, dtype=np.float64),
+                         np.arange(w, dtype=np.float64) + w_off)
+        ang = np.concatenate([ref_ang, ang], axis=0)
     cos = np.concatenate([np.cos(ang), np.ones((txt_len, ang.shape[1]))])
     sin = np.concatenate([np.sin(ang), np.zeros((txt_len, ang.shape[1]))])
     return jnp.asarray(cos, jnp.float32), jnp.asarray(sin, jnp.float32)
@@ -136,7 +163,7 @@ def _mlp_embedder(key, d_in, d_h, dtype):
 
 
 def init_hunyuan(key, cfg: HunyuanConfig, dtype=jnp.bfloat16):
-    keys = iter(jax.random.split(key, 24))
+    keys = iter(jax.random.split(key, 40))
     h = cfg.hidden_size
     hd = cfg.head_dim
 
@@ -231,6 +258,32 @@ def init_hunyuan(key, cfg: HunyuanConfig, dtype=jnp.bfloat16):
         }
     if cfg.cond_type_embed:
         params["cond_type_embedding"] = jnp.zeros((3, h), jnp.float32)
+    if cfg.video_condition:
+        # custom-edit background branch (models.py:773-777)
+        params["bg_in"] = _linear(next(keys),
+                                  2 * cfg.in_channels * pt * ph * pw, h,
+                                  jnp.float32)
+        params["bg_proj"] = _linear(next(keys), h, h, jnp.float32)
+    if cfg.avatar:
+        params["ref_in"] = _linear(next(keys),
+                                   cfg.in_channels * pt * ph * pw, h,
+                                   jnp.float32)
+        params["before_proj"] = _linear(next(keys), h, h, jnp.float32)
+        params["motion_exp"] = _mlp_embedder(next(keys), 256, h // 4,
+                                             jnp.float32)
+        params["motion_pose"] = _mlp_embedder(next(keys), 256, h // 4,
+                                              jnp.float32)
+        params["fps_proj"] = _mlp_embedder(next(keys), 256, h,
+                                           jnp.float32)
+    if cfg.audio_condition:
+        from .custom import (init_audio_proj, stack_audio_adapters,
+                             AUDIO_LAYERS_AVATAR, AUDIO_LAYERS_CUSTOM)
+        params["audio_proj"] = init_audio_proj(next(keys),
+                                               output_dim=h)
+        params["audio_adapters"] = stack_audio_adapters(
+            next(keys), cfg.mm_double_blocks_depth,
+            AUDIO_LAYERS_AVATAR if cfg.avatar else AUDIO_LAYERS_CUSTOM,
+            dim=h)
     return params
 
 
@@ -403,7 +456,11 @@ def _single_block(bp, x, vec, cos, sin, cfg, attn_backend):
 def hunyuan_forward(params, cfg: HunyuanConfig, latents, t, text_states,
                     text_mask, text_pooled=None, guidance=None,
                     rope_cos=None, rope_sin=None, attn_backend="auto",
-                    byt5_states=None, byt5_mask=None, t_r=None):
+                    byt5_states=None, byt5_mask=None, t_r=None,
+                    ref_latents=None, bg_latents=None,
+                    audio_prompts=None, face_mask=None,
+                    motion_exp=None, motion_pose=None, fps=None,
+                    audio_strength: float = 1.0):
     """latents: [B, C, F, H, W]; t: [B] in 0..1000 (reference feeds t
     directly to sinusoidal embedding); text_states: [B, L, 4096];
     text_pooled: [B, 768] CLIP pooled (HV1); guidance: [B] cfg_scale*1000;
@@ -417,16 +474,59 @@ def hunyuan_forward(params, cfg: HunyuanConfig, latents, t, text_states,
             latents.shape[4] // pw)
     img = patchify(latents.astype(jnp.float32), cfg.patch_size)
     img = _dense(img, params["img_in"], jnp.float32)
+    ref_len = 0
+    if cfg.avatar and ref_latents is not None:
+        # HunyuanAvatar identity (models.py:1032-1076): ref_in over the
+        # full ref latents ADDS via before_proj; the first ref frame
+        # (through img_in) PREPENDS.
+        ref_tok = patchify(ref_latents.astype(jnp.float32),
+                           cfg.patch_size)
+        ref_tok = _dense(ref_tok, params["ref_in"], jnp.float32)
+        img = img + _dense(ref_tok, params["before_proj"], jnp.float32)
+        rf = patchify(ref_latents[:, :, :1].astype(jnp.float32),
+                      cfg.patch_size)
+        rf = _dense(rf, params["img_in"], jnp.float32)
+        ref_len = rf.shape[1]
+        img = jnp.concatenate([rf, img], axis=1)
+    elif cfg.custom:
+        if ref_latents is not None:
+            rf = patchify(ref_latents.astype(jnp.float32),
+                          cfg.patch_size)
+            rf = _dense(rf, params["img_in"], jnp.float32)
+            ref_len = rf.shape[1]
+        if bg_latents is not None and cfg.video_condition:
+            bg = patchify(bg_latents.astype(jnp.float32),
+                          cfg.patch_size)
+            bg = _dense(bg, params["bg_in"], jnp.float32)
+            img = img + _dense(bg, params["bg_proj"], jnp.float32)
+        if ref_latents is not None:
+            img = jnp.concatenate([rf, img], axis=1)
     img_len = img.shape[1]
     txt_len = text_states.shape[1]
     if byt5_states is not None and params.get("byt5_in") is not None:
         txt_len = txt_len + byt5_states.shape[1]
     if rope_cos is None:
-        rope_cos, rope_sin = build_hunyuan_rope(grid, cfg.rope_dim_list,
-                                                txt_len)
+        rope_cos, rope_sin = build_hunyuan_rope(
+            grid, cfg.rope_dim_list, txt_len,
+            ref_mode=(None if ref_len == 0 else
+                      ("timecat" if cfg.avatar else "timecat-w")))
 
     vec = _embed(params["time_in"], timestep_embedding(t, 256,
                                                        time_factor=1.0))
+    if cfg.avatar:
+        # motion/fps embedders (models.py:986-991): 4 values each map
+        # to hidden/4 chunks concatenated back to hidden
+        if motion_exp is not None:
+            me = _embed(params["motion_exp"], timestep_embedding(
+                motion_exp.reshape(-1), 256, time_factor=1.0))
+            vec = vec + me.reshape(b, -1)
+        if motion_pose is not None:
+            mp = _embed(params["motion_pose"], timestep_embedding(
+                motion_pose.reshape(-1), 256, time_factor=1.0))
+            vec = vec + mp.reshape(b, -1)
+        if fps is not None:
+            vec = vec + _embed(params["fps_proj"], timestep_embedding(
+                fps, 256, time_factor=1.0))
     if cfg.meanflow and t_r is not None and "time_r_in" in params:
         vec = vec + _embed(params["time_r_in"],
                            timestep_embedding(t_r, 256, time_factor=1.0))
@@ -450,13 +550,45 @@ def hunyuan_forward(params, cfg: HunyuanConfig, latents, t, text_states,
         txt, text_mask = reorder_glyph_tokens(bt, txt, byt5_mask,
                                               text_mask)
 
-    def dbody(carry, bp):
-        img, txt = carry
-        img, txt = _double_block(bp, img, txt, vec, rope_cos, rope_sin,
-                                 img_len, cfg, attn_backend)
-        return (img, txt), None
+    use_audio = (audio_prompts is not None
+                 and params.get("audio_adapters") is not None)
+    if use_audio:
+        # per-frame audio context tokens (models.py:992-995): project,
+        # repeat the first frame 3x, fold 4 pixel frames per latent
+        from .custom import audio_proj_forward, perceiver_ca
+        af = audio_proj_forward(params["audio_proj"], audio_prompts)
+        af = jnp.concatenate([jnp.repeat(af[:, :1], 3, axis=1), af],
+                             axis=1)
+        ot = grid[0]
+        audio_tok = af[:, :4 * ot].reshape(b, ot, -1, af.shape[-1])
+        face_w = (face_mask if face_mask is not None else 1.0)
 
-    (img, txt), _ = jax.lax.scan(dbody, (img, txt), params["double_blocks"])
+        def dbody(carry, xs):
+            img, txt = carry
+            bp, ap = xs
+            img, txt = _double_block(bp, img, txt, vec, rope_cos,
+                                     rope_sin, img_len, cfg,
+                                     attn_backend)
+            real = img[:, ref_len:].reshape(b, ot, -1, img.shape[-1])
+            delta = perceiver_ca(ap, audio_tok, real)
+            delta = delta.reshape(b, -1, img.shape[-1]) * face_w \
+                * audio_strength * ap["active"][0, 0, 0]
+            img = img.at[:, ref_len:].add(delta.astype(img.dtype))
+            return (img, txt), None
+
+        (img, txt), _ = jax.lax.scan(
+            dbody, (img, txt),
+            (params["double_blocks"], params["audio_adapters"]))
+    else:
+        def dbody(carry, bp):
+            img, txt = carry
+            img, txt = _double_block(bp, img, txt, vec, rope_cos,
+                                     rope_sin, img_len, cfg,
+                                     attn_backend)
+            return (img, txt), None
+
+        (img, txt), _ = jax.lax.scan(dbody, (img, txt),
+                                     params["double_blocks"])
 
     if params.get("single_blocks") is not None:
         x = jnp.concatenate([img, txt], axis=1)
@@ -468,6 +600,8 @@ def hunyuan_forward(params, cfg: HunyuanConfig, latents, t, text_states,
         x, _ = jax.lax.scan(sbody, x, params["single_blocks"])
         img = x[:, :img_len]
 
+    if ref_len:
+        img = img[:, ref_len:]       # drop ref tokens (models.py:1219)
     fm = _dense(jax.nn.silu(vec), params["final"]["mod"], jnp.float32)
     shift, scale = jnp.split(fm[:, None, :], 2, axis=-1)
     img = layer_norm(img) * (1 + scale) + shift

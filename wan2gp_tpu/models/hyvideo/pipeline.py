@@ -46,7 +46,11 @@ def hunyuan_denoise_scan(params, cfg: HunyuanConfig, latents, text_states,
                          sampling: HunyuanSamplingConfig = HunyuanSamplingConfig(),
                          attn_backend: str = "auto", img_latents=None,
                          i2v_condition_type: str = "",
-                         byt5_states=None, byt5_mask=None):
+                         byt5_states=None, byt5_mask=None,
+                         ref_latents=None, bg_latents=None,
+                         audio_prompts=None, face_mask=None,
+                         motion_exp=None, motion_pose=None, fps=None,
+                         audio_strength: float = 1.0):
     """i2v conditioning (pipeline_hunyuan_video.py:1610-1617, 1746-1752):
     'token_replace' (HV1 i2v) pins the first latent frame to img_latents
     each step and solver-steps only frames 1+; 'latent_concat' (HV1.5)
@@ -63,7 +67,13 @@ def hunyuan_denoise_scan(params, cfg: HunyuanConfig, latents, text_states,
     txt_len = text_states.shape[1]
     if byt5_states is not None:
         txt_len += byt5_states.shape[1]
-    cos, sin = build_hunyuan_rope(grid, cfg.rope_dim_list, txt_len)
+    # HunyuanCustom/Avatar reference rope (hunyuan.py:905-914):
+    # avatar 'timecat', custom 'timecat-w', both with t bias -1
+    ref_mode = None
+    if ref_latents is not None and (cfg.custom or cfg.avatar):
+        ref_mode = "timecat" if cfg.avatar else "timecat-w"
+    cos, sin = build_hunyuan_rope(grid, cfg.rope_dim_list, txt_len,
+                                  ref_mode=ref_mode)
 
     if any_guidance:
         ctx = jnp.concatenate([text_states, text_states_null], axis=0)
@@ -110,11 +120,24 @@ def hunyuan_denoise_scan(params, cfg: HunyuanConfig, latents, text_states,
         else:
             x_in = x
         xb = jnp.concatenate([x_in, x_in], axis=0) if any_guidance else x_in
+        nb = 2 if any_guidance else 1
+
+        def rep(v_):
+            return (None if v_ is None else
+                    jnp.concatenate([v_] * nb, axis=0) if nb > 1 else v_)
+
         v = hunyuan_forward(params, cfg, xb, t, ctx, msk,
                             text_pooled=pooled, guidance=guidance,
                             rope_cos=cos, rope_sin=sin,
                             attn_backend=attn_backend,
-                            byt5_states=byt5_states, byt5_mask=byt5_mask)
+                            byt5_states=byt5_states, byt5_mask=byt5_mask,
+                            ref_latents=rep(ref_latents),
+                            bg_latents=rep(bg_latents),
+                            audio_prompts=rep(audio_prompts),
+                            face_mask=face_mask,
+                            motion_exp=rep(motion_exp),
+                            motion_pose=rep(motion_pose), fps=rep(fps),
+                            audio_strength=audio_strength)
         if any_guidance:
             pred = cfg_combine(v[:b], v[b:], g,
                                jnp.asarray(sampling.cfg_star_switch))
@@ -217,6 +240,65 @@ class HunyuanPipeline:
             return x
 
         x = jax.jit(scan)(self.dit_params, latents)
+        if return_latents or self.vae_decode_fn is None:
+            return x
+        return self.vae_decode_fn(x)
+
+    def generate_custom(self, prompt: str = "", ref_latents=None,
+                        bg_latents=None, audio_prompts=None,
+                        face_mask=None, motion_exp=None,
+                        motion_pose=None, fps_value=None,
+                        audio_strength: float = 1.0,
+                        width: int = 832, height: int = 480,
+                        frame_num: int = 97, seed: int = 0,
+                        sampling=None, text_states=None, text_mask=None,
+                        text_states_null=None, text_mask_null=None,
+                        text_pooled=None, return_latents: bool = False):
+        """HunyuanCustom / Avatar generation (hunyuan.py:897-1060):
+        ref_latents [1, C, 1 | F, h, w] identity latents; audio_prompts
+        [1, F_pix, 10, 5, 384] whisper-window features (custom.py
+        window_audio_features); face_mask [H, W] box mask (avatar);
+        motion_exp/motion_pose [1, 4]; fps_value scalar."""
+        sampling = sampling or HunyuanSamplingConfig()
+        if text_states is None:
+            text_states, text_mask, text_pooled = \
+                self.text_encode_fn(prompt)
+        st, sh, sw = self.vae_stride
+        f_lat = (frame_num - 1) // st + 1
+        lat_h, lat_w = height // sh, width // sw
+        lat = jax.random.normal(
+            jax.random.key(seed),
+            (1, self.dit_cfg.in_channels, f_lat, lat_h, lat_w),
+            jnp.float32)
+        kwargs = dict(text_states=text_states, text_mask=text_mask,
+                      text_pooled=text_pooled)
+        if sampling.guide_scale != 1.0:
+            kwargs.update(text_states_null=text_states_null,
+                          text_mask_null=text_mask_null)
+        extra = {}
+        if ref_latents is not None:
+            extra["ref_latents"] = jnp.asarray(ref_latents, jnp.float32)
+        if bg_latents is not None:
+            extra["bg_latents"] = jnp.asarray(bg_latents, jnp.float32)
+        if audio_prompts is not None:
+            extra["audio_prompts"] = jnp.asarray(audio_prompts,
+                                                 jnp.float32)
+            if face_mask is not None:
+                from .custom import face_mask_tokens
+                pt, ph, pw = self.dit_cfg.patch_size
+                extra["face_mask"] = face_mask_tokens(
+                    face_mask, (f_lat // pt, lat_h // ph, lat_w // pw))
+        if motion_exp is not None:
+            extra["motion_exp"] = jnp.asarray(motion_exp, jnp.float32)
+        if motion_pose is not None:
+            extra["motion_pose"] = jnp.asarray(motion_pose, jnp.float32)
+        if fps_value is not None:
+            extra["fps"] = jnp.full((1,), float(fps_value), jnp.float32)
+        fn = jax.jit(functools.partial(
+            hunyuan_denoise_scan, cfg=self.dit_cfg, sampling=sampling,
+            attn_backend=self.attn_backend,
+            audio_strength=audio_strength))
+        x = fn(self.dit_params, latents=lat, **kwargs, **extra)
         if return_latents or self.vae_decode_fn is None:
             return x
         return self.vae_decode_fn(x)

@@ -263,3 +263,24 @@ def test_model_def_zoo_size():
         if t in reg.model_types():
             d = reg.get(t)
             assert "architecture" in d
+
+
+def test_discover_loras(tmp_path):
+    """Per-model LoRA dir scan (wgp.py:3706 setup_loras)."""
+    from wan2gp_tpu.config.profiles import discover_loras
+    root = tmp_path / "loras"
+    sub = root / "wan" / "t2v_14B"
+    (sub / "nested").mkdir(parents=True)
+    (sub / "b_style.safetensors").write_bytes(b"x")
+    (sub / "a_motion.sft").write_bytes(b"x")
+    (sub / "nested" / "c_extra.safetensors").write_bytes(b"x")
+    (sub / "combo.lset").write_text('{"loras": [], "loras_mult": ""}')
+    (sub / "combo.json").write_text("{}")
+    out = discover_loras(str(root), model_type="t2v_14B", family="wan")
+    assert out["dir"].endswith(os.path.join("wan", "t2v_14B"))
+    assert out["loras"] == ["a_motion.sft", "b_style.safetensors",
+                            os.path.join("nested", "c_extra.safetensors")]
+    assert set(out["presets"]) == {"combo.lset", "combo.json"}
+    # falls back to the root when the model dir is absent
+    out2 = discover_loras(str(root), model_type="nope", family="nope")
+    assert out2["dir"] == str(root)

@@ -59,6 +59,36 @@ def apply_profile(settings: Dict[str, Any], family: str, name: str,
     return {**prof, **settings}
 
 
+def discover_loras(lora_root: str, model_type: str = "",
+                   family: str = "") -> Dict[str, List[str]]:
+    """Per-model LoRA directory scan (wgp.py:3706 setup_loras +
+    get_lora_dir:2437): recursively glob *.safetensors/*.sft under
+    <lora_root>[/<family>[/<model_type>]], plus *.lset/*.json/*.zip
+    presets at the top of that dir.  Returns {"loras": [...],
+    "presets": [...]} with paths relative to the chosen dir."""
+    import glob as _glob
+    candidates = [d for d in (
+        os.path.join(lora_root, family, model_type) if family else None,
+        os.path.join(lora_root, family) if family else None,
+        os.path.join(lora_root, model_type) if model_type else None,
+        lora_root) if d]
+    lora_dir = next((d for d in candidates if os.path.isdir(d)),
+                    lora_root)
+    loras = sorted(
+        _glob.glob(os.path.join(lora_dir, "**", "*.safetensors"),
+                   recursive=True)
+        + _glob.glob(os.path.join(lora_dir, "**", "*.sft"),
+                     recursive=True),
+        key=lambda p: os.path.relpath(p, lora_dir).casefold())
+    presets = sorted(
+        _glob.glob(os.path.join(lora_dir, "*.lset"))
+        + _glob.glob(os.path.join(lora_dir, "*.json"))
+        + _glob.glob(os.path.join(lora_dir, "*.zip")))
+    return {"dir": lora_dir,
+            "loras": [os.path.relpath(p, lora_dir) for p in loras],
+            "presets": [os.path.basename(p) for p in presets]}
+
+
 def load_lset(path: str) -> Dict[str, Any]:
     """Read a .lset LoRA preset (wgp.py:3695-3703).  Returns
     {"loras": [...], "loras_multipliers": str, "prompt": str,

@@ -113,9 +113,11 @@ class GenerationService:
                  output_dir: str = "outputs", attn_backend: str = "auto",
                  init_random_weights: bool = False,
                  checkpoints_resolver: Optional[Callable] = None,
-                 plugins_dir: Optional[str] = None):
+                 plugins_dir: Optional[str] = None,
+                 lora_root: str = "loras"):
         self.registry = registry or ModelRegistry(build_handler_map())
         self.output_dir = output_dir
+        self.lora_root = lora_root
         self.attn_backend = attn_backend
         self.init_random_weights = init_random_weights
         self.checkpoints_resolver = checkpoints_resolver
@@ -127,6 +129,17 @@ class GenerationService:
             self.plugins.load_directory(plugins_dir)
 
     # -- model management ----------------------------------------------
+
+    def list_loras(self, model_type: str = "") -> Dict[str, Any]:
+        """Discover LoRA files + presets for a model (wgp.py:3706)."""
+        from ..config.profiles import discover_loras
+        family = ""
+        if model_type:
+            try:
+                family = self.registry.handler_for(model_type).family
+            except Exception:
+                family = ""
+        return discover_loras(self.lora_root, model_type, family)
 
     def get_pipeline(self, model_type: str):
         pipe = self._pipelines.get(model_type)

@@ -180,6 +180,12 @@ class WebUI:
                 return 404, "text/plain", b"queue is empty"
             with open(path, "rb") as f:
                 return 200, "application/zip", f.read()
+        if route == "/api/loras":
+            model = (qs.get("model") or [""])[0]
+            svc = self.session.service
+            if hasattr(svc, "list_loras"):
+                return ok(svc.list_loras(model))
+            return ok({"dir": "", "loras": [], "presets": []})
         if route == "/api/gallery":
             mtype = (qs.get("type") or ["any"])[0]
             limit = int((qs.get("limit") or ["60"])[0])

@@ -23,6 +23,7 @@ from .ltx2 import LTX2FamilyHandler
 from .tts_ace import ACEStepFamilyHandler
 from .tts_qwen3 import Qwen3TTSFamilyHandler
 from .tts_heartmula import HeartMulaFamilyHandler
+from .tts_omnivoice import OmniVoiceFamilyHandler
 
 _HANDLER_CLASSES = [WanFamilyHandler, FluxFamilyHandler,
                     HunyuanFamilyHandler, LTXVFamilyHandler,
@@ -32,7 +33,7 @@ _HANDLER_CLASSES = [WanFamilyHandler, FluxFamilyHandler,
                     LongCatFamilyHandler, HiDreamFamilyHandler,
                     MagiFamilyHandler, LTX2FamilyHandler,
                     ACEStepFamilyHandler, Qwen3TTSFamilyHandler,
-                    HeartMulaFamilyHandler]
+                    HeartMulaFamilyHandler, OmniVoiceFamilyHandler]
 
 
 def build_handler_map():

@@ -22,7 +22,9 @@ class MiniMaxFamilyHandler:
 
     @staticmethod
     def query_supported_types() -> List[str]:
-        return ["minimax_h3"]
+        # ref2va: same packed T2VA arch with reference-image latents
+        # appended (models/minimax/dit.py ref2va packing)
+        return ["minimax_h3", "minimax_h3_ref2va"]
 
     @staticmethod
     def query_family_infos():

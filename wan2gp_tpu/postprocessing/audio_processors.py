@@ -1,0 +1,180 @@
+"""Audio-processor registry (soundtrack generation / audio edits).
+
+Compact counterpart of the reference framework
+(postprocessing/audio_processors.py:31-327 + the per-processor
+packages custom_soundtrack/, audio_background_removal/, mmaudio/):
+processors self-describe (name, types, methods), register in a global
+registry, and the service applies the selected soundtrack method to a
+finished video plus audio-edit methods to its track.
+
+Built-ins:
+- "custom"  — remux a user-provided audio file onto the video
+  (custom_soundtrack/audio_processor.py:34);
+- "mmaudio" — generate a soundtrack with the MMAudio flow network
+  (postprocessing/mmaudio_net.py) and mux it;
+- "remove_background" — keep the vocal stem via a pluggable separator
+  callable (audio_background_removal/audio_processor.py:40 routes to
+  preprocessing/extract_vocals.py; the BS-RoFormer separator itself is
+  external, so a callable hook stands in).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+
+SOUNDTRACK = "soundtrack"
+AUDIO_EDIT = "audio_edit"
+
+_REGISTRY: List[Any] = []
+
+
+def register_audio_processor(proc) -> None:
+    _REGISTRY.append(proc)
+
+
+def processor_handlers(processor_type: Optional[str] = None) -> List[Any]:
+    out = []
+    for p in _REGISTRY:
+        d = p.query_audio_processor_def()
+        if processor_type is None or processor_type in d["processor_types"]:
+            out.append(p)
+    return sorted(out, key=lambda p:
+                  p.query_audio_processor_def().get("pos", 100))
+
+
+def find_processor(method: str):
+    # later registrations override the built-ins (configured instances)
+    for p in reversed(_REGISTRY):
+        d = p.query_audio_processor_def()
+        if any(m == method for _, m in d["methods"]):
+            return p
+    return None
+
+
+def method_choices(processor_type: Optional[str] = None):
+    out = []
+    for p in processor_handlers(processor_type):
+        out.extend(p.query_audio_processor_def()["methods"])
+    return out
+
+
+def reset_registry():
+    _REGISTRY.clear()
+    _register_builtins()
+
+
+class CustomSoundtrackProcessor:
+    @classmethod
+    def query_audio_processor_def(cls) -> Dict[str, Any]:
+        return {"name": "Custom Soundtrack",
+                "processor_types": (SOUNDTRACK,),
+                "methods": [("Custom Soundtrack", "custom")], "pos": 10}
+
+    def generate_soundtrack(self, video_path: str,
+                            audio_source: Optional[str] = None,
+                            **_kw):
+        """Returns (wave [T, C] float32, sample_rate) from the given
+        audio file."""
+        if not audio_source:
+            raise ValueError("custom soundtrack needs an audio file")
+        from ..utils import media
+        wave, sr = media.read_wav(audio_source)
+        return wave.astype(np.float32) / 32767.0, sr
+
+
+class MMAudioSoundtrackProcessor:
+    """Text-conditioned MMAudio soundtrack (visual towers optional:
+    clip/sync features default to zeros when no extractor is wired)."""
+
+    def __init__(self, net_params=None, net_cfg=None, vae=None,
+                 vocoder=None, text_encode_fn=None):
+        self.net = (net_params, net_cfg)
+        self.vae = vae
+        self.vocoder = vocoder
+        self.text_encode_fn = text_encode_fn
+
+    @classmethod
+    def query_audio_processor_def(cls) -> Dict[str, Any]:
+        return {"name": "MMAudio",
+                "processor_types": (SOUNDTRACK,),
+                "methods": [("MMAudio", "mmaudio")], "pos": 20}
+
+    def generate_soundtrack(self, video_path: str, prompt: str = "",
+                            seed: int = 0, **_kw):
+        import jax
+        import jax.numpy as jnp
+        from .mmaudio_net import (mmaudio_generate_latents,
+                                  mmaudio_preprocess_conditions,
+                                  empty_conditions)
+        params, cfg = self.net
+        if params is None:
+            raise RuntimeError("MMAudio network not loaded")
+        txt = (self.text_encode_fn([prompt]) if self.text_encode_fn
+               else jnp.zeros((1, cfg.text_seq_len, cfg.text_dim),
+                              jnp.float32))
+        cond = mmaudio_preprocess_conditions(
+            params, cfg,
+            jnp.zeros((1, cfg.clip_seq_len, cfg.clip_dim), jnp.float32),
+            jnp.zeros((1, cfg.sync_seq_len, cfg.sync_dim), jnp.float32),
+            txt)
+        lat = mmaudio_generate_latents(
+            params, cfg, cond, empty_conditions(params, cfg),
+            key=jax.random.key(seed))
+        if self.vae is None or self.vocoder is None:
+            raise RuntimeError("MMAudio VAE/vocoder not loaded")
+        mel = self.vae(lat)
+        wave = self.vocoder(mel)
+        return np.asarray(wave).reshape(-1, 1), 44100
+
+
+class BackgroundRemovalProcessor:
+    def __init__(self, separator_fn: Optional[Callable] = None):
+        self.separator_fn = separator_fn
+
+    @classmethod
+    def query_audio_processor_def(cls) -> Dict[str, Any]:
+        return {"name": "Remove Music / Background noise",
+                "processor_types": (AUDIO_EDIT,),
+                "methods": [("Remove Music / Background noise",
+                             "remove_background")], "pos": 10}
+
+    def process_audio(self, wave: np.ndarray, sample_rate: int, **_kw):
+        if self.separator_fn is None:
+            raise RuntimeError(
+                "no vocal separator configured "
+                "(reference: BS-RoFormer via audio_separator)")
+        return self.separator_fn(wave, sample_rate)
+
+
+def apply_soundtrack(video_path: str, method: str,
+                     **kwargs) -> str:
+    """Generate a soundtrack with `method` and mux it onto the video
+    (the reference's late_postprocessing soundtrack step)."""
+    proc = find_processor(method)
+    if proc is None:
+        raise ValueError(f"unknown audio processor {method!r}")
+    wave, sr = proc.generate_soundtrack(video_path, **kwargs)
+    from ..utils import media
+    frames = media.read_mjpeg_avi(video_path)
+    meta = media.read_video_metadata(video_path) or {}
+    fps = int(meta.get("fps", 16)) if isinstance(meta, dict) else 16
+    # trim/pad the soundtrack to the video duration
+    want = int(frames.shape[0] / max(fps, 1) * sr)
+    if wave.shape[0] > want:
+        wave = wave[:want]
+    elif wave.shape[0] < want:
+        wave = np.pad(wave, ((0, want - wave.shape[0]), (0, 0)))
+    media.save_video(frames, video_path, fps=fps,
+                     metadata=meta if isinstance(meta, dict) else None,
+                     audio=wave, audio_sample_rate=sr)
+    return video_path
+
+
+def _register_builtins():
+    register_audio_processor(CustomSoundtrackProcessor())
+    register_audio_processor(MMAudioSoundtrackProcessor())
+    register_audio_processor(BackgroundRemovalProcessor())
+
+
+_register_builtins()

@@ -27,6 +27,29 @@ def parse_resolution(res: str):
     return int(w), int(h)
 
 
+def _audio_processor_hook(outputs, settings):
+    """Late soundtrack step: settings 'soundtrack_method' selects an
+    audio processor ('custom' needs 'soundtrack_audio_source')."""
+    method = settings.get("soundtrack_method")
+    if not method:
+        return outputs
+    from ..postprocessing.audio_processors import apply_soundtrack
+    done = []
+    for p in outputs:
+        if p.lower().endswith(".avi"):
+            try:
+                apply_soundtrack(
+                    p, method,
+                    audio_source=settings.get("soundtrack_audio_source"),
+                    prompt=settings.get("soundtrack_prompt",
+                                        settings.get("prompt", "")),
+                    seed=int(settings.get("seed", 0) or 0))
+            except Exception as exc:
+                print(f"[audio_processors] {method} failed: {exc}")
+        done.append(p)
+    return done
+
+
 def _mocha_mask_frame(merged):
     """First-frame person mask for MoCha (any2video.py:390: the mask
     video's first frame).  Defaults to all-ones when absent."""
@@ -127,6 +150,10 @@ class GenerationService:
         self.plugins = PluginManager()
         if plugins_dir:
             self.plugins.load_directory(plugins_dir)
+        # built-in late audio processing (reference
+        # postprocessing/audio_processors.py late_postprocessing)
+        self.plugins.postprocess_hooks.append(
+            ("audio_processors", _audio_processor_hook))
 
     # -- model management ----------------------------------------------
 

@@ -209,3 +209,62 @@ def test_zimage_handler_registry():
     assert "z_image" in handlers and "z_image_base" in handlers
     d = handlers["z_image"].default_settings("z_image")
     assert d["num_inference_steps"] == 8 and d["sample_solver"] == "unified"
+
+
+# -- control branch ---------------------------------------------------------
+
+def test_zimage_control_forward_and_pipeline():
+    from wan2gp_tpu.models.zimage.dit import (ZImageConfig, init_zimage,
+                                              zimage_forward,
+                                              build_zimage_rope,
+                                              patchify_zimage)
+    import jax
+    cfg = ZImageConfig(dim=48, n_layers=4, n_refiner_layers=1,
+                       n_heads=4, in_channels=4, cap_feat_dim=16,
+                       axes_dim=(4, 4, 4), adaln_dim=32, t_mid_dim=24,
+                       seq_multiple=4, control=True, control_in_dim=4,
+                       n_control_refiner=1, compute_dtype=jnp.float32)
+    assert cfg.control_places == (0, 2)
+    params = init_zimage(jax.random.key(0), cfg, jnp.float32)
+    rng = np.random.default_rng(0)
+    h_tok = w_tok = 4
+    l_img = 16
+    toks = jnp.asarray(rng.normal(size=(1, l_img, 4 * 4)), jnp.float32)
+    cap = jnp.asarray(rng.normal(size=(1, 8, 16)), jnp.float32)
+    x_rope, cap_rope, uni_rope = build_zimage_rope(8, h_tok, w_tok, cfg)
+    t = jnp.asarray([0.5])
+    base = zimage_forward(params, cfg, toks, cap, t, x_rope, cap_rope,
+                          uni_rope, cap_len=8, img_len=l_img)
+    ctrl = jnp.asarray(rng.normal(size=(1, l_img, 4 * 4)), jnp.float32)
+    # zero-init projections -> control is inert at init (reference
+    # nn.init.zeros_ on before/after_proj, :273-278)
+    out = zimage_forward(params, cfg, toks, cap, t, x_rope, cap_rope,
+                         uni_rope, cap_len=8, img_len=l_img,
+                         control_tokens=ctrl)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                               atol=1e-5)
+    # non-zero after_proj steers the output, scaled by control_scale
+    params["control_layers"]["after_proj"]["w"] = jax.random.normal(
+        jax.random.key(1), params["control_layers"]["after_proj"]["w"].shape,
+        jnp.float32) * 0.05
+    o1 = zimage_forward(params, cfg, toks, cap, t, x_rope, cap_rope,
+                        uni_rope, cap_len=8, img_len=l_img,
+                        control_tokens=ctrl, control_scale=0.75)
+    assert np.abs(np.asarray(o1) - np.asarray(base)).max() > 1e-5
+    o0 = zimage_forward(params, cfg, toks, cap, t, x_rope, cap_rope,
+                        uni_rope, cap_len=8, img_len=l_img,
+                        control_tokens=ctrl, control_scale=0.0)
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(base),
+                               atol=1e-5)
+    # pipeline e2e with a control latent
+    from wan2gp_tpu.models.zimage.pipeline import (ZImagePipeline,
+                                                   ZImageSamplingConfig)
+    pipe = ZImagePipeline(params, cfg, attn_backend="xla")
+    ctx = jnp.asarray(rng.normal(size=(1, 8, 16)), jnp.float32)
+    ctrl_lat = rng.normal(size=(1, 4, 8, 8)).astype(np.float32)
+    z = pipe.generate("", sampling=ZImageSamplingConfig(
+        steps=2, guidance=0.0, solver="default"),
+        width=64, height=64, context=ctx, return_latents=True,
+        control_latent=ctrl_lat, control_scale=0.75)
+    assert z.shape == (1, 4, 8, 8)
+    assert np.isfinite(np.asarray(z)).all()

@@ -2,7 +2,9 @@
 
 Mirrors /root/reference/models/z_image/z_image_handler.py: z_image (turbo)
 = 8-step unified sampler, guidance 0; z_image_base = 30-step flow-euler
-with CFG 4.  Control variants (z_image_control*) are a later round.
+with CFG 4; z_image_control* add the ControlNet-style hint branch
+(z_image_transformer2d.py:561-594 — v1: 16-ch control latent; v2:
+33-ch control+mask+inpaint).
 """
 from __future__ import annotations
 
@@ -14,7 +16,8 @@ import jax.numpy as jnp
 from ..models.zimage.dit import ZImageConfig, init_zimage
 from ..models.zimage.pipeline import ZImagePipeline, ZImageSamplingConfig
 
-_TYPES = ["z_image", "z_image_base"]
+_TYPES = ["z_image", "z_image_base", "z_image_control",
+          "z_image_control2"]
 
 
 class ZImageFamilyHandler:
@@ -30,7 +33,8 @@ class ZImageFamilyHandler:
 
     @staticmethod
     def query_model_def(base_model_type, model_def):
-        return {"image_outputs": True, "group": "z_image"}
+        return {"image_outputs": True, "group": "z_image",
+                "control_class": "control" in base_model_type}
 
     @staticmethod
     def default_settings(base_model_type: str) -> Dict[str, Any]:
@@ -55,7 +59,13 @@ class ZImageFamilyHandler:
     def load_model(cls, base_model_type, model_def, checkpoints=None,
                    dtype=jnp.bfloat16, attn_backend="auto",
                    init_random=False, tokenizer=None, seed=0):
-        cfg = ZImageConfig(compute_dtype=dtype)
+        if "control" in base_model_type:
+            cfg = ZImageConfig(
+                compute_dtype=dtype, control=True,
+                control_in_dim=33 if base_model_type == "z_image_control2"
+                else 16)
+        else:
+            cfg = ZImageConfig(compute_dtype=dtype)
         text_fn = vae_fn = None
         if init_random:
             params = init_zimage(jax.random.key(seed), cfg, dtype)

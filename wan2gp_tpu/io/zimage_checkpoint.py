@@ -84,4 +84,21 @@ def load_zimage_params(sd: Dict[str, np.ndarray], cfg,
             "adaln": _lin(sd, f"all_final_layer.{pk}.adaLN_modulation.1",
                           dtype)},
     }
+    if getattr(cfg, "control", False) and \
+            f"control_all_x_embedder.{pk}.weight" in sd:
+        # control branch keys (z_image_transformer2d.py:561-594)
+        params["control_x_embedder"] = _lin(
+            sd, f"control_all_x_embedder.{pk}", dtype)
+        params["control_noise_refiner"] = stack([
+            _block(sd, f"control_noise_refiner.{i}", dtype, True)
+            for i in range(cfg.n_control_refiner)])
+        ctrl = []
+        for j in range(len(cfg.control_places)):
+            bp = _block(sd, f"control_layers.{j}", dtype, True)
+            bp["after_proj"] = _lin(sd, f"control_layers.{j}.after_proj",
+                                    dtype)
+            ctrl.append(bp)
+        params["control_layers"] = stack(ctrl)
+        params["control_before_proj"] = _lin(
+            sd, "control_layers.0.before_proj", dtype)
     return params, sorted(sd.keys())

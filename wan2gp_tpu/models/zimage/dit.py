@@ -46,7 +46,16 @@ class ZImageConfig:
     adaln_dim: int = 256            # min(dim, ADALN_EMBED_DIM)
     t_mid_dim: int = 1024           # TimestepEmbedder mid_size
     seq_multiple: int = 32          # SEQ_MULTI_OF (:41)
+    # ControlNet-style branch (z_image_transformer2d.py:561-594):
+    # control blocks at every 2nd layer produce after_proj skips
+    control: bool = False
+    control_in_dim: int = 0         # 16 (v1) or 33 (v2 inpaint)
+    n_control_refiner: int = 2
     compute_dtype: Any = jnp.bfloat16
+
+    @property
+    def control_places(self):
+        return tuple(range(0, self.n_layers, 2))
 
     @property
     def head_dim(self):
@@ -91,7 +100,7 @@ def _block_params(key, cfg: ZImageConfig, modulated: bool, dtype):
 
 def init_zimage(key, cfg: ZImageConfig, dtype=None) -> Dict[str, Any]:
     dtype = dtype or cfg.compute_dtype
-    keys = iter(jax.random.split(key, 16))
+    keys = iter(jax.random.split(key, 24))
 
     def stack(blocks):
         return jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
@@ -122,7 +131,28 @@ def init_zimage(key, cfg: ZImageConfig, dtype=None) -> Dict[str, Any]:
             "linear": _lin(next(keys), cfg.dim,
                            cfg.patch ** 2 * cfg.in_channels, dtype),
             "adaln": _lin(next(keys), cfg.adaln_dim, cfg.dim, dtype)},
+        **({} if not cfg.control else {
+            "control_x_embedder": _lin(
+                next(keys),
+                cfg.patch ** 2 * (cfg.control_in_dim
+                                  or cfg.in_channels), cfg.dim, dtype),
+            "control_noise_refiner": stack([
+                _block_params(k, cfg, True, dtype)
+                for k in jax.random.split(next(keys),
+                                          cfg.n_control_refiner)]),
+            "control_layers": stack([
+                dict(_block_params(k, cfg, True, dtype),
+                     after_proj=_zero_lin(cfg.dim, cfg.dim, dtype))
+                for k in jax.random.split(next(keys),
+                                          len(cfg.control_places))]),
+            "control_before_proj": _zero_lin(cfg.dim, cfg.dim, dtype),
+        }),
     }
+
+
+def _zero_lin(din, dout, dtype):
+    return {"w": jnp.zeros((din, dout), dtype),
+            "b": jnp.zeros((dout,), dtype)}
 
 
 # ---------------------------------------------------------------------------
@@ -248,7 +278,8 @@ def unpatchify_zimage(tokens, h: int, w: int, patch: int, channels: int):
 def zimage_forward(params, cfg: ZImageConfig, img_tokens, cap_feats, t,
                    x_rope, cap_rope, uni_rope, cap_len: int,
                    img_len: Optional[int] = None,
-                   target_t=None, attn_backend: str = "auto"):
+                   target_t=None, attn_backend: str = "auto",
+                   control_tokens=None, control_scale: float = 0.75):
     """img_tokens: [B, L_img(+pad to 32), p*p*C]; cap_feats: [B, L_cap_pad,
     cap_feat_dim] (padded by repeating the last real token, host side);
     cap_len / img_len: real lengths (static).  Returns velocity
@@ -287,11 +318,55 @@ def zimage_forward(params, cfg: ZImageConfig, img_tokens, cap_feats, t,
 
     u = jnp.concatenate([x, cap], axis=1)
 
-    def body(u, bp):
-        return _block(bp, u, cfg, uni_rope[0], uni_rope[1], adaln,
-                      attn_backend), None
+    hints = None
+    if control_tokens is not None and "control_layers" in params:
+        # control branch (z_image_transformer2d.py:850-907 v1): embed
+        # the control latent, refine with control_noise_refiner, concat
+        # cap, then run the control block stack; block 0 adds
+        # before_proj(c) + unified input; each block's after_proj skip
+        # is added after the matching main layer (every 2nd,
+        # :312-320 BaseZImageTransformerBlock).
+        c = _dense(control_tokens.astype(cdt),
+                   params["control_x_embedder"])
+        if img_len < l_img_pad:
+            c_pad_mask = jnp.arange(l_img_pad)[None, :, None] >= img_len
+            c = jnp.where(c_pad_mask,
+                          params["x_pad_token"].astype(cdt)[None, None],
+                          c)
 
-    u, _ = jax.lax.scan(body, u, params["layers"])
+        def cnr_body(c, bp):
+            return _block(bp, c, cfg, x_rope[0], x_rope[1], adaln,
+                          attn_backend), None
+
+        c, _ = jax.lax.scan(cnr_body, c, params["control_noise_refiner"])
+        c = jnp.concatenate([c, cap], axis=1)
+        c = _dense(c, params["control_before_proj"]) + u
+
+        def cl_body(c, bp):
+            blk = {k: v for k, v in bp.items() if k != "after_proj"}
+            c = _block(blk, c, cfg, uni_rope[0], uni_rope[1], adaln,
+                       attn_backend)
+            return c, _dense(c, bp["after_proj"])
+
+        _, skips = jax.lax.scan(cl_body, c, params["control_layers"])
+        hints = jnp.zeros((cfg.n_layers, *skips.shape[1:]), skips.dtype)
+        hints = hints.at[jnp.asarray(cfg.control_places)].set(
+            skips * control_scale)
+
+    if hints is None:
+        def body(u, bp):
+            return _block(bp, u, cfg, uni_rope[0], uni_rope[1], adaln,
+                          attn_backend), None
+
+        u, _ = jax.lax.scan(body, u, params["layers"])
+    else:
+        def body(u, xs):
+            bp, hint = xs
+            u = _block(bp, u, cfg, uni_rope[0], uni_rope[1], adaln,
+                       attn_backend)
+            return u + hint.astype(u.dtype), None
+
+        u, _ = jax.lax.scan(body, u, (params["layers"], hints))
 
     fp = params["final"]
     scale = 1.0 + _dense(jax.nn.silu(adaln.astype(jnp.float32)).astype(cdt),

@@ -81,7 +81,9 @@ def zimage_denoise_scan(params, cfg: ZImageConfig, img_tokens, cap, cap_neg,
                         sampling: ZImageSamplingConfig, sigmas,
                         x_rope, cap_rope, uni_rope, cap_len: int,
                         img_len: int, noise_key=None,
-                        attn_backend: str = "auto"):
+                        attn_backend: str = "auto",
+                        control_tokens=None,
+                        control_scale: float = 0.75):
     """One jitted scan over all steps.  img_tokens: [B, L_pad, p*p*C]."""
     b = img_tokens.shape[0]
     use_cfg = sampling.guidance > 0 and cap_neg is not None
@@ -93,9 +95,14 @@ def zimage_denoise_scan(params, cfg: ZImageConfig, img_tokens, cap, cap_neg,
         tb = jnp.broadcast_to(t_model, (xb.shape[0],))
         ttb = None if target_t is None else \
             jnp.broadcast_to(target_t, (xb.shape[0],))
+        cb = (None if control_tokens is None else
+              (jnp.concatenate([control_tokens] * 2, axis=0)
+               if use_cfg else control_tokens))
         v = zimage_forward(params, cfg, xb, caps, tb, x_rope, cap_rope,
                            uni_rope, cap_len, img_len=img_len,
-                           target_t=ttb, attn_backend=attn_backend)
+                           target_t=ttb, attn_backend=attn_backend,
+                           control_tokens=cb,
+                           control_scale=control_scale)
         if not use_cfg:
             return v
         g = sampling.guidance
@@ -172,7 +179,8 @@ class ZImagePipeline:
                  width: int = 1024, height: int = 1024,
                  sampling: ZImageSamplingConfig = ZImageSamplingConfig(),
                  seed: int = 0, context=None, context_neg=None,
-                 return_latents: bool = False):
+                 return_latents: bool = False, control_latent=None,
+                 control_scale: float = 0.75):
         cfg = self.dit_cfg
         if context is None:
             context = self.text_encode_fn([prompt])
@@ -213,17 +221,31 @@ class ZImagePipeline:
         else:
             sigmas = zimage_schedule(sampling.steps, l_img)
 
-        sig = (sampling, tokens.shape, cap.shape, use_cfg)
+        control_tokens = None
+        if control_latent is not None:
+            # control image latent [1, C_ctrl, h_lat, w_lat]
+            # (pipeline_z_image.py:618-645)
+            control_tokens = patchify_zimage(
+                jnp.asarray(control_latent, jnp.float32), cfg.patch)
+            if img_pad:
+                control_tokens = jnp.concatenate(
+                    [control_tokens,
+                     jnp.repeat(control_tokens[:, -1:], img_pad,
+                                axis=1)], axis=1)
+        sig = (sampling, tokens.shape, cap.shape, use_cfg,
+               control_tokens is not None, control_scale)
         fn = self._cache.get(sig)
         if fn is None:
             fn = jax.jit(functools.partial(
                 zimage_denoise_scan, cfg=cfg, sampling=sampling,
                 sigmas=sigmas, x_rope=x_rope, cap_rope=cap_rope,
                 uni_rope=uni_rope, cap_len=cap_len, img_len=l_img,
-                attn_backend=self.attn_backend))
+                attn_backend=self.attn_backend,
+                control_scale=control_scale))
             self._cache[sig] = fn
         x = fn(self.dit_params, img_tokens=tokens, cap=cap,
-               cap_neg=cap_neg, noise_key=k_scan)
+               cap_neg=cap_neg, noise_key=k_scan,
+               control_tokens=control_tokens)
         z = unpatchify_zimage(x[:, :l_img], h_lat, w_lat, cfg.patch,
                               cfg.in_channels)
         if return_latents or self.vae_decode_fn is None:

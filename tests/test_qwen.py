@@ -152,3 +152,28 @@ def test_qwen_rope_multi_grid():
     # output-grid rows identical to the single-grid case
     np.testing.assert_allclose(np.asarray(cosm[5:21]),
                                np.asarray(cos1[5:21]), atol=1e-6)
+
+
+def test_qwen_image_layered_generation():
+    """Layered decomposition (pipeline_qwenimage.py:517-524): joint
+    denoise of L layer latents on one sequence."""
+    from wan2gp_tpu.models.qwen.dit import (QwenImageConfig,
+                                            init_qwen_image, qwen_rope)
+    from wan2gp_tpu.models.qwen.pipeline import (QwenImagePipeline,
+                                                 QwenSamplingConfig)
+    cfg = QwenImageConfig(num_layers=2, attention_head_dim=16,
+                          num_attention_heads=4, joint_attention_dim=32,
+                          axes_dims_rope=(4, 6, 6),
+                          compute_dtype=jnp.float32)
+    params = init_qwen_image(jax.random.key(0), cfg, jnp.float32)
+    pipe = QwenImagePipeline(params, cfg, attn_backend="xla")
+    rng = np.random.default_rng(0)
+    txt = jnp.asarray(rng.normal(size=(1, 6, 32)), jnp.float32)
+    z = pipe.generate_layered(
+        "", num_layers=3, width=32, height=32,
+        sampling=QwenSamplingConfig(steps=2, true_cfg_scale=1.0),
+        text=txt, text_null=txt, return_latents=True)
+    assert z.shape == (3, 16, 4, 4)
+    assert np.isfinite(np.asarray(z)).all()
+    # layers differ (independent noise, per-layer rope frames)
+    assert not np.allclose(np.asarray(z[0]), np.asarray(z[1]))

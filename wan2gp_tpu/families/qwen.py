@@ -9,7 +9,8 @@ import jax.numpy as jnp
 from ..models.qwen.dit import QwenImageConfig, init_qwen_image
 from ..models.qwen.pipeline import QwenImagePipeline
 
-_TYPES = ["qwen_image_20B", "qwen_image_edit_20B"]
+_TYPES = ["qwen_image_20B", "qwen_image_edit_20B",
+          "qwen_image_layered_20B"]
 
 
 class QwenImageFamilyHandler:
@@ -102,6 +103,18 @@ class QwenImageFamilyHandler:
         sampling = QwenSamplingConfig(
             steps=int(merged.get("num_inference_steps", 25)),
             true_cfg_scale=float(merged.get("guidance_scale", 4.0)))
+        if merged.get("model_type", "").startswith("qwen_image_layered") \
+                or merged.get("base_model_type", "") == \
+                "qwen_image_layered_20B":
+            # layered decomposition: one RGBA image per layer; the
+            # service saves the first composite (layers via API)
+            out = pipe.generate_layered(
+                prompt=merged.get("prompt", ""),
+                num_layers=int(merged.get("batch_size", 4) or 4),
+                width=width, height=height, sampling=sampling,
+                seed=seed, text=merged.get("_context"),
+                text_null=merged.get("_context_null"))
+            return out[0] if out.ndim == 4 else out
         return pipe.generate(prompt=merged.get("prompt", ""),
                              width=width, height=height,
                              sampling=sampling, seed=seed,

@@ -107,6 +107,43 @@ class QwenImagePipeline:
             return z
         return self.vae_decode_fn(z)
 
+    def generate_layered(self, prompt: str, num_layers: int = 4,
+                         width: int = 1024, height: int = 1024,
+                         seed: int = 0,
+                         sampling: QwenSamplingConfig = QwenSamplingConfig(),
+                         text=None, text_null=None,
+                         return_latents: bool = False):
+        """Qwen-Image-Layered (pipeline_qwenimage.py:517-524, 831-835,
+        1016-1022): L layer latents share one packed sequence (each
+        layer its own rope frame index), denoise jointly, decode each
+        layer separately — with the layered RGBA VAE the output is a
+        stack of editable transparent layers."""
+        h_lat, w_lat = height // 8, width // 8
+        h_tok, w_tok = h_lat // 2, w_lat // 2
+        seq = h_tok * w_tok
+        lat = jax.random.normal(
+            jax.random.key(seed), (num_layers, 16, h_lat, w_lat),
+            jnp.float32)
+        tokens = pack_latent(lat).reshape(1, num_layers * seq, -1)
+        if text is None:
+            text, text_null = self.text_encode_fn(prompt)
+        if text_null is None:
+            text_null = text
+        sigmas = qwen_schedule(sampling.steps, num_layers * seq)
+        grids = [(1, h_tok, w_tok)] * num_layers
+        cos, sin = qwen_rope(grids, text.shape[1], self.dit_cfg)
+        fn = jax.jit(functools.partial(
+            qwen_denoise_scan, cfg=self.dit_cfg, sigmas=sigmas,
+            sampling=sampling, rope_cos=cos, rope_sin=sin,
+            attn_backend=self.attn_backend))
+        x = fn(self.dit_params, tokens=tokens, text=text,
+               text_null=text_null)
+        x = x.reshape(num_layers, seq, -1)
+        z = unpack_latent(x, h_lat, w_lat)
+        if return_latents or self.vae_decode_fn is None:
+            return z
+        return self.vae_decode_fn(z)
+
     def generate_edit(self, prompt: str, cond_latents, width: int = 1024,
                       height: int = 1024, seed: int = 0,
                       sampling: QwenSamplingConfig = QwenSamplingConfig(),

@@ -199,3 +199,60 @@ def test_handler_registered():
     from wan2gp_tpu.families import build_handler_map
     handlers = build_handler_map()
     assert "longcat_video" in handlers and "longcat_video_i2v" in handlers
+
+
+def test_longcat_avatar_audio_branch():
+    """Avatar audio cross-attn (modules/avatar/): per-frame audio
+    context tokens gate into the noise frames."""
+    from wan2gp_tpu.models.longcat.dit import (LongCatConfig,
+                                               init_longcat,
+                                               longcat_forward)
+    cfg = LongCatConfig(dim=64, n_layers=2, n_heads=4, adaln_dim=32,
+                        caption_dim=48, avatar=True, audio_dim=24,
+                        compute_dtype=jnp.float32)
+    params = init_longcat(jax.random.key(0), cfg, jnp.float32)
+    rng = np.random.default_rng(0)
+    lat = jnp.asarray(rng.normal(size=(1, 16, 3, 8, 8)), jnp.float32)
+    ctx = jnp.asarray(rng.normal(size=(1, 6, 48)), jnp.float32)
+    t = jnp.asarray([500.0])
+    base = longcat_forward(params, cfg, lat, t, ctx)
+    audio = jnp.asarray(rng.normal(size=(1, 3, 5, 24)), jnp.float32)
+    out = longcat_forward(params, cfg, lat, t, ctx, audio_ctx=audio)
+    assert out.shape == base.shape
+    assert not np.allclose(np.asarray(out), np.asarray(base))
+    # zero audio context still differs only through the value path;
+    # with cond frames the audio applies to noise frames only
+    out2 = longcat_forward(params, cfg, lat, t, ctx,
+                           num_cond_latents=1,
+                           audio_ctx=audio[:, 1:])
+    assert np.isfinite(np.asarray(out2)).all()
+
+
+def test_longcat_avatar_pipeline_e2e():
+    from wan2gp_tpu.models.longcat.dit import LongCatConfig, init_longcat
+    from wan2gp_tpu.models.longcat.pipeline import (LongCatPipeline,
+                                                    LongCatSamplingConfig)
+    from wan2gp_tpu.models.wan.multitalk import init_audio_proj
+    cfg = LongCatConfig(dim=64, n_layers=2, n_heads=4, adaln_dim=32,
+                        caption_dim=48, avatar=True,
+                        compute_dtype=jnp.float32)
+    params = init_longcat(jax.random.key(1), cfg, jnp.float32)
+    ap = init_audio_proj(jax.random.key(2))
+    rng = np.random.default_rng(1)
+
+    def text_fn(prompts):
+        return (jnp.asarray(rng.normal(size=(1, 6, 48)), jnp.float32),
+                jnp.ones((1, 6), jnp.int32))
+
+    pipe = LongCatPipeline(params, cfg, text_encode_fn=text_fn,
+                           attn_backend="xla")
+    lat_t = 1 + (9 - 1) // 4
+    first = rng.normal(size=(1, 1, 5, 12, 768)).astype(np.float32)
+    latter = rng.normal(size=(1, lat_t - 1, 8, 12, 768)).astype(np.float32)
+    lat = pipe.generate_avatar(
+        "hello", (first, latter), audio_proj_params=ap,
+        height=64, width=64, frame_num=9,
+        sampling=LongCatSamplingConfig(steps=2, guidance=1.0),
+        return_latents=True)
+    assert lat.shape == (1, 16, lat_t, 8, 8)
+    assert np.isfinite(np.asarray(lat)).all()

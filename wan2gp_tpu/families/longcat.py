@@ -17,7 +17,8 @@ import jax.numpy as jnp
 from ..models.longcat.dit import LongCatConfig, init_longcat
 from ..models.longcat.pipeline import LongCatPipeline, LongCatSamplingConfig
 
-_TYPES = ["longcat_video", "longcat_video_i2v"]
+_TYPES = ["longcat_video", "longcat_video_i2v", "longcat_avatar",
+          "longcat_avatar_v1_5"]
 
 # configs/longcat_vae.json latents_mean / latents_std (release stats)
 LATENTS_MEAN = (-0.7571, -0.7089, -0.9113, 0.1075, -0.1745, 0.9653,
@@ -41,9 +42,12 @@ class LongCatFamilyHandler:
 
     @staticmethod
     def query_model_def(base_model_type, model_def):
+        avatar = "avatar" in base_model_type
         return {"group": "longcat",
+                "avatar_class": avatar,
                 "image_prompt_types_allowed":
-                    "TSV" if base_model_type == "longcat_video_i2v" else ""}
+                    "TSV" if base_model_type == "longcat_video_i2v"
+                    or avatar else ""}
 
     @staticmethod
     def default_settings(base_model_type: str) -> Dict[str, Any]:
@@ -65,10 +69,15 @@ class LongCatFamilyHandler:
     def load_model(cls, base_model_type, model_def, checkpoints=None,
                    dtype=jnp.bfloat16, attn_backend="auto",
                    init_random=False, tokenizer=None, seed=0):
-        cfg = LongCatConfig(compute_dtype=dtype)
+        cfg = LongCatConfig(compute_dtype=dtype,
+                            avatar="avatar" in base_model_type)
         text_fn = vae_dec = vae_enc = None
         if init_random:
             params = init_longcat(jax.random.key(seed), cfg, dtype)
+            if cfg.avatar:
+                from ..models.wan.multitalk import init_audio_proj
+                params["audio_proj"] = init_audio_proj(
+                    jax.random.key(seed + 2))
 
             def text_fn(prompts, _seed=seed):
                 k = jax.random.key(hash((prompts[0], _seed)) & 0x7FFFFFFF)

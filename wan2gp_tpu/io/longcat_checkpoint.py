@@ -37,7 +37,24 @@ def load_longcat_params(sd: Dict[str, np.ndarray], cfg,
 
     def block(i):
         pre = f"blocks.{i}"
-        return {"adaln": lin(f"{pre}.adaLN_modulation.1"),
+        avatar = f"{pre}.audio_adaLN_modulation.1.weight" in sd
+        extra = {} if not avatar else {
+            # LongCat Avatar audio branch
+            # (modules/avatar/longcat_video_dit_avatar.py:48-91)
+            "audio_adaln": lin(f"{pre}.audio_adaLN_modulation.1"),
+            "pre_video_norm": {
+                "w": vec(f"{pre}.pre_video_crs_attn_norm.weight"),
+                "b": vec(f"{pre}.pre_video_crs_attn_norm.bias")},
+            "pre_audio_norm": {
+                "w": vec(f"{pre}.pre_audio_crs_attn_norm.weight"),
+                "b": vec(f"{pre}.pre_audio_crs_attn_norm.bias")},
+            "audio_cross": {
+                "q": lin(f"{pre}.audio_cross_attn.q_linear"),
+                "kv": lin(f"{pre}.audio_cross_attn.kv_linear"),
+                "q_norm": vec(f"{pre}.audio_cross_attn.q_norm.weight"),
+                "k_norm": vec(f"{pre}.audio_cross_attn.k_norm.weight"),
+                "proj": lin(f"{pre}.audio_cross_attn.proj")}}
+        return {**extra, "adaln": lin(f"{pre}.adaLN_modulation.1"),
                 "attn": {"qkv": lin(f"{pre}.attn.qkv"),
                          "q_norm": vec(f"{pre}.attn.q_norm.weight"),
                          "k_norm": vec(f"{pre}.attn.k_norm.weight"),
@@ -70,5 +87,14 @@ def load_longcat_params(sd: Dict[str, np.ndarray], cfg,
         "final": {"adaln": lin("final_layer.adaLN_modulation.1"),
                   "linear": lin("final_layer.linear")},
     }
+    if "audio_proj.proj1.weight" in sd:
+        # AudioProjModel (avatar/blocks.py:8-40) — the multitalk layout
+        params["audio_proj"] = {
+            "proj1": lin("audio_proj.proj1"),
+            "proj1_vf": lin("audio_proj.proj1_vf"),
+            "proj2": lin("audio_proj.proj2"),
+            "proj3": lin("audio_proj.proj3"),
+            "norm": {"w": vec("audio_proj.norm.weight"),
+                     "b": vec("audio_proj.norm.bias")}}
     leftover = [k for k in sd if "rope" not in k and "freqs" not in k]
     return params, sorted(leftover)

@@ -50,6 +50,11 @@ class LongCatConfig:
     out_channels: int = 16
     patch_size: Tuple[int, int, int] = (1, 2, 2)
     text_tokens_zero_pad: bool = True
+    # LongCat Avatar (modules/avatar/longcat_video_dit_avatar.py:20-116):
+    # per-block audio cross-attention over AudioProjModel context tokens
+    # with a dedicated 3-way adaLN gate on the noise frames
+    avatar: bool = False
+    audio_dim: int = 768
     compute_dtype: Any = jnp.bfloat16
 
     @property
@@ -140,8 +145,32 @@ def _cross_attn(p, cfg: LongCatConfig, x, ctx, ctx_mask, attn_backend):
         p["proj"]["b"].astype(x.dtype)
 
 
+def _audio_cross(p, cfg: LongCatConfig, x_noise, audio_ctx, nt_noise,
+                 attn_backend):
+    """SingleStreamAttention (avatar/attention.py:291-338 single-human
+    path): per-frame cross-attn — q from the frame's video tokens,
+    kv from that frame's audio context tokens."""
+    b, n, c = x_noise.shape
+    hw = n // nt_noise
+    nh, hd = cfg.n_heads, cfg.head_dim
+    q = (jnp.dot(x_noise, p["q"]["w"]) + p["q"]["b"]).reshape(
+        b, nt_noise, hw, nh, hd)
+    q = _rms(q, p["q_norm"])
+    kv = jnp.dot(audio_ctx.astype(x_noise.dtype), p["kv"]["w"]) \
+        + p["kv"]["b"]
+    k, v = jnp.split(kv, 2, axis=-1)
+    a = audio_ctx.shape[2]
+    k = _rms(k.reshape(b, nt_noise, a, nh, hd), p["k_norm"])
+    v = v.reshape(b, nt_noise, a, nh, hd)
+    att = jnp.einsum("btqnd,btknd->btnqk", q, k) / math.sqrt(hd)
+    att = jax.nn.softmax(att.astype(jnp.float32), axis=-1
+                         ).astype(x_noise.dtype)
+    o = jnp.einsum("btnqk,btknd->btqnd", att, v).reshape(b, n, c)
+    return jnp.dot(o, p["proj"]["w"]) + p["proj"]["b"]
+
+
 def _block(p, cfg: LongCatConfig, x, ctx, ctx_mask, t_emb, cos, sin,
-           ncl: int, grid, attn_backend):
+           ncl: int, grid, attn_backend, audio_ctx=None):
     """x: [B, N, C]; t_emb: [B, T, adaln]; per-frame 6-way modulation."""
     b, n, c = x.shape
     nt = grid[0]
@@ -169,6 +198,29 @@ def _block(p, cfg: LongCatConfig, x, ctx, ctx_mask, t_emb, cos, sin,
         x = x + _cross_attn(p["cross"], cfg, cin, ctx, ctx_mask,
                             attn_backend)
 
+    if audio_ctx is not None and "audio_adaln" in p:
+        # audio cross-attn on the noise frames with its own 3-way
+        # modulation (longcat_video_dit_avatar.py:189-213)
+        amod = jnp.dot(jax.nn.silu(t_emb[:, ncl:]),
+                       p["audio_adaln"]["w"].astype(jnp.float32)) + \
+            p["audio_adaln"]["b"].astype(jnp.float32)
+        amod = amod[:, :, None]
+        a_sh, a_sc, a_g = jnp.split(amod, 3, axis=-1)
+        nt_noise = nt - ncl
+        x_noise = x[:, ncl * hw:]
+        vin = _ln(x_noise, w=p["pre_video_norm"]["w"],
+                  b=p["pre_video_norm"]["b"]).astype(x.dtype)
+        ain = _ln(audio_ctx.astype(jnp.float32),
+                  w=p["pre_audio_norm"]["w"],
+                  b=p["pre_audio_norm"]["b"])
+        ao = _audio_cross(p["audio_cross"], cfg, vin, ain, nt_noise,
+                          attn_backend)
+        aot = ao.reshape(b, nt_noise, hw, c)
+        aom = (_ln(aot) * (a_sc + 1.0) + a_sh)
+        xt = x.reshape(b, nt, hw, c).astype(jnp.float32)
+        xt = xt.at[:, ncl:].add(aom * a_g)
+        x = xt.astype(x.dtype).reshape(b, n, c)
+
     xt = x.reshape(b, nt, hw, c)
     fm = (_ln(xt) * (sc_m + 1.0) + sh_m).astype(x.dtype).reshape(b, n, c)
     f = jax.nn.silu(jnp.dot(fm, p["w1"].astype(fm.dtype))) * \
@@ -182,7 +234,7 @@ def _block(p, cfg: LongCatConfig, x, ctx, ctx_mask, t_emb, cos, sin,
 
 def longcat_forward(params, cfg: LongCatConfig, latents, t, context,
                     context_mask=None, num_cond_latents: int = 0,
-                    attn_backend: str = "auto"):
+                    attn_backend: str = "auto", audio_ctx=None):
     """latents: [B, C, T, H, W]; t: [B] or [B, T] per-frame timesteps
     (0..1000 scale); context: [B, L, caption_dim]; context_mask: [B, L].
     Returns velocity [B, out, T, H, W] fp32."""
@@ -217,7 +269,8 @@ def longcat_forward(params, cfg: LongCatConfig, latents, t, context,
 
     def body(h_, lp):
         return _block(lp, cfg, h_, ctx, kv_mask, t_emb, cos, sin,
-                      num_cond_latents, grid, attn_backend), None
+                      num_cond_latents, grid, attn_backend,
+                      audio_ctx=audio_ctx), None
     x, _ = jax.lax.scan(body, x, params["blocks"])
 
     fl = params["final"]
@@ -257,7 +310,7 @@ def init_longcat(key, cfg: LongCatConfig, dtype=None) -> Dict[str, Any]:
                                   -s, s).astype(dtype)
 
     def block(key):
-        ks = iter(jax.random.split(key, 10))
+        ks = iter(jax.random.split(key, 16))
         return {"adaln": lin(next(ks), cfg.adaln_dim, 6 * d),
                 "attn": {"qkv": lin(next(ks), d, 3 * d),
                          "q_norm": jnp.ones((hd,), dtype),
@@ -272,7 +325,20 @@ def init_longcat(key, cfg: LongCatConfig, dtype=None) -> Dict[str, Any]:
                           "proj": lin(next(ks), d, d)},
                 "w1": mat(next(ks), d, cfg.ffn_dim),
                 "w3": mat(next(ks), d, cfg.ffn_dim),
-                "w2": mat(next(ks), cfg.ffn_dim, d)}
+                "w2": mat(next(ks), cfg.ffn_dim, d),
+                **({} if not cfg.avatar else {
+                    "audio_adaln": lin(next(ks), cfg.adaln_dim, 3 * d),
+                    "pre_video_norm": {"w": jnp.ones((d,), dtype),
+                                       "b": jnp.zeros((d,), dtype)},
+                    "pre_audio_norm": {
+                        "w": jnp.ones((cfg.audio_dim,), jnp.float32),
+                        "b": jnp.zeros((cfg.audio_dim,), jnp.float32)},
+                    "audio_cross": {
+                        "q": lin(next(ks), d, d),
+                        "kv": lin(next(ks), cfg.audio_dim, 2 * d),
+                        "q_norm": jnp.ones((hd,), dtype),
+                        "k_norm": jnp.ones((hd,), dtype),
+                        "proj": lin(next(ks), d, d)}})}
 
     pt, ph, pw = cfg.patch_size
     bkeys = jax.random.split(next(keys), cfg.n_layers)

@@ -88,7 +88,7 @@ def longcat_denoise_scan(params, cfg: LongCatConfig, latents, context,
                          context_mask, context_neg, context_neg_mask,
                          plan, guidance: float, num_cond_latents: int = 0,
                          cfg_star: bool = False, cfg_zero_step: int = -1,
-                         attn_backend: str = "auto"):
+                         attn_backend: str = "auto", audio_ctx=None):
     """latents: [1, C, T, H, W] fp32 (cond frames already written in).
     One lax.scan over steps; CFG batches cond/uncond in one forward."""
     nt = latents.shape[2]
@@ -112,9 +112,12 @@ def longcat_denoise_scan(params, cfg: LongCatConfig, latents, context,
         xin = jnp.concatenate([x, x], 0) if use_cfg else x
         tin = jnp.concatenate([t_frames, t_frames], 0) if use_cfg \
             else t_frames
+        ab = (None if audio_ctx is None else
+              jnp.concatenate([audio_ctx, audio_ctx], 0) if use_cfg
+              else audio_ctx)
         v = longcat_forward(params, cfg, xin, tin, ctx, msk,
                             num_cond_latents=num_cond_latents,
-                            attn_backend=attn_backend)
+                            attn_backend=attn_backend, audio_ctx=ab)
         if use_cfg:
             pos, neg = v[:1], v[1:]
             if cfg_star:
@@ -224,6 +227,57 @@ class LongCatPipeline:
             cfg_star=sampling.cfg_star, cfg_zero_step=sampling.cfg_zero_step,
             attn_backend=self.attn_backend)
 
+        if return_latents or self.vae_decode_fn is None:
+            return latents
+        return self.vae_decode_fn(self._denormalize(latents))
+
+    def generate_avatar(self, prompt: str, audio_windows,
+                        audio_proj_params=None, ref_image=None,
+                        negative_prompt: str = "", height: int = 480,
+                        width: int = 832, frame_num: int = 93,
+                        sampling: Optional[LongCatSamplingConfig] = None,
+                        seed: int = 0, return_latents: bool = False):
+        """LongCat Avatar (modules/avatar/): audio_windows =
+        (first [1, 1, 5, blocks, 768], latter [1, T_lat-1, 8, blocks,
+        768]) wav2vec windows (the multitalk AudioProjModel layout),
+        projected to per-frame context tokens that every block
+        cross-attends; ref_image pins the first latent frame."""
+        from ..wan.multitalk import AudioProjConfig, audio_proj_forward
+        cfg = self.cfg
+        sampling = sampling or LongCatSamplingConfig()
+        if frame_num % 4 != 1:
+            frame_num = max(frame_num // 4 * 4 + 1, 1)
+        lat_t = 1 + (frame_num - 1) // 4
+        lat_h, lat_w = height // 8, width // 8
+        plan = build_step_plan(sampling.steps, sampling.solver
+                               if sampling.solver != "auto" else "default",
+                               sampling.num_distill_steps)
+        ctx, msk = self.text_encode_fn([prompt])
+        ctx_n = msk_n = None
+        if sampling.guidance and sampling.guidance > 1.0:
+            ctx_n, msk_n = self.text_encode_fn([negative_prompt or ""])
+        first, latter = audio_windows
+        audio_ctx = audio_proj_forward(
+            audio_proj_params, AudioProjConfig(), jnp.asarray(first),
+            jnp.asarray(latter))                 # [1, T, 32, 768]
+        key = jax.random.key(seed)
+        latents = jax.random.normal(
+            key, (1, cfg.in_channels, lat_t, lat_h, lat_w), jnp.float32)
+        ncl = 0
+        if ref_image is not None:
+            pix = jnp.asarray(ref_image)[:, :, None]
+            cond_lat = self._normalize(self.vae_encode_fn(pix))
+            ncl = 1
+            latents = latents.at[:, :, :1].set(
+                cond_lat[:, :, :1].astype(jnp.float32))
+        # audio covers the noise frames only
+        audio_ctx = audio_ctx[:, ncl:lat_t]
+        latents = longcat_denoise_scan(
+            self.params, cfg, latents, ctx, msk, ctx_n, msk_n, plan,
+            sampling.guidance, num_cond_latents=ncl,
+            cfg_star=sampling.cfg_star,
+            cfg_zero_step=sampling.cfg_zero_step,
+            attn_backend=self.attn_backend, audio_ctx=audio_ctx)
         if return_latents or self.vae_decode_fn is None:
             return latents
         return self.vae_decode_fn(self._denormalize(latents))

@@ -483,3 +483,19 @@ def test_chroma_forward_and_loader():
                       cos, sin, attn_backend="xla")
     np.testing.assert_allclose(np.asarray(o3), np.asarray(o1),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_flux_umo_multi_ref_ids():
+    """UMO diagonal ref offsets (sampling.py:816-905): refs at index 0
+    offset past the target grid; dreamomni2 per-ref time indices."""
+    from wan2gp_tpu.models.flux.dit import make_img_ids
+    # emulate the id construction inside generate_kontext pe_mode="d"
+    h_tok = w_tok = 4
+    h_off, w_off = h_tok, w_tok
+    ids1 = make_img_ids(2, 2, index=0)
+    ids1[:, 1] += h_off
+    ids1[:, 2] += w_off
+    assert ids1[:, 0].max() == 0
+    assert ids1[:, 1].min() == 4 and ids1[:, 2].min() == 4
+    ids2 = make_img_ids(2, 2, index=2)
+    assert (ids2[:, 0] == 2).all()

@@ -147,7 +147,9 @@ class FluxPipeline:
                          width: int = 1024, height: int = 1024,
                          sampling: FluxSamplingConfig = FluxSamplingConfig(),
                          seed: int = 0, context=None, vec_y=None,
-                         return_latents: bool = False):
+                         return_latents: bool = False,
+                         ref_index: int = 1, pe_mode: str = "hw",
+                         per_ref_index: bool = False):
         """FLUX Kontext image editing (sampling.py:174 prepare_kontext):
         each conditioning image is VAE-encoded and packed as extra tokens
         with position ids at index 1 and cumulative h/w offsets; the model
@@ -163,13 +165,20 @@ class FluxPipeline:
 
         cond_tokens = []
         cond_ids = []
+        # UMO/DreamOmni2 (sampling.py:816-905 prepare_multi_ip): refs
+        # sit at diagonal offsets starting past the TARGET grid at time
+        # index 0 ("d" mode); Kontext keeps index 1 with offsets from 0.
         h_off = w_off = 0
-        for im in cond_images:
+        if pe_mode == "d":
+            h_off, w_off = h_tok, w_tok
+        for no, im in enumerate(cond_images):
             im = jnp.asarray(im, jnp.float32)
             z = flux_vae_encode(self.vae_params, self.vae_cfg, im[None])
             ch, cw = z.shape[1], z.shape[2]
             cond_tokens.append(pack_latent(z.transpose(0, 3, 1, 2)))
-            ids = make_img_ids(ch // 2, cw // 2, index=1)
+            ids = make_img_ids(ch // 2, cw // 2,
+                               index=(no + 1 if per_ref_index
+                                      else ref_index))
             ids[:, 1] += h_off
             ids[:, 2] += w_off
             cond_ids.append(ids)

@@ -499,3 +499,116 @@ def test_flux_umo_multi_ref_ids():
     assert ids1[:, 1].min() == 4 and ids1[:, 2].min() == 4
     ids2 = make_img_ids(2, 2, index=2)
     assert (ids2[:, 0] == 2).all()
+
+
+def test_siglip_vs_transformers():
+    """SigLIP tower matches HF SiglipVisionModel (tiny geometry)."""
+    import torch
+    from transformers import SiglipVisionConfig as HFCfg
+    from transformers import SiglipVisionModel
+    from wan2gp_tpu.models.flux.siglip import (SiglipVisionConfig,
+                                               init_siglip,
+                                               siglip_forward,
+                                               siglip_image_to_patches,
+                                               load_siglip_params)
+    cfg = SiglipVisionConfig(hidden_size=32, num_layers=3, num_heads=4,
+                             mlp_dim=64, patch=8, image_size=32)
+    hf = SiglipVisionModel(HFCfg(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, image_size=32, patch_size=8,
+        vision_use_head=False)).eval()
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    params, left = load_siglip_params(sd, cfg)
+    assert left == [], left[:4]
+    rng = np.random.default_rng(0)
+    img = rng.uniform(-1, 1, (32, 32, 3)).astype(np.float32)
+    patches = siglip_image_to_patches(img, cfg)
+    last, states = siglip_forward(params, cfg,
+                                  jnp.asarray(patches)[None],
+                                  collect=(-2,))
+    with torch.no_grad():
+        px = torch.from_numpy(np.asarray(img)).permute(2, 0, 1)[None]
+        ref = hf(pixel_values=px, output_hidden_states=True)
+    np.testing.assert_allclose(np.asarray(last),
+                               ref.last_hidden_state.numpy(),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(states[-2 % 4]),
+                               ref.hidden_states[-2].numpy(),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_uso_projector_and_pipeline():
+    import torch
+    from wan2gp_tpu.models.flux.siglip import (SiglipVisionConfig,
+                                               init_siglip,
+                                               init_uso_projector,
+                                               uso_project,
+                                               load_uso_projector)
+    # projector oracle vs reference math (layers.py:562-595)
+    pp = init_uso_projector(jax.random.key(0), siglip_tokens=9,
+                            style_tokens=4, siglip_dim=8,
+                            hidden_size=12)
+    rng = np.random.default_rng(1)
+    states = {2: jnp.asarray(rng.normal(size=(1, 9, 8)), jnp.float32),
+              3: jnp.asarray(rng.normal(size=(1, 9, 8)), jnp.float32),
+              1: jnp.asarray(rng.normal(size=(1, 9, 8)), jnp.float32)}
+    # taps (-2, -11, -20) mod n_states=4 -> (2, 1, 0)... use n_states=4
+    states[0] = jnp.asarray(rng.normal(size=(1, 9, 8)), jnp.float32)
+    out = uso_project(pp, states, 4)
+    assert out.shape == (1, 12, 12)
+    h = torch.from_numpy(np.asarray(states[2]))
+    mixw = torch.from_numpy(np.asarray(pp["high"]["mix"]["w"]))
+    mixb = torch.from_numpy(np.asarray(pp["high"]["mix"]["b"]))
+    pw = torch.from_numpy(np.asarray(pp["high"]["proj"]["w"]))
+    pb = torch.from_numpy(np.asarray(pp["high"]["proj"]["b"]))
+    m = torch.nn.functional.silu(h.transpose(1, 2) @ mixw + mixb
+                                 ).transpose(1, 2)
+    ref_hi = m @ pw + pb
+    np.testing.assert_allclose(np.asarray(out[:, :4]), ref_hi.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    # loader roundtrip
+    sd = {}
+    for lvl in ("high", "mid", "low"):
+        sd[f"{lvl}_embedding_linear.0.weight"] = np.asarray(
+            pp[lvl]["mix"]["w"]).T
+        sd[f"{lvl}_embedding_linear.0.bias"] = np.asarray(
+            pp[lvl]["mix"]["b"])
+        sd[f"{lvl}_projection.weight"] = np.asarray(pp[lvl]["proj"]["w"]).T
+        sd[f"{lvl}_projection.bias"] = np.asarray(pp[lvl]["proj"]["b"])
+    lp, left = load_uso_projector(sd)
+    assert left == []
+    np.testing.assert_allclose(np.asarray(uso_project(lp, states, 4)),
+                               np.asarray(out), atol=1e-6)
+    # end-to-end: style tokens steer a tiny flux pipeline
+    from wan2gp_tpu.models.flux.dit import FluxConfig, init_flux
+    from wan2gp_tpu.models.flux.pipeline import (FluxPipeline,
+                                                 FluxSamplingConfig)
+    from wan2gp_tpu.models.flux.vae import FluxVAEConfig, init_flux_vae
+    cfg = FluxConfig(in_channels=64, out_channels=64, vec_in_dim=16,
+                     context_in_dim=24, hidden_size=48, mlp_ratio=2.0,
+                     num_heads=4, depth=1, depth_single_blocks=1,
+                     axes_dim=(4, 4, 4), guidance_embed=False,
+                     compute_dtype=jnp.float32)
+    params = init_flux(jax.random.key(2), cfg, jnp.float32)
+    scfg = SiglipVisionConfig(hidden_size=16, num_layers=3, num_heads=2,
+                              mlp_dim=32, patch=8, image_size=32)
+    sparams = init_siglip(jax.random.key(3), scfg)
+    proj = init_uso_projector(jax.random.key(4),
+                              siglip_tokens=scfg.tokens,
+                              style_tokens=4, siglip_dim=16,
+                              hidden_size=48)
+    vae_cfg = FluxVAEConfig(ch=8, z_channels=16)
+    pipe = FluxPipeline(params, cfg,
+                        vae_params=init_flux_vae(jax.random.key(5),
+                                                 vae_cfg),
+                        vae_cfg=vae_cfg, attn_backend="xla")
+    ctx = jnp.asarray(rng.normal(size=(1, 6, 24)), jnp.float32)
+    vy = jnp.asarray(rng.normal(size=(1, 16)), jnp.float32)
+    style = rng.uniform(-1, 1, (32, 32, 3)).astype(np.float32)
+    z = pipe.generate_uso(
+        "", [style], siglip_params=sparams, siglip_cfg=scfg,
+        uso_proj_params=proj, width=32, height=32,
+        sampling=FluxSamplingConfig(steps=2, guidance=1.0),
+        context=ctx, vec_y=vy, return_latents=True)
+    assert z.shape == (1, 16, 4, 4)
+    assert np.isfinite(np.asarray(z)).all()

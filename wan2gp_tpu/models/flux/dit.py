@@ -395,13 +395,18 @@ def _single_block(bp, x, vec, cos, sin, cfg, attn_backend, mods=None):
 
 def flux_forward(params, cfg: FluxConfig, img, txt, vec_y, t,
                  rope_cos, rope_sin, guidance=None,
-                 attn_backend: str = "auto"):
+                 attn_backend: str = "auto", style_tokens=None):
     """img: [B, L_img, in_channels] packed 2x2 latent patches;
     txt: [B, L_txt, context_in_dim]; vec_y: [B, vec_in_dim] CLIP pooled;
-    t: [B] in [0, 1]; rope tables cover txt+img sequence.
+    t: [B] in [0, 1]; rope tables cover (style+)txt+img sequence.
+    style_tokens: optional USO SigLIP style features [B, L_s,
+    hidden_size] PREPENDED to the text stream with zero position ids
+    (model.py:434-436; the caller's rope must include those rows).
     Returns [B, L_img, out_channels] velocity (fp32)."""
     cdt = cfg.compute_dtype
     txt_len = txt.shape[1]
+    if style_tokens is not None:
+        txt_len += style_tokens.shape[1]
 
     if cfg.chroma:
         vec = jnp.zeros((img.shape[0], cfg.hidden_size), jnp.float32)
@@ -418,6 +423,9 @@ def flux_forward(params, cfg: FluxConfig, img, txt, vec_y, t,
 
     img = _dense(img.astype(cdt), params["img_in"], cdt).astype(jnp.float32)
     txt = _dense(txt.astype(cdt), params["txt_in"], cdt).astype(jnp.float32)
+    if style_tokens is not None:
+        txt = jnp.concatenate(
+            [style_tokens.astype(jnp.float32), txt], axis=1)
 
     # flux2: the modulation is computed ONCE and shared by every block
     # (model.py:441-460 double_stream_modulation_* / single_stream_mod)

@@ -43,7 +43,8 @@ class FluxSamplingConfig:
 
 def flux_denoise_scan(params, cfg: FluxConfig, img, txt, vec_y, timesteps,
                       guidance: float, rope_cos, rope_sin,
-                      cond_tokens=None, attn_backend: str = "auto"):
+                      cond_tokens=None, attn_backend: str = "auto",
+                      style_tokens=None):
     """img: [B, L_img, C] packed latents.  timesteps: [N+1] descending.
     cond_tokens: optional [B, L_cond, C] Kontext conditioning latents
     appended after the noise tokens each step (sampling.py:680-683); the
@@ -59,7 +60,8 @@ def flux_denoise_scan(params, cfg: FluxConfig, img, txt, vec_y, timesteps,
         pred = flux_forward(params, cfg, xin, txt, vec_y, t,
                             rope_cos, rope_sin,
                             guidance=g if cfg.guidance_embed else None,
-                            attn_backend=attn_backend)[:, :base_len]
+                            attn_backend=attn_backend,
+                            style_tokens=style_tokens)[:, :base_len]
         return x + (ts[i + 1] - ts[i]) * pred, None
 
     x, _ = jax.lax.scan(body, img.astype(jnp.float32),
@@ -143,13 +145,43 @@ class FluxPipeline:
                                   z.transpose(0, 2, 3, 1))
         return jnp.clip(img_out[0], -1.0, 1.0)
 
+    def generate_uso(self, prompt: str, style_images,
+                     siglip_params=None, siglip_cfg=None,
+                     uso_proj_params=None, cond_images=(),
+                     width: int = 1024, height: int = 1024,
+                     sampling=None, seed: int = 0, context=None,
+                     vec_y=None, return_latents: bool = False):
+        """FLUX USO style transfer (flux_main.py:490-500): each style
+        image's SigLIP multi-level features project to 768 style tokens
+        prepended to the text stream at zero position ids; optional
+        subject refs go through the diagonal multi-ref latents."""
+        from .siglip import (SiglipVisionConfig, siglip_forward,
+                             siglip_image_to_patches, uso_project,
+                             USO_LAYER_TAPS)
+        scfg = siglip_cfg or SiglipVisionConfig()
+        style_parts = []
+        for im in style_images:
+            patches = siglip_image_to_patches(np.asarray(im), scfg)
+            _, states = siglip_forward(siglip_params, scfg,
+                                       jnp.asarray(patches)[None],
+                                       collect=USO_LAYER_TAPS)
+            style_parts.append(uso_project(uso_proj_params, states,
+                                           scfg.num_layers + 1))
+        style_tokens = jnp.concatenate(style_parts, axis=1)
+        return self.generate_kontext(
+            prompt, list(cond_images), width=width, height=height,
+            sampling=sampling or FluxSamplingConfig(), seed=seed,
+            context=context, vec_y=vec_y, return_latents=return_latents,
+            ref_index=0, pe_mode="d", style_tokens=style_tokens)
+
     def generate_kontext(self, prompt: str, cond_images,
                          width: int = 1024, height: int = 1024,
                          sampling: FluxSamplingConfig = FluxSamplingConfig(),
                          seed: int = 0, context=None, vec_y=None,
                          return_latents: bool = False,
                          ref_index: int = 1, pe_mode: str = "hw",
-                         per_ref_index: bool = False):
+                         per_ref_index: bool = False,
+                         style_tokens=None):
         """FLUX Kontext image editing (sampling.py:174 prepare_kontext):
         each conditioning image is VAE-encoded and packed as extra tokens
         with position ids at index 1 and cumulative h/w offsets; the model
@@ -184,13 +216,16 @@ class FluxPipeline:
             cond_ids.append(ids)
             h_off += ch // 2
             w_off += cw // 2
-        cond_seq = jnp.concatenate(cond_tokens, axis=1)
+        cond_seq = (jnp.concatenate(cond_tokens, axis=1)
+                    if cond_tokens else None)
 
         key = jax.random.key(seed)
         latent = jax.random.normal(key, (1, 16, h_lat, w_lat), jnp.float32)
         img = pack_latent(latent)
 
         txt_len = context.shape[1]
+        if style_tokens is not None:
+            txt_len += style_tokens.shape[1]   # zero ids like text
         ids = np.concatenate([np.zeros((txt_len, 3)),
                               make_img_ids(h_tok, w_tok),
                               *cond_ids], axis=0)
@@ -203,7 +238,7 @@ class FluxPipeline:
             guidance=sampling.guidance, rope_cos=cos, rope_sin=sin,
             attn_backend=self.attn_backend))
         x = fn(self.dit_params, img=img, txt=context, vec_y=vec_y,
-               cond_tokens=cond_seq)
+               cond_tokens=cond_seq, style_tokens=style_tokens)
         z = unpack_latent(x, h_lat, w_lat)
         if return_latents:
             return z

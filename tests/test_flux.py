@@ -612,3 +612,91 @@ def test_uso_projector_and_pipeline():
         context=ctx, vec_y=vy, return_latents=True)
     assert z.shape == (1, 16, 4, 4)
     assert np.isfinite(np.asarray(z)).all()
+
+
+def test_chroma_radiance_head():
+    """Pixel-space NeRF head (radiance.py): DCT features, generated
+    GLU blocks, zero-init conv output."""
+    import torch
+    from wan2gp_tpu.models.flux.radiance import (
+        RadianceConfig, init_radiance, apply_radiance_head,
+        radiance_embed_tokens, dct_pos_features, load_radiance_params)
+    cfg = RadianceConfig(patch_size=4, hidden_size=8, mlp_ratio=2,
+                         depth=2, max_freqs=3, out_channels=3,
+                         model_hidden=16)
+    # DCT features oracle (radiance.py:22-38)
+    dct = dct_pos_features(4, 3)
+    pos = torch.linspace(0, 1, 4)
+    py, px = torch.meshgrid(pos, pos, indexing="ij")
+    px = px.reshape(-1, 1, 1); py = py.reshape(-1, 1, 1)
+    fr = torch.linspace(0, 2, 3)
+    fx = fr[None, :, None]; fy = fr[None, None, :]
+    ref = (torch.cos(px * fx * torch.pi) * torch.cos(py * fy * torch.pi)
+           * (1 + fx * fy) ** -1).reshape(16, 9)
+    np.testing.assert_allclose(dct, ref.numpy(), atol=1e-6)
+    params = init_radiance(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    hidden = jnp.asarray(rng.normal(size=(1, 4, 16)), jnp.float32)
+    base = jnp.asarray(rng.normal(size=(1, 4, 3 * 16)), jnp.float32)
+    out = apply_radiance_head(params, cfg, hidden, base, (2, 2))
+    assert out.shape == (1, 4, 48)
+    # zero-init final conv -> zero velocity at init (reference
+    # RadianceFinalLayerConv zeros_, radiance.py:95-97)
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+    # non-zero conv produces signal that depends on the hidden tokens
+    params["final_conv"]["w"] = 0.1 * jax.random.normal(
+        jax.random.key(1), params["final_conv"]["w"].shape)
+    o1 = apply_radiance_head(params, cfg, hidden, base, (2, 2))
+    # zero-bias generator + column normalization make the head invariant
+    # to a global scale of the hidden tokens; an additive shift steers it
+    o2 = apply_radiance_head(params, cfg, hidden + 0.5, base, (2, 2))
+    assert np.abs(np.asarray(o1) - np.asarray(o2)).max() > 1e-6
+    # loader roundtrip
+    sd = {"img_in_patch.weight": np.asarray(
+              params["img_in_patch"]["w"]).T.reshape(16, 3, 4, 4),
+          "img_in_patch.bias": np.asarray(params["img_in_patch"]["b"]),
+          "nerf_image_embedder.embedder.0.weight": np.asarray(
+              params["embedder"]["w"]).T,
+          "nerf_image_embedder.embedder.0.bias": np.asarray(
+              params["embedder"]["b"]),
+          "nerf_final_layer_conv.conv.weight": np.asarray(
+              params["final_conv"]["w"]),
+          "nerf_final_layer_conv.conv.bias": np.asarray(
+              params["final_conv"]["b"]),
+          "nerf_final_layer_conv.norm.scale": np.asarray(
+              params["final_norm"])}
+    for i, blk in enumerate(params["blocks"]):
+        sd[f"nerf_blocks.{i}.param_generator.weight"] = np.asarray(
+            blk["param_generator"]["w"]).T
+        sd[f"nerf_blocks.{i}.param_generator.bias"] = np.asarray(
+            blk["param_generator"]["b"])
+        sd[f"nerf_blocks.{i}.norm.scale"] = np.asarray(blk["norm"])
+    lp, left = load_radiance_params(sd, cfg)
+    assert left == []
+    np.testing.assert_allclose(
+        np.asarray(apply_radiance_head(lp, cfg, hidden, base, (2, 2))),
+        np.asarray(o1), atol=1e-5)
+
+
+def test_chroma_radiance_forward():
+    from wan2gp_tpu.models.flux.dit import (FluxConfig, init_flux,
+                                            flux_forward, make_img_ids,
+                                            rope_from_ids)
+    cfg = FluxConfig(in_channels=48, out_channels=3, vec_in_dim=8,
+                     context_in_dim=24, hidden_size=32, mlp_ratio=2.0,
+                     num_heads=4, depth=1, depth_single_blocks=1,
+                     axes_dim=(4, 2, 2), guidance_embed=False,
+                     chroma=True, radiance=True, radiance_patch_size=4,
+                     compute_dtype=jnp.float32)
+    params = init_flux(jax.random.key(2), cfg, jnp.float32)
+    rng = np.random.default_rng(3)
+    gh = gw = 2
+    img = jnp.asarray(rng.normal(size=(1, gh * gw, 48)), jnp.float32)
+    txt = jnp.asarray(rng.normal(size=(1, 5, 24)), jnp.float32)
+    ids = np.concatenate([np.zeros((5, 3)), make_img_ids(gh, gw)])
+    cos, sin = rope_from_ids(ids, cfg.axes_dim, cfg.theta)
+    out = flux_forward(params, cfg, img, txt, None,
+                       jnp.asarray([0.4]), cos, sin,
+                       radiance_grid_hw=(gh, gw))
+    assert out.shape == (1, 4, 48)
+    assert np.isfinite(np.asarray(out)).all()

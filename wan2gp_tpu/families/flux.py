@@ -24,6 +24,10 @@ _ARCH: Dict[str, Dict[str, Any]] = {
     # Chroma 8.9B: schnell geometry, modulation distilled into a 5-layer
     # guidance MLP, T5-only text (flux_handler.py:75-88, model.py:129)
     "flux_chroma": dict(chroma=True, shift=False),
+    # Chroma1-Radiance: pixel-space NeRF head, no VAE
+    # (models/flux/radiance.py; util.py:537-560)
+    "flux_chroma_radiance": dict(chroma=True, radiance=True,
+                                 shift=False),
 }
 
 
@@ -64,6 +68,9 @@ class FluxFamilyHandler:
             from ..models.flux import dit as fdit
             return FluxConfig(compute_dtype=dtype,
                               **getattr(fdit, arch["flux2"]))
+        if arch.get("radiance"):
+            from ..models.flux.dit import CHROMA_RADIANCE
+            return FluxConfig(compute_dtype=dtype, **CHROMA_RADIANCE)
         if arch.get("chroma"):
             return FluxConfig(chroma=True, guidance_embed=False,
                               compute_dtype=dtype)
@@ -80,7 +87,7 @@ class FluxFamilyHandler:
                     {"role": "vae", "urls": [b2 + "flux2_vae.safetensors"]},
                     {"role": "text_encoder",
                      "urls": [b2 + "qwen3_4b_bf16.safetensors"]}]
-        if base_model_type == "flux_chroma":
+        if base_model_type.startswith("flux_chroma"):
             # T5-only conditioning (flux_handler.py:88)
             return [{"role": "transformer",
                      "urls": model_def.get("URLs", [])},

@@ -51,6 +51,9 @@ class FluxConfig:
     # Chroma (model.py:129-135, 413-423): per-block modulation rows
     # produced by a distilled-guidance MLP instead of per-block tables
     chroma: bool = False
+    # Chroma-Radiance pixel-space head (radiance.py; util.py:537-560)
+    radiance: bool = False
+    radiance_patch_size: int = 16
     # flux2 SwiGLU ratios (util.py:344-348)
     linear1_mlp_ratio: float = 6.0
     compute_dtype: Any = jnp.bfloat16
@@ -89,6 +92,10 @@ FLUX2_DEV = dict(in_channels=128, out_channels=128, vec_in_dim=1,
 # Chroma 8.9B: schnell geometry with the modulation stack distilled into
 # a 5-layer guidance MLP, T5-only text (flux_handler.py:75-88)
 CHROMA = dict(chroma=True, guidance_embed=False)
+# Chroma1-Radiance (util.py:537-560): pixel-space, 3-ch patches of 16
+CHROMA_RADIANCE = dict(chroma=True, guidance_embed=False, radiance=True,
+                       in_channels=768, out_channels=3,
+                       depth_single_blocks=38)
 
 
 def rope_from_ids(ids, axes_dim, theta):
@@ -234,6 +241,13 @@ def init_flux(key, cfg: FluxConfig, dtype=jnp.bfloat16) -> Dict[str, Any]:
         params["vector_in"] = mlp_embedder(next(keys), cfg.vec_in_dim)
     if cfg.guidance_embed:
         params["guidance_in"] = mlp_embedder(next(keys), 256)
+    if cfg.radiance:
+        from .radiance import RadianceConfig, init_radiance
+        params["radiance"] = init_radiance(
+            next(keys), RadianceConfig(
+                patch_size=cfg.radiance_patch_size,
+                model_hidden=h, out_channels=cfg.out_channels))
+        params.pop("img_in", None)
     return params
 
 
@@ -395,7 +409,8 @@ def _single_block(bp, x, vec, cos, sin, cfg, attn_backend, mods=None):
 
 def flux_forward(params, cfg: FluxConfig, img, txt, vec_y, t,
                  rope_cos, rope_sin, guidance=None,
-                 attn_backend: str = "auto", style_tokens=None):
+                 attn_backend: str = "auto", style_tokens=None,
+                 radiance_grid_hw=None):
     """img: [B, L_img, in_channels] packed 2x2 latent patches;
     txt: [B, L_txt, context_in_dim]; vec_y: [B, vec_in_dim] CLIP pooled;
     t: [B] in [0, 1]; rope tables cover (style+)txt+img sequence.
@@ -421,7 +436,20 @@ def flux_forward(params, cfg: FluxConfig, img, txt, vec_y, t,
             vec = vec + _embed(params["vector_in"],
                                vec_y.astype(jnp.float32))
 
-    img = _dense(img.astype(cdt), params["img_in"], cdt).astype(jnp.float32)
+    base_tokens = None
+    if cfg.radiance and "radiance" in params:
+        # pixel tokens through the radiance patchifier
+        # (model.py:391-407); the final head needs the raw pixels back
+        from .radiance import RadianceConfig, radiance_embed_tokens
+        base_tokens = img
+        rcfg = RadianceConfig(patch_size=cfg.radiance_patch_size,
+                              model_hidden=cfg.hidden_size,
+                              out_channels=cfg.out_channels)
+        img = radiance_embed_tokens(params["radiance"], rcfg,
+                                    img).astype(jnp.float32)
+    else:
+        img = _dense(img.astype(cdt), params["img_in"],
+                     cdt).astype(jnp.float32)
     txt = _dense(txt.astype(cdt), params["txt_in"], cdt).astype(jnp.float32)
     if style_tokens is not None:
         txt = jnp.concatenate(
@@ -466,6 +494,13 @@ def flux_forward(params, cfg: FluxConfig, img, txt, vec_y, t,
         x, _ = jax.lax.scan(sbody_ch, x,
                             (params["single_blocks"], ch_s))
         x = x[:, txt_len:]
+        if base_tokens is not None:
+            from .radiance import RadianceConfig, apply_radiance_head
+            rcfg = RadianceConfig(patch_size=cfg.radiance_patch_size,
+                                  model_hidden=cfg.hidden_size,
+                                  out_channels=cfg.out_channels)
+            return apply_radiance_head(params["radiance"], rcfg, x,
+                                       base_tokens, radiance_grid_hw)
         shift = ch_final[:, 0][:, None]
         scale = ch_final[:, 1][:, None]
         x = layer_norm(x) * (1 + scale) + shift

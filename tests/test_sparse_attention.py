@@ -146,3 +146,127 @@ def test_chipmunk_kernel_matches_dense_fallback():
                             block_kv=blk, interpret=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                rtol=2e-3, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# round 3: band-radial masks (any block size) + ragged kernel + backend
+# routing through ops/attention.py
+# ---------------------------------------------------------------------------
+
+def test_radial_band_mask_structure():
+    from wan2gp_tpu.ops.sparse_attention import radial_band_block_mask
+    # tokens_per_frame NOT a multiple of the block (the 720p case in
+    # miniature): 10 frames x 360 tokens, block 32
+    m = radial_band_block_mask(frames=10, tokens_per_frame=360, block=32)
+    n_tok = 3600
+    nb = -(-n_tok // 32)
+    assert m.shape == (nb, nb)
+    # sink column always attended
+    assert m[:, : -(-360 // 32)].all()
+    # every q block keeps its own diagonal block
+    assert all(m[i, i] for i in range(nb))
+    # overall sparsity: strictly sparser than dense
+    assert m.mean() < 0.75
+    # near frames denser than far frames (average row density by distance)
+    frame_of = (np.arange(nb) * 32) // 360
+    near = m[(frame_of == 2)][:, (frame_of == 3)].mean()
+    far = m[(frame_of == 2)][:, (frame_of == 9)].mean()
+    assert near >= far
+
+
+def test_sparse_kernel_ragged_tail():
+    """L not a multiple of the block: kernel masks padded keys by global
+    column and matches the dense oracle."""
+    from wan2gp_tpu.ops.sparse_attention import (radial_band_block_mask,
+                                                 sparse_attention)
+    b, l, n, d = 1, 450, 2, 64          # 450 = 5 frames x 90 tokens
+    key = jax.random.key(3)
+    q = jax.random.normal(key, (b, l, n, d), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (b, l, n, d))
+    v = jax.random.normal(jax.random.fold_in(key, 2), (b, l, n, d))
+    mask = radial_band_block_mask(5, 90, block=128)
+    ref = sparse_attention(q, k, v, mask, backend="xla")
+    got = sparse_attention(q, k, v, mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_attention_backend_radial_routing():
+    """attention(backend="radial:F:TPF") == sparse_attention with the band
+    mask; mismatched shapes (cross-attn) fall back to dense."""
+    from wan2gp_tpu.ops.attention import attention
+    from wan2gp_tpu.ops.sparse_attention import (radial_band_block_mask,
+                                                 sparse_attention)
+    b, n, d = 1, 2, 64
+    f, tpf = 6, 128
+    l = f * tpf
+    key = jax.random.key(4)
+    q = jax.random.normal(key, (b, l, n, d), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (b, l, n, d))
+    v = jax.random.normal(jax.random.fold_in(key, 2), (b, l, n, d))
+    got = attention(q, k, v, backend=f"radial:{f}:{tpf}")
+    mask = radial_band_block_mask(f, tpf, block=512, block_kv=256)
+    ref = sparse_attention(q, k, v, mask, backend="xla",
+                           block_q=512, block_kv=256)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    # cross-attention shape: falls back to dense (exact match with xla)
+    kc = jax.random.normal(jax.random.fold_in(key, 5), (b, 77, n, d))
+    vc = jax.random.normal(jax.random.fold_in(key, 6), (b, 77, n, d))
+    got_c = attention(q, kc, vc, backend=f"radial:{f}:{tpf}")
+    ref_c = attention(q, kc, vc, backend="xla")
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(ref_c),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_attention_backend_swa_routing():
+    from wan2gp_tpu.ops.attention import attention
+    from wan2gp_tpu.ops.sparse_attention import (local_window_block_mask,
+                                                 sparse_attention)
+    b, l, n, d = 1, 512, 2, 64
+    key = jax.random.key(7)
+    q = jax.random.normal(key, (b, l, n, d), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (b, l, n, d))
+    v = jax.random.normal(jax.random.fold_in(key, 2), (b, l, n, d))
+    got = attention(q, k, v, backend="swa:1:1")
+    # the dispatcher's mask at its (block_q=512, block_kv=256) tiles
+    from wan2gp_tpu.ops.attention import _structured_block_mask
+    mask = _structured_block_mask("swa:1:1", l, l, 512, 256)
+    ref = sparse_attention(q, k, v, np.asarray(mask), backend="xla",
+                           block_q=512, block_kv=256)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_radial_close_to_dense_at_high_coverage():
+    """Parity-at-threshold: with few frames (dense-ish mask) the radial
+    output stays close to full attention on smooth inputs."""
+    from wan2gp_tpu.ops.attention import attention
+    b, n, d = 1, 2, 32
+    f, tpf = 3, 128
+    l = f * tpf
+    key = jax.random.key(9)
+    # smooth, locally-correlated tokens: radial's local bands capture the
+    # attention mass
+    base = jax.random.normal(key, (b, 8, n, d), jnp.float32)
+    q = jax.image.resize(base, (b, l, n, d), "linear")
+    k = q + 0.05 * jax.random.normal(jax.random.fold_in(key, 1), q.shape)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (b, l, n, d))
+    dense = attention(q, k, v, backend="xla")
+    sparse = attention(q, k, v, backend=f"radial:{f}:{tpf}")
+    err = float(jnp.abs(sparse - dense).mean()
+                / (jnp.abs(dense).mean() + 1e-8))
+    assert err < 0.15, err
+
+
+def test_pipeline_resolved_backend():
+    from wan2gp_tpu.models.wan.dit import WanDiTConfig
+    from wan2gp_tpu.models.wan.pipeline import WanPipeline
+    cfg = WanDiTConfig(dim=32, ffn_dim=64, num_heads=4, num_layers=1,
+                       freq_dim=16, text_dim=16, text_len=4)
+    pipe = WanPipeline(None, cfg, attn_backend="radial")
+    # latents [B, C, F, H, W] = (1, 16, 4, 16, 16), patch (1, 2, 2)
+    assert pipe.resolved_backend((1, 16, 4, 16, 16)) == "radial:4:64"
+    pipe.attn_backend = "xla"
+    assert pipe.resolved_backend((1, 16, 4, 16, 16)) == "xla"

@@ -893,6 +893,22 @@ class WanPipeline:
         return build_rope_3d(grid, head_dim=self.dit_cfg.head_dim,
                              enable_riflex=enable_riflex)
 
+    def resolved_backend(self, lat_shape):
+        """Expand a user-level sparse attention mode into the host-static
+        parameterized backend string consumed by ops/attention.py (the
+        analog of resolve_attention_mode, reference shared/attention.py:294
+        + the radial hook models/wan/modules/model.py:374-379).
+
+        "radial"/"sparse" -> "radial:<frames>:<tokens_per_frame>" from the
+        latent grid; anything else passes through unchanged."""
+        ab = self.attn_backend
+        if ab in ("radial", "sparse"):
+            pt, ph, pw = self.dit_cfg.patch_size
+            f = lat_shape[2] // pt
+            tpf = (lat_shape[3] // ph) * (lat_shape[4] // pw)
+            return f"radial:{f}:{tpf}"
+        return ab
+
     # -- step-skip caches -------------------------------------------------
 
     def skip_schedule(self, sampling: SamplingConfig, schedule,
@@ -936,9 +952,10 @@ class WanPipeline:
     def _get_segment_fn(self, sampling: SamplingConfig, guide_scale: float,
                         step_start: int, step_end: int, has_y, has_clip,
                         has_overlap, skip_key, has_vace=False,
-                        vace_scale=1.0):
+                        vace_scale=1.0, attn_backend=None):
+        attn_backend = attn_backend or self.attn_backend
         key = (sampling, guide_scale, step_start, step_end, has_y, has_clip,
-               has_overlap, skip_key, has_vace, vace_scale)
+               has_overlap, skip_key, has_vace, vace_scale, attn_backend)
         fn = self._denoise_cache.get(key)
         if fn is not None:
             return fn
@@ -955,7 +972,7 @@ class WanPipeline:
                 dit_params, self.dit_cfg, schedule, carry, context,
                 context_null, sampling, guide_scale, rope_cos, rope_sin,
                 step_start, step_end, y=y, clip_fea=clip_fea,
-                attn_backend=self.attn_backend, skip_schedule=skip,
+                attn_backend=attn_backend, skip_schedule=skip,
                 overlap_latents=overlap_latents, noise_key=noise_key,
                 vace_context=vace_context, vace_scale=vace_scale)
         self._denoise_cache[key] = fn
@@ -980,13 +997,15 @@ class WanPipeline:
         carry = (latents.astype(jnp.float32),
                  init_solver_state(schedule, latents),
                  jnp.zeros_like(latents, dtype=jnp.float32))
+        backend = self.resolved_backend(latents.shape)
         for start, end, g, expert in segments:
             params = self.dit_params2 if expert == 1 else self.dit_params
             fn = self._get_segment_fn(sampling, g, start, end,
                                       y is not None, clip_fea is not None,
                                       overlap_latents is not None, skip_key,
                                       has_vace=vace_context is not None,
-                                      vace_scale=vace_scale)
+                                      vace_scale=vace_scale,
+                                      attn_backend=backend)
             kwargs = {}
             if y is not None:
                 kwargs["y"] = y

@@ -19,6 +19,7 @@ from __future__ import annotations
 import functools
 import math
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -218,6 +219,77 @@ def _on_tpu():
         return False
 
 
+@functools.lru_cache(maxsize=32)
+def _structured_block_mask(spec: str, l: int, s: int, block_q: int,
+                           block_kv: int):
+    """Host-static [nQb, nKb] block mask for a parameterized sparse
+    backend string.
+
+    Specs (the TPU analog of the reference's attention-mode config,
+    shared/attention.py:294 resolve_attention_mode; radial hook
+    models/wan/modules/model.py:374-379):
+      "radial:<frames>:<tokens_per_frame>[:<decay_base>]"
+      "swa:<window_blocks>[:<sink_blocks>]"
+    Returns the mask or None when the spec does not apply to the (l, s)
+    shape — the caller then falls back to dense attention (e.g.
+    cross-attention, extra-kv variants)."""
+    from .sparse_attention import (radial_band_block_mask,
+                                   local_window_block_mask)
+    parts = spec.split(":")
+    kind, args = parts[0], parts[1:]
+    if l != s:
+        return None
+    if kind == "radial":
+        if len(args) < 2:
+            return None
+        frames, tpf = int(args[0]), int(args[1])
+        decay = int(args[2]) if len(args) > 2 else 1
+        if frames * tpf != l or frames < 2:
+            return None
+        return radial_band_block_mask(frames, tpf, block=block_q,
+                                      decay_base=decay, block_kv=block_kv)
+    if kind == "swa":
+        window = int(args[0]) if args else 4
+        sink = int(args[1]) if len(args) > 1 else 1
+        nkb = -(-l // block_kv)
+        m = local_window_block_mask(nkb * block_kv, block_kv, window, sink)
+        rq = block_q // block_kv
+        if rq > 1:                      # group kv-granularity rows (any)
+            pad = -len(m) % rq
+            if pad:
+                m = np.concatenate([m, np.zeros((pad, m.shape[1]), bool)])
+            m = m.reshape(-1, rq, m.shape[1]).any(axis=1)
+        return m
+    return None
+
+
+def _structured_sparse(q, k, v, backend: str, scale: float,
+                       block_q: int = 512, block_kv: int = 256):
+    """Dispatch a "radial:…"/"swa:…" backend; None when not applicable.
+
+    Tile defaults from the v5e sweep at 21x3600 tokens (81f 720p):
+    (512, 256) with kv_fetch 8 runs 1.45x faster than the dense b1024
+    flash kernel at radial density 0.455.  The kv-index table rides the
+    kernel's scalar-prefetch SMEM (~1 MB); when it would crowd that
+    budget the kv block size is promoted."""
+    from .sparse_attention import sparse_attention, compress_block_mask
+    mask = _structured_block_mask(backend, q.shape[1], k.shape[1],
+                                  block_q, block_kv)
+    if mask is None:
+        return None
+    while block_kv < 1024:
+        kv_idx, _ = compress_block_mask(np.asarray(mask))
+        if kv_idx.size * 4 <= 400 * 1024:
+            break
+        block_kv *= 2
+        mask = _structured_block_mask(backend, q.shape[1], k.shape[1],
+                                      block_q, block_kv)
+        if mask is None:
+            return None
+    return sparse_attention(q, k, v, mask, scale=scale, block_q=block_q,
+                            block_kv=block_kv)
+
+
 def attention(q, k, v, scale: float | None = None, backend: str = "auto",
               block_q: int = 1024, block_kv: int = 1024, kv_mask=None):
     """Scaled dot-product attention.
@@ -232,6 +304,15 @@ def attention(q, k, v, scale: float | None = None, backend: str = "auto",
     """
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
+    if backend.startswith(("radial", "swa")):
+        # structured block-sparse self-attention (Sol-Attn/radial analog);
+        # non-matching shapes (cross-attention, extra-kv variants) and
+        # masked calls fall back to the dense default
+        if kv_mask is None:
+            out = _structured_sparse(q, k, v, backend, scale)
+            if out is not None:
+                return out
+        backend = "auto"
     if backend.startswith("ring"):
         # context-parallel ring attention inside shard_map; backend
         # "ring" or "ring:<axis>" (default axis 'cp')

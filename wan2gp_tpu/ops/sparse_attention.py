@@ -103,12 +103,93 @@ def radial_video_block_mask(frames: int, tokens_per_frame: int, block: int,
     return mask
 
 
+def _frame_segments(n_tok: int, tpf: int, block: int):
+    """Per-block (frame, in-frame position range) segments, up to two per
+    block (a block straddling one frame boundary contributes two narrow
+    segments; blocks wider than a frame fall back to the full range).
+    Returns (seg_f, seg_plo, seg_phi) each [nb, 2]."""
+    nb = -(-n_tok // block)
+    starts = np.arange(nb) * block
+    ends = np.minimum(starts + block, n_tok) - 1
+    f_lo, f_hi = starts // tpf, ends // tpf
+    straddle = f_hi > f_lo
+    wide = (f_hi - f_lo) > 1                       # tpf < block
+    seg_f = np.stack([f_lo, np.where(straddle, f_lo + 1, f_lo)], 1)
+    seg_plo = np.stack([starts % tpf,
+                        np.where(straddle, 0, starts % tpf)], 1)
+    seg_phi = np.stack([np.where(straddle, tpf - 1, ends % tpf),
+                        ends % tpf], 1)
+    seg_plo[wide] = 0
+    seg_phi[wide] = tpf - 1
+    return seg_f, seg_plo, seg_phi
+
+
+def radial_band_block_mask(frames: int, tokens_per_frame: int,
+                           block: int = 128, decay_base: int = 1,
+                           sink_frames: int = 1,
+                           block_kv: int | None = None) -> np.ndarray:
+    """Radial sparsity for ANY block size (blocks may straddle frame
+    boundaries — the 720p grid's 3,600 tokens/frame is not a multiple of
+    128).
+
+    Band semantics (radial attention paper / reference
+    shared/radial_attention/attn_mask.py): a (q, k) frame pair at temporal
+    distance d attends a spatially-local band of width tokens_per_frame /
+    2^level around the query's in-frame position (level = 0 full attention
+    at d <= decay_base, then +1 per doubling of d).  Block granularity is
+    conservative: a block pair is active if ANY spanned (token_q, token_k)
+    pair is inside the band.  Frame 0 is an always-attended sink and the
+    same-frame diagonal is always dense.
+    """
+    tpf = tokens_per_frame
+    n_tok = frames * tpf
+    bk = block_kv or block
+    qf, qlo, qhi = _frame_segments(n_tok, tpf, block)
+    kf, klo, khi = _frame_segments(n_tok, tpf, bk)
+    nqb, nkb = qf.shape[0], kf.shape[0]
+
+    def _band_half(d):
+        level = np.zeros_like(d)
+        far = d > decay_base
+        level[far] = (np.floor(np.log2(d[far] / decay_base))
+                      .astype(np.int64) + 1)
+        return np.where(level == 0, tpf,            # d==0: dense
+                        np.maximum(tpf >> (level + 1), bk // 2))
+
+    # block pair active iff ANY (q segment, k segment) combination has an
+    # in-frame position pair inside the band at their frame distance
+    mask = np.zeros((nqb, nkb), bool)
+    for a in range(2):
+        for c in range(2):
+            d = np.abs(qf[:, a][:, None] - kf[None, :, c])
+            half = _band_half(d)
+            p_min = np.maximum(
+                0, np.maximum(
+                    qlo[:, a][:, None] - khi[None, :, c],
+                    klo[None, :, c] - qhi[:, a][:, None]))
+            mask |= p_min <= half
+    mask[:, :-(-sink_frames * tpf // bk)] = True           # sink frame(s)
+    return mask
+
+
 # ---------------------------------------------------------------------------
 # kernel
 # ---------------------------------------------------------------------------
 
-def _sparse_flash_kernel(kv_idx_ref, counts_ref, q_ref, k_ref, v_ref,
-                         o_ref, m_scr, l_scr, acc_scr):
+def _sparse_flash_kernel(kv_idx_ref, counts_ref, q_ref, *refs, s_actual,
+                         block_kv, kv_fetch):
+    """Grid step = one q block x `kv_fetch` active kv blocks.
+
+    Fetching several kv blocks per step amortizes the per-step fixed cost
+    (scratch rescale + grid bookkeeping, ~1 us on v5e) over kv_fetch *
+    block_kv keys — measured necessary to actually beat the dense b1024
+    flash kernel: at (512, 512) single-fetch tiles the overhead cancels
+    the ~2x FLOP saving of the radial mask."""
+    k_refs = refs[:kv_fetch]
+    v_refs = refs[kv_fetch:2 * kv_fetch]
+    o_ref = refs[2 * kv_fetch]
+    m_scr, l_scr, acc_scr = refs[2 * kv_fetch + 1:]
+
     qb = pl.program_id(1)
     j = pl.program_id(2)
     n_j = pl.num_programs(2)
@@ -119,13 +200,21 @@ def _sparse_flash_kernel(kv_idx_ref, counts_ref, q_ref, k_ref, v_ref,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    valid = j < counts_ref[qb]
     q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    s = jnp.where(valid, s, _NEG_INF)
+    parts = []
+    for c in range(kv_fetch):
+        s = jax.lax.dot_general(q, k_refs[c][0], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        valid = j * kv_fetch + c < counts_ref[qb]
+        s = jnp.where(valid, s, _NEG_INF)
+        if s_actual is not None:
+            # ragged tail: keys past the true sequence end live in the
+            # last kv block; mask them by global column index
+            col = (kv_idx_ref[qb, j * kv_fetch + c] * block_kv
+                   + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1))
+            s = jnp.where(col < s_actual, s, _NEG_INF)
+        parts.append(s)
+    s = parts[0] if kv_fetch == 1 else jnp.concatenate(parts, axis=-1)
 
     m_prev = m_scr[:, :1]
     m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -135,9 +224,16 @@ def _sparse_flash_kernel(kv_idx_ref, counts_ref, q_ref, k_ref, v_ref,
     p = jnp.where(m_new > _NEG_INF / 2, p, 0.0)
 
     l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    acc = acc_scr[:] * alpha + jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    if kv_fetch == 1:
+        pv = jax.lax.dot_general(
+            p.astype(v_refs[0].dtype), v_refs[0][0],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    else:
+        v_all = jnp.concatenate([vr[0] for vr in v_refs], axis=0)
+        pv = jax.lax.dot_general(
+            p.astype(v_all.dtype), v_all, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    acc = acc_scr[:] * alpha + pv
 
     m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
     l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
@@ -151,33 +247,48 @@ def _sparse_flash_kernel(kv_idx_ref, counts_ref, q_ref, k_ref, v_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_kv",
-                                             "interpret"))
+                                             "interpret", "s_actual",
+                                             "kv_fetch"))
 def _sparse_flash(q, k, v, kv_idx, counts, scale, block_q, block_kv,
-                  interpret=False):
+                  interpret=False, s_actual=None, kv_fetch=1):
+    """s_actual: the true (unpadded) key count when k/v carry a padded
+    ragged tail — keys at column >= s_actual are masked inside the
+    kernel.  kv_fetch: kv blocks consumed per grid step (see kernel)."""
     b, l, n, d = q.shape
     s_len = k.shape[1]
     assert l % block_q == 0 and s_len % block_kv == 0
     nqb, max_a = kv_idx.shape
+    if max_a % kv_fetch:
+        pad = kv_fetch - max_a % kv_fetch
+        kv_idx = jnp.concatenate(
+            [kv_idx, jnp.broadcast_to(kv_idx[:, :1], (nqb, pad))], axis=1)
+        max_a += pad
 
     qf = (q * jnp.asarray(scale, q.dtype)).transpose(0, 2, 1, 3) \
         .reshape(b * n, l, d)
     kf = k.transpose(0, 2, 1, 3).reshape(b * n, s_len, d)
     vf = v.transpose(0, 2, 1, 3).reshape(b * n, s_len, d)
 
-    grid = (b * n, nqb, max_a)
+    if s_actual is not None and s_actual >= s_len:
+        s_actual = None
+    grid = (b * n, nqb, max_a // kv_fetch)
+
+    def kv_spec(c):
+        return pl.BlockSpec(
+            (1, block_kv, d),
+            lambda g, i, j, idx, cnt, c=c: (g, idx[i, j * kv_fetch + c], 0))
+
     out = pl.pallas_call(
-        _sparse_flash_kernel,
+        functools.partial(_sparse_flash_kernel, s_actual=s_actual,
+                          block_kv=block_kv, kv_fetch=kv_fetch),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, block_q, d),
-                             lambda g, i, j, idx, cnt: (g, i, 0)),
-                pl.BlockSpec((1, block_kv, d),
-                             lambda g, i, j, idx, cnt: (g, idx[i, j], 0)),
-                pl.BlockSpec((1, block_kv, d),
-                             lambda g, i, j, idx, cnt: (g, idx[i, j], 0)),
-            ],
+            in_specs=(
+                [pl.BlockSpec((1, block_q, d),
+                              lambda g, i, j, idx, cnt: (g, i, 0))]
+                + [kv_spec(c) for c in range(kv_fetch)]      # k fetches
+                + [kv_spec(c) for c in range(kv_fetch)]),    # v fetches
             out_specs=pl.BlockSpec((1, block_q, d),
                                    lambda g, i, j, idx, cnt: (g, i, 0)),
             scratch_shapes=[
@@ -188,14 +299,15 @@ def _sparse_flash(q, k, v, kv_idx, counts, scale, block_q, block_kv,
         ),
         out_shape=jax.ShapeDtypeStruct((b * n, l, d), q.dtype),
         interpret=interpret,
-    )(kv_idx, counts, qf, kf, vf)
+    )(kv_idx, counts, qf, *([kf] * kv_fetch), *([vf] * kv_fetch))
     return out.reshape(b, n, l, d).transpose(0, 2, 1, 3)
 
 
 def sparse_attention(q, k, v, block_mask: np.ndarray,
                      scale: float | None = None,
                      block_q: int = 128, block_kv: int = 128,
-                     backend: str = "auto", interpret: bool = False):
+                     backend: str = "auto", interpret: bool = False,
+                     kv_fetch: int | None = None):
     """Block-sparse attention.  q/k/v: [B, L, N, D]; block_mask:
     numpy [ceil(L/block_q), ceil(S/block_kv)] bool (host-static).
 
@@ -207,11 +319,8 @@ def sparse_attention(q, k, v, block_mask: np.ndarray,
     l, s_len = q.shape[1], k.shape[1]
 
     on_tpu = jax.devices()[0].platform == "tpu"
-    ragged = (l % block_q != 0) or (s_len % block_kv != 0)
-    if backend == "xla" or ragged or \
+    if backend == "xla" or \
             (backend == "auto" and not (on_tpu or interpret)):
-        # the kernel path requires whole blocks (padded keys inside an
-        # active block would be attended); ragged shapes use the dense path
         mask = np.kron(block_mask,
                        np.ones((block_q, block_kv), bool))[:l, :s_len]
         sc = jnp.einsum("blnd,bsnd->bnls", q, k,
@@ -222,7 +331,8 @@ def sparse_attention(q, k, v, block_mask: np.ndarray,
         p = jnp.where(row_any, p, 0.0)
         return jnp.einsum("bnls,bsnd->blnd", p.astype(q.dtype), v)
 
-    # pad sequences up to whole blocks
+    # pad sequences up to whole blocks; padded keys in the tail block are
+    # masked inside the kernel by global column (s_actual)
     def padup(x, blk):
         rem = x.shape[1] % blk
         if rem:
@@ -232,9 +342,14 @@ def sparse_attention(q, k, v, block_mask: np.ndarray,
         return x
     q_p, k_p, v_p = padup(q, block_q), padup(k, block_kv), padup(v, block_kv)
     kv_idx, counts = compress_block_mask(np.asarray(block_mask, bool))
+    if kv_fetch is None:
+        # ~2k keys per softmax rescale amortizes the per-step fixed cost
+        kv_fetch = max(1, 2048 // block_kv)
     out = _sparse_flash(q_p, k_p, v_p, jnp.asarray(kv_idx),
                         jnp.asarray(counts), scale, block_q, block_kv,
-                        interpret=interpret)
+                        interpret=interpret,
+                        s_actual=(s_len if s_len % block_kv else None),
+                        kv_fetch=kv_fetch)
     return out[:, :l]
 
 

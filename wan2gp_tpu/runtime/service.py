@@ -237,6 +237,12 @@ class GenerationService:
         width, height = parse_resolution(merged.get("resolution", "832x480"))
 
         pipe = self.get_pipeline(model_type)
+        attention_mode = merged.get("attention_mode")
+        if attention_mode and hasattr(pipe, "attn_backend"):
+            # per-task attention mode (reference resolve_attention_mode,
+            # shared/attention.py:294: server config overridden per model):
+            # "auto"|"xla"|"pallas"|"radial"|"swa:W[:S]"|"ring:cp"|...
+            pipe.attn_backend = str(attention_mode)
         os.makedirs(self.output_dir, exist_ok=True)
         stamp = time.strftime("%Y%m%d_%H%M%S")
 

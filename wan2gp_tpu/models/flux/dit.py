@@ -295,6 +295,9 @@ def chroma_modulations(params, cfg: FluxConfig, t):
 
 def _dense(x, p, dtype=None):
     dtype = dtype or x.dtype
+    if "w_q" in p or "w_q4" in p:  # int8/int4 -> Pallas dequant-fused matmul
+        from ...ops.quant import dense_quant
+        return dense_quant(x, p, dtype)
     y = jnp.dot(x.astype(dtype), p["w"].astype(dtype),
                 preferred_element_type=jnp.float32)
     if "b" in p:

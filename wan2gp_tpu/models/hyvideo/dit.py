@@ -323,7 +323,7 @@ def reorder_glyph_tokens(byt5_txt, txt, byt5_mask, text_mask):
 
 def _dense(x, p, dtype=None):
     dtype = dtype or x.dtype
-    if "w_q" in p:
+    if "w_q" in p or "w_q4" in p:
         from ...ops.quant import dense_quant
         return dense_quant(x, p, dtype)
     y = jnp.dot(x.astype(dtype), p["w"].astype(dtype),

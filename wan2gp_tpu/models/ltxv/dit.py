@@ -144,7 +144,7 @@ def init_ltxv(key, cfg: LTXVConfig, dtype=jnp.bfloat16):
 
 def _dense(x, p, dtype=None):
     dtype = dtype or x.dtype
-    if "w_q" in p:
+    if "w_q" in p or "w_q4" in p:
         from ...ops.quant import dense_quant
         return dense_quant(x, p, dtype)
     y = jnp.dot(x.astype(dtype), p["w"].astype(dtype),

@@ -124,7 +124,7 @@ def init_qwen_image(key, cfg: QwenImageConfig, dtype=jnp.bfloat16):
 
 def _dense(x, p, dtype=None):
     dtype = dtype or x.dtype
-    if "w_q" in p:
+    if "w_q" in p or "w_q4" in p:
         from ...ops.quant import dense_quant
         return dense_quant(x, p, dtype)
     y = jnp.dot(x.astype(dtype), p["w"].astype(dtype),

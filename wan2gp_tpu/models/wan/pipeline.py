@@ -854,7 +854,50 @@ class WanPipeline:
         self.attn_backend = attn_backend
         self.clip_params = clip_params
         self.clip_cfg = clip_cfg
+        self.mesh = None
         self._denoise_cache: Dict[Any, Any] = {}
+
+    # -- multi-chip ---------------------------------------------------------
+
+    def apply_mesh(self, mesh):
+        """Shard the DiT weights over a device mesh and remember the data
+        shardings for the denoise inputs — the production multi-chip path
+        (SURVEY §2.7: GSPMD replaces the reference's mmgp CPU<->VRAM
+        paging, wgp.py:4033 offload.profile).  Weights go HBM-resident
+        tensor-parallel over 'tp' (parallel/sharding.py); latents shard
+        over 'dp' (batch) and 'cp' (H rows); XLA inserts the collectives.
+        """
+        from ...parallel import shard_wan_dit_params, dit_data_shardings
+        self.mesh = mesh
+        self.dit_params = shard_wan_dit_params(self.dit_params, mesh)
+        if self.dit_params2 is not None:
+            self.dit_params2 = shard_wan_dit_params(self.dit_params2, mesh)
+        self._data_shardings = dit_data_shardings(mesh)
+        self._denoise_cache.clear()
+
+    def _place_denoise_inputs(self, latents, context, context_null):
+        """device_put the denoise inputs with their mesh shardings; batch
+        stays replicated when it does not divide 'dp' (CFG branches are
+        stacked inside the jitted scan, so the input batch is usually 1).
+        """
+        if self.mesh is None:
+            return latents, context, context_null
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        lat_s, _, ctx_s = self._data_shardings
+        dp = self.mesh.shape.get("dp", 1)
+        cp = self.mesh.shape.get("cp", 1)
+        if latents.shape[0] % dp != 0:
+            lat_s = NamedSharding(self.mesh, P(None, None, None, "cp", None))
+            ctx_s = NamedSharding(self.mesh, P(None, None, None))
+        if latents.shape[3] % cp != 0:
+            lat_s = NamedSharding(
+                self.mesh, P(lat_s.spec[0], None, None, None, None))
+        latents = jax.device_put(latents, lat_s)
+        context = jax.device_put(context, ctx_s)
+        if context_null is not None:
+            context_null = jax.device_put(context_null, ctx_s)
+        return latents, context, context_null
 
     # -- text ---------------------------------------------------------------
 
@@ -994,6 +1037,8 @@ class WanPipeline:
         segments = plan_phases(np.asarray(schedule.timesteps), sampling,
                                self.dit_params2 is not None)
         rope_cos, rope_sin = self._rope(latents.shape, enable_riflex)
+        latents, context, context_null = self._place_denoise_inputs(
+            latents, context, context_null)
         carry = (latents.astype(jnp.float32),
                  init_solver_state(schedule, latents),
                  jnp.zeros_like(latents, dtype=jnp.float32))

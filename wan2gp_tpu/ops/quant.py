@@ -252,10 +252,14 @@ def dense_quant(x, p, dtype=None, backend: str = "auto"):
     return y.reshape(*lead, -1).astype(dtype)
 
 
-def quantize_params_tree(params, predicate=None, bits: int = 8):
+def quantize_params_tree(params, predicate=None, bits: int = 8,
+                         min_dim: int = 0):
     """Convert {"w": [K, N], ...} leaves to {"w_q"|"w_q4", "scale", ...}
     across a param tree.  predicate(path) -> bool selects which linears to
-    quantize (default: every 2D+ 'w' except embeddings).  bits: 8 or 4."""
+    quantize (default: every 2D+ 'w' except embeddings).  bits: 8 or 4.
+    min_dim: skip linears whose K or N is below this (norm-affines, small
+    adapters — the reference's do_quantize likewise only converts the
+    transformer's large linears)."""
     assert bits in (8, 4)
     qfn = quantize_int8 if bits == 8 else quantize_int4
     key = "w_q" if bits == 8 else "w_q4"
@@ -264,6 +268,7 @@ def quantize_params_tree(params, predicate=None, bits: int = 8):
         if isinstance(node, dict):
             if "w" in node and hasattr(node["w"], "ndim") \
                     and node["w"].ndim >= 2 \
+                    and min(node["w"].shape[-2:]) >= min_dim \
                     and (predicate is None or predicate(path)):
                 w = np.asarray(node["w"], np.float32)
                 if w.ndim == 2:

@@ -41,6 +41,23 @@ def default_axis_sizes(n_devices: int, num_heads: int = 12) -> Dict[str, int]:
     return {"dp": dp, "cp": cp, "tp": tp}
 
 
+def parse_mesh_spec(spec: str) -> Dict[str, int]:
+    """Parse a CLI/server-config mesh spec: "dp=2,cp=2,tp=2" (axes may be
+    omitted; omitted axes default to 1).  "auto" -> {} (factor all
+    visible devices heuristically)."""
+    spec = (spec or "").strip().lower()
+    if spec in ("", "auto"):
+        return {}
+    sizes: Dict[str, int] = {}
+    for part in spec.split(","):
+        name, _, val = part.partition("=")
+        name = name.strip()
+        if name not in AXES:
+            raise ValueError(f"unknown mesh axis {name!r} (use dp/cp/tp)")
+        sizes[name] = int(val)
+    return sizes
+
+
 def make_mesh(axis_sizes: Optional[Dict[str, int]] = None,
               devices: Optional[Sequence] = None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())

@@ -41,7 +41,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=-1)
     p.add_argument("--output-dir", default="outputs")
     p.add_argument("--attention", default="auto",
-                   choices=["auto", "pallas", "xla"])
+                   help="attention mode: auto | pallas | xla | radial | "
+                        "swa:W[:S] | ring:cp | ulysses:sp")
+    p.add_argument("--mesh", default=None, metavar="SPEC",
+                   help="multi-chip mesh spec, e.g. 'dp=2,cp=2,tp=2' or "
+                        "'auto' (shard weights/activations over all "
+                        "visible devices)")
+    p.add_argument("--quantize", default="", choices=["", "int8", "int4"],
+                   help="quantize transformer linears on load (the "
+                        "reference's transformer_quantization)")
     p.add_argument("--random-weights", action="store_true",
                    help="run with randomly initialized weights (smoke test)")
     p.add_argument("--checkpoints-dir", default="ckpts")
@@ -90,7 +98,8 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     svc_kwargs = dict(output_dir=args.output_dir,
                       attn_backend=args.attention,
-                      plugins_dir=args.plugins_dir)
+                      plugins_dir=args.plugins_dir,
+                      mesh=args.mesh, quantize=args.quantize)
     if args.config:
         from .server_config import load_server_config, apply_server_config
         base = apply_server_config(load_server_config(args.config))

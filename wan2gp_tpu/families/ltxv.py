@@ -47,6 +47,42 @@ class LTXVFamilyHandler:
         return [{"role": "transformer", "urls": model_def.get("URLs", [])}]
 
     @classmethod
+    def generate_video(cls, pipe, merged, width, height, frame_num, seed):
+        """Service adapter: reference ltxv_handler defaults (STG skip-layer
+        guidance scale, distilled sigma table when the model def says so).
+        """
+        import numpy as np
+        import jax.numpy as jnp
+        from ..models.ltxv.pipeline import LTXVSamplingConfig
+        model_def = merged.get("_model_def") or {}
+        stg_scale = float(merged.get("stg_scale", 0.0) or 0)
+        n_layers = pipe.dit_cfg.num_layers
+        sampling = LTXVSamplingConfig(
+            steps=int(merged.get("num_inference_steps", 30)),
+            guide_scale=float(merged.get("guidance_scale", 3.0)),
+            stg_scale=stg_scale,
+            stg_layers=(tuple(i for i in (19,) if i < n_layers)
+                        if stg_scale else ()),
+            distilled=bool(model_def.get("distilled")))
+        kw = {}
+        if merged.get("_caption") is not None:
+            kw.update(caption=merged["_caption"],
+                      caption_null=merged.get("_caption_null"))
+        elif pipe.text_encode_fn is None:
+            cap = jnp.zeros((1, 128, pipe.dit_cfg.caption_channels),
+                            jnp.float32)
+            kw.update(caption=cap, caption_null=cap)
+        out = np.asarray(pipe.generate(
+            prompt=merged.get("prompt", ""), width=width, height=height,
+            frame_num=frame_num, seed=seed, sampling=sampling, **kw))
+        if out.ndim == 5 and out.shape[-1] > 4:
+            # undecoded latents [1, F, H, W, C] (no VAE attached):
+            # -> [B, C, F, H, W] for the service's latent preview path
+            out = out.transpose(0, 4, 1, 2, 3)
+        return {"video": out,
+                "fps": int(merged.get("fps", 30) or 30)}
+
+    @classmethod
     def load_model(cls, base_model_type: str, model_def: Dict[str, Any],
                    checkpoints: Optional[Dict[str, str]] = None,
                    dtype=jnp.bfloat16, attn_backend: str = "auto",

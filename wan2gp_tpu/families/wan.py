@@ -681,6 +681,339 @@ class WanFamilyHandler:
         return pipe
 
     @classmethod
+    def generate_video(cls, pipe, merged: Dict[str, Any], width: int,
+                       height: int, frame_num: int, seed: int):
+        """Per-variant generation dispatch — the Wan half of the
+        reference's generate_media megafunction (wgp.py:6436), moved
+        behind the family-handler protocol so the service stays a thin
+        driver.  Returns a frame array [T, H, W, 3] or a dict with
+        optional keys: video, audio, audio_sample_rate, fps, rgba.
+        Model-def `*_class` flags mirror the reference's per-variant
+        settings plumbing (models/wan/wan_handler.py)."""
+        import numpy as np
+        model_def = merged.get("_model_def") or {}
+        sampling = sampling_from_settings(merged)
+        prompt = merged.get("prompt", "")
+        n_prompt = merged.get("negative_prompt", "")
+        ctx = merged.get("_context")
+        ctx_null = merged.get("_context_null")
+        fps = int(merged.get("fps", 16) or 16)
+
+        if model_def.get("ovi_class"):
+            # Ovi joint audio+video (ovi_fusion_engine.py:129-331)
+            video, audio = pipe.generate(
+                prompt=prompt, n_prompt=n_prompt,
+                audio_n_prompt=merged.get("audio_negative_prompt", ""),
+                width=width, height=height, frame_num=frame_num,
+                steps=int(merged.get("num_inference_steps", 50)),
+                shift=float(merged.get("flow_shift", 5.0)),
+                guide_scale=float(merged.get("guidance_scale", 5.0)),
+                audio_guide_scale=float(
+                    merged.get("audio_guidance_scale", 4.0)),
+                seed=seed, image_start=merged.get("_image_start"))
+            audio_np = np.asarray(audio)
+            has_wave = audio_np.ndim <= 2 and audio_np.size > 1000
+            return {"video": np.asarray(video),
+                    "audio": audio_np if has_wave else None,
+                    "audio_sample_rate": 16000,
+                    "fps": int(merged.get("fps", 24) or 24)}
+        if model_def.get("steadydancer_class") \
+                and merged.get("_pose_video") is not None \
+                and merged.get("_image_start") is not None:
+            # SteadyDancer pose-driven i2v (any2video.py:793-809)
+            return {"video": pipe.generate_steadydancer(
+                prompt=prompt, pose_video=merged["_pose_video"],
+                source_image=merged["_image_start"],
+                pose_video_null=merged.get("_pose_video_null"),
+                n_prompt=n_prompt, width=width, height=height,
+                frame_num=frame_num, sampling=sampling, seed=seed,
+                condition_guide_scale=float(
+                    merged.get("alt_guidance_scale", 2.0)),
+                context=ctx, context_null=ctx_null), "fps": fps}
+        if model_def.get("animate_class") and merged.get("_image_refs"):
+            # Wan 2.2 Animate (any2video.py:820-847)
+            return {"video": pipe.generate_animate(
+                prompt=prompt,
+                ref_image=np.asarray(merged["_image_refs"][0]),
+                pose_video=merged.get("_pose_video"),
+                face_video=merged.get("_face_video"),
+                bg_video=merged.get("_bg_video"),
+                n_prompt=n_prompt, width=width, height=height,
+                frame_num=frame_num, sampling=sampling, seed=seed,
+                context=ctx, context_null=ctx_null), "fps": fps}
+        if model_def.get("wanmove_class") \
+                and merged.get("_tracks") is not None \
+                and merged.get("_image_start") is not None:
+            # Wan-Move trajectory control (any2video.py:779-790)
+            return {"video": pipe.generate_wanmove(
+                prompt=prompt, tracks=np.asarray(merged["_tracks"]),
+                image_start=merged["_image_start"], n_prompt=n_prompt,
+                width=width, height=height, frame_num=frame_num,
+                sampling=sampling, seed=seed,
+                context=ctx, context_null=ctx_null), "fps": fps}
+        if model_def.get("recam_class") \
+                and merged.get("_video_guide") is not None:
+            # ReCamMaster camera re-rendering (any2video.py:928-943)
+            return {"video": pipe.generate_recam(
+                prompt=prompt,
+                source_frames=np.asarray(merged["_video_guide"]),
+                camera_mode=int(merged.get("model_mode", 1) or 1),
+                n_prompt=n_prompt, sampling=sampling, seed=seed,
+                extrinsics_json=merged.get("_camera_extrinsics_json"),
+                context=ctx, context_null=ctx_null), "fps": fps}
+        if model_def.get("scail_class") \
+                and merged.get("_video_guide") is not None \
+                and (merged.get("_image_refs")
+                     or merged.get("_image_start") is not None):
+            # SCAIL pose-guided animation (any2video.py:850-899)
+            ref = (merged.get("_image_refs")
+                   or [merged["_image_start"]])[0]
+            return {"video": pipe.generate_scail(
+                prompt=prompt, ref_image=np.asarray(ref),
+                pose_video=np.asarray(merged["_video_guide"]),
+                n_prompt=n_prompt, sampling=sampling, seed=seed,
+                context=ctx, context_null=ctx_null), "fps": fps}
+        if model_def.get("scail2_class") \
+                and merged.get("_video_guide") is not None \
+                and merged.get("_image_refs"):
+            # SCAIL-2: matted ref + color mask as the first two image
+            # refs (scail2/__init__.py:726-729)
+            refs = merged["_image_refs"]
+            ref_mask = (np.asarray(refs[1]) if len(refs) > 1
+                        else np.ones_like(np.asarray(refs[0])))
+            return {"video": pipe.generate_scail2(
+                prompt=prompt, ref_image=np.asarray(refs[0]),
+                ref_mask=ref_mask,
+                pose_video=np.asarray(merged["_video_guide"]),
+                driving_mask_video=merged.get("_video_mask"),
+                n_prompt=n_prompt, sampling=sampling, seed=seed,
+                context=ctx, context_null=ctx_null), "fps": fps}
+        if model_def.get("vista_class") \
+                and merged.get("_vista_inputs") is not None:
+            # Vista4D re-rendering from preprocessed scene inputs
+            vi = merged["_vista_inputs"]
+            return {"video": pipe.generate_vista4d(
+                prompt=prompt,
+                source_video=np.asarray(vi["source_video"]),
+                point_cloud_video=np.asarray(vi["point_cloud_video"]),
+                cam_c2w=np.asarray(vi["cam_c2w"]),
+                intrinsics=np.asarray(vi["intrinsics"]),
+                source_alpha_mask=vi.get("source_alpha_mask"),
+                source_motion_mask=vi.get("source_motion_mask"),
+                point_alpha_mask=vi.get("point_cloud_alpha_mask"),
+                point_motion_mask=vi.get("point_cloud_motion_mask"),
+                n_prompt=n_prompt, sampling=sampling, seed=seed,
+                context=ctx, context_null=ctx_null), "fps": fps}
+        if model_def.get("kiwi_class") \
+                and merged.get("_video_guide") is not None:
+            # Kiwi Edit (models/wan/kiwi/): MLLM context over the source
+            # video (+ref), source/ref embedder conditioning
+            src = np.asarray(merged["_video_guide"])
+            refs = merged.get("_image_refs") or []
+            ref = np.asarray(refs[0]) if refs else None
+            mllm = getattr(pipe, "kiwi_mllm", None)
+            if mllm is not None:
+                from ..models.wan.kiwi import kiwi_mllm_encode
+                kp, kcfg, lm = mllm
+                lm_params, lm_cfg = lm
+                kctx = kiwi_mllm_encode(lm_params, lm_cfg, kp, kcfg,
+                                        pipe.tokenizer, prompt)
+                kctx_null = kiwi_mllm_encode(lm_params, lm_cfg, kp, kcfg,
+                                             pipe.tokenizer, n_prompt)
+            else:
+                kctx = ctx
+                if kctx is None:
+                    kctx = jnp.zeros((1, 512, pipe.dit_cfg.text_dim),
+                                     jnp.float32)
+                kctx_null = ctx_null
+            return {"video": pipe.generate_kiwi(
+                context=kctx, context_null=kctx_null, source_frames=src,
+                ref_image=ref,
+                source_embedder=getattr(pipe, "kiwi_source_embedder",
+                                        None),
+                ref_embedder=getattr(pipe, "kiwi_ref_embedder", None),
+                sampling=sampling, seed=seed), "fps": fps}
+        if model_def.get("bernini_class"):
+            # Bernini multi-source compositional editing
+            return {"video": pipe.generate_bernini(
+                prompt=prompt, control_video=merged.get("_video_guide"),
+                ref_images=[np.asarray(r) for r in
+                            (merged.get("_image_refs") or [])],
+                n_prompt=n_prompt, width=width, height=height,
+                frame_num=frame_num,
+                omega_v=float(merged.get("control_net_weight", 1.0)
+                              or 1.0),
+                omega_i=float(merged.get("audio_guidance_scale",
+                                         merged.get("guidance2_scale",
+                                                    1.0)) or 1.0),
+                sampling=sampling, seed=seed,
+                context=ctx, context_null=ctx_null), "fps": fps}
+        if model_def.get("mocha_class") \
+                and merged.get("_video_guide") is not None \
+                and merged.get("_image_refs"):
+            # MoCha character replacement (any2video.py:387-412)
+            return {"video": pipe.generate_mocha(
+                prompt=prompt,
+                source_frames=np.asarray(merged["_video_guide"]),
+                mask_frame=_mocha_mask_frame(merged),
+                ref_images=[np.asarray(r)
+                            for r in merged["_image_refs"][:2]],
+                n_prompt=n_prompt, frame_num=frame_num,
+                sampling=sampling, seed=seed,
+                context=ctx, context_null=ctx_null), "fps": fps}
+        if model_def.get("shotplan_class"):
+            # ShotPlan relay prompts -> hard-cut planning tokens
+            return {"video": pipe.generate_shotplan(
+                prompt=prompt, n_prompt=n_prompt, width=width,
+                height=height, frame_num=frame_num, fps=float(fps),
+                sampling=sampling, seed=seed,
+                context=ctx, context_null=ctx_null), "fps": fps}
+        if model_def.get("alpha_class") \
+                and getattr(pipe, "vae_params_alpha", None) is not None:
+            # Wan-Alpha RGBA output (alpha/utils.py): PNG zip + preview
+            rgba = pipe.generate_alpha(
+                prompt=prompt, n_prompt=n_prompt, width=width,
+                height=height, frame_num=frame_num, sampling=sampling,
+                seed=seed, gauss_mask=merged.get("_gauss_mask"),
+                context=ctx, context_null=ctx_null)
+            return {"rgba": np.asarray(rgba), "fps": fps}
+        if model_def.get("lynx_class") \
+                and merged.get("_arcface_embed") is not None \
+                and getattr(pipe, "lynx_resampler_params", None) \
+                is not None:
+            # Lynx face-identity adapter (any2video.py:1039-1069)
+            refs = merged.get("_image_refs") or []
+            return {"video": pipe.generate_lynx(
+                prompt=prompt,
+                arcface_embed=np.asarray(merged["_arcface_embed"]),
+                ref_image=(np.asarray(refs[-1]) if refs else None),
+                n_prompt=n_prompt, width=width, height=height,
+                frame_num=frame_num, sampling=sampling, seed=seed,
+                resampler_params=pipe.lynx_resampler_params,
+                resampler_cfg=pipe.lynx_resampler_cfg,
+                ip_scale=float(merged.get("control_net_weight", 1.0)),
+                ref_scale=float(merged.get("control_net_weight", 1.0)),
+                context=ctx, context_null=ctx_null), "fps": fps}
+        if model_def.get("standin_class") and merged.get("_image_refs"):
+            # StandIn identity preservation (any2video.py:1072-1088)
+            return {"video": pipe.generate_standin(
+                prompt=prompt,
+                ref_image=np.asarray(merged["_image_refs"][0]),
+                n_prompt=n_prompt, width=width, height=height,
+                frame_num=frame_num, sampling=sampling, seed=seed,
+                context=ctx, context_null=ctx_null), "fps": fps}
+        if model_def.get("fantasy_class") \
+                and getattr(pipe, "fantasy_proj_params", None) is not None:
+            # FantasyTalking audio-driven i2v (fantasytalking/infer.py:10)
+            from ..utils import media
+            feats = merged.get("_audio_features")
+            audio_wave = None
+            if feats is None and merged.get("audio_guide") \
+                    and hasattr(pipe, "wav2vec"):
+                from ..models.wan.fantasy import wav2vec2_last_hidden
+                wave, sr = media.read_wav(merged["audio_guide"])
+                audio_wave = wave
+                mono = wave.astype(np.float32).mean(axis=1) / 32767.0
+                mono = (mono - mono.mean()) / (mono.std() + 1e-7)
+                w2v_params, w2v_cfg = pipe.wav2vec
+                feats = wav2vec2_last_hidden(w2v_params, w2v_cfg,
+                                             jnp.asarray(mono[None]))
+            if feats is not None:
+                return {"video": pipe.generate_fantasy(
+                    prompt=prompt, audio_features=feats,
+                    image_start=merged.get("_image_start"),
+                    n_prompt=n_prompt, width=width, height=height,
+                    frame_num=frame_num, sampling=sampling, seed=seed,
+                    audio_guide_scale=float(
+                        merged.get("audio_guidance_scale", 5.0)),
+                    fantasy_proj_params=pipe.fantasy_proj_params,
+                    context=ctx, context_null=ctx_null),
+                    "audio": audio_wave, "audio_sample_rate": 16000,
+                    "fps": int(merged.get("fps", 23) or 23)}
+        audio_emb = merged.get("_audio_emb")
+        if audio_emb is None and merged.get("audio_guide") \
+                and hasattr(pipe, "wav2vec"):
+            # audio file -> 16 kHz mono -> wav2vec2 per-frame features
+            # (multitalk.py get_embedding:47; fps 25 video-frame rate)
+            from ..models.wan.multitalk import wav2vec2_extract
+            from ..utils import media
+            wave, sr = media.read_wav(merged["audio_guide"])
+            mono = wave.astype(np.float32).mean(axis=1) / 32767.0
+            mono = (mono - mono.mean()) / (mono.std() + 1e-7)
+            afps = float(merged.get("fps", 25) or 25)
+            n_frames = max(frame_num,
+                           int(len(mono) / max(sr, 1) * afps))
+            w2v_params, w2v_cfg = pipe.wav2vec
+            audio_emb = wav2vec2_extract(w2v_params, w2v_cfg,
+                                         jnp.asarray(mono[None]),
+                                         n_frames)[0]
+        if model_def.get("multitalk_class") and audio_emb is not None \
+                and getattr(pipe, "audio_proj_params", None) is not None:
+            from ..utils import media
+            video = pipe.generate_multitalk(
+                prompt=prompt, audio_emb=audio_emb, n_prompt=n_prompt,
+                width=width, height=height, frame_num=frame_num,
+                sampling=sampling, seed=seed,
+                audio_guide_scale=float(
+                    merged.get("audio_guidance_scale", 4.0)),
+                audio_proj_params=pipe.audio_proj_params,
+                audio_proj_cfg=pipe.audio_proj_cfg,
+                context=ctx, context_null=ctx_null)
+            audio_wave = merged.get("_audio_wave")
+            if audio_wave is None and merged.get("audio_guide"):
+                audio_wave, _ = media.read_wav(merged["audio_guide"])
+            return {"video": video, "audio": audio_wave,
+                    "audio_sample_rate": 16000, "fps": fps}
+
+        window_size = int(merged.get("sliding_window_size", 0) or 0)
+        source_path = merged.get("video_source")
+        if source_path:
+            # continue-video (wgp.py:6964): the source's tail frames
+            # become the first window's overlap prefix; output = source +
+            # new, seam-blended (any2video.py:1482-1491 re-noising)
+            from ..utils import media
+            from ..windows import stitch_windows
+            src_u8 = media.read_mjpeg_avi(source_path)
+            src = src_u8.astype(np.float32) / 127.5 - 1.0
+            ov = int(merged.get("sliding_window_overlap", 5) or 5)
+            new = pipe.generate_sliding(
+                prompt=prompt, n_prompt=n_prompt,
+                width=src.shape[2], height=src.shape[1],
+                frame_num=frame_num,
+                window_size=window_size or frame_num, overlap=ov,
+                discard=int(merged.get(
+                    "sliding_window_discard_last_frames", 0)),
+                sampling=sampling, seed=seed,
+                context=ctx, context_null=ctx_null, source_frames=src)
+            return {"video": stitch_windows([src, np.asarray(new)],
+                                            [0, ov]), "fps": fps}
+        if window_size and frame_num > window_size:
+            return {"video": pipe.generate_sliding(
+                prompt=prompt, n_prompt=n_prompt, width=width,
+                height=height, frame_num=frame_num,
+                window_size=window_size,
+                overlap=int(merged.get("sliding_window_overlap", 5)),
+                discard=int(merged.get(
+                    "sliding_window_discard_last_frames", 0)),
+                sampling=sampling, seed=seed,
+                context=ctx, context_null=ctx_null), "fps": fps}
+        i2v_cond = None
+        if model_def.get("svi2pro_class"):
+            # SVI2Pro latent-ref conditioning (any2video.py:707-722)
+            ref = (merged.get("_image_refs") or
+                   [merged.get("_image_start")])[0]
+            if ref is not None:
+                i2v_cond = pipe.build_svi_conditioning(
+                    np.asarray(ref), frame_num, height, width,
+                    image_end=merged.get("_image_end"))
+        return {"video": pipe.generate(
+            prompt=prompt, n_prompt=n_prompt, width=width, height=height,
+            frame_num=frame_num, sampling=sampling, seed=seed,
+            context=ctx, context_null=ctx_null,
+            image_start=merged.get("_image_start"),
+            i2v_cond=i2v_cond), "fps": fps}
+
+    @classmethod
     def _load_ovi(cls, model_def, checkpoints, dtype, attn_backend,
                   init_random, tokenizer, seed):
         """Ovi twin-stack loader (ovi_fusion_engine.py:50-127): video +
@@ -772,3 +1105,48 @@ class WanFamilyHandler:
                            vae_encode_fn=vae_enc,
                            audio_vae_decode_fn=audio_dec,
                            attn_backend=attn_backend)
+
+
+def sampling_from_settings(merged: Dict[str, Any]):
+    """Map reference-format task settings onto SamplingConfig (the keys
+    wgp.py's generate_media reads out of each task, wgp.py:6436)."""
+    from ..models.wan.pipeline import SamplingConfig
+    g = float(merged.get("guidance_scale", 5.0))
+    return SamplingConfig(
+        solver=merged.get("sample_solver", "unipc") or "unipc",
+        solver_order=int(merged.get("solver_order", 2)),
+        steps=int(merged.get("num_inference_steps", 30)),
+        shift=float(merged.get("flow_shift", 5.0)),
+        guide_scale=g,
+        guide2_scale=float(merged.get("guidance2_scale", g)),
+        guide3_scale=float(merged.get("guidance3_scale", g)),
+        guide_phases=int(merged.get("guidance_phases", 1)),
+        switch_threshold=float(merged.get("switch_threshold", 0)),
+        switch2_threshold=float(merged.get("switch2_threshold", 0)),
+        model_switch_phase=int(merged.get("model_switch_phase", 1)),
+        cfg_star_switch=bool(merged.get("cfg_star_switch", False)),
+        cfg_zero_step=int(merged.get("cfg_zero_step", -1)),
+        apg_switch=bool(merged.get("apg_switch", False)),
+        nag_scale=float(merged.get("NAG_scale", 0.0)),
+        nag_tau=float(merged.get("NAG_tau", 3.5)),
+        nag_alpha=float(merged.get("NAG_alpha", 0.5)),
+        cache_type=str(merged.get("cache_type", "") or ""),
+        cache_threshold=float(merged.get("cache_threshold", 0.0)),
+        cache_speed_factor=float(merged.get("cache_speed_factor", 1.75)),
+        enable_riflex=bool(merged.get("RIFLEx_setting", 0)))
+
+
+def _mocha_mask_frame(merged):
+    """First-frame person mask for MoCha (any2video.py:390: the mask
+    video's first frame).  Defaults to all-ones when absent."""
+    import numpy as np
+    mask = merged.get("_video_mask")
+    if mask is None:
+        guide = np.asarray(merged["_video_guide"])
+        return np.ones(guide.shape[1:3], np.float32)
+    m = np.asarray(mask, np.float32)
+    if m.ndim == 4:                      # [T, H, W, C]
+        m = m[0, ..., 0]
+    elif m.ndim == 3:                    # [T, H, W] mask video
+        m = m[0]
+    return m

@@ -65,21 +65,6 @@ def _audio_processor_hook(outputs, settings):
     return done
 
 
-def _mocha_mask_frame(merged):
-    """First-frame person mask for MoCha (any2video.py:390: the mask
-    video's first frame).  Defaults to all-ones when absent."""
-    mask = merged.get("_video_mask")
-    if mask is None:
-        guide = np.asarray(merged["_video_guide"])
-        return np.ones(guide.shape[1:3], np.float32)
-    m = np.asarray(mask, np.float32)
-    if m.ndim == 4:                      # [T, H, W, C]
-        m = m[0, ..., 0]
-    elif m.ndim == 3:                    # [T, H, W] mask video
-        m = m[0]
-    return m
-
-
 def _apply_spatial_upsampling(video, merged):
     """'lanczos1.5'/'lanczos2' resampling or 'flashvsr' one-step diffusion
     4x VSR (reference postprocessing/spatial_upsamplers.py + flashvsr/).
@@ -345,32 +330,6 @@ class GenerationService:
                              metadata=_clean_settings(merged))
             return self.plugins.apply_postprocess_hooks([path], merged)
 
-        from ..models.wan.pipeline import SamplingConfig
-        sampling = SamplingConfig(
-            solver=merged.get("sample_solver", "unipc") or "unipc",
-            solver_order=int(merged.get("solver_order", 2)),
-            steps=int(merged.get("num_inference_steps", 30)),
-            shift=float(merged.get("flow_shift", 5.0)),
-            guide_scale=float(merged.get("guidance_scale", 5.0)),
-            guide2_scale=float(merged.get("guidance2_scale",
-                                          merged.get("guidance_scale", 5.0))),
-            guide3_scale=float(merged.get("guidance3_scale",
-                                          merged.get("guidance_scale", 5.0))),
-            guide_phases=int(merged.get("guidance_phases", 1)),
-            switch_threshold=float(merged.get("switch_threshold", 0)),
-            switch2_threshold=float(merged.get("switch2_threshold", 0)),
-            model_switch_phase=int(merged.get("model_switch_phase", 1)),
-            cfg_star_switch=bool(merged.get("cfg_star_switch", False)),
-            cfg_zero_step=int(merged.get("cfg_zero_step", -1)),
-            apg_switch=bool(merged.get("apg_switch", False)),
-            nag_scale=float(merged.get("NAG_scale", 0.0)),
-            nag_tau=float(merged.get("NAG_tau", 3.5)),
-            nag_alpha=float(merged.get("NAG_alpha", 0.5)),
-            cache_type=str(merged.get("cache_type", "") or ""),
-            cache_threshold=float(merged.get("cache_threshold", 0.0)),
-            cache_speed_factor=float(merged.get("cache_speed_factor", 1.75)),
-            enable_riflex=bool(merged.get("RIFLEx_setting", 0)))
-
         # LoRA merge (constant multipliers merge into weights; piecewise
         # multipliers re-merge between scan segments — lora.py)
         loras = merged.get("loras") or merged.get("activated_loras") or []
@@ -380,7 +339,7 @@ class GenerationService:
             from ..io.safetensors_reader import load_safetensors
             sched = parse_lora_multipliers(
                 merged.get("loras_multipliers", ""), len(loras),
-                sampling.steps)
+                int(merged.get("num_inference_steps", 30)))
             lora_dicts = [convert_lora_sd(load_safetensors(p))
                           for p in loras]
             pipe.dit_params, unmatched = merge_loras(
@@ -391,548 +350,72 @@ class GenerationService:
 
         frame_num = int(merged.get("video_length", 81))
         handler = self.registry.handler_for(model_type)
+        merged["_model_def"] = model_def
         if hasattr(handler, "generate_video"):
-            # non-Wan video families own their sampling-config mapping;
-            # they may return a bare frame array or a dict with an audio
-            # track ({"video", "audio", "audio_sample_rate"}) — the TPU
-            # analog of the reference's save_audio_file + mux step
+            # families own their per-variant dispatch (handler protocol;
+            # the Wan half lives in families/wan.py generate_video).
+            # Result: frame array or dict {video, audio,
+            # audio_sample_rate, fps, rgba} — the TPU analog of the
+            # reference's save_audio_file + mux step
             # (shared/utils/audio_video.py:377,:613)
             result = handler.generate_video(pipe, merged, width, height,
                                             frame_num, seed)
-            audio, audio_sr = None, 16000
-            if isinstance(result, dict):
-                video = result["video"]
-                audio = result.get("audio")
-                audio_sr = int(result.get("audio_sample_rate", 16000))
-            elif isinstance(result, tuple):
-                video = result[0]
-            else:
-                video = result
-            video = np.asarray(video)
-            if video.ndim == 5:
-                # undecoded latents (no VAE attached, e.g. synthetic runs):
-                # RGB-factor preview approximation (latent_preview.py)
-                from ..postprocessing.latent_preview import latent_to_rgb
-                try:
-                    video = latent_to_rgb(video)
-                except Exception:
-                    video = np.clip(
-                        (video[0, :3].transpose(1, 2, 3, 0) + 1) * 127.5,
-                        0, 255).astype(np.uint8)
-            video = _apply_spatial_upsampling(video, merged)
-            video, fps = _apply_temporal_upsampling(
-                video, merged, int(merged.get("fps", 24)))
-            path = os.path.join(self.output_dir,
-                                f"{model_type}_{stamp}_{seed}.avi")
-            media.save_video(np.asarray(video), path, fps=fps,
-                             metadata=_clean_settings(merged),
-                             audio=(None if audio is None
-                                    else np.asarray(audio)),
-                             audio_sample_rate=audio_sr)
-            outputs = [path]
-            if audio is not None:
-                outputs.append(media.save_audio(
-                    np.asarray(audio),
-                    os.path.join(self.output_dir,
-                                 f"{model_type}_{stamp}_{seed}.wav"),
-                    sample_rate=audio_sr,
-                    metadata=_clean_settings(merged)))
-            return self.plugins.apply_postprocess_hooks(outputs, merged)
-        if model_def.get("ovi_class"):
-            # Ovi joint audio+video (ovi_fusion_engine.py:129-331)
-            video, audio = pipe.generate(
-                prompt=merged.get("prompt", ""),
-                n_prompt=merged.get("negative_prompt", ""),
-                audio_n_prompt=merged.get("audio_negative_prompt", ""),
-                width=width, height=height, frame_num=frame_num,
-                steps=int(merged.get("num_inference_steps", 50)),
-                shift=float(merged.get("flow_shift", 5.0)),
-                guide_scale=float(merged.get("guidance_scale", 5.0)),
-                audio_guide_scale=float(
-                    merged.get("audio_guidance_scale", 4.0)),
-                seed=seed, image_start=merged.get("_image_start"))
-            fps = int(merged.get("fps", 24) or 24)
-            path = os.path.join(self.output_dir,
-                                f"{model_type}_{stamp}_{seed}.avi")
-            audio_np = np.asarray(audio)
-            has_wave = audio_np.ndim <= 2 and audio_np.size > 1000
-            media.save_video(np.asarray(video), path, fps=fps,
-                             metadata=_clean_settings(merged),
-                             audio=(audio_np if has_wave else None),
-                             audio_sample_rate=16000)
-            return self.plugins.apply_postprocess_hooks([path], merged)
-        if model_def.get("steadydancer_class") \
-                and merged.get("_pose_video") is not None \
-                and merged.get("_image_start") is not None:
-            # SteadyDancer pose-driven i2v (any2video.py:793-809)
-            video = pipe.generate_steadydancer(
-                prompt=merged.get("prompt", ""),
-                pose_video=merged["_pose_video"],
-                source_image=merged["_image_start"],
-                pose_video_null=merged.get("_pose_video_null"),
-                n_prompt=merged.get("negative_prompt", ""),
-                width=width, height=height, frame_num=frame_num,
-                sampling=sampling, seed=seed,
-                condition_guide_scale=float(
-                    merged.get("alt_guidance_scale", 2.0)),
-                context=merged.get("_context"),
-                context_null=merged.get("_context_null"))
-            video = _apply_spatial_upsampling(video, merged)
-            video, fps = _apply_temporal_upsampling(
-                video, merged, int(merged.get("fps", 16)))
-            path = os.path.join(self.output_dir,
-                                f"{model_type}_{stamp}_{seed}.avi")
-            media.save_video(np.asarray(video), path, fps=fps,
-                             metadata=_clean_settings(merged))
-            return self.plugins.apply_postprocess_hooks([path], merged)
-        if model_def.get("animate_class") and merged.get("_image_refs"):
-            # Wan 2.2 Animate (any2video.py:820-847)
-            video = pipe.generate_animate(
-                prompt=merged.get("prompt", ""),
-                ref_image=np.asarray(merged["_image_refs"][0]),
-                pose_video=merged.get("_pose_video"),
-                face_video=merged.get("_face_video"),
-                bg_video=merged.get("_bg_video"),
-                n_prompt=merged.get("negative_prompt", ""),
-                width=width, height=height, frame_num=frame_num,
-                sampling=sampling, seed=seed,
-                context=merged.get("_context"),
-                context_null=merged.get("_context_null"))
-            video = _apply_spatial_upsampling(video, merged)
-            video, fps = _apply_temporal_upsampling(
-                video, merged, int(merged.get("fps", 16)))
-            path = os.path.join(self.output_dir,
-                                f"{model_type}_{stamp}_{seed}.avi")
-            media.save_video(np.asarray(video), path, fps=fps,
-                             metadata=_clean_settings(merged))
-            return self.plugins.apply_postprocess_hooks([path], merged)
-        if model_def.get("wanmove_class") \
-                and merged.get("_tracks") is not None \
-                and merged.get("_image_start") is not None:
-            # Wan-Move trajectory control (any2video.py:779-790)
-            video = pipe.generate_wanmove(
-                prompt=merged.get("prompt", ""),
-                tracks=np.asarray(merged["_tracks"]),
-                image_start=merged["_image_start"],
-                n_prompt=merged.get("negative_prompt", ""),
-                width=width, height=height, frame_num=frame_num,
-                sampling=sampling, seed=seed,
-                context=merged.get("_context"),
-                context_null=merged.get("_context_null"))
-            video = _apply_spatial_upsampling(video, merged)
-            video, fps = _apply_temporal_upsampling(
-                video, merged, int(merged.get("fps", 16)))
-            path = os.path.join(self.output_dir,
-                                f"{model_type}_{stamp}_{seed}.avi")
-            media.save_video(np.asarray(video), path, fps=fps,
-                             metadata=_clean_settings(merged))
-            return self.plugins.apply_postprocess_hooks([path], merged)
-        if model_def.get("recam_class") \
-                and merged.get("_video_guide") is not None:
-            # ReCamMaster camera re-rendering (any2video.py:928-943)
-            video = pipe.generate_recam(
-                prompt=merged.get("prompt", ""),
-                source_frames=np.asarray(merged["_video_guide"]),
-                camera_mode=int(merged.get("model_mode", 1) or 1),
-                n_prompt=merged.get("negative_prompt", ""),
-                sampling=sampling, seed=seed,
-                extrinsics_json=merged.get("_camera_extrinsics_json"),
-                context=merged.get("_context"),
-                context_null=merged.get("_context_null"))
-            video = _apply_spatial_upsampling(video, merged)
-            video, fps = _apply_temporal_upsampling(
-                video, merged, int(merged.get("fps", 16)))
-            path = os.path.join(self.output_dir,
-                                f"{model_type}_{stamp}_{seed}.avi")
-            media.save_video(np.asarray(video), path, fps=fps,
-                             metadata=_clean_settings(merged))
-            return self.plugins.apply_postprocess_hooks([path], merged)
-        if model_def.get("scail_class") \
-                and merged.get("_video_guide") is not None \
-                and (merged.get("_image_refs")
-                     or merged.get("_image_start") is not None):
-            # SCAIL pose-guided animation (any2video.py:850-899);
-            # _video_guide carries the rendered 3D-pose video
-            ref = (merged.get("_image_refs")
-                   or [merged["_image_start"]])[0]
-            video = pipe.generate_scail(
-                prompt=merged.get("prompt", ""),
-                ref_image=np.asarray(ref),
-                pose_video=np.asarray(merged["_video_guide"]),
-                n_prompt=merged.get("negative_prompt", ""),
-                sampling=sampling, seed=seed,
-                context=merged.get("_context"),
-                context_null=merged.get("_context_null"))
-            video = _apply_spatial_upsampling(video, merged)
-            video, fps = _apply_temporal_upsampling(
-                video, merged, int(merged.get("fps", 16)))
-            path = os.path.join(self.output_dir,
-                                f"{model_type}_{stamp}_{seed}.avi")
-            media.save_video(np.asarray(video), path, fps=fps,
-                             metadata=_clean_settings(merged))
-            return self.plugins.apply_postprocess_hooks([path], merged)
-        if model_def.get("scail2_class") \
-                and merged.get("_video_guide") is not None \
-                and merged.get("_image_refs"):
-            # SCAIL-2: matted ref + color mask as the first two image
-            # refs (scail2/__init__.py:726-729)
-            refs = merged["_image_refs"]
-            ref_mask = (np.asarray(refs[1]) if len(refs) > 1
-                        else np.ones_like(np.asarray(refs[0])))
-            video = pipe.generate_scail2(
-                prompt=merged.get("prompt", ""),
-                ref_image=np.asarray(refs[0]), ref_mask=ref_mask,
-                pose_video=np.asarray(merged["_video_guide"]),
-                driving_mask_video=merged.get("_video_mask"),
-                n_prompt=merged.get("negative_prompt", ""),
-                sampling=sampling, seed=seed,
-                context=merged.get("_context"),
-                context_null=merged.get("_context_null"))
-            video = _apply_spatial_upsampling(video, merged)
-            video, fps = _apply_temporal_upsampling(
-                video, merged, int(merged.get("fps", 16)))
-            path = os.path.join(self.output_dir,
-                                f"{model_type}_{stamp}_{seed}.avi")
-            media.save_video(np.asarray(video), path, fps=fps,
-                             metadata=_clean_settings(merged))
-            return self.plugins.apply_postprocess_hooks([path], merged)
-        if model_def.get("vista_class") \
-                and merged.get("_vista_inputs") is not None:
-            # Vista4D re-rendering from preprocessed scene inputs
-            vi = merged["_vista_inputs"]
-            video = pipe.generate_vista4d(
-                prompt=merged.get("prompt", ""),
-                source_video=np.asarray(vi["source_video"]),
-                point_cloud_video=np.asarray(vi["point_cloud_video"]),
-                cam_c2w=np.asarray(vi["cam_c2w"]),
-                intrinsics=np.asarray(vi["intrinsics"]),
-                source_alpha_mask=vi.get("source_alpha_mask"),
-                source_motion_mask=vi.get("source_motion_mask"),
-                point_alpha_mask=vi.get("point_cloud_alpha_mask"),
-                point_motion_mask=vi.get("point_cloud_motion_mask"),
-                n_prompt=merged.get("negative_prompt", ""),
-                sampling=sampling, seed=seed,
-                context=merged.get("_context"),
-                context_null=merged.get("_context_null"))
-            video = _apply_spatial_upsampling(video, merged)
-            video, fps = _apply_temporal_upsampling(
-                video, merged, int(merged.get("fps", 16)))
-            path = os.path.join(self.output_dir,
-                                f"{model_type}_{stamp}_{seed}.avi")
-            media.save_video(np.asarray(video), path, fps=fps,
-                             metadata=_clean_settings(merged))
-            return self.plugins.apply_postprocess_hooks([path], merged)
-        if model_def.get("kiwi_class") \
-                and merged.get("_video_guide") is not None:
-            # Kiwi Edit (models/wan/kiwi/): MLLM context over the source
-            # video (+ref), source/ref embedder conditioning
-            src = np.asarray(merged["_video_guide"])
-            refs = merged.get("_image_refs") or []
-            ref = np.asarray(refs[0]) if refs else None
-            mllm = getattr(pipe, "kiwi_mllm", None)
-            if mllm is not None:
-                from ..models.wan.kiwi import kiwi_mllm_encode
-                kp, kcfg, lm = mllm
-                lm_params, lm_cfg = lm
-                ctx = kiwi_mllm_encode(
-                    lm_params, lm_cfg, kp, kcfg, pipe.tokenizer,
-                    merged.get("prompt", ""))
-                ctx_null = kiwi_mllm_encode(
-                    lm_params, lm_cfg, kp, kcfg, pipe.tokenizer,
-                    merged.get("negative_prompt", ""))
-            else:
-                ctx = merged.get("_context")
-                if ctx is None:
-                    ctx = jnp.zeros((1, 512, pipe.dit_cfg.text_dim),
-                                    jnp.float32)
-                ctx_null = merged.get("_context_null")
-            video = pipe.generate_kiwi(
-                context=ctx, context_null=ctx_null, source_frames=src,
-                ref_image=ref,
-                source_embedder=getattr(pipe, "kiwi_source_embedder",
-                                        None),
-                ref_embedder=getattr(pipe, "kiwi_ref_embedder", None),
-                sampling=sampling, seed=seed)
-            video = _apply_spatial_upsampling(video, merged)
-            video, fps = _apply_temporal_upsampling(
-                video, merged, int(merged.get("fps", 16)))
-            path = os.path.join(self.output_dir,
-                                f"{model_type}_{stamp}_{seed}.avi")
-            media.save_video(np.asarray(video), path, fps=fps,
-                             metadata=_clean_settings(merged))
-            return self.plugins.apply_postprocess_hooks([path], merged)
-        if model_def.get("bernini_class"):
-            # Bernini multi-source compositional editing
-            video = pipe.generate_bernini(
-                prompt=merged.get("prompt", ""),
-                control_video=merged.get("_video_guide"),
-                ref_images=[np.asarray(r) for r in
-                            (merged.get("_image_refs") or [])],
-                n_prompt=merged.get("negative_prompt", ""),
-                width=width, height=height, frame_num=frame_num,
-                omega_v=float(merged.get("control_net_weight", 1.0)
-                              or 1.0),
-                omega_i=float(merged.get("audio_guidance_scale",
-                                         merged.get("guidance2_scale",
-                                                    1.0)) or 1.0),
-                sampling=sampling, seed=seed,
-                context=merged.get("_context"),
-                context_null=merged.get("_context_null"))
-            video = _apply_spatial_upsampling(video, merged)
-            video, fps = _apply_temporal_upsampling(
-                video, merged, int(merged.get("fps", 16)))
-            path = os.path.join(self.output_dir,
-                                f"{model_type}_{stamp}_{seed}.avi")
-            media.save_video(np.asarray(video), path, fps=fps,
-                             metadata=_clean_settings(merged))
-            return self.plugins.apply_postprocess_hooks([path], merged)
-        if model_def.get("mocha_class") \
-                and merged.get("_video_guide") is not None \
-                and merged.get("_image_refs"):
-            # MoCha character replacement (any2video.py:387-412)
-            video = pipe.generate_mocha(
-                prompt=merged.get("prompt", ""),
-                source_frames=np.asarray(merged["_video_guide"]),
-                mask_frame=_mocha_mask_frame(merged),
-                ref_images=[np.asarray(r)
-                            for r in merged["_image_refs"][:2]],
-                n_prompt=merged.get("negative_prompt", ""),
-                frame_num=frame_num, sampling=sampling, seed=seed,
-                context=merged.get("_context"),
-                context_null=merged.get("_context_null"))
-            video = _apply_spatial_upsampling(video, merged)
-            video, fps = _apply_temporal_upsampling(
-                video, merged, int(merged.get("fps", 16)))
-            path = os.path.join(self.output_dir,
-                                f"{model_type}_{stamp}_{seed}.avi")
-            media.save_video(np.asarray(video), path, fps=fps,
-                             metadata=_clean_settings(merged))
-            return self.plugins.apply_postprocess_hooks([path], merged)
-        if model_def.get("shotplan_class"):
-            # ShotPlan relay prompts -> hard-cut planning tokens
-            video = pipe.generate_shotplan(
-                prompt=merged.get("prompt", ""),
-                n_prompt=merged.get("negative_prompt", ""),
-                width=width, height=height, frame_num=frame_num,
-                fps=float(merged.get("fps", 16) or 16),
-                sampling=sampling, seed=seed,
-                context=merged.get("_context"),
-                context_null=merged.get("_context_null"))
-            video = _apply_spatial_upsampling(video, merged)
-            video, fps = _apply_temporal_upsampling(
-                video, merged, int(merged.get("fps", 16)))
-            path = os.path.join(self.output_dir,
-                                f"{model_type}_{stamp}_{seed}.avi")
-            media.save_video(np.asarray(video), path, fps=fps,
-                             metadata=_clean_settings(merged))
-            return self.plugins.apply_postprocess_hooks([path], merged)
-        if model_def.get("alpha_class") \
-                and getattr(pipe, "vae_params_alpha", None) is not None:
+        else:
+            # families without a handler adapter: direct pipeline call
+            result = pipe.generate(
+                prompt=merged.get("prompt", ""), width=width,
+                height=height, frame_num=frame_num, seed=seed)
+        audio, audio_sr, fps, rgba = None, 16000, None, None
+        if isinstance(result, dict):
+            video = result.get("video")
+            audio = result.get("audio")
+            audio_sr = int(result.get("audio_sample_rate", 16000))
+            rgba = result.get("rgba")
+            fps = result.get("fps")
+        elif isinstance(result, tuple):
+            video = result[0]
+        else:
+            video = result
+        fps = int(fps if fps is not None else merged.get("fps", 24))
+        outputs = []
+        if rgba is not None:
             # Wan-Alpha RGBA output (alpha/utils.py): PNG zip + preview
-            rgba = pipe.generate_alpha(
-                prompt=merged.get("prompt", ""),
-                n_prompt=merged.get("negative_prompt", ""),
-                width=width, height=height, frame_num=frame_num,
-                sampling=sampling, seed=seed,
-                gauss_mask=merged.get("_gauss_mask"),
-                context=merged.get("_context"),
-                context_null=merged.get("_context_null"))
-            rgba = np.asarray(rgba)
             zip_path = os.path.join(self.output_dir,
                                     f"{model_type}_{stamp}_{seed}.zip")
-            media.save_rgba_zip(rgba, zip_path,
+            media.save_rgba_zip(np.asarray(rgba), zip_path,
                                 metadata=_clean_settings(merged))
-            preview = media.composite_checkerboard(rgba)
-            path = os.path.join(self.output_dir,
-                                f"{model_type}_{stamp}_{seed}.avi")
-            media.save_video(preview, path,
-                             fps=int(merged.get("fps", 16)),
-                             metadata=_clean_settings(merged))
-            return self.plugins.apply_postprocess_hooks(
-                [zip_path, path], merged)
-        if model_def.get("lynx_class") \
-                and merged.get("_arcface_embed") is not None \
-                and getattr(pipe, "lynx_resampler_params", None) is not None:
-            # Lynx face-identity adapter (any2video.py:1039-1069)
-            refs = merged.get("_image_refs") or []
-            video = pipe.generate_lynx(
-                prompt=merged.get("prompt", ""),
-                arcface_embed=np.asarray(merged["_arcface_embed"]),
-                ref_image=(np.asarray(refs[-1]) if refs else None),
-                n_prompt=merged.get("negative_prompt", ""),
-                width=width, height=height, frame_num=frame_num,
-                sampling=sampling, seed=seed,
-                resampler_params=pipe.lynx_resampler_params,
-                resampler_cfg=pipe.lynx_resampler_cfg,
-                ip_scale=float(merged.get("control_net_weight", 1.0)),
-                ref_scale=float(merged.get("control_net_weight", 1.0)),
-                context=merged.get("_context"),
-                context_null=merged.get("_context_null"))
+            video = media.composite_checkerboard(np.asarray(rgba))
+            outputs.append(zip_path)
+        video = np.asarray(video)
+        if video.ndim == 5:
+            # undecoded latents (no VAE attached, e.g. synthetic runs):
+            # RGB-factor preview approximation (latent_preview.py)
+            from ..postprocessing.latent_preview import latent_to_rgb
+            try:
+                video = latent_to_rgb(video)
+            except Exception:
+                video = np.clip(
+                    (video[0, :3].transpose(1, 2, 3, 0) + 1) * 127.5,
+                    0, 255).astype(np.uint8)
+        if rgba is None:
             video = _apply_spatial_upsampling(video, merged)
-            video, fps = _apply_temporal_upsampling(
-                video, merged, int(merged.get("fps", 16)))
-            path = os.path.join(self.output_dir,
-                                f"{model_type}_{stamp}_{seed}.avi")
-            media.save_video(np.asarray(video), path, fps=fps,
-                             metadata=_clean_settings(merged))
-            return self.plugins.apply_postprocess_hooks([path], merged)
-        if model_def.get("standin_class") and merged.get("_image_refs"):
-            # StandIn identity preservation (any2video.py:1072-1088):
-            # first reference image = the face to preserve
-            video = pipe.generate_standin(
-                prompt=merged.get("prompt", ""),
-                ref_image=np.asarray(merged["_image_refs"][0]),
-                n_prompt=merged.get("negative_prompt", ""),
-                width=width, height=height, frame_num=frame_num,
-                sampling=sampling, seed=seed,
-                context=merged.get("_context"),
-                context_null=merged.get("_context_null"))
-            video = _apply_spatial_upsampling(video, merged)
-            video, fps = _apply_temporal_upsampling(
-                video, merged, int(merged.get("fps", 16)))
-            path = os.path.join(self.output_dir,
-                                f"{model_type}_{stamp}_{seed}.avi")
-            media.save_video(np.asarray(video), path, fps=fps,
-                             metadata=_clean_settings(merged))
-            return self.plugins.apply_postprocess_hooks([path], merged)
-        if model_def.get("fantasy_class") \
-                and getattr(pipe, "fantasy_proj_params", None) is not None:
-            # FantasyTalking audio-driven i2v (fantasytalking/infer.py:10)
-            feats = merged.get("_audio_features")
-            audio_wave = None
-            if feats is None and merged.get("audio_guide") \
-                    and hasattr(pipe, "wav2vec"):
-                from ..models.wan.fantasy import wav2vec2_last_hidden
-                wave, sr = media.read_wav(merged["audio_guide"])
-                audio_wave = wave
-                mono = wave.astype(np.float32).mean(axis=1) / 32767.0
-                mono = (mono - mono.mean()) / (mono.std() + 1e-7)
-                w2v_params, w2v_cfg = pipe.wav2vec
-                feats = wav2vec2_last_hidden(w2v_params, w2v_cfg,
-                                             jnp.asarray(mono[None]))
-            if feats is not None:
-                video = pipe.generate_fantasy(
-                    prompt=merged.get("prompt", ""), audio_features=feats,
-                    image_start=merged.get("_image_start"),
-                    n_prompt=merged.get("negative_prompt", ""),
-                    width=width, height=height, frame_num=frame_num,
-                    sampling=sampling, seed=seed,
-                    audio_guide_scale=float(
-                        merged.get("audio_guidance_scale", 5.0)),
-                    fantasy_proj_params=pipe.fantasy_proj_params,
-                    context=merged.get("_context"),
-                    context_null=merged.get("_context_null"))
-                video, fps = _apply_temporal_upsampling(
-                    video, merged, int(merged.get("fps", 23)))
-                path = os.path.join(self.output_dir,
-                                    f"{model_type}_{stamp}_{seed}.avi")
-                media.save_video(np.asarray(video), path, fps=fps,
-                                 metadata=_clean_settings(merged),
-                                 audio=audio_wave, audio_sample_rate=16000)
-                return self.plugins.apply_postprocess_hooks([path], merged)
-        audio_emb = merged.get("_audio_emb")
-        if audio_emb is None and merged.get("audio_guide") \
-                and hasattr(pipe, "wav2vec"):
-            # audio file -> 16 kHz mono -> wav2vec2 per-frame features
-            # (multitalk.py get_embedding:47; fps 25 video-frame rate)
-            from ..models.wan.multitalk import wav2vec2_extract
-            wave, sr = media.read_wav(merged["audio_guide"])
-            mono = wave.astype(np.float32).mean(axis=1) / 32767.0
-            mono = (mono - mono.mean()) / (mono.std() + 1e-7)
-            fps = float(merged.get("fps", 25) or 25)
-            n_frames = max(frame_num, int(len(mono) / max(sr, 1) * fps))
-            w2v_params, w2v_cfg = pipe.wav2vec
-            audio_emb = wav2vec2_extract(w2v_params, w2v_cfg,
-                                         jnp.asarray(mono[None]),
-                                         n_frames)[0]
-        if model_def.get("multitalk_class") and audio_emb is not None \
-                and getattr(pipe, "audio_proj_params", None) is not None:
-            video = pipe.generate_multitalk(
-                prompt=merged.get("prompt", ""), audio_emb=audio_emb,
-                n_prompt=merged.get("negative_prompt", ""),
-                width=width, height=height, frame_num=frame_num,
-                sampling=sampling, seed=seed,
-                audio_guide_scale=float(
-                    merged.get("audio_guidance_scale", 4.0)),
-                audio_proj_params=pipe.audio_proj_params,
-                audio_proj_cfg=pipe.audio_proj_cfg,
-                context=merged.get("_context"),
-                context_null=merged.get("_context_null"))
-            video, fps = _apply_temporal_upsampling(
-                video, merged, int(merged.get("fps", 16)))
-            path = os.path.join(self.output_dir,
-                                f"{model_type}_{stamp}_{seed}.avi")
-            audio_wave = merged.get("_audio_wave")
-            if audio_wave is None and merged.get("audio_guide"):
-                audio_wave, _ = media.read_wav(merged["audio_guide"])
-            media.save_video(np.asarray(video), path, fps=fps,
-                             metadata=_clean_settings(merged),
-                             audio=audio_wave, audio_sample_rate=16000)
-            return self.plugins.apply_postprocess_hooks([path], merged)
-        window_size = int(merged.get("sliding_window_size", 0) or 0)
-        source_path = merged.get("video_source")
-        if source_path:
-            # continue-video (wgp.py:6964): the source's tail frames become
-            # the first window's overlap prefix; output = source + new,
-            # seam-blended (any2video.py:1482-1491 re-noising in denoise)
-            from ..windows import stitch_windows
-            src_u8 = media.read_mjpeg_avi(source_path)
-            src = src_u8.astype(np.float32) / 127.5 - 1.0
-            ov = int(merged.get("sliding_window_overlap", 5) or 5)
-            new = pipe.generate_sliding(
-                prompt=merged.get("prompt", ""),
-                n_prompt=merged.get("negative_prompt", ""),
-                width=src.shape[2], height=src.shape[1],
-                frame_num=frame_num,
-                window_size=window_size or frame_num,
-                overlap=ov,
-                discard=int(merged.get(
-                    "sliding_window_discard_last_frames", 0)),
-                sampling=sampling, seed=seed,
-                context=merged.get("_context"),
-                context_null=merged.get("_context_null"),
-                source_frames=src)
-            video = stitch_windows([src, np.asarray(new)], [0, ov])
-        elif window_size and frame_num > window_size:
-            video = pipe.generate_sliding(
-                prompt=merged.get("prompt", ""),
-                n_prompt=merged.get("negative_prompt", ""),
-                width=width, height=height, frame_num=frame_num,
-                window_size=window_size,
-                overlap=int(merged.get("sliding_window_overlap", 5)),
-                discard=int(merged.get(
-                    "sliding_window_discard_last_frames", 0)),
-                sampling=sampling, seed=seed,
-                context=merged.get("_context"),
-                context_null=merged.get("_context_null"))
-        else:
-            i2v_cond = None
-            if model_def.get("svi2pro_class"):
-                # SVI2Pro latent-ref conditioning (any2video.py:707-722)
-                ref = (merged.get("_image_refs") or
-                       [merged.get("_image_start")])[0]
-                if ref is not None:
-                    i2v_cond = pipe.build_svi_conditioning(
-                        np.asarray(ref), frame_num, height, width,
-                        image_end=merged.get("_image_end"))
-            video = pipe.generate(
-                prompt=merged.get("prompt", ""),
-                n_prompt=merged.get("negative_prompt", ""),
-                width=width, height=height,
-                frame_num=frame_num,
-                sampling=sampling, seed=seed,
-                context=merged.get("_context"),
-                context_null=merged.get("_context_null"),
-                image_start=merged.get("_image_start"),
-                i2v_cond=i2v_cond)
-        video = _apply_spatial_upsampling(video, merged)
-        video, fps = _apply_temporal_upsampling(
-            video, merged, int(merged.get("fps", 16)))
+            video, fps = _apply_temporal_upsampling(video, merged, fps)
         path = os.path.join(self.output_dir,
                             f"{model_type}_{stamp}_{seed}.avi")
         media.save_video(np.asarray(video), path, fps=fps,
-                         metadata=_clean_settings(merged))
-        return self.plugins.apply_postprocess_hooks([path], merged)
+                         metadata=_clean_settings(merged),
+                         audio=(None if audio is None
+                                else np.asarray(audio)),
+                         audio_sample_rate=audio_sr)
+        outputs.append(path)
+        if audio is not None:
+            outputs.append(media.save_audio(
+                np.asarray(audio),
+                os.path.join(self.output_dir,
+                             f"{model_type}_{stamp}_{seed}.wav"),
+                sample_rate=audio_sr,
+                metadata=_clean_settings(merged)))
+        return self.plugins.apply_postprocess_hooks(outputs, merged)
 
     # -- queue worker ------------------------------------------------------
 

@@ -271,3 +271,390 @@ if __name__ == "__main__":
     gen_wan_block()
     gen_unipc_trace()
     gen_t5_relpos()
+
+
+# ---------------------------------------------------------------------------
+# 6. Flux double/single stream blocks (models/flux/modules/layers.py:198-:315)
+# ---------------------------------------------------------------------------
+
+def _rms(x, scale, eps=1e-6):
+    xf = x.float()
+    return (xf * torch.rsqrt(xf.pow(2).mean(-1, keepdim=True) + eps)) * scale
+
+
+def _ln(x, eps=1e-6):
+    return F.layer_norm(x.float(), (x.shape[-1],), eps=eps)
+
+
+def _flux_rope_cs(ids, axes_dim, theta=10000.0):
+    """EmbedND rope tables (layers.py:34-45 / math.py rope): per-axis
+    omega = theta^(-2i/dim), interleaved pairs; returns cos/sin [L, D/2]."""
+    parts_c, parts_s = [], []
+    for a, dim in enumerate(axes_dim):
+        omega = 1.0 / theta ** (torch.arange(0, dim, 2).double() / dim)
+        ang = ids[:, a].double()[:, None] * omega[None]
+        parts_c.append(torch.cos(ang))
+        parts_s.append(torch.sin(ang))
+    return (torch.cat(parts_c, -1).float(), torch.cat(parts_s, -1).float())
+
+
+def _rope_interleaved(x, cos, sin):
+    """x: [B, L, N, D]; interleaved-pair rotation (math.py apply_rope)."""
+    xp = x.float().reshape(*x.shape[:-1], -1, 2)
+    c = cos[None, :, None, :]
+    s = sin[None, :, None, :]
+    x0 = xp[..., 0] * c - xp[..., 1] * s
+    x1 = xp[..., 0] * s + xp[..., 1] * c
+    return torch.stack([x0, x1], -1).reshape(x.shape)
+
+
+def _sdpa(q, k, v):
+    """[B, L, N, D] fp32 attention."""
+    qt = q.permute(0, 2, 1, 3)
+    kt = k.permute(0, 2, 1, 3)
+    vt = v.permute(0, 2, 1, 3)
+    o = F.scaled_dot_product_attention(qt.float(), kt.float(), vt.float())
+    return o.permute(0, 2, 1, 3)
+
+
+def gen_flux_double():
+    torch.manual_seed(10)
+    h, n, mlp = 32, 2, 64
+    li, lt = 12, 4
+    g = torch.Generator().manual_seed(10)
+
+    def lin(i, o):
+        return (torch.randn(o, i, generator=g) * 0.2,
+                torch.randn(o, generator=g) * 0.05)
+
+    img = torch.randn(1, li, h, generator=g)
+    txt = torch.randn(1, lt, h, generator=g)
+    vec = torch.randn(1, h, generator=g)
+    p = {}
+    for s in ("i", "t"):
+        p[s + "mod"] = lin(h, 6 * h)
+        p[s + "qkv"] = lin(h, 3 * h)
+        p[s + "proj"] = lin(h, h)
+        p[s + "m1"] = lin(h, mlp)
+        p[s + "m2"] = lin(mlp, h)
+        p[s + "nq"] = torch.randn(h // n, generator=g) * 0.1 + 1
+        p[s + "nk"] = torch.randn(h // n, generator=g) * 0.1 + 1
+    # ids: txt rows all-zero, img rows (0, y, x) (flux_main img_ids)
+    ids = torch.zeros(lt + li, 3)
+    ids[lt:, 1] = torch.arange(li) // 4
+    ids[lt:, 2] = torch.arange(li) % 4
+    axes_dim = (4, 6, 6)
+    cos, sin = _flux_rope_cs(ids, axes_dim)
+
+    def mod6(key, v):
+        w, b = p[key]
+        out = F.silu(v.float()) @ w.T.float() + b.float()
+        return out[:, None, :].chunk(6, dim=-1)
+
+    def qkv(s, x):
+        w, b = p[s + "qkv"]
+        o = x.float() @ w.T.float() + b.float()
+        q, k, v = o.chunk(3, -1)
+        q = q.reshape(1, -1, n, h // n)
+        k = k.reshape(1, -1, n, h // n)
+        v = v.reshape(1, -1, n, h // n)
+        q = _rms(q, p[s + "nq"].float())
+        k = _rms(k, p[s + "nk"].float())
+        return q, k, v
+
+    is1, isc1, ig1, is2, isc2, ig2 = mod6("imod", vec)
+    ts1, tsc1, tg1, ts2, tsc2, tg2 = mod6("tmod", vec)
+    iq, ik, iv = qkv("i", _ln(img) * (1 + isc1) + is1)
+    tq, tk, tv = qkv("t", _ln(txt) * (1 + tsc1) + ts1)
+    q = torch.cat([tq, iq], 1)
+    k = torch.cat([tk, ik], 1)
+    v = torch.cat([tv, iv], 1)
+    q = _rope_interleaved(q, cos, sin)
+    k = _rope_interleaved(k, cos, sin)
+    attn = _sdpa(q, k, v).reshape(1, lt + li, h)
+    t_attn, i_attn = attn[:, :lt], attn[:, lt:]
+
+    def proj(key, x):
+        w, b = p[key]
+        return x.float() @ w.T.float() + b.float()
+
+    img2 = img + ig1 * proj("iproj", i_attn)
+    y = _ln(img2) * (1 + isc2) + is2
+    img2 = img2 + ig2 * proj("im2", F.gelu(proj("im1", y), approximate="tanh"))
+    txt2 = txt + tg1 * proj("tproj", t_attn)
+    y = _ln(txt2) * (1 + tsc2) + ts2
+    txt2 = txt2 + tg2 * proj("tm2", F.gelu(proj("tm1", y), approximate="tanh"))
+
+    arrs = {}
+    for kk, vv in p.items():
+        if isinstance(vv, tuple):
+            arrs[kk + "_w"], arrs[kk + "_b"] = vv[0].numpy(), vv[1].numpy()
+        else:
+            arrs[kk] = vv.numpy()
+    save("flux_double_block.npz",
+         img=img, txt=txt, vec=vec, ids=ids.numpy(),
+         out_img=img2.detach(), out_txt=txt2.detach(),
+         dims=np.array([h, n, mlp]), axes_dim=np.array(axes_dim), **arrs)
+
+
+def gen_flux_single():
+    torch.manual_seed(11)
+    h, n, mlp = 32, 2, 64
+    l, lt = 16, 4
+    g = torch.Generator().manual_seed(11)
+
+    def lin(i, o):
+        return (torch.randn(o, i, generator=g) * 0.2,
+                torch.randn(o, generator=g) * 0.05)
+
+    x = torch.randn(1, l, h, generator=g)
+    vec = torch.randn(1, h, generator=g)
+    mod_w = lin(h, 3 * h)
+    lin1 = lin(h, 3 * h + mlp)
+    lin2 = lin(h + mlp, h)
+    nq = torch.randn(h // n, generator=g) * 0.1 + 1
+    nk = torch.randn(h // n, generator=g) * 0.1 + 1
+    ids = torch.zeros(l, 3)
+    ids[lt:, 1] = torch.arange(l - lt) // 4
+    ids[lt:, 2] = torch.arange(l - lt) % 4
+    axes_dim = (4, 6, 6)
+    cos, sin = _flux_rope_cs(ids, axes_dim)
+
+    m = F.silu(vec.float()) @ mod_w[0].T.float() + mod_w[1].float()
+    shift, scale, gate = m[:, None, :].chunk(3, -1)
+    x_mod = _ln(x) * (1 + scale) + shift
+    h1 = x_mod @ lin1[0].T.float() + lin1[1].float()
+    qkv, mlp_in = h1[..., :3 * h], h1[..., 3 * h:]
+    q, k, v = (t.reshape(1, l, n, h // n) for t in qkv.chunk(3, -1))
+    q = _rms(q, nq.float())
+    k = _rms(k, nk.float())
+    q = _rope_interleaved(q, cos, sin)
+    k = _rope_interleaved(k, cos, sin)
+    attn = _sdpa(q, k, v).reshape(1, l, h)
+    act = F.gelu(mlp_in, approximate="tanh")
+    out = x + gate * (torch.cat([attn, act], -1) @ lin2[0].T.float()
+                      + lin2[1].float())
+
+    save("flux_single_block.npz",
+         x=x, vec=vec, ids=ids.numpy(), out=out.detach(),
+         dims=np.array([h, n, mlp]), axes_dim=np.array(axes_dim),
+         mod_w=mod_w[0], mod_b=mod_w[1], lin1_w=lin1[0], lin1_b=lin1[1],
+         lin2_w=lin2[0], lin2_b=lin2[1], nq=nq, nk=nk)
+
+
+# ---------------------------------------------------------------------------
+# 7. Hunyuan dual-stream block (models/hyvideo/modules/models.py:34-318)
+# ---------------------------------------------------------------------------
+
+def _hy_rope_cs(grid, rope_dim_list, txt_len, theta=256.0):
+    """get_nd_rotary_pos_embed (posemb_layers.py) tables: per-axis
+    omega = theta^(-2i/dim) over the (f, h, w) grid, concatenated, with
+    identity rows (cos=1, sin=0) for the txt tokens appended AFTER the
+    img rows (HV attention order: img first, models.py:255-262)."""
+    f, h, w = grid
+    parts = []
+    for dim, n in zip(rope_dim_list, (f, h, w)):
+        omega = 1.0 / theta ** (torch.arange(0, dim, 2).double() / dim)
+        parts.append(omega)
+    of, oh, ow = parts
+    tf = torch.arange(f).double()
+    th = torch.arange(h).double()
+    tw = torch.arange(w).double()
+    ang = torch.cat([
+        (tf[:, None] * of[None]).reshape(f, 1, 1, -1).expand(f, h, w, -1),
+        (th[:, None] * oh[None]).reshape(1, h, 1, -1).expand(f, h, w, -1),
+        (tw[:, None] * ow[None]).reshape(1, 1, w, -1).expand(f, h, w, -1),
+    ], -1).reshape(f * h * w, -1)
+    cos = torch.cat([torch.cos(ang), torch.ones(txt_len, ang.shape[1],
+                                                dtype=torch.float64)])
+    sin = torch.cat([torch.sin(ang), torch.zeros(txt_len, ang.shape[1],
+                                                 dtype=torch.float64)])
+    return cos.float(), sin.float()
+
+
+def gen_hyvideo_double():
+    torch.manual_seed(12)
+    h, n, mlp = 32, 2, 64
+    grid = (2, 2, 3)
+    li = 12
+    lt = 4
+    rope_dims = (4, 6, 6)
+    g = torch.Generator().manual_seed(12)
+
+    def lin(i, o, bias=True):
+        w = torch.randn(o, i, generator=g) * 0.2
+        b = torch.randn(o, generator=g) * 0.05 if bias else None
+        return (w, b)
+
+    img = torch.randn(1, li, h, generator=g)
+    txt = torch.randn(1, lt, h, generator=g)
+    vec = torch.randn(1, h, generator=g)
+    p = {}
+    for s in ("i", "t"):
+        p[s + "mod"] = lin(h, 6 * h)
+        p[s + "qkv"] = lin(h, 3 * h, bias=False)   # qkv_bias=False default
+        p[s + "proj"] = lin(h, h, bias=False)      # proj bias=qkv_bias
+        p[s + "m1"] = lin(h, mlp)
+        p[s + "m2"] = lin(mlp, h)
+        p[s + "nq"] = torch.randn(h // n, generator=g) * 0.1 + 1
+        p[s + "nk"] = torch.randn(h // n, generator=g) * 0.1 + 1
+    cos, sin = _hy_rope_cs(grid, rope_dims, lt)
+
+    def apply(key, x):
+        w, b = p[key]
+        y = x.float() @ w.T.float()
+        return y if b is None else y + b.float()
+
+    def mod6(s):
+        return apply(s + "mod", F.silu(vec.float()))[:, None, :].chunk(6, -1)
+
+    def qkv(s, x):
+        o = apply(s + "qkv", x)
+        q, k, v = o.chunk(3, -1)
+        q = _rms(q.reshape(1, -1, n, h // n), p[s + "nq"].float())
+        k = _rms(k.reshape(1, -1, n, h // n), p[s + "nk"].float())
+        return q, k, v.reshape(1, -1, n, h // n)
+
+    is1, isc1, ig1, is2, isc2, ig2 = mod6("i")
+    ts1, tsc1, tg1, ts2, tsc2, tg2 = mod6("t")
+    iq, ik, iv = qkv("i", _ln(img) * (1 + isc1) + is1)
+    tq, tk, tv = qkv("t", _ln(txt) * (1 + tsc1) + ts1)
+    q = torch.cat([iq, tq], 1)                     # img FIRST
+    k = torch.cat([ik, tk], 1)
+    v = torch.cat([iv, tv], 1)
+    q = _rope_interleaved(q, cos, sin)
+    k = _rope_interleaved(k, cos, sin)
+    attn = _sdpa(q, k, v).reshape(1, li + lt, h)
+    i_attn, t_attn = attn[:, :li], attn[:, li:]
+
+    img2 = img + ig1 * apply("iproj", i_attn)
+    y = _ln(img2) * (1 + isc2) + is2
+    img2 = img2 + ig2 * apply("im2",
+                              F.gelu(apply("im1", y), approximate="tanh"))
+    txt2 = txt + tg1 * apply("tproj", t_attn)
+    y = _ln(txt2) * (1 + tsc2) + ts2
+    txt2 = txt2 + tg2 * apply("tm2",
+                              F.gelu(apply("tm1", y), approximate="tanh"))
+
+    arrs = {}
+    for kk, vv in p.items():
+        if isinstance(vv, tuple):
+            arrs[kk + "_w"] = vv[0].numpy()
+            if vv[1] is not None:
+                arrs[kk + "_b"] = vv[1].numpy()
+        else:
+            arrs[kk] = vv.numpy()
+    save("hyvideo_double_block.npz",
+         img=img, txt=txt, vec=vec, out_img=img2.detach(),
+         out_txt=txt2.detach(), dims=np.array([h, n, mlp]),
+         grid=np.array(grid), rope_dims=np.array(rope_dims), **arrs)
+
+
+# ---------------------------------------------------------------------------
+# 8. FlowDPM++ 2M + LCM/LTX scheduler traces
+#    (shared/utils/fm_solvers.py; shared/utils/lcm_scheduler.py)
+# ---------------------------------------------------------------------------
+
+def gen_dpm_trace():
+    torch.manual_seed(13)
+    n, shift = 8, 5.0
+    # the Wan production path (any2video.py:505-544) feeds
+    # get_sampling_sigmas (fm_solvers.py:22): linspace(1, 0, N+1)[:N]
+    sigmas = np.linspace(1.0, 0.0, n + 1)[:n]
+    sigmas = shift * sigmas / (1 + (shift - 1) * sigmas)
+    timesteps = np.trunc(sigmas * 1000)      # int64 cast in set_timesteps
+    sigmas = np.concatenate([sigmas, [0.0]]).astype(np.float32)
+    s = torch.from_numpy(sigmas)
+
+    g = torch.Generator().manual_seed(13)
+    x = torch.randn(2, 6, generator=g)
+    outs = torch.randn(n, 2, 6, generator=g) * 0.3
+    x0_trace = x.clone()
+
+    def a_s(sig):                    # _sigma_to_alpha_sigma_t (:333)
+        return 1 - sig, sig
+
+    prev_m = None
+    for i in range(n):
+        m0 = x0_trace - s[i] * outs[i]            # convert_model_output:382
+        last = i == n - 1
+        if prev_m is None or last:                # first step + lower_order_final
+            at, st_ = a_s(s[i + 1])
+            as_, ss = a_s(s[i])
+            lt = torch.log(at) - torch.log(st_) if s[i + 1] > 0 else None
+            if s[i + 1] == 0:
+                x0_trace = m0                     # exp(-inf) limit: x = x0
+            else:
+                h = (torch.log(at) - torch.log(st_)
+                     - (torch.log(as_) - torch.log(ss)))
+                x0_trace = (st_ / ss) * x0_trace \
+                    - at * (torch.exp(-h) - 1.0) * m0
+        else:                                     # 2M midpoint (:552)
+            at, st_ = a_s(s[i + 1])
+            as0, ss0 = a_s(s[i])
+            as1, ss1 = a_s(s[i - 1])
+            lam_t = torch.log(at) - torch.log(st_)
+            lam_s0 = torch.log(as0) - torch.log(ss0)
+            lam_s1 = torch.log(as1) - torch.log(ss1)
+            h = lam_t - lam_s0
+            h0 = lam_s0 - lam_s1
+            r0 = h0 / h
+            d0, d1 = m0, (1.0 / r0) * (m0 - prev_m)
+            x0_trace = ((st_ / ss0) * x0_trace
+                        - at * (torch.exp(-h) - 1.0) * d0
+                        - 0.5 * at * (torch.exp(-h) - 1.0) * d1)
+        prev_m = m0
+
+    save("dpm_trace.npz", n_steps=n, shift=shift, sigmas=sigmas,
+         timesteps=timesteps.astype(np.float32), x0=x.numpy(),
+         outputs=outs.numpy(), x_final=x0_trace.numpy())
+
+
+def gen_lcm_trace():
+    torch.manual_seed(14)
+    n, shift = 4, 5.0
+    t = np.linspace(0, 1, n + 1, dtype=np.float32)
+    sigma_min = 0.003 / 1.002
+    sigmas = sigma_min + (1.0 - sigma_min) * (1 - t)
+    sigmas = shift * sigmas / (1 + (shift - 1) * sigmas)
+    timesteps = sigmas[:-1] * 1000
+
+    g = torch.Generator().manual_seed(14)
+    x = torch.randn(2, 6, generator=g)
+    outs = torch.randn(n, 2, 6, generator=g) * 0.3
+    xt = x.clone()
+    for i in range(n):
+        xt = xt + outs[i] * (sigmas[i + 1] - sigmas[i])
+
+    save("lcm_trace.npz", n_steps=n, shift=shift,
+         sigmas=sigmas.astype(np.float32),
+         timesteps=timesteps.astype(np.float32), x0=x.numpy(),
+         outputs=outs.numpy(), x_final=xt.numpy())
+
+
+# ---------------------------------------------------------------------------
+# 9. Wan VAE tile seam blending (vae.py:23-41)
+# ---------------------------------------------------------------------------
+
+def gen_vae_tile_blend():
+    g = torch.Generator().manual_seed(15)
+    # NCTHW like the reference
+    top = torch.randn(1, 3, 2, 12, 10, generator=g)
+    left = torch.randn(1, 3, 2, 12, 10, generator=g)
+    tile = torch.randn(1, 3, 2, 12, 10, generator=g)
+    extent = 5
+
+    tv = tile.clone()
+    weights = (torch.arange(extent) / extent).view(1, 1, 1, extent, 1)
+    edge = top[:, :, :, -extent:, :].clone()
+    edge.mul_(1.0 - weights)
+    tv[:, :, :, :extent, :].mul_(weights).add_(edge)
+
+    th = tile.clone()
+    weights = (torch.arange(extent) / extent).view(1, 1, 1, 1, extent)
+    edge = left[:, :, :, :, -extent:].clone()
+    edge.mul_(1.0 - weights)
+    th[:, :, :, :, :extent].mul_(weights).add_(edge)
+
+    save("vae_tile_blend.npz", top=top, left=left, tile=tile,
+         extent=extent, out_v=tv, out_h=th)

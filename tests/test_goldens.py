@@ -110,3 +110,160 @@ def test_golden_t5_relpos():
     g = _load("t5_relpos.npz")
     got = relative_position_buckets(int(g["length"]))
     np.testing.assert_array_equal(np.asarray(got), g["buckets"])
+
+
+def test_golden_flux_double_block():
+    from wan2gp_tpu.models.flux.dit import (FluxConfig, _double_block,
+                                            rope_from_ids)
+    g = _load("flux_double_block.npz")
+    h, n, mlp = (int(v) for v in g["dims"])
+    cfg = FluxConfig(hidden_size=h, num_heads=n, mlp_ratio=mlp / h,
+                     axes_dim=tuple(int(a) for a in g["axes_dim"]),
+                     depth=1, depth_single_blocks=1)
+
+    def lin(k):
+        return {"w": jnp.asarray(g[k + "_w"].T),
+                "b": jnp.asarray(g[k + "_b"])}
+
+    def stream(s):
+        return {"mod": lin(s + "mod"), "qkv": lin(s + "qkv"),
+                "proj": lin(s + "proj"), "mlp1": lin(s + "m1"),
+                "mlp2": lin(s + "m2"),
+                "norm_q": jnp.asarray(g[s + "nq"]),
+                "norm_k": jnp.asarray(g[s + "nk"])}
+
+    bp = {"img": stream("i"), "txt": stream("t")}
+    cos, sin = rope_from_ids(jnp.asarray(g["ids"]), cfg.axes_dim, cfg.theta)
+    # _double_block computes in cfg.compute_dtype; force fp32 for parity
+    import dataclasses
+    cfg = dataclasses.replace(cfg, compute_dtype=jnp.float32)
+    txt_len = g["txt"].shape[1]
+    img, txt = _double_block(bp, jnp.asarray(g["img"]),
+                             jnp.asarray(g["txt"]), jnp.asarray(g["vec"]),
+                             cos, sin, txt_len, cfg, "xla")
+    np.testing.assert_allclose(np.asarray(img), g["out_img"],
+                               rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(txt), g["out_txt"],
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_golden_flux_single_block():
+    from wan2gp_tpu.models.flux.dit import (FluxConfig, _single_block,
+                                            rope_from_ids)
+    import dataclasses
+    g = _load("flux_single_block.npz")
+    h, n, mlp = (int(v) for v in g["dims"])
+    cfg = FluxConfig(hidden_size=h, num_heads=n, mlp_ratio=mlp / h,
+                     axes_dim=tuple(int(a) for a in g["axes_dim"]),
+                     depth=1, depth_single_blocks=1)
+    cfg = dataclasses.replace(cfg, compute_dtype=jnp.float32)
+    bp = {"mod": {"w": jnp.asarray(g["mod_w"].T),
+                  "b": jnp.asarray(g["mod_b"])},
+          "linear1": {"w": jnp.asarray(g["lin1_w"].T),
+                      "b": jnp.asarray(g["lin1_b"])},
+          "linear2": {"w": jnp.asarray(g["lin2_w"].T),
+                      "b": jnp.asarray(g["lin2_b"])},
+          "norm_q": jnp.asarray(g["nq"]), "norm_k": jnp.asarray(g["nk"])}
+    cos, sin = rope_from_ids(jnp.asarray(g["ids"]), cfg.axes_dim, cfg.theta)
+    out = _single_block(bp, jnp.asarray(g["x"]), jnp.asarray(g["vec"]),
+                        cos, sin, cfg, "xla")
+    np.testing.assert_allclose(np.asarray(out), g["out"],
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_golden_hyvideo_double_block():
+    from wan2gp_tpu.models.hyvideo.dit import (HunyuanConfig, _double_block,
+                                               build_hunyuan_rope)
+    import dataclasses
+    g = _load("hyvideo_double_block.npz")
+    h, n, mlp = (int(v) for v in g["dims"])
+    grid = tuple(int(v) for v in g["grid"])
+    cfg = HunyuanConfig(hidden_size=h, heads_num=n,
+                        rope_dim_list=tuple(int(v) for v in g["rope_dims"]),
+                        mm_double_blocks_depth=1, mm_single_blocks_depth=1)
+    cfg = dataclasses.replace(cfg, compute_dtype=jnp.float32)
+
+    def lin(k):
+        p = {"w": jnp.asarray(g[k + "_w"].T)}
+        if k + "_b" in g:
+            p["b"] = jnp.asarray(g[k + "_b"])
+        return p
+
+    def stream(s):
+        return {"mod": lin(s + "mod"), "qkv": lin(s + "qkv"),
+                "proj": lin(s + "proj"), "mlp1": lin(s + "m1"),
+                "mlp2": lin(s + "m2"),
+                "norm_q": jnp.asarray(g[s + "nq"]),
+                "norm_k": jnp.asarray(g[s + "nk"])}
+
+    bp = {"img": stream("i"), "txt": stream("t")}
+    lt = g["txt"].shape[1]
+    li = g["img"].shape[1]
+    cos, sin = build_hunyuan_rope(grid, cfg.rope_dim_list, txt_len=lt,
+                                  theta=256.0)
+    img, txt = _double_block(bp, jnp.asarray(g["img"]),
+                             jnp.asarray(g["txt"]), jnp.asarray(g["vec"]),
+                             jnp.asarray(cos), jnp.asarray(sin), li, cfg,
+                             "xla")
+    np.testing.assert_allclose(np.asarray(img), g["out_img"],
+                               rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(txt), g["out_txt"],
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_golden_dpm_trace():
+    from wan2gp_tpu.schedulers import make_schedule
+    from wan2gp_tpu.schedulers.base import solver_step, init_solver_state
+    g = _load("dpm_trace.npz")
+    n, shift = int(g["n_steps"]), float(g["shift"])
+    sched = make_schedule("dpm++", n, shift=shift)
+    np.testing.assert_allclose(np.asarray(sched.sigmas)[:n], g["sigmas"][:n],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sched.timesteps), g["timesteps"],
+                               rtol=1e-5, atol=1e-3)
+    x = jnp.asarray(g["x0"], jnp.float32)
+    state = init_solver_state(sched, x)
+    for i in range(n):
+        ci = {k: v[i] for k, v in sched.coeffs.items()}
+        x, state = solver_step(sched, i, ci,
+                               jnp.asarray(g["outputs"][i], jnp.float32),
+                               x, state)
+    np.testing.assert_allclose(np.asarray(x), g["x_final"],
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_golden_lcm_trace():
+    from wan2gp_tpu.schedulers import make_schedule
+    from wan2gp_tpu.schedulers.base import solver_step, init_solver_state
+    g = _load("lcm_trace.npz")
+    n, shift = int(g["n_steps"]), float(g["shift"])
+    sched = make_schedule("lcm", n, shift=shift)
+    np.testing.assert_allclose(np.asarray(sched.sigmas), g["sigmas"],
+                               rtol=1e-5, atol=1e-6)
+    x = jnp.asarray(g["x0"], jnp.float32)
+    state = init_solver_state(sched, x)
+    for i in range(n):
+        ci = {k: v[i] for k, v in sched.coeffs.items()}
+        x, state = solver_step(sched, i, ci,
+                               jnp.asarray(g["outputs"][i], jnp.float32),
+                               x, state)
+    np.testing.assert_allclose(np.asarray(x), g["x_final"],
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_golden_vae_tile_blend():
+    from wan2gp_tpu.models.wan.vae_scan import blend_v, blend_h
+    g = _load("vae_tile_blend.npz")
+
+    def to_nthwc(a):
+        return jnp.asarray(a.transpose(0, 2, 3, 4, 1))
+
+    ext = int(g["extent"])
+    out_v = blend_v(to_nthwc(g["top"]), to_nthwc(g["tile"]), ext)
+    np.testing.assert_allclose(np.asarray(out_v),
+                               g["out_v"].transpose(0, 2, 3, 4, 1),
+                               rtol=1e-6, atol=1e-6)
+    out_h = blend_h(to_nthwc(g["left"]), to_nthwc(g["tile"]), ext)
+    np.testing.assert_allclose(np.asarray(out_h),
+                               g["out_h"].transpose(0, 2, 3, 4, 1),
+                               rtol=1e-6, atol=1e-6)

@@ -33,3 +33,26 @@ def test_chunked_single_frame(setup):
     chunked = vae_decode_chunked(params, TINY, z[:, :1])
     np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_spatial_tiled_stitch_exact_for_local_decoder():
+    """The tile grid / crop / seam-blend machinery must be exact: with a
+    purely local decoder (pointwise 8x nearest upsample — no receptive
+    field crossing tile borders) overlapping tiles agree on the overlap
+    band, so blending is an identity and tiled == full bit-for-bit.
+    (Real-VAE seam quality is a property of trained weights — the blend
+    ramp itself is pinned by the vae_tile_blend golden.)"""
+    from wan2gp_tpu.models.wan.vae_scan import vae_decode_spatial_tiled
+
+    def local_decode(z):
+        px = jnp.repeat(jnp.repeat(z[..., :3], 8, axis=2), 8, axis=3)
+        return jnp.repeat(px, 4, axis=1)
+
+    cfg = WanVAEConfig(dim=8, num_res_blocks=1)
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.standard_normal((1, 2, 20, 28, 16)), jnp.float32)
+    full = np.asarray(local_decode(z))
+    tiled = np.asarray(vae_decode_spatial_tiled(
+        None, cfg, z, tile_size=64, decode_fn=local_decode))
+    assert tiled.shape == full.shape
+    np.testing.assert_allclose(tiled, full, rtol=0, atol=1e-6)

@@ -2554,14 +2554,22 @@ class WanPipeline:
         a = jnp.mean(pha, axis=-1, keepdims=True)
         return jnp.concatenate([rgb, a], axis=-1)
 
-    def decode(self, latents_bcfhw, mode: str = "auto"):
+    def decode(self, latents_bcfhw, mode: str = "auto",
+               tile_size: int = 0):
         """VAE decode [B, C, F, H, W] -> [B, T, H, W, 3].  mode auto uses
         the memory-bounded chunked scan for clips beyond a few latent
-        frames (vae_scan.py), numerically identical to the full decode."""
+        frames (vae_scan.py), numerically identical to the full decode.
+        tile_size > 0 additionally bounds spatial activation memory by
+        decoding overlapping pixel tiles with seam blending (reference
+        spatial_tiled_decode, models/wan/modules/vae.py:676-717)."""
         z = latents_bcfhw.transpose(0, 2, 3, 4, 1)
         from .vae2_2 import Wan22VAEConfig, wan22_vae_decode
         if isinstance(self.vae_cfg, Wan22VAEConfig):
             return wan22_vae_decode(self.vae_params, self.vae_cfg, z)
+        if tile_size > 0:
+            from .vae_scan import vae_decode_spatial_tiled
+            return vae_decode_spatial_tiled(self.vae_params, self.vae_cfg,
+                                            z, tile_size=tile_size)
         if mode == "chunked" or (mode == "auto" and z.shape[1] > 4):
             return vae_decode_chunked(self.vae_params, self.vae_cfg, z)
         return vae_decode(self.vae_params, self.vae_cfg, z)

@@ -156,3 +156,71 @@ def vae_decode_chunked(params, cfg: WanVAEConfig, latents):
     outs = outs.transpose(1, 0, 2, 3, 4, 5).reshape(
         b, t1 * 4, *outs.shape[3:])
     return jnp.concatenate([first_out, outs], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# spatial tiling with seam blending (vae.py:676-717 spatial_tiled_decode +
+# _blend_v_edge_/_blend_h_edge_ :23-41)
+# ---------------------------------------------------------------------------
+
+def blend_v(top, tile, extent: int):
+    """Linear vertical seam blend (vae.py:23-31).  NTHWC layout: the first
+    `extent` rows of `tile` ramp from the last `extent` rows of `top`."""
+    extent = min(top.shape[2], tile.shape[2], int(extent))
+    if extent <= 0:
+        return tile
+    w = (jnp.arange(extent, dtype=tile.dtype)
+         / extent)[None, None, :, None, None]
+    mixed = tile[:, :, :extent] * w + top[:, :, -extent:] * (1.0 - w)
+    return tile.at[:, :, :extent].set(mixed)
+
+
+def blend_h(left, tile, extent: int):
+    """Linear horizontal seam blend (vae.py:33-41)."""
+    extent = min(left.shape[3], tile.shape[3], int(extent))
+    if extent <= 0:
+        return tile
+    w = (jnp.arange(extent, dtype=tile.dtype)
+         / extent)[None, None, None, :, None]
+    mixed = tile[:, :, :, :extent] * w + left[:, :, :, -extent:] * (1.0 - w)
+    return tile.at[:, :, :, :extent].set(mixed)
+
+
+def vae_decode_spatial_tiled(params, cfg: WanVAEConfig, latents,
+                             tile_size: int = 256, decode_fn=None):
+    """Spatially-tiled decode with overlap blending — bounds decoder
+    activation memory by pixel tile (reference spatial_tiled_decode,
+    vae.py:676-717: latent tiles of tile_size/8 on a 0.75-overlap grid,
+    decoded independently, seams blended with linear ramps over the
+    0.25-overlap band, then cropped to row_limit and stitched).
+
+    latents: [B, T_lat, h, w, 16] normalized; decode_fn defaults to the
+    frame-scanned `vae_decode_chunked`.  Tile grids are fixed by
+    (h, w, tile_size), so each distinct tile shape compiles once.
+    """
+    decode_fn = decode_fn or (lambda z: vae_decode_chunked(params, cfg, z))
+    tl = tile_size // 8                       # latent tile
+    overlap = int(tl * 0.75)                  # latent stride
+    blend = int(tile_size * 0.25)             # pixel blend band
+    row_limit = tile_size - blend
+    h, w = latents.shape[2], latents.shape[3]
+    if h <= tl and w <= tl:
+        return decode_fn(latents)
+
+    rows = []
+    for i in range(0, h, overlap):
+        row = []
+        for j in range(0, w, overlap):
+            row.append(decode_fn(latents[:, :, i:i + tl, j:j + tl]))
+        rows.append(row)
+    result_rows = []
+    for i, row in enumerate(rows):
+        out_row = []
+        for j, tile in enumerate(row):
+            if i > 0:
+                tile = blend_v(rows[i - 1][j], tile, blend)
+            if j > 0:
+                tile = blend_h(row[j - 1], tile, blend)
+            out_row.append(tile[:, :, :row_limit, :row_limit])
+        result_rows.append(jnp.concatenate(out_row, axis=3))
+    return jnp.concatenate(result_rows, axis=2)

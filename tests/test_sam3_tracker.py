@@ -304,3 +304,33 @@ def test_run_sam3_video_union_and_empty(predictor):
     col = run_sam3_video(video, ["thing"], predictor,
                          colorize_objects=True)
     assert col.shape == (2, 40, 40, 3) and col.dtype == np.uint8
+
+
+def test_sam3_masks_drive_vace_inpaint(predictor):
+    """The mask-creation workflow: text-prompted SAM3 video masks feed
+    VACE inpainting (reference: preprocessor.run_sam3_video output used
+    as the video mask in wgp's VACE mask modes)."""
+    from wan2gp_tpu.models.wan.dit import WanDiTConfig, init_wan_dit
+    from wan2gp_tpu.models.wan.vae import WanVAEConfig, init_wan_vae
+    from wan2gp_tpu.models.wan.pipeline import WanPipeline, SamplingConfig
+
+    rng = np.random.default_rng(6)
+    video = (rng.uniform(size=(5, 32, 32, 3)) * 255).astype(np.uint8)
+    sam_masks = run_sam3_video(video, ["the subject"], predictor)
+    assert sam_masks.shape == (5, 32, 32) and sam_masks.dtype == bool
+
+    vace_cfg = WanDiTConfig(dim=32, ffn_dim=64, num_heads=4, num_layers=4,
+                            freq_dim=16, text_dim=16, text_len=4,
+                            vace=True, vace_in_dim=96)
+    vae_cfg = WanVAEConfig(dim=8, num_res_blocks=1)
+    pipe = WanPipeline(init_wan_dit(jax.random.key(0), vace_cfg), vace_cfg,
+                       vae_params=init_wan_vae(jax.random.key(1), vae_cfg),
+                       vae_cfg=vae_cfg, attn_backend="xla")
+    frames = np.asarray(video, np.float32) / 127.5 - 1.0
+    ctx = jnp.asarray(rng.standard_normal((1, 4, 16)), jnp.float32)
+    out = pipe.generate_vace(
+        "x", frames, masks=sam_masks.astype(np.float32),
+        sampling=SamplingConfig(solver="euler", steps=2, guide_scale=1.0),
+        seed=0, context=ctx)
+    assert out.shape == (5, 32, 32, 3)
+    assert np.isfinite(np.asarray(out)).all()

@@ -148,3 +148,46 @@ def test_webui_gallery_endpoints(ui, tmp_path):
     assert json.loads(body) == {}
     _, _, body = ui.handle("GET", "/api/gallery/meta?file=../vid.avi")
     assert json.loads(body)["prompt"] == "a cat"
+
+
+def test_webui_mask_editor_routes(ui, tmp_path, monkeypatch):
+    """Mask editor page + SAM3 image/video mask endpoints
+    (reference: shared/gradio/wangp_image_editor + preprocessing/sam3)."""
+    import base64
+    import io as _io
+    import numpy as np
+    from PIL import Image
+    from wan2gp_tpu.utils.media import save_video
+
+    monkeypatch.setenv("WAN2GP_SAM3", "tiny")
+    ui.mask_backend.threshold = 0.0
+
+    status, ctype, body = ui.handle("GET", "/mask")
+    assert status == 200 and b"Mask editor" in body
+
+    rng = np.random.default_rng(0)
+    img = (rng.uniform(size=(40, 48, 3)) * 255).astype(np.uint8)
+    buf = _io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    b64 = "data:image/png;base64," + base64.b64encode(
+        buf.getvalue()).decode()
+    status, _, body = ui.handle(
+        "POST", "/api/mask/sam3",
+        json.dumps({"image": b64, "text": "a thing",
+                    "points": [[24.0, 20.0]], "labels": [1]}).encode())
+    assert status == 200, body
+    out = json.loads(body)
+    mdata = base64.b64decode(out["mask"].split(",", 1)[1])
+    mask = np.asarray(Image.open(_io.BytesIO(mdata)))
+    assert mask.shape == (40, 48)
+
+    video = (rng.uniform(size=(2, 40, 48, 3)) * 255).astype(np.uint8)
+    save_video(video, str(tmp_path / "clip.avi"))
+    status, _, body = ui.handle(
+        "POST", "/api/mask/video",
+        json.dumps({"video": "clip.avi",
+                    "keywords": ["a thing"]}).encode())
+    assert status == 200, body
+    out = json.loads(body)
+    assert out["frames"] == 2
+    assert (tmp_path / out["file"]).exists()

@@ -21,6 +21,9 @@ Endpoints:
                               first; type: any|video|image|audio)
   GET  /api/gallery/meta?file=N  embedded generation settings of a file
   GET  /api/thumb?file=N      JPEG thumbnail (first video frame / image)
+  GET  /mask                  canvas mask editor (runtime/mask_editor.py)
+  POST /api/mask/sam3         SAM3 image mask  {image, text?, points?}
+  POST /api/mask/video        SAM3 keyword mask video {video, keywords}
 
 The gallery trio is the HTTP counterpart of the reference's output
 galleries (wgp.py refresh_gallery:4332, shared/gradio/gallery.py
@@ -49,6 +52,7 @@ td,th{border:1px solid #ddd;padding:4px 8px;text-align:left;font-size:14px}
 textarea{width:100%}button{margin-right:.5em}
 </style></head><body>
 <h2>Wan2GP-TPU</h2>
+<p><a href="/mask">mask editor</a></p>
 <fieldset><legend>New task</legend>
 <p>Model: <select id="model"></select>
  Resolution: <input id="res" value="832x480" size="9">
@@ -130,6 +134,8 @@ class WebUI:
         self.session = session or Session(**session_kwargs)
         self.save_path = save_path
         self._server: Optional[ThreadingHTTPServer] = None
+        from .mask_editor import MaskBackend
+        self.mask_backend = MaskBackend(save_path=save_path)
 
     # -- request handling (returns (status, content_type, bytes)) ----------
 
@@ -146,6 +152,13 @@ class WebUI:
                 return 500, "application/json", json.dumps(
                     {"error": str(e)}).encode()
         try:
+            if route == "/mask" or route.startswith("/api/mask/"):
+                from .mask_editor import handle_mask_route
+                payload = json.loads(body.decode("utf-8")) if body else {}
+                resp = handle_mask_route(self.mask_backend, route, method,
+                                         payload)
+                if resp is not None:
+                    return resp
             if method == "GET":
                 return self._get(route, qs)
             if method == "POST":

@@ -24,6 +24,7 @@ from .tts_ace import ACEStepFamilyHandler
 from .tts_qwen3 import Qwen3TTSFamilyHandler
 from .tts_heartmula import HeartMulaFamilyHandler
 from .tts_omnivoice import OmniVoiceFamilyHandler
+from .tts_chatterbox import ChatterboxFamilyHandler
 
 _HANDLER_CLASSES = [WanFamilyHandler, FluxFamilyHandler,
                     HunyuanFamilyHandler, LTXVFamilyHandler,
@@ -33,7 +34,8 @@ _HANDLER_CLASSES = [WanFamilyHandler, FluxFamilyHandler,
                     LongCatFamilyHandler, HiDreamFamilyHandler,
                     MagiFamilyHandler, LTX2FamilyHandler,
                     ACEStepFamilyHandler, Qwen3TTSFamilyHandler,
-                    HeartMulaFamilyHandler, OmniVoiceFamilyHandler]
+                    HeartMulaFamilyHandler, OmniVoiceFamilyHandler,
+                    ChatterboxFamilyHandler]
 
 
 def build_handler_map():

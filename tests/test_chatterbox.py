@@ -283,15 +283,23 @@ def test_chatterbox_registered():
     assert "chatterbox_multilingual" in handlers
 
 
-def test_service_chatterbox_end_to_end(tmp_path):
+def test_service_chatterbox_end_to_end(tmp_path, monkeypatch):
     """chatterbox through the GenerationService: prompt -> WAV."""
+    from wan2gp_tpu.families import tts_chatterbox as mod
     from wan2gp_tpu.runtime.service import GenerationService
     from wan2gp_tpu.utils.media import read_wav
+
+    def shim(full):
+        return type("Shim", (), {"__new__": lambda c: full.tiny(),
+                                 "tiny": staticmethod(full.tiny)})
+
+    monkeypatch.setattr(mod, "T3Config", shim(T3Config))
+    monkeypatch.setattr(mod, "VoiceEncConfig", shim(VoiceEncConfig))
+    monkeypatch.setattr(mod, "S3GenConfig", shim(S.S3GenConfig))
     svc = GenerationService(output_dir=str(tmp_path), attn_backend="xla",
                             init_random_weights=True)
     paths = svc.generate({"model_type": "chatterbox",
                           "prompt": "hello tpu",
-                          "model_def": {"tiny": True},
                           "duration_seconds": 0.5, "temperature": 0,
                           "seed": 5})
     assert paths and paths[0].endswith(".wav")

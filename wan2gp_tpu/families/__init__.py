@@ -25,6 +25,7 @@ from .tts_qwen3 import Qwen3TTSFamilyHandler
 from .tts_heartmula import HeartMulaFamilyHandler
 from .tts_omnivoice import OmniVoiceFamilyHandler
 from .tts_chatterbox import ChatterboxFamilyHandler
+from .tts_yue import YuEFamilyHandler
 
 _HANDLER_CLASSES = [WanFamilyHandler, FluxFamilyHandler,
                     HunyuanFamilyHandler, LTXVFamilyHandler,
@@ -35,7 +36,7 @@ _HANDLER_CLASSES = [WanFamilyHandler, FluxFamilyHandler,
                     MagiFamilyHandler, LTX2FamilyHandler,
                     ACEStepFamilyHandler, Qwen3TTSFamilyHandler,
                     HeartMulaFamilyHandler, OmniVoiceFamilyHandler,
-                    ChatterboxFamilyHandler]
+                    ChatterboxFamilyHandler, YuEFamilyHandler]
 
 
 def build_handler_map():

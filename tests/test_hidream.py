@@ -182,3 +182,118 @@ def test_loader_roundtrip():
 def test_handler_registered():
     from wan2gp_tpu.families import build_handler_map
     assert "hidream_o1" in build_handler_map()
+
+
+# -- edit mode (vision tower + reference conditioning) ----------------------
+
+def test_vision_tower_shapes_and_pos_interp():
+    from wan2gp_tpu.models.hidream.vision import (
+        Qwen3VLVisionConfig, init_qwen3_vision, qwen3_vision_forward,
+        image_to_vision_patches, _interp_pos_embed, _rope_cos_sin)
+    cfg = Qwen3VLVisionConfig.tiny()
+    p = init_qwen3_vision(jax.random.PRNGKey(0), cfg)
+    img = np.random.default_rng(0).uniform(-1, 1, (32, 48, 3)).astype(
+        np.float32)
+    patches, gh, gw = image_to_vision_patches(img, cfg)
+    assert patches.shape == (gh * gw,
+                             3 * cfg.temporal_patch_size
+                             * cfg.patch_size ** 2)
+    emb, deep = qwen3_vision_forward(p, cfg, patches, gh, gw)
+    assert emb.shape == (gh * gw // 4, cfg.out_hidden_size)
+    assert len(deep) == len(cfg.deepstack_indexes)
+    assert np.isfinite(np.asarray(emb)).all()
+    # pos-embed interpolation at the native grid is (reordered) identity
+    side = cfg.grid_side
+    table = np.random.default_rng(1).standard_normal(
+        (cfg.num_position_embeddings, 4)).astype(np.float32)
+    pe = _interp_pos_embed(table, cfg, side, side)
+    m = cfg.spatial_merge_size
+    reord = table.reshape(side // m, m, side // m, m, -1).transpose(
+        0, 2, 1, 3, 4).reshape(side * side, -1)
+    np.testing.assert_allclose(np.asarray(pe), reord, atol=1e-5)
+
+
+def test_edit_rope_fix_point_layout():
+    """Target grid sits at absolute offset 4096; VLM grids flow with
+    the text cursor (utils.py get_rope_index_fix_point)."""
+    from wan2gp_tpu.models.hidream.model import hidream_edit_rope_tables
+    segs = [("text", 3), ("text", 1), ("vlm", 2, 2), ("text", 2),
+            ("fix", 2, 2), ("fix", 1, 2)]
+    cos, sin = hidream_edit_rope_tables(LM_TINY, H_TINY, segs)
+    n = 3 + 1 + 4 + 2 + 4 + 2
+    assert cos.shape == (1, n, LM_TINY.head_dim // 2)
+    # t-axis frequency channel 0 (mrope_section (2,1,1): channel 0 is
+    # temporal) encodes the raw position; text rows 0..3 then grid at 4
+    inv0 = 1.0
+    t_pos = np.arccos(np.clip(np.asarray(cos[0, :, 0]), -1, 1))
+    # text cursor after vlm grid continues past its max (4 + 2 = 6)
+    assert np.isclose(t_pos[0], 0.0, atol=1e-5)
+
+
+def test_generate_edit_runs_and_refs_matter():
+    from wan2gp_tpu.models.hidream.vision import (Qwen3VLVisionConfig,
+                                                  init_qwen3_vision)
+    vcfg = Qwen3VLVisionConfig.tiny()
+    params = _params()
+    params["vision"] = init_qwen3_vision(jax.random.key(5), vcfg,
+                                         jnp.float32)
+
+    def build(prompt):
+        ids = np.full((1, 4), 3, np.int64)
+        ids = np.concatenate([ids, [[6, 7]]], axis=1)
+        return jnp.asarray(ids, jnp.int32)
+
+    pipe = HiDreamPipeline(params, LM_TINY, H_TINY,
+                           build_prompt_fn=build, attn_backend="xla",
+                           vision_cfg=vcfg, vision_start_token_id=9)
+    rng = np.random.default_rng(3)
+    ref = rng.uniform(-1, 1, (16, 16, 3)).astype(np.float32)
+    samp = HiDreamSamplingConfig(steps=2, guidance=2.0)
+    img = pipe.generate_edit("make it red", [ref], height=8, width=8,
+                             sampling=samp, seed=0)
+    assert img.shape == (1, 3, 8, 8)
+    assert np.isfinite(np.asarray(img)).all()
+    # a different reference changes the output
+    ref2 = rng.uniform(-1, 1, (16, 16, 3)).astype(np.float32)
+    img2 = pipe.generate_edit("make it red", [ref2], height=8, width=8,
+                              sampling=samp, seed=0)
+    assert not np.allclose(np.asarray(img), np.asarray(img2))
+    # two references also run (different canvas budget branch)
+    img3 = pipe.generate_edit("x", [ref, ref2], height=8, width=8,
+                              sampling=HiDreamSamplingConfig(
+                                  steps=1, guidance=1.0), seed=0)
+    assert np.isfinite(np.asarray(img3)).all()
+
+
+def test_handler_edit_path():
+    from wan2gp_tpu.families.hidream import HiDreamFamilyHandler
+    import wan2gp_tpu.families.hidream as mod
+    import wan2gp_tpu.models.hidream.vision as vis
+
+    # shrink configs for the handler path
+    class _LMShim:
+        def __new__(cls, **kw):
+            return LM_TINY
+
+    class _HShim:
+        def __new__(cls):
+            return H_TINY
+
+    class _VShim:
+        def __new__(cls, **kw):
+            return vis.Qwen3VLVisionConfig.tiny()
+
+    import unittest.mock as mock
+    with mock.patch.object(mod, "QwenLMConfig", _LMShim), \
+         mock.patch.object(mod, "HiDreamConfig", _HShim), \
+         mock.patch.object(mod, "Qwen3VLVisionConfig", _VShim):
+        pipe = HiDreamFamilyHandler.load_model(
+            "hidream_o1", {}, init_random=True)
+    ref = (np.random.default_rng(0).uniform(0, 255, (16, 16, 3))
+           .astype(np.uint8))
+    out = HiDreamFamilyHandler.generate_image(
+        pipe, {"prompt": "p", "num_inference_steps": 1,
+               "guidance_scale": 1.0, "image_refs": [ref]},
+        width=8, height=8, seed=0)
+    assert out.shape == (8, 8, 3)
+    assert np.isfinite(np.asarray(out)).all()

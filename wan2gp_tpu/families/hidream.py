@@ -1,9 +1,11 @@
-"""HiDream-O1 family handler (pixel-space t2i on a Qwen3-VL backbone).
+"""HiDream-O1 family handler (pixel-space t2i/edit on a Qwen3-VL
+backbone).
 
 Mirrors /root/reference/models/hidream/hidream_main.py: one checkpoint
 (Qwen3VLForConditionalGeneration + pixel-DiT extras), no VAE, no
-separate text encoder.  Reference-image edit mode (vision tower) is a
-later round.
+separate text encoder.  Reference-image edit mode conditions on the
+Qwen3-VL vision tower (models/hidream/vision.py) plus clean reference
+pixel patches (pipeline.py:190-330).
 """
 from __future__ import annotations
 
@@ -15,6 +17,8 @@ import jax.numpy as jnp
 
 from ..models.hidream.model import (HiDreamConfig, QWEN3_VL_8B,
                                     init_hidream_extras)
+from ..models.hidream.vision import (Qwen3VLVisionConfig,
+                                     init_qwen3_vision)
 from ..models.hidream.pipeline import HiDreamPipeline, HiDreamSamplingConfig
 from ..models.qwen.text_encoder import QwenLMConfig, init_qwen_lm
 
@@ -59,9 +63,12 @@ class HiDreamFamilyHandler:
                    init_random=False, tokenizer=None, seed=0):
         lm_cfg = QwenLMConfig(**QWEN3_VL_8B, compute_dtype=dtype)
         hcfg = HiDreamConfig()
+        vis_cfg = Qwen3VLVisionConfig(out_hidden_size=lm_cfg.dim)
         if init_random:
             params = {"lm": init_qwen_lm(jax.random.key(seed), lm_cfg,
                                          dtype),
+                      "vision": init_qwen3_vision(
+                          jax.random.key(seed + 2), vis_cfg, dtype),
                       **init_hidream_extras(jax.random.key(seed + 1),
                                             lm_cfg, hcfg, dtype)}
         else:
@@ -74,7 +81,8 @@ class HiDreamFamilyHandler:
         build_prompt_fn = cls._build_prompt_fn(tokenizer, hcfg)
         return HiDreamPipeline(params, lm_cfg, hcfg,
                                build_prompt_fn=build_prompt_fn,
-                               attn_backend=attn_backend)
+                               attn_backend=attn_backend,
+                               vision_cfg=vis_cfg)
 
     @staticmethod
     def _build_prompt_fn(tokenizer, hcfg: HiDreamConfig):
@@ -103,8 +111,21 @@ class HiDreamFamilyHandler:
             shift=float(merged.get("flow_shift", 3.0)),
             scheduler=str(merged.get("sample_solver", "default")
                           or "default"))
-        img = pipe.generate(prompt=merged.get("prompt", ""),
-                            height=height, width=width,
-                            sampling=sampling, seed=seed)
+        refs = merged.get("image_refs") or []
+        if refs:
+            ref_arrays = []
+            for r in refs:
+                a = np.asarray(r, np.float32)
+                if a.max() > 1.5:        # uint8 -> [-1, 1]
+                    a = a / 127.5 - 1.0
+                ref_arrays.append(a)
+            img = pipe.generate_edit(prompt=merged.get("prompt", ""),
+                                     ref_images=ref_arrays,
+                                     height=height, width=width,
+                                     sampling=sampling, seed=seed)
+        else:
+            img = pipe.generate(prompt=merged.get("prompt", ""),
+                                height=height, width=width,
+                                sampling=sampling, seed=seed)
         # [1, 3, H, W] in [0,1] -> [H, W, 3] in [-1, 1]
         return img[0].transpose(1, 2, 0) * 2.0 - 1.0

@@ -81,6 +81,63 @@ def hidream_rope_tables(lm_cfg: QwenLMConfig, hcfg: HiDreamConfig,
             jnp.asarray(np.sin(ft), jnp.float32)[None])
 
 
+def _mrope_tables_from_pos(lm_cfg: QwenLMConfig, hcfg: HiDreamConfig,
+                           pos: np.ndarray):
+    """pos [L, 3] -> interleaved-MRoPE cos/sin [1, L, head_dim//2]."""
+    half = lm_cfg.head_dim // 2
+    inv = 1.0 / (lm_cfg.rope_theta **
+                 (np.arange(0, lm_cfg.head_dim, 2, dtype=np.float64) /
+                  lm_cfg.head_dim))
+    freqs = pos.astype(np.float64)[:, None, :] * inv[None, :, None]
+    axis_of = np.zeros((half,), np.int64)
+    for axis in (1, 2):
+        idx = np.arange(axis, hcfg.mrope_section[axis] * 3, 3)
+        axis_of[idx] = axis
+    ft = np.take_along_axis(freqs, axis_of[None, :, None], axis=-1)[..., 0]
+    return (jnp.asarray(np.cos(ft), jnp.float32)[None],
+            jnp.asarray(np.sin(ft), jnp.float32)[None])
+
+
+def hidream_edit_rope_tables(lm_cfg: QwenLMConfig, hcfg: HiDreamConfig,
+                             segments):
+    """Edit-mode position ids (utils.py:77-183
+    get_rope_index_fix_point with skip_vision_start_token =
+    [0]*K_cond + [1] + [1]*K_ref, fix_point 4096).
+
+    segments: ordered list of ("text", n) | ("vlm", gh, gw) |
+    ("fix", gh, gw).  "vlm" grids flow with the text cursor (their
+    preceding <vision_start> counts as text); "fix" grids (target +
+    refs) sit at absolute offsets starting at 4096."""
+    rows = []
+    p = 0                       # text cursor / st_idx
+    fix_point = hcfg.image_position_offset
+    for seg in segments:
+        if seg[0] == "text":
+            n = seg[1]
+            tp = (np.arange(n) + p)[:, None].repeat(3, 1)
+            rows.append(tp)
+            p += n
+        else:
+            gh, gw = seg[1], seg[2]
+            hw = np.stack(np.meshgrid(np.arange(gh), np.arange(gw),
+                                      indexing="ij"), -1).reshape(-1, 2)
+            grid = np.concatenate(
+                [np.zeros((gh * gw, 1), np.int64), hw], 1)
+            if seg[0] == "vlm":
+                grid = grid + p
+            else:                      # "fix": absolute placement
+                if fix_point > 0:
+                    offset = fix_point
+                    fix_point = 0
+                else:
+                    offset = p
+                grid = grid + offset
+            rows.append(grid)
+            p = int(grid.max()) + 1
+    pos = np.concatenate(rows, 0)
+    return _mrope_tables_from_pos(lm_cfg, hcfg, pos)
+
+
 def _timestep_embed(p, t, freq_dim: int, dtype):
     """t in [0, 1]; sinusoid of t*1000, cos-first (:1266-1283)."""
     half = freq_dim // 2
@@ -171,6 +228,69 @@ def hidream_forward(params, lm_cfg: QwenLMConfig, hcfg: HiDreamConfig,
                  {"w": params["final"]["w"].astype(jnp.float32),
                   "b": params["final"]["b"].astype(jnp.float32)})
     return out
+
+
+def hidream_forward_edit(params, lm_cfg: QwenLMConfig,
+                         hcfg: HiDreamConfig, prefix_emb, vinputs, t,
+                         cos, sin, ref_patches=None,
+                         attn_backend: str = "auto"):
+    """Edit-mode forward: prefix_emb [1, Lp, D] is the prebuilt
+    conditioning stream (chat text + vision-tower embeds for the VLM
+    reference views + <boi> + <tms>); the <tms> slot (last row) is
+    replaced by the timestep embedding.  vinputs [B, Ni, patch_dim]
+    noisy target patches; ref_patches [1, Nr, patch_dim] clean
+    reference patches appended after the target (token_types 2,
+    pipeline.py:287-300).  Returns x_pred over the target rows."""
+    cdt = lm_cfg.compute_dtype
+    lm = params["lm"]
+    bsz, ni = vinputs.shape[0], vinputs.shape[1]
+    lp = prefix_emb.shape[1]
+
+    emb = jnp.broadcast_to(prefix_emb.astype(cdt),
+                           (bsz,) + prefix_emb.shape[1:])
+    t_emb = _timestep_embed(params["t_embedder"], t, hcfg.freq_dim, cdt)
+    tms = (jnp.arange(lp) == lp - 1)[None, :, None]
+    emb = jnp.where(tms, t_emb[:, None], emb)
+
+    vin = vinputs.astype(cdt)
+    if ref_patches is not None:
+        ref = jnp.broadcast_to(ref_patches.astype(cdt),
+                               (bsz,) + ref_patches.shape[1:])
+        vin = jnp.concatenate([vin, ref], axis=1)
+    vemb = _dense(jnp.dot(vin, params["x_embedder"]["proj1"]["w"]
+                          .astype(cdt)), params["x_embedder"]["proj2"])
+    x = jnp.concatenate([emb, vemb], axis=1)
+
+    b, l, _ = x.shape
+    n, nkv, hd = lm_cfg.n_heads, lm_cfg.n_kv_heads, lm_cfg.head_dim
+
+    def body(x, blk):
+        y = _rms(x, blk["input_norm"], lm_cfg.norm_eps)
+        q = _dense(y, blk["q"]).reshape(b, l, n, hd)
+        k = _dense(y, blk["k"]).reshape(b, l, nkv, hd)
+        v = _dense(y, blk["v"]).reshape(b, l, nkv, hd)
+        if lm_cfg.qk_norm:
+            q = _rms(q, blk["q_norm"], lm_cfg.norm_eps)
+            k = _rms(k, blk["k_norm"], lm_cfg.norm_eps)
+        q = _apply_half_rope(q, cos, sin)
+        k = _apply_half_rope(k, cos, sin)
+        if nkv != n:
+            k = jnp.repeat(k, n // nkv, axis=2)
+            v = jnp.repeat(v, n // nkv, axis=2)
+        o = _mixed_attention(q, k, v, lp - 1, attn_backend)
+        x = x + _dense(o.reshape(b, l, n * hd), blk["o"])
+        y = _rms(x, blk["post_norm"], lm_cfg.norm_eps)
+        h = jax.nn.silu(_dense(y, blk["gate"]).astype(jnp.float32)
+                        ).astype(cdt) * _dense(y, blk["up"])
+        x = x + _dense(h, blk["down"])
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, lm["layers"])
+    x = _rms(x, lm["norm"], lm_cfg.norm_eps)
+    h_img = x[:, lp:lp + ni]
+    return _dense(h_img.astype(jnp.float32),
+                  {"w": params["final"]["w"].astype(jnp.float32),
+                   "b": params["final"]["b"].astype(jnp.float32)})
 
 
 def init_hidream_extras(key, lm_cfg: QwenLMConfig, hcfg: HiDreamConfig,

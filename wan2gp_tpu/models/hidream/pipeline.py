@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 
 from .model import (HiDreamConfig, QWEN3_VL_8B, hidream_forward,
-                    hidream_rope_tables)
+                    hidream_rope_tables, hidream_edit_rope_tables,
+                    hidream_forward_edit)
 from ..qwen.text_encoder import QwenLMConfig
 from ...schedulers.base import make_schedule, init_solver_state, solver_step
 
@@ -71,12 +72,16 @@ class HiDreamPipeline:
 
     def __init__(self, params, lm_cfg: QwenLMConfig,
                  hcfg: HiDreamConfig = HiDreamConfig(),
-                 build_prompt_fn=None, attn_backend: str = "auto"):
+                 build_prompt_fn=None, attn_backend: str = "auto",
+                 vision_cfg=None,
+                 vision_start_token_id: int = 151652):
         self.params = params
         self.lm_cfg = lm_cfg
         self.hcfg = hcfg
         self.build_prompt_fn = build_prompt_fn
         self.attn_backend = attn_backend
+        self.vision_cfg = vision_cfg
+        self.vision_start_token_id = vision_start_token_id
 
     def generate(self, prompt: str, height: int = 1024, width: int = 1024,
                  sampling: Optional[HiDreamSamplingConfig] = None,
@@ -146,6 +151,152 @@ class HiDreamPipeline:
                 coeffs_i = {k: v[i] for k, v in sched.coeffs.items()}
                 z, state = solver_step(sched, i, coeffs_i, v_equiv, z,
                                        state)
+
+        if not return_pixels:
+            return z
+        img = unpatchify_pixels(z, gh, gw, p)
+        return jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)
+
+    # -- reference-image edit mode ---------------------------------------
+
+    @staticmethod
+    def _ref_max_size(k: int, height: int, width: int) -> int:
+        """pipeline.py:205-209 per-count reference canvas budget."""
+        m = max(height, width)
+        if k == 1:
+            return m
+        if k == 2:
+            return m * 48 // 64
+        if k <= 4:
+            return m // 2
+        if k <= 8:
+            return m * 24 // 64
+        return m // 4
+
+    @staticmethod
+    def _resize_area(img: np.ndarray, max_size: int, align: int):
+        """Scale to ~max_size^2 area with align-multiple dims (host
+        analog of utils.py resize_pilimage: bicubic + center crop)."""
+        h, w = img.shape[:2]
+        scale = (max_size * max_size / (h * w)) ** 0.5
+        nh = max(align, int(round(h * scale)) // align * align)
+        nw = max(align, int(round(w * scale)) // align * align)
+        out = jax.image.resize(jnp.asarray(img, jnp.float32),
+                               (nh, nw, img.shape[2]), "cubic")
+        return np.asarray(out)
+
+    def generate_edit(self, prompt: str, ref_images,
+                      height: int = 1024, width: int = 1024,
+                      sampling: Optional[HiDreamSamplingConfig] = None,
+                      seed: int = 0, cond_image_size: int = 384,
+                      return_pixels: bool = True):
+        """Reference-image edit (pipeline.py:190-330): each reference
+        appears twice — as low-res VLM views encoded by the Qwen3-VL
+        vision tower into the text prefix, and as clean 32px pixel
+        patches appended after the target tokens (token_types 2)."""
+        from .vision import (image_to_vision_patches,
+                             qwen3_vision_forward)
+        hcfg, lm_cfg = self.hcfg, self.lm_cfg
+        sampling = sampling or HiDreamSamplingConfig()
+        p = hcfg.patch_size
+        gh, gw = height // p, width // p
+        ni = gh * gw
+        vis_params = self.params.get("vision")
+        vis_cfg = self.vision_cfg
+        if vis_params is None or vis_cfg is None:
+            raise ValueError("edit mode needs vision-tower params")
+        k = len(ref_images)
+        if k == 0:
+            raise ValueError("generate_edit requires reference images")
+
+        # resize refs to the shared canvas budget, patch-aligned
+        max_size = self._ref_max_size(k, height, width)
+        refs = [self._resize_area(np.asarray(r, np.float32), max_size, p)
+                for r in ref_images]
+        # clean reference pixel patches (patch 32 stream, type 2)
+        ref_patch_list, ref_grids = [], []
+        for r in refs:
+            z = patchify_pixels(jnp.asarray(r, jnp.float32)
+                                .transpose(2, 0, 1)[None], p)
+            ref_patch_list.append(z[0])
+            ref_grids.append((r.shape[0] // p, r.shape[1] // p))
+        ref_patches = jnp.concatenate(ref_patch_list, axis=0)[None]
+
+        # low-res VLM views -> vision tower embeds
+        if k <= 4:
+            cis = cond_image_size
+        elif k <= 8:
+            cis = cond_image_size * 48 // 64
+        else:
+            cis = cond_image_size // 2
+        vp = vis_cfg.patch_size
+        vlm_embeds, vlm_grids = [], []
+        for r in refs:
+            vr = self._resize_area(r, cis, vp * vis_cfg.spatial_merge_size)
+            patches, vh, vw = image_to_vision_patches(vr, vis_cfg)
+            emb, _ = qwen3_vision_forward(vis_params, vis_cfg, patches,
+                                          vh, vw)
+            vlm_embeds.append(emb)
+            m = vis_cfg.spatial_merge_size
+            vlm_grids.append((vh // m, vw // m))
+
+        lm_emb = self.params["lm"]["embed_tokens"]
+        vs_row = lm_emb[self.vision_start_token_id % lm_emb.shape[0]
+                        ][None].astype(jnp.float32)
+
+        def build_prefix(caption):
+            ids = self.build_prompt_fn(caption)      # ends boi, tms
+            text = lm_emb[ids[0]].astype(jnp.float32)
+            parts = [text[:-2]]
+            segs = [("text", int(text.shape[0]) - 2)]
+            for e, (gh2, gw2) in zip(vlm_embeds, vlm_grids):
+                parts.append(vs_row)
+                parts.append(e.astype(jnp.float32))
+                segs.append(("text", 1))
+                segs.append(("vlm", gh2, gw2))
+            parts.append(text[-2:])                  # boi, tms
+            segs.append(("text", 2))
+            segs.append(("fix", gh, gw))             # target
+            for (rh, rw) in ref_grids:
+                segs.append(("fix", rh, rw))
+            prefix = jnp.concatenate(parts, axis=0)[None]
+            cos, sin = hidream_edit_rope_tables(lm_cfg, hcfg, segs)
+            return prefix, cos, sin
+
+        prefix_c, cos_c, sin_c = build_prefix(prompt)
+        prefix_u = None
+        if sampling.guidance > 1.0:
+            prefix_u, cos_u, sin_u = build_prefix(" ")
+
+        key = jax.random.key(seed + 1)
+        z = jax.random.normal(key, (1, 3, height, width), jnp.float32)
+        z = patchify_pixels(z * sampling.noise_scale_start, p)
+
+        def predict(zz, t_val):
+            xp = hidream_forward_edit(
+                self.params, lm_cfg, hcfg, prefix_c, zz,
+                jnp.full((zz.shape[0],), t_val), cos_c, sin_c,
+                ref_patches=ref_patches,
+                attn_backend=self.attn_backend)
+            if prefix_u is None:
+                return xp
+            xu = hidream_forward_edit(
+                self.params, lm_cfg, hcfg, prefix_u, zz,
+                jnp.full((zz.shape[0],), t_val), cos_u, sin_u,
+                ref_patches=ref_patches,
+                attn_backend=self.attn_backend)
+            return xu + sampling.guidance * (xp - xu)
+
+        sched = make_schedule("unipc", sampling.steps,
+                              shift=sampling.shift)
+        state = init_solver_state(sched, z)
+        sig = np.asarray(sched.sigmas)
+        for i in range(sampling.steps):
+            s = float(sig[i])
+            x_pred = predict(z.astype(jnp.float32), 1.0 - s)
+            v_equiv = (z.astype(jnp.float32) - x_pred) / max(s, 1e-3)
+            coeffs_i = {kk: v[i] for kk, v in sched.coeffs.items()}
+            z, state = solver_step(sched, i, coeffs_i, v_equiv, z, state)
 
         if not return_pixels:
             return z

@@ -108,6 +108,23 @@ def _apply_spatial_upsampling(video, merged):
             pipe = FlashVSRPipeline(dit_params, cfg, lq_params, tc_params,
                                     TCDecoderConfig())
         return pipe.upscale(frames)
+    if su.startswith("seedvr2"):
+        # "seedvr2" (2x) or "seedvr2x1.5" etc. — one-step diffusion VSR
+        # (reference postprocessing/seedvr2/runtime.py)
+        from ..postprocessing.seedvr2 import (SeedVR2Config,
+                                              init_seedvr2,
+                                              seedvr2_upscale)
+        import jax
+        scale = float(su.split("x")[1]) if "x" in su else 2.0
+        sv_params = merged.get("_seedvr2_params")
+        sv_cfg = merged.get("_seedvr2_cfg") or SeedVR2Config()
+        if sv_params is None:
+            sv_params = init_seedvr2(jax.random.key(0), sv_cfg)
+        return seedvr2_upscale(
+            sv_params, sv_cfg, frames, scale=scale,
+            seed=int(merged.get("seed", 0) or 0),
+            window_size=int(merged.get("seedvr2_window", -1) or -1),
+            window_overlap=int(merged.get("seedvr2_overlap", 3) or 3))
     return video
 
 

@@ -25,6 +25,7 @@ import numpy as np
 
 SOUNDTRACK = "soundtrack"
 AUDIO_EDIT = "audio_edit"
+VOICE_REPLACEMENT = "voice_replacement"
 
 _REGISTRY: List[Any] = []
 
@@ -147,6 +148,83 @@ class BackgroundRemovalProcessor:
         return self.separator_fn(wave, sample_rate)
 
 
+class SeedVCProcessor:
+    """Seed-VC voice replacement (postprocessing/seedvc/audio_processor
+    .py:15-118): one-speaker converts the whole track against one voice
+    sample; two-speaker splits the track with a pluggable speaker
+    separator (reference preprocessing/speaker_separator/), converts
+    each speaker against its own sample, and remixes."""
+
+    def __init__(self, converter=None,
+                 speaker_separator_fn: Optional[Callable] = None):
+        self._converter = converter
+        self.speaker_separator_fn = speaker_separator_fn
+
+    @classmethod
+    def query_audio_processor_def(cls) -> Dict[str, Any]:
+        return {"name": "SeedVC",
+                "processor_types": (VOICE_REPLACEMENT, AUDIO_EDIT),
+                "methods": [("SeedVC - One Speaker",
+                             "seedvc_one_speaker"),
+                            ("SeedVC - Two Speakers",
+                             "seedvc_two_speakers")],
+                "needs_voice_sample": {"seedvc_one_speaker": True,
+                                       "seedvc_two_speakers": True},
+                "needs_voice_sample2": {"seedvc_two_speakers": True},
+                "speaker_count": {"seedvc_one_speaker": 1,
+                                  "seedvc_two_speakers": 2},
+                "pos": 30}
+
+    def converter(self):
+        if self._converter is None:
+            raise RuntimeError("SeedVC converter not loaded")
+        return self._converter
+
+    def validate_method(self, method: str, voice_sample=None,
+                        voice_sample2=None, **_kw) -> str:
+        if voice_sample is None:
+            return "You must provide a voice sample"
+        if method == "seedvc_two_speakers" and voice_sample2 is None:
+            return "You must provide a second voice sample"
+        return ""
+
+    def process_audio(self, wave: np.ndarray, sample_rate: int,
+                      method: str = "seedvc_one_speaker",
+                      voice_sample=None, voice_sample_sr: int = 0,
+                      voice_sample2=None, voice_sample2_sr: int = 0,
+                      diffusion_steps: Optional[int] = None,
+                      seed: int = 0, **_kw):
+        mono = wave.mean(axis=-1) if wave.ndim > 1 else wave
+        conv = self.converter()
+        if method == "seedvc_one_speaker":
+            out, sr = conv.convert(mono, sample_rate, voice_sample,
+                                   voice_sample_sr,
+                                   diffusion_steps=diffusion_steps,
+                                   seed=seed)
+            return out[:, None], sr
+        if method != "seedvc_two_speakers":
+            raise ValueError(f"unknown SeedVC method {method!r}")
+        if self.speaker_separator_fn is None:
+            raise RuntimeError(
+                "no speaker separator configured "
+                "(reference: preprocessing/speaker_separator)")
+        stems = self.speaker_separator_fn(mono, sample_rate)
+        samples = [(voice_sample, voice_sample_sr),
+                   (voice_sample2, voice_sample2_sr)]
+        mixed = None
+        sr_out = sample_rate
+        for stem, (vs, vs_sr) in zip(stems[:2], samples):
+            out, sr_out = conv.convert(stem, sample_rate, vs, vs_sr,
+                                       diffusion_steps=diffusion_steps,
+                                       seed=seed)
+            if mixed is None:
+                mixed = out
+            else:
+                n = min(mixed.shape[0], out.shape[0])
+                mixed = mixed[:n] + out[:n]
+        return mixed[:, None], sr_out
+
+
 def apply_soundtrack(video_path: str, method: str,
                      **kwargs) -> str:
     """Generate a soundtrack with `method` and mux it onto the video
@@ -175,6 +253,7 @@ def _register_builtins():
     register_audio_processor(CustomSoundtrackProcessor())
     register_audio_processor(MMAudioSoundtrackProcessor())
     register_audio_processor(BackgroundRemovalProcessor())
+    register_audio_processor(SeedVCProcessor())
 
 
 _register_builtins()

@@ -339,6 +339,48 @@ def load_mmaudio_vae_params(sd: Dict[str, np.ndarray],
     return params, sorted(leftover)
 
 
+def init_bigvgan_vocoder(key, cfg: BigVGANConfig = BigVGANConfig(),
+                         dtype=jnp.float32):
+    """Random-init BigVGAN params in the bigvgan_vocode() tree layout
+    (same structure load_bigvgan_vocoder_params produces)."""
+    import jax
+
+    nk = len(cfg.resblock_kernel_sizes)
+    n_up = len(cfg.upsample_rates)
+    n_keys = 2 + n_up + n_up * nk * 8
+    keys = iter(jax.random.split(key, n_keys + 4))
+
+    def conv(k, cin, cout, std=0.02):
+        return {"w": (jax.random.normal(next(keys), (k, cin, cout),
+                                        jnp.float32) * std).astype(dtype),
+                "b": jnp.zeros((cout,), dtype)}
+
+    def snake(ch):
+        return {"alpha": jnp.zeros((ch,), jnp.float32),
+                "beta": jnp.zeros((ch,), jnp.float32)}
+
+    ch = cfg.upsample_initial_channel
+    params = {"conv_pre": conv(7, cfg.num_mels, ch)}
+    ups, resblocks = [], []
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates,
+                                   cfg.upsample_kernel_sizes)):
+        cout = ch // 2
+        ups.append(conv(k, ch, cout))
+        for j, kr in enumerate(cfg.resblock_kernel_sizes):
+            nd = len(cfg.resblock_dilation_sizes[j])
+            resblocks.append({
+                "convs1": [conv(kr, cout, cout) for _ in range(nd)],
+                "convs2": [conv(kr, cout, cout) for _ in range(nd)],
+                "snake1": [snake(cout) for _ in range(nd)],
+                "snake2": [snake(cout) for _ in range(nd)]})
+        ch = cout
+    params["ups"] = ups
+    params["resblocks"] = resblocks
+    params["post_snake"] = snake(ch)
+    params["conv_post"] = conv(7, ch, 1)
+    return params
+
+
 def load_bigvgan_vocoder_params(sd: Dict[str, np.ndarray],
                                 cfg: BigVGANConfig = BigVGANConfig()):
     """BigVGAN v1 keys (ext/bigvgan/models.py; weight-norm fused)."""

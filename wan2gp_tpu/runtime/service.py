@@ -125,6 +125,29 @@ def _apply_spatial_upsampling(video, merged):
             seed=int(merged.get("seed", 0) or 0),
             window_size=int(merged.get("seedvr2_window", -1) or -1),
             window_overlap=int(merged.get("seedvr2_overlap", 3) or 3))
+    if su.startswith("coz"):
+        # "coz2"/"coz4"/"coz8"/"coz16" — Chain-of-Zoom recursive SR
+        # (reference postprocessing/chain_of_zoom/runtime.py; method
+        # encoding spatial_upsamplers.py:751)
+        from ..postprocessing.chain_of_zoom import (
+            SD3Config, SD3_VAE_CONFIG, init_chain_of_zoom,
+            chain_of_zoom_upscale)
+        import jax
+        scale = float(su[3:] or 4)
+        coz = merged.get("_coz_params")
+        coz_cfg = merged.get("_coz_cfg") or SD3Config()
+        vae_cfg = merged.get("_coz_vae_cfg") or SD3_VAE_CONFIG
+        if coz is None:
+            coz = init_chain_of_zoom(jax.random.key(0), coz_cfg,
+                                     vae_cfg)
+        out = np.stack([
+            chain_of_zoom_upscale(
+                coz["sd3"], coz_cfg, coz["vae"], vae_cfg, f, scale,
+                tile_prompt_fn=merged.get("_coz_tile_prompt_fn"),
+                encode_prompts_fn=merged.get("_coz_encode_prompts_fn"),
+                seed=int(merged.get("seed", 0) or 0))
+            for f in frames])
+        return out
     return video
 
 

@@ -125,6 +125,36 @@ def _apply_spatial_upsampling(video, merged):
             seed=int(merged.get("seed", 0) or 0),
             window_size=int(merged.get("seedvr2_window", -1) or -1),
             window_overlap=int(merged.get("seedvr2_overlap", 3) or 3))
+    if "pid" in su:
+        # "pid4"/"flux_vae_pid4"/"flux_pid(1.5)4"... — PiD pixel-space
+        # diffusion 4x SR (reference postprocessing/pid/runtime.py
+        # PID_UPSAMPLING_VALUES)
+        from ..postprocessing.pid import (PiDConfig, init_pid_net,
+                                          pid_upscale)
+        import jax
+        pid_params = merged.get("_pid_params")
+        pid_cfg = merged.get("_pid_cfg") or PiDConfig()
+        if pid_params is None:
+            pid_params = init_pid_net(jax.random.key(0), pid_cfg)
+        enc = merged.get("_pid_vae_encode_fn")
+        if enc is None:
+            from ..models.flux.vae import (FluxVAEConfig, init_flux_vae,
+                                           flux_vae_encode)
+            fv_cfg = merged.get("_pid_vae_cfg") or FluxVAEConfig()
+            fv = merged.get("_pid_vae_params")
+            if fv is None:
+                fv = init_flux_vae(jax.random.key(1), fv_cfg)
+
+            def enc(img):
+                import jax.numpy as jnp
+                return flux_vae_encode(fv, fv_cfg, jnp.asarray(img))
+        out = np.stack([
+            pid_upscale(pid_params, pid_cfg, media.to_uint8(f),
+                        vae_encode_fn=enc,
+                        caption_embs=merged.get("_pid_caption_embs"),
+                        seed=int(merged.get("seed", 0) or 0))
+            for f in frames])
+        return out
     if su.startswith("coz"):
         # "coz2"/"coz4"/"coz8"/"coz16" — Chain-of-Zoom recursive SR
         # (reference postprocessing/chain_of_zoom/runtime.py; method

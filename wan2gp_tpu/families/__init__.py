@@ -26,6 +26,7 @@ from .tts_heartmula import HeartMulaFamilyHandler
 from .tts_omnivoice import OmniVoiceFamilyHandler
 from .tts_chatterbox import ChatterboxFamilyHandler
 from .tts_yue import YuEFamilyHandler
+from .tts_stable_audio3 import StableAudio3FamilyHandler
 
 _HANDLER_CLASSES = [WanFamilyHandler, FluxFamilyHandler,
                     HunyuanFamilyHandler, LTXVFamilyHandler,
@@ -36,7 +37,8 @@ _HANDLER_CLASSES = [WanFamilyHandler, FluxFamilyHandler,
                     MagiFamilyHandler, LTX2FamilyHandler,
                     ACEStepFamilyHandler, Qwen3TTSFamilyHandler,
                     HeartMulaFamilyHandler, OmniVoiceFamilyHandler,
-                    ChatterboxFamilyHandler, YuEFamilyHandler]
+                    ChatterboxFamilyHandler, YuEFamilyHandler,
+                    StableAudio3FamilyHandler]
 
 
 def build_handler_map():

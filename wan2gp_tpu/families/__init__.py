@@ -27,6 +27,7 @@ from .tts_omnivoice import OmniVoiceFamilyHandler
 from .tts_chatterbox import ChatterboxFamilyHandler
 from .tts_yue import YuEFamilyHandler
 from .tts_stable_audio3 import StableAudio3FamilyHandler
+from .tts_kugelaudio import KugelAudioFamilyHandler
 
 _HANDLER_CLASSES = [WanFamilyHandler, FluxFamilyHandler,
                     HunyuanFamilyHandler, LTXVFamilyHandler,
@@ -38,7 +39,7 @@ _HANDLER_CLASSES = [WanFamilyHandler, FluxFamilyHandler,
                     ACEStepFamilyHandler, Qwen3TTSFamilyHandler,
                     HeartMulaFamilyHandler, OmniVoiceFamilyHandler,
                     ChatterboxFamilyHandler, YuEFamilyHandler,
-                    StableAudio3FamilyHandler]
+                    StableAudio3FamilyHandler, KugelAudioFamilyHandler]
 
 
 def build_handler_map():

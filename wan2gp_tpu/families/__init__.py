@@ -28,6 +28,7 @@ from .tts_chatterbox import ChatterboxFamilyHandler
 from .tts_yue import YuEFamilyHandler
 from .tts_stable_audio3 import StableAudio3FamilyHandler
 from .tts_kugelaudio import KugelAudioFamilyHandler
+from .tts_ace15 import AceStep15FamilyHandler
 
 _HANDLER_CLASSES = [WanFamilyHandler, FluxFamilyHandler,
                     HunyuanFamilyHandler, LTXVFamilyHandler,
@@ -39,7 +40,8 @@ _HANDLER_CLASSES = [WanFamilyHandler, FluxFamilyHandler,
                     ACEStepFamilyHandler, Qwen3TTSFamilyHandler,
                     HeartMulaFamilyHandler, OmniVoiceFamilyHandler,
                     ChatterboxFamilyHandler, YuEFamilyHandler,
-                    StableAudio3FamilyHandler, KugelAudioFamilyHandler]
+                    StableAudio3FamilyHandler, KugelAudioFamilyHandler,
+                    AceStep15FamilyHandler]
 
 
 def build_handler_map():

@@ -69,9 +69,13 @@ def test_mmaudio_soundtrack_and_bg_removal(tmp_path):
         separator_fn=lambda w, sr: (w * 0, sr))
     w, sr = bg.process_audio(np.ones((100, 1), np.float32), 16000)
     assert (w == 0).all() and sr == 16000
-    with pytest.raises(RuntimeError):
-        ap.BackgroundRemovalProcessor().process_audio(
-            np.ones((10, 1)), 16000)
+    # without a custom separator, the built-in BS-RoFormer runs
+    rng = np.random.default_rng(0)
+    wav = rng.standard_normal((400, 2)).astype(np.float32) * 0.2
+    w2, sr2 = ap.BackgroundRemovalProcessor(tiny=True).process_audio(
+        wav, 8000)
+    assert w2.shape == wav.shape and sr2 == 8000
+    assert np.isfinite(w2).all()
 
 
 def test_service_soundtrack_hook(tmp_path):

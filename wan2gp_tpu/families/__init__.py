@@ -29,6 +29,7 @@ from .tts_yue import YuEFamilyHandler
 from .tts_stable_audio3 import StableAudio3FamilyHandler
 from .tts_kugelaudio import KugelAudioFamilyHandler
 from .tts_ace15 import AceStep15FamilyHandler
+from .tts_index2 import IndexTTS2FamilyHandler
 
 _HANDLER_CLASSES = [WanFamilyHandler, FluxFamilyHandler,
                     HunyuanFamilyHandler, LTXVFamilyHandler,
@@ -41,7 +42,7 @@ _HANDLER_CLASSES = [WanFamilyHandler, FluxFamilyHandler,
                     HeartMulaFamilyHandler, OmniVoiceFamilyHandler,
                     ChatterboxFamilyHandler, YuEFamilyHandler,
                     StableAudio3FamilyHandler, KugelAudioFamilyHandler,
-                    AceStep15FamilyHandler]
+                    AceStep15FamilyHandler, IndexTTS2FamilyHandler]
 
 
 def build_handler_map():

@@ -130,8 +130,16 @@ class MMAudioSoundtrackProcessor:
 
 
 class BackgroundRemovalProcessor:
-    def __init__(self, separator_fn: Optional[Callable] = None):
+    """`get_vocals` equivalent (reference
+    preprocessing/extract_vocals.py:81-119): keep the vocal stem via
+    the BS-RoFormer separator (postprocessing/bs_roformer.py); a
+    custom separator_fn still overrides."""
+
+    def __init__(self, separator_fn: Optional[Callable] = None,
+                 tiny: bool = False):
         self.separator_fn = separator_fn
+        self._tiny = tiny
+        self._sep = None
 
     @classmethod
     def query_audio_processor_def(cls) -> Dict[str, Any]:
@@ -140,12 +148,34 @@ class BackgroundRemovalProcessor:
                 "methods": [("Remove Music / Background noise",
                              "remove_background")], "pos": 10}
 
+    def _default_separator(self):
+        if self._sep is None:
+            from .bs_roformer import init_default_separator
+            self._sep = init_default_separator(tiny=self._tiny)
+        return self._sep
+
     def process_audio(self, wave: np.ndarray, sample_rate: int, **_kw):
-        if self.separator_fn is None:
-            raise RuntimeError(
-                "no vocal separator configured "
-                "(reference: BS-RoFormer via audio_separator)")
-        return self.separator_fn(wave, sample_rate)
+        if self.separator_fn is not None:
+            return self.separator_fn(wave, sample_rate)
+        from .bs_roformer import separate_vocals
+        params, cfg = self._default_separator()
+        w = np.asarray(wave, np.float32)
+        if sample_rate != cfg.sample_rate:
+            n = int(round(w.shape[0] * cfg.sample_rate / sample_rate))
+            xi = np.linspace(0, w.shape[0] - 1, n)
+            cols = (w[:, None] if w.ndim == 1 else w)
+            w = np.stack([np.interp(xi, np.arange(cols.shape[0]),
+                                    cols[:, c])
+                          for c in range(cols.shape[1])], axis=-1)
+        vocals, _bg = separate_vocals(params, cfg, w)
+        if sample_rate != cfg.sample_rate:
+            xi = np.linspace(0, vocals.shape[0] - 1,
+                             np.asarray(wave).shape[0])
+            vocals = np.stack(
+                [np.interp(xi, np.arange(vocals.shape[0]),
+                           vocals[:, c])
+                 for c in range(vocals.shape[1])], axis=-1)
+        return vocals.astype(np.float32), sample_rate
 
 
 class SeedVCProcessor:

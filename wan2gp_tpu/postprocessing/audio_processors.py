@@ -284,6 +284,8 @@ def _register_builtins():
     register_audio_processor(MMAudioSoundtrackProcessor())
     register_audio_processor(BackgroundRemovalProcessor())
     register_audio_processor(SeedVCProcessor())
+    from .prismaudio import PrismAudioProcessor
+    register_audio_processor(PrismAudioProcessor())
 
 
 _register_builtins()

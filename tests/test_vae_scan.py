@@ -56,3 +56,39 @@ def test_spatial_tiled_stitch_exact_for_local_decoder():
         None, cfg, z, tile_size=64, decode_fn=local_decode))
     assert tiled.shape == full.shape
     np.testing.assert_allclose(tiled, full, rtol=0, atol=1e-6)
+
+
+def test_sharded_decode_equals_full(setup):
+    """vae_decode_sharded on an 8-device virtual mesh must equal the
+    single-device decode bit-for-bit (same program, sharded data)."""
+    from jax.sharding import Mesh
+    from wan2gp_tpu.models.wan.vae_scan import vae_decode_sharded
+    params, z = setup
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs a multi-device mesh")
+    mesh = Mesh(np.asarray(devs[:4]).reshape(4), ("cp",))
+    with mesh:
+        out = vae_decode_sharded(params, TINY, z, mesh)
+    full = vae_decode(params, TINY, z)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(full),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_decode_indivisible_width(setup):
+    """W not divisible by the axis falls back to replicated layout but
+    still runs and matches."""
+    from jax.sharding import Mesh
+    from wan2gp_tpu.models.wan.vae_scan import vae_decode_sharded
+    params, _ = setup
+    devs = jax.devices()
+    if len(devs) < 3:
+        pytest.skip("needs a multi-device mesh")
+    mesh = Mesh(np.asarray(devs[:3]).reshape(3), ("cp",))
+    rng = np.random.default_rng(1)
+    z = jnp.asarray(rng.standard_normal((1, 2, 4, 5, 16)), jnp.float32)
+    with mesh:
+        out = vae_decode_sharded(params, TINY, z, mesh)
+    full = vae_decode(params, TINY, z)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(full),
+                               rtol=1e-5, atol=1e-5)

@@ -2570,6 +2570,14 @@ class WanPipeline:
             from .vae_scan import vae_decode_spatial_tiled
             return vae_decode_spatial_tiled(self.vae_params, self.vae_cfg,
                                             z, tile_size=tile_size)
+        mesh = getattr(self, "mesh", None)
+        if mesh is not None and (mode in ("sharded", "auto")
+                                 and mesh.shape.get("cp", 1) > 1):
+            # multi-chip decode: latents sharded over 'cp', GSPMD
+            # inserts the conv halo exchanges (vae_scan.py)
+            from .vae_scan import vae_decode_sharded
+            return vae_decode_sharded(self.vae_params, self.vae_cfg, z,
+                                      mesh)
         if mode == "chunked" or (mode == "auto" and z.shape[1] > 4):
             return vae_decode_chunked(self.vae_params, self.vae_cfg, z)
         return vae_decode(self.vae_params, self.vae_cfg, z)

@@ -164,10 +164,58 @@ def save_video(frames: np.ndarray, path: str, fps: int = 16,
         _write_mjpeg_avi(frames, path, fps, quality,
                          audio=audio, audio_rate=audio_sample_rate,
                          metadata=metadata)
+    elif path.lower().endswith((".mp4", ".mkv", ".mov")):
+        # H.264 containers need an external encoder (reference
+        # shared/utils/video_codecs.py uses ffmpeg); opt-in when the
+        # binary exists, otherwise fall back to MJPEG-AVI next to it.
+        if not _write_video_ffmpeg(frames, path, fps, audio,
+                                   audio_sample_rate):
+            alt = os.path.splitext(path)[0] + ".avi"
+            _write_mjpeg_avi(frames, alt, fps, quality, audio=audio,
+                             audio_rate=audio_sample_rate,
+                             metadata=metadata)
+            path = alt
     else:
         raise ValueError(f"unsupported video container: {path}")
     if metadata is not None:
         _write_sidecar(path, metadata)
+    return path
+
+
+def _write_video_ffmpeg(frames: np.ndarray, path: str, fps: int,
+                        audio: Optional[np.ndarray],
+                        audio_rate: int) -> bool:
+    """Encode H.264 via an external ffmpeg when available
+    (shared/utils/video_codecs.py save_video equivalents).  Returns
+    False when ffmpeg is not installed."""
+    import shutil
+    import subprocess
+    import tempfile
+    ffmpeg = shutil.which("ffmpeg")
+    if ffmpeg is None:
+        return False
+    t, h, w, _ = frames.shape
+    cmd = [ffmpeg, "-y", "-loglevel", "error",
+           "-f", "rawvideo", "-pix_fmt", "rgb24",
+           "-s", f"{w}x{h}", "-r", str(fps), "-i", "pipe:0"]
+    wav_tmp = None
+    try:
+        if audio is not None:
+            a = np.asarray(audio)
+            if a.ndim == 2 and a.shape[0] < a.shape[1]:
+                a = a.T
+            fd, wav_tmp = tempfile.mkstemp(suffix=".wav")
+            os.close(fd)
+            save_audio(a, wav_tmp, sample_rate=audio_rate)
+            cmd += ["-i", wav_tmp, "-c:a", "aac", "-shortest"]
+        cmd += ["-c:v", "libx264", "-pix_fmt", "yuv420p",
+                "-crf", "18", path]
+        proc = subprocess.run(cmd, input=frames.tobytes(),
+                              capture_output=True)
+        return proc.returncode == 0 and os.path.exists(path)
+    finally:
+        if wav_tmp and os.path.exists(wav_tmp):
+            os.remove(wav_tmp)
 
 
 def read_video_metadata(path: str) -> Optional[Dict[str, Any]]:

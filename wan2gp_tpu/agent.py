@@ -194,8 +194,12 @@ def build_media_tools(registry=None,
         return registry.register(out, "video")
 
     def transcribe(source: str) -> dict:
+        nonlocal transcribe_fn
         if transcribe_fn is None:
-            return {"error": "no speech-to-text model is configured"}
+            # built-in whisper decoder (utils/transcription.py); a
+            # custom hook (e.g. checkpoint-backed) still overrides
+            from .utils.transcription import make_transcribe_fn
+            transcribe_fn = make_transcribe_fn()
         path = _resolve_path(source)
         if path.lower().endswith((".avi", ".mp4")):
             import tempfile

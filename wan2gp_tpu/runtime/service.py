@@ -314,6 +314,17 @@ class GenerationService:
     def generate(self, settings: Dict[str, Any],
                  on_progress: Optional[Callable] = None) -> List[str]:
         """Run one task; returns list of output file paths."""
+        # serialize device access between concurrent callers (reference
+        # acquire_main_GPU_ressources, shared/utils/process_locks.py)
+        from .process_locks import device_session
+        with device_session(f"service:{id(self)}",
+                            timeout=float(settings.get(
+                                "device_lock_timeout", 600.0))):
+            return self._generate_locked(settings, on_progress)
+
+    def _generate_locked(self, settings: Dict[str, Any],
+                         on_progress: Optional[Callable] = None
+                         ) -> List[str]:
         s = self.plugins.apply_settings_hooks(dict(settings))
         profile = s.pop("profile", None)
         if profile:

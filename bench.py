@@ -323,6 +323,15 @@ def main():
     # kept single-chip (conservative)
     scale = (PEAK_BF16["TPU v5p"] / peak) * 8
     e2e_v5p8 = steps * dt / scale + vae_dt
+    # distilled FusioniX/Lightning profile (10 steps, CFG-free —
+    # reference defaults/vace_14B_fusionix.json): conservative bound
+    # reuses THIS run's full sequential-CFG step time (measured
+    # CFG-free steps are ~32% faster, BENCH_CONFIG=14b_720p_distilled)
+    dist_note = ""
+    if not distilled:
+        e2e_dist = 10 * dt / scale + vae_dt
+        dist_note = (f"; 10-step distilled profile projects "
+                     f"~{e2e_dist:.0f}s at the same step time")
 
     print(json.dumps({
         "metric": f"{name} {res} denoise steps/sec/chip "
@@ -330,7 +339,7 @@ def main():
                   f"dense-equiv MFU={mfu:.3f}; VAE decode {vae_fps:.1f} fps;"
                   f" e2e {steps} steps+decode ~{e2e:.0f}s on ONE chip; "
                   f"projected v5p-8 at equal MFU ~{e2e_v5p8:.0f}s "
-                  f"vs <=90s target)",
+                  f"vs <=90s target{dist_note})",
         "value": round(1.0 / dt, 4),
         "unit": "steps/sec",
         "vs_baseline": round(mfu / 0.40, 4),

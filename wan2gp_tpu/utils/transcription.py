@@ -205,7 +205,10 @@ class WhisperTranscriber:
         """agent.py transcribe_fn contract: path -> text."""
         from . import media
         wav, sr = media.read_wav(audio_path)
-        return self.transcribe_wave(wav, sr)
+        dur = wav.shape[0] / max(sr, 1)
+        # ~8 tokens per second of speech bounds the greedy loop
+        return self.transcribe_wave(wav, sr,
+                                    max_new=min(64, int(dur * 8) + 4))
 
 
 def make_transcribe_fn(tiny: bool = False) -> Callable[[str], str]:

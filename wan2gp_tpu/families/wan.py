@@ -692,6 +692,26 @@ class WanFamilyHandler:
         settings plumbing (models/wan/wan_handler.py)."""
         import numpy as np
         model_def = merged.get("_model_def") or {}
+        # Motion-Designer contract (reference
+        # plugins/motion_designer/plugin.py:307-360 _apply_trajectory):
+        # custom_guide points at a saved [T, N, 2] trajectory .npy and
+        # image_start carries the drawn background
+        cg = merged.get("custom_guide")
+        if isinstance(cg, str) and cg.endswith(".npy") \
+                and merged.get("_tracks") is None:
+            import os as _os
+            if _os.path.exists(cg):
+                merged["_tracks"] = np.load(cg)
+        ims = merged.get("image_start")
+        if merged.get("_image_start") is None and ims is not None:
+            if isinstance(ims, (list, tuple)):
+                ims = ims[0] if ims else None
+            if isinstance(ims, str):
+                from PIL import Image
+                merged["_image_start"] = np.asarray(
+                    Image.open(ims).convert("RGB"))
+            elif ims is not None:
+                merged["_image_start"] = np.asarray(ims)
         sampling = sampling_from_settings(merged)
         prompt = merged.get("prompt", "")
         n_prompt = merged.get("negative_prompt", "")

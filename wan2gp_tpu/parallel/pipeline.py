@@ -24,7 +24,11 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:
+    from jax import shard_map
+except ImportError:                      # older jax
+    from jax.experimental.shard_map import shard_map
 
 
 def split_stages(stacked_params, n_stages: int):

@@ -15,6 +15,19 @@ class StubRegistry:
     def get(self, mt):
         return {"model": {"name": mt}}
 
+    def base_model_type(self, mt):
+        return mt
+
+    def handler_for(self, mt):
+        class H:
+            family = "stub"
+
+            @staticmethod
+            def query_model_files(base, model_def):
+                return [{"role": "transformer",
+                         "urls": [f"https://h/{base}.safetensors"]}]
+        return H
+
     def default_settings(self, mt):
         return {"prompt": "", "num_inference_steps": 30, "model_type": mt}
 
@@ -191,3 +204,15 @@ def test_webui_mask_editor_routes(ui, tmp_path, monkeypatch):
     out = json.loads(body)
     assert out["frames"] == 2
     assert (tmp_path / out["file"]).exists()
+
+
+def test_models_inventory_route(ui):
+    status, ctype, body = ui.handle("GET", "/api/models/inventory"
+                                    "?model=t2v_1.3B")
+    assert status == 200
+    import json as _json
+    data = _json.loads(body)
+    assert "t2v_1.3B" in data["inventory"]
+    rec = data["inventory"]["t2v_1.3B"]
+    assert "size_bytes" in rec and "missing" in rec
+    assert "total_bytes" in data["storage"]

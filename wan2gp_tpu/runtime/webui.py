@@ -21,6 +21,8 @@ Endpoints:
                               first; type: any|video|image|audio)
   GET  /api/gallery/meta?file=N  embedded generation settings of a file
   GET  /api/thumb?file=N      JPEG thumbnail (first video frame / image)
+  GET  /api/models/inventory  checkpoint inventory + storage tree +
+                              missing-file report (models manager)
   GET  /mask                  canvas mask editor (runtime/mask_editor.py)
   POST /api/mask/sam3         SAM3 image mask  {image, text?, points?}
   POST /api/mask/video        SAM3 keyword mask video {video, keywords}
@@ -186,6 +188,23 @@ class WebUI:
         if route == "/api/stats":
             from ..utils.diagnostics import device_stats
             return ok(device_stats())
+        if route == "/api/models/inventory":
+            # models-manager tree (runtime/models_manager.py; the
+            # reference plugins/models_manager tab)
+            from .models_manager import inventory, storage_tree, \
+                missing_report
+            reg = self.session.service.registry
+            model = (qs.get("model") or [None])[0]
+            inv = inventory(reg, model_types=[model] if model
+                            else None)
+            return ok({"inventory": {
+                mt: {"complete": rec["complete"],
+                     "size_bytes": rec["size_bytes"],
+                     "missing": [m["filename"]
+                                 for m in rec["missing"]]}
+                for mt, rec in inv.items()},
+                "storage": storage_tree(inv, reg),
+                "missing": missing_report(inv)})
         if route == "/api/queue/save":
             path = os.path.join(self.save_path, "_ui_queue.zip")
             os.makedirs(self.save_path, exist_ok=True)

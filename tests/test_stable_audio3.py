@@ -298,3 +298,39 @@ def test_mode_requires_source(tiny_pipe):
     with pytest.raises(ValueError):
         tiny_pipe.generate("x", audio_prompt_type="AI",
                            source_audio=None)
+
+
+# -- checkpoint round trip (io/stable_audio3_checkpoint.py) -----------------
+
+@pytest.mark.parametrize("differential", [False, True])
+def test_checkpoint_roundtrip(differential):
+    from wan2gp_tpu.io.stable_audio3_checkpoint import (
+        load_sa3_dit_params, export_sa3_dit_state)
+    cfg = SA3DiTConfig.tiny(differential=differential)
+    p0 = init_sa3_dit(jax.random.PRNGKey(4), cfg)
+    sd = export_sa3_dit_state(p0, cfg)
+    p1, leftover = load_sa3_dit_params(sd, cfg, dtype=jnp.float32)
+    assert leftover == []
+    # forward equality through the loaded weights
+    x = jax.random.normal(jax.random.PRNGKey(5),
+                          (1, 6, cfg.io_channels))
+    t = jnp.asarray([0.4])
+    ctx = jax.random.normal(jax.random.PRNGKey(6),
+                            (1, 3, cfg.cond_token_dim))
+    g = jax.random.normal(jax.random.PRNGKey(7),
+                          (1, cfg.global_cond_dim))
+    a = sa3_dit(p0, cfg, x, t, ctx, g)
+    b = sa3_dit(p1, cfg, x, t, ctx, g)
+    np.testing.assert_allclose(_np(a), _np(b), atol=1e-5)
+
+
+def test_swiglu_ff_shapes():
+    """FeedForward is SwiGLU (transformer.py glu=True default): ff1
+    projects to 2*inner."""
+    cfg = SA3DiTConfig.tiny()
+    p = init_sa3_dit(jax.random.PRNGKey(0), cfg)
+    inner = int(cfg.embed * cfg.ff_mult)
+    assert p["blocks"]["ff1"]["w"].shape == (cfg.depth, cfg.embed,
+                                             2 * inner)
+    assert p["blocks"]["ff2"]["w"].shape == (cfg.depth, inner,
+                                             cfg.embed)

@@ -279,7 +279,16 @@ class StableAudio3FamilyHandler:
             dit_cfg = SA3DiTConfig()
             taae_cfg = TAAEConfig()
         keys = jax.random.split(jax.random.key(seed), 3)
-        dit = init_sa3_dit(keys[0], dit_cfg, dtype)
+        if checkpoints and checkpoints.get("transformer") \
+                and not init_random:
+            from ..io.safetensors_reader import load_weights
+            from ..io.stable_audio3_checkpoint import \
+                load_sa3_dit_params
+            dit, _left = load_sa3_dit_params(
+                load_weights(checkpoints["transformer"]), dit_cfg,
+                dtype)
+        else:
+            dit = init_sa3_dit(keys[0], dit_cfg, dtype)
         taae = init_taae(keys[1], taae_cfg, dtype)
         num = init_number_conditioner(keys[2], dit_cfg.global_cond_dim)
 

@@ -211,14 +211,20 @@ def init_sa3_dit(key, cfg: SA3DiTConfig, dtype=jnp.float32
             "attn_out": _lin(next(ks), d, d, dtype, bias=False,
                              zero=True),
             "x_norm": jnp.ones((d,), jnp.float32),
-            "ca_q": _lin(next(ks), d, d, dtype, bias=False),
-            "ca_kv": _lin(next(ks), d, 2 * d, dtype, bias=False),
+            # differential cross-attn doubles q and adds a second k
+            # (transformer.py:545-546)
+            "ca_q": _lin(next(ks), d, (2 if cfg.differential else 1)
+                         * d, dtype, bias=False),
+            "ca_kv": _lin(next(ks), d, (3 if cfg.differential else 2)
+                          * d, dtype, bias=False),
             "ca_qn": jnp.ones((hd,), jnp.float32),
             "ca_kn": jnp.ones((hd,), jnp.float32),
             "ca_out": _lin(next(ks), d, d, dtype, bias=False,
                            zero=True),
             "ff_norm": jnp.ones((d,), jnp.float32),
-            "ff1": _lin(next(ks), d, int(d * cfg.ff_mult), dtype),
+            # SwiGLU (transformer.py:457 glu=True default): proj to
+            # 2*inner, gate with SiLU
+            "ff1": _lin(next(ks), d, 2 * int(d * cfg.ff_mult), dtype),
             "ff2": _lin(next(ks), int(d * cfg.ff_mult), d, dtype,
                         zero=True),
             "ssg": (jax.random.normal(next(ks), (6 * d,), jnp.float32)
@@ -330,21 +336,34 @@ def sa3_dit(params, cfg: SA3DiTConfig, x, t, cross_cond, global_cond,
             * jax.nn.sigmoid(1.0 - gt_s).astype(h.dtype)
         # cross attention (no adaLN branch)
         ca = _rms(h, lp["x_norm"], cfg.norm_eps)
-        q = _rms(_dense(ca, lp["ca_q"]).reshape(b, -1, heads, hd),
-                 lp["ca_qn"])
-        kv = _dense(ctx, lp["ca_kv"]).reshape(b, -1, 2, heads, hd)
-        kk = _rms(kv[:, :, 0], lp["ca_kn"])
-        o = _attn(q, kk, kv[:, :, 1], heads).reshape(b, -1, d)
+        if cfg.differential:
+            qq = _dense(ca, lp["ca_q"]).reshape(b, -1, 2, heads, hd)
+            kv = _dense(ctx, lp["ca_kv"]).reshape(b, -1, 3, heads, hd)
+            q1 = _rms(qq[:, :, 0], lp["ca_qn"])
+            q2 = _rms(qq[:, :, 1], lp["ca_qn"])
+            k1 = _rms(kv[:, :, 0], lp["ca_kn"])
+            k2 = _rms(kv[:, :, 1], lp["ca_kn"])
+            o = _attn(q1, k1, kv[:, :, 2], heads) \
+                - _attn(q2, k2, kv[:, :, 2], heads)
+            o = o.reshape(b, -1, d)
+        else:
+            q = _rms(_dense(ca, lp["ca_q"]).reshape(b, -1, heads, hd),
+                     lp["ca_qn"])
+            kv = _dense(ctx, lp["ca_kv"]).reshape(b, -1, 2, heads, hd)
+            kk = _rms(kv[:, :, 0], lp["ca_kn"])
+            o = _attn(q, kk, kv[:, :, 1], heads).reshape(b, -1, d)
         h = h + _dense(o, lp["ca_out"])
         # local additive conditioning, left-padded past memory tokens
         lc = _dense(jax.nn.silu(_dense(local_add, lp["local1"])),
                     lp["local2"])
         h = h + jnp.pad(lc, ((0, 0), (mem, 0), (0, 0)))
-        # feedforward with adaLN
+        # feedforward with adaLN — SwiGLU (FeedForward glu=True,
+        # transformer.py:472: GLU(dim, inner, SiLU))
         f = _rms(h, lp["ff_norm"], cfg.norm_eps)
         f = f * (1 + sc_f) + sh_f
-        f = _dense(jax.nn.gelu(_dense(f, lp["ff1"]), approximate=True),
-                   lp["ff2"])
+        fx, fg = jnp.split(_dense(f, lp["ff1"]), 2, axis=-1)
+        f = _dense(fx * jax.nn.silu(fg.astype(jnp.float32)
+                                    ).astype(fx.dtype), lp["ff2"])
         h = h + f * jax.nn.sigmoid(1.0 - gt_f).astype(h.dtype)
         return h, None
 
@@ -492,7 +511,8 @@ def init_taae_block(key, dim, cfg: TAAEConfig, dtype=jnp.float32):
         "attn_out": _lin(next(ks), dim, dim, dtype, bias=False,
                          zero=True),
         "ff_norm": _init_dyt(dim),
-        "ff1": _lin(next(ks), dim, int(dim * cfg.ff_mult), dtype),
+        # SwiGLU like the DiT blocks (shared TransformerBlock recipe)
+        "ff1": _lin(next(ks), dim, 2 * int(dim * cfg.ff_mult), dtype),
         "ff2": _lin(next(ks), int(dim * cfg.ff_mult), dim, dtype,
                     zero=True),
     }
@@ -522,8 +542,9 @@ def _taae_block(bp, x, cfg: TAAEConfig):
     o = _attn(q, k, v, heads) - _attn(qd, kd, v, heads)
     x = x + _dense(o.reshape(b, n, dim), bp["attn_out"])
     f = _dyt(x, bp["ff_norm"])
-    x = x + _dense(jax.nn.gelu(_dense(f, bp["ff1"]), approximate=True),
-                   bp["ff2"])
+    fx, fg = jnp.split(_dense(f, bp["ff1"]), 2, axis=-1)
+    x = x + _dense(fx * jax.nn.silu(fg.astype(jnp.float32)
+                                    ).astype(fx.dtype), bp["ff2"])
     return x
 
 

@@ -341,3 +341,34 @@ def test_lm_mode_pipeline(tiny_pipe):
         tiny_pipe.lm_generate_fn = None
     assert out["metadata"]["bpm"] == 100
     assert np.isfinite(out["audio"]).all()
+
+
+# -- checkpoint round trip (io/ace15_checkpoint.py) -------------------------
+
+def test_ace15_checkpoint_roundtrip(cfg, params):
+    from wan2gp_tpu.io.ace15_checkpoint import (load_ace15_params,
+                                                export_ace15_state)
+    sd = export_ace15_state(params, cfg)
+    p1, leftover = load_ace15_params(sd, cfg, dtype=jnp.float32)
+    assert leftover == []
+    # dit forward equality through the loaded weights
+    b, t = 1, 10
+    xt = jax.random.normal(jax.random.PRNGKey(11),
+                           (b, t, cfg.acoustic_dim))
+    ctx = jnp.concatenate([jnp.zeros((b, t, cfg.acoustic_dim)),
+                           jnp.ones((b, t, cfg.acoustic_dim))], -1)
+    enc = jax.random.normal(jax.random.PRNGKey(12),
+                            (b, 4, cfg.cond_dim))
+    tv = jnp.full((b,), 0.4)
+    a = dit_forward(params["dit"], cfg, xt, tv, tv, ctx,
+                    enc_states=enc)
+    bb = dit_forward(p1["dit"], cfg, xt, tv, tv, ctx, enc_states=enc)
+    np.testing.assert_allclose(_np(a), _np(bb), atol=1e-5)
+    # condition encoder equality
+    text = jax.random.normal(jax.random.PRNGKey(13),
+                             (1, 5, cfg.text_dim))
+    lyr = jax.random.normal(jax.random.PRNGKey(14),
+                            (1, 6, cfg.text_dim))
+    c0, _ = encode_condition(params, cfg, text, None, lyr, None)
+    c1, _ = encode_condition(p1, cfg, text, None, lyr, None)
+    np.testing.assert_allclose(_np(c0), _np(c1), atol=1e-5)

@@ -225,7 +225,14 @@ class AceStep15FamilyHandler:
             cfg = Ace15Config()
             vcfg = OobleckConfig()
         k1, k2 = jax.random.split(jax.random.key(seed))
-        params = init_ace15(k1, cfg, jnp.float32)
+        if checkpoints and checkpoints.get("transformer") \
+                and not init_random:
+            from ..io.safetensors_reader import load_weights
+            from ..io.ace15_checkpoint import load_ace15_params
+            params, _left = load_ace15_params(
+                load_weights(checkpoints["transformer"]), cfg)
+        else:
+            params = init_ace15(k1, cfg, jnp.float32)
         vae = init_oobleck(k2, vcfg, jnp.float32)
 
         def text_fn(prompts, _seed=seed):

@@ -325,3 +325,36 @@ def test_handler_voice_clone(tiny_pipe):
     assert np.isfinite(out["audio"]).all()
     # calibration happened: scaling is no longer exactly 1
     assert abs(float(tiny_pipe.params["scaling"]) - 1.0) > 1e-6
+
+
+# -- checkpoint round trip (io/kugelaudio_checkpoint.py) --------------------
+
+def test_kugelaudio_checkpoint_roundtrip(tiny_pipe):
+    from wan2gp_tpu.io.kugelaudio_checkpoint import (
+        load_kugelaudio_params, export_kugelaudio_state)
+    cfg, tok_cfg = tiny_pipe.cfg, tiny_pipe.tok_cfg
+    p0 = tiny_pipe.params
+    sd = export_kugelaudio_state(p0, cfg, tok_cfg)
+    p1, leftover = load_kugelaudio_params(sd, cfg, tok_cfg,
+                                          dtype=jnp.float32)
+    assert leftover == []
+    # codec equality
+    audio = jax.random.normal(jax.random.PRNGKey(9),
+                              (1, tok_cfg.hop * 2, 1)) * 0.2
+    a = kugel_encode(p0["acoustic_enc"], tok_cfg, audio)
+    b = kugel_encode(p1["acoustic_enc"], tok_cfg, audio)
+    np.testing.assert_allclose(_np(a), _np(b), atol=1e-5)
+    lat = jax.random.normal(jax.random.PRNGKey(10),
+                            (1, 3, tok_cfg.vae_dim))
+    a = kugel_decode(p0["acoustic_dec"], tok_cfg, lat)
+    b = kugel_decode(p1["acoustic_dec"], tok_cfg, lat)
+    np.testing.assert_allclose(_np(a), _np(b), atol=1e-5)
+    # full generation equality through loaded weights
+    ids = jnp.asarray([[5, 6, cfg.speech_start_id]])
+    o0 = kugelaudio_generate(p0, cfg, tok_cfg, ids, cfg_scale=1.0,
+                             max_new_tokens=4, ddpm_steps=2)
+    o1 = kugelaudio_generate(p1, cfg, tok_cfg, ids, cfg_scale=1.0,
+                             max_new_tokens=4, ddpm_steps=2)
+    np.testing.assert_array_equal(_np(o0["tokens"]), _np(o1["tokens"]))
+    np.testing.assert_allclose(_np(o0["audio_chunks"]),
+                               _np(o1["audio_chunks"]), atol=1e-5)

@@ -200,8 +200,17 @@ class KugelAudioFamilyHandler:
         else:
             cfg = KugelConfig()
             tok_cfg = KugelTokenizerConfig()
-        params = init_kugelaudio(jax.random.key(seed), cfg, tok_cfg,
-                                 jnp.float32)
+        if checkpoints and checkpoints.get("transformer") \
+                and not init_random:
+            from ..io.safetensors_reader import load_weights
+            from ..io.kugelaudio_checkpoint import \
+                load_kugelaudio_params
+            params, _left = load_kugelaudio_params(
+                load_weights(checkpoints["transformer"]), cfg,
+                tok_cfg, jnp.float32)
+        else:
+            params = init_kugelaudio(jax.random.key(seed), cfg,
+                                     tok_cfg, jnp.float32)
         return KugelAudioPipeline(params, cfg, tok_cfg,
                                   tokenizer=tokenizer)
 

@@ -238,3 +238,29 @@ def test_pipeline_emotion_paths(tiny_pipe):
                     "custom_settings": {"emo_text": "sad whisper",
                                         "emo_alpha": 0.6}}, seed=2)
     assert np.isfinite(out2["audio"]).all()
+
+
+# -- checkpoint round trip (io/index_tts2_checkpoint.py) --------------------
+
+def test_unified_voice_checkpoint_roundtrip(gcfg, gpt):
+    from wan2gp_tpu.io.index_tts2_checkpoint import (
+        load_unified_voice_params, export_unified_voice_state)
+    sd = export_unified_voice_state(gpt, gcfg)
+    p1, leftover = load_unified_voice_params(sd, gcfg,
+                                             base_params=gpt,
+                                             dtype=jnp.float32)
+    assert leftover == []
+    feats = jax.random.normal(jax.random.PRNGKey(20),
+                              (1, 10, gcfg.w2v_dim))
+    cond = get_speaker_conditioning(gpt, gcfg, feats)
+    emo = get_emo_vector(gpt, gcfg, feats)
+    ids = jnp.asarray([[3, 4, 5]])
+    c0, v0, l0 = unified_voice_generate(gpt, gcfg, ids, cond, emo,
+                                        max_new_tokens=6,
+                                        temperature=0.0)
+    c1, v1, l1 = unified_voice_generate(p1, gcfg, ids, cond, emo,
+                                        max_new_tokens=6,
+                                        temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l1),
+                               atol=1e-5)

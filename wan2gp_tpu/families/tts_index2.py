@@ -265,6 +265,14 @@ class IndexTTS2FamilyHandler:
                                     content_dim=ccfg.hidden))
         keys = jax.random.split(jax.random.key(seed), 8)
         gpt = init_unified_voice(keys[0], gcfg, jnp.float32)
+        if checkpoints and checkpoints.get("transformer") \
+                and not init_random:
+            from ..io.safetensors_reader import load_weights
+            from ..io.index_tts2_checkpoint import \
+                load_unified_voice_params
+            gpt, _left = load_unified_voice_params(
+                load_weights(checkpoints["transformer"]), gcfg,
+                base_params=gpt, dtype=jnp.float32)
         codec = init_repcodec(keys[1], ccfg, jnp.float32)
 
         cam_cfg = (S3GenConfig(mel_dim=80, spk_dim=scfg.style_dim,

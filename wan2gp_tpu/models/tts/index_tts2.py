@@ -340,6 +340,9 @@ def init_unified_voice(key, cfg: IndexGPTConfig, dtype=jnp.float32):
                                          jnp.float32)).astype(dtype),
         "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *leaves),
         "ln_f": {"w": jnp.ones((d,)), "b": jnp.zeros((d,))},
+        # the reference stacks GPT2's ln_f with UnifiedVoice's own
+        # final_norm (model_v2.py:565, :676)
+        "final_norm": {"w": jnp.ones((d,)), "b": jnp.zeros((d,))},
         "mel_head": _lin(next(keys), d, cfg.mel_vocab, dtype),
         "_cond_conf": cond_conf,
         "_emo_conf": emo_conf,
@@ -452,8 +455,16 @@ def unified_voice_generate(params, cfg: IndexGPTConfig, text_tokens,
         return xo, (jnp.concatenate([k, pad], 1),
                     jnp.concatenate([v, pad], 1))
 
+    def final_norm(y):
+        y = _ln(y, params["ln_f"], cfg.eps)
+        if "final_norm" in params:
+            # the reference stacks LayerNorms: GPT2 ln_f then the
+            # UnifiedVoice final_norm (model_v2.py:565, :676)
+            y = _ln(y, params["final_norm"], cfg.eps)
+        return y
+
     x, (kc, vc) = jax.lax.scan(prefill, x, params["blocks"])
-    h = _ln(x[:, -1:], params["ln_f"], cfg.eps)
+    h = final_norm(x[:, -1:])
 
     keys = (jax.random.split(key, max_new_tokens)
             if key is not None else None)
@@ -490,7 +501,7 @@ def unified_voice_generate(params, cfg: IndexGPTConfig, text_tokens,
 
         xx, (kc, vc) = jax.lax.scan(dec, xx,
                                     (params["blocks"], kc, vc))
-        h = _ln(xx[:, -1:], params["ln_f"], cfg.eps)
+        h = final_norm(xx[:, -1:])
         # gpt latent for s2mel = final-norm hidden at this position
         return (h, kc, vc, stopped), (tok, stopped, h[0, 0])
 

@@ -146,7 +146,10 @@ def load_ace15_params(sd: Dict[str, np.ndarray], cfg,
                        dtype)
     timbre = _enc_stack(sd, "encoder.timbre_encoder",
                         cfg.timbre_layers, dtype)
-    sd.pop("encoder.timbre_encoder.special_token", None)
+    st = sd.pop("encoder.timbre_encoder.special_token", None)
+    if st is not None:
+        timbre["special"] = jnp.asarray(
+            np.asarray(st, np.float32).reshape(1, -1)).astype(dtype)
 
     pooler = _enc_stack(sd, "tokenizer.attention_pooler",
                         cfg.pooler_layers, dtype)
@@ -265,6 +268,9 @@ def export_ace15_state(params, cfg) -> Dict[str, np.ndarray]:
     put_lin("encoder.text_projector", params["text_proj"])
     put_enc_stack("encoder.lyric_encoder", params["lyric"])
     put_enc_stack("encoder.timbre_encoder", params["timbre"])
+    if "special" in params["timbre"]:
+        put_vec("encoder.timbre_encoder.special_token",
+                params["timbre"]["special"], (1, 1, -1))
     put_lin("tokenizer.audio_acoustic_proj", params["tok_proj"])
     put_enc_stack("tokenizer.attention_pooler", params["pooler"])
     put_vec("tokenizer.attention_pooler.special_token",

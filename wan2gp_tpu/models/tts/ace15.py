@@ -67,6 +67,9 @@ class Ace15Config:
     enc_heads: int = 0
     enc_kv_heads: int = 0
     enc_ffn: int = 0
+    # XL pools timbre via a prepended CLS token instead of the mean
+    # (modeling_acestep_v15_xl_turbo.py:26-46)
+    timbre_cls: bool = False
 
     def encoder_cfg(self) -> "Ace15Config":
         if not self.enc_hidden:
@@ -85,7 +88,7 @@ class Ace15Config:
         """XL turbo: DiT 2560/32L/32H over a 2048-d encoder side."""
         return cls(hidden=2560, ffn=9728, layers=32, heads=32,
                    kv_heads=8, enc_hidden=2048, enc_heads=16,
-                   enc_kv_heads=8, enc_ffn=6144)
+                   enc_kv_heads=8, enc_ffn=6144, timbre_cls=True)
 
     @classmethod
     def tiny(cls):
@@ -285,9 +288,11 @@ def lyric_encode(params, cfg: Ace15Config, lyric_states, pad_mask=None):
 
 
 def init_timbre_encoder(key, cfg: Ace15Config, dtype=jnp.float32):
-    ks = iter(jax.random.split(key, 3))
+    ks = iter(jax.random.split(key, 4))
     return {"embed": _lin(next(ks), cfg.timbre_dim, cfg.hidden, dtype,
                           bias=True),
+            "special": (jax.random.normal(
+                next(ks), (1, cfg.hidden), jnp.float32)).astype(dtype),
             "layers": [_init_enc_layer(k, cfg, dtype) for k in
                        jax.random.split(next(ks), cfg.timbre_layers)],
             "norm": jnp.ones((cfg.hidden,), jnp.float32)}
@@ -297,8 +302,14 @@ def timbre_encode(params, cfg: Ace15Config, refer_latents):
     """refer_latents [B, T, 64] -> [B, 1, hidden] (mean over frames;
     modeling:1128-1180 returns per-reference pooled embeddings)."""
     x = _dense(refer_latents, params["embed"])
+    if cfg.timbre_cls and "special" in params:
+        cls = jnp.broadcast_to(params["special"].astype(x.dtype)[None],
+                               (x.shape[0], 1, x.shape[-1]))
+        x = jnp.concatenate([cls, x], axis=1)
     x = _run_encoder_stack(params["layers"], x, cfg, cfg.timbre_layers)
     x = _rms(x, params["norm"], cfg.eps)
+    if cfg.timbre_cls and "special" in params:
+        return x[:, :1]
     return jnp.mean(x, axis=1, keepdims=True)
 
 

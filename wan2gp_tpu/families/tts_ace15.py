@@ -9,7 +9,6 @@ lyrics + music caption -> turbo 8-step flow DiT -> Oobleck decode at
 """
 from __future__ import annotations
 
-import math
 from typing import Any, Dict, List, Optional
 
 import numpy as np

@@ -14,7 +14,6 @@ Stage wiring (infer_v2.py:700-770):
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Any, Dict, List, Optional
 
 import numpy as np

@@ -6,7 +6,6 @@ streaming conv decode at 24 kHz (7.5 frames/s).
 """
 from __future__ import annotations
 
-import math
 import re
 from typing import Any, Dict, List, Optional
 

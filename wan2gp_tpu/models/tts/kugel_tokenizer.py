@@ -23,7 +23,7 @@ reversed.  Total hop 3200 samples/frame at 24 kHz.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 import jax

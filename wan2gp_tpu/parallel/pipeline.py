@@ -18,8 +18,7 @@ utilization (choose M >= S for >=50%).
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ disparity -> min-max normalized uint8 control frames.
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np

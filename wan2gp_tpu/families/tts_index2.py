@@ -300,8 +300,33 @@ class IndexTTS2FamilyHandler:
                               jnp.float32),
             "_cam_cfg": cam_cfg, "_voc_cfg": voc_cfg,
         }
+        w2v_fn = None
+        if checkpoints and checkpoints.get("w2v_bert") \
+                and not init_random:
+            w2v_fn = cls._load_w2v_bert(checkpoints["w2v_bert"])
         return IndexTTS2Pipeline(gpt, gcfg, codec, ccfg, s2mel, scfg,
-                                 tokenizer=tokenizer)
+                                 tokenizer=tokenizer,
+                                 w2v_feat_fn=w2v_fn)
+
+    @staticmethod
+    def _load_w2v_bert(path):
+        """Real w2v-bert 2.0 tower (models/tts/w2v_bert.py,
+        HF-oracle-verified) replacing the mel-projection stub."""
+        from ..io.safetensors_reader import load_weights
+        from ..models.tts.w2v_bert import (W2VBertConfig,
+                                           load_w2v_bert_params,
+                                           w2v_bert_encode,
+                                           stack_fbanks)
+        wcfg = W2VBertConfig()
+        params, _ = load_w2v_bert_params(load_weights(path), wcfg)
+
+        def feat_fn(wav16):
+            mels = whisper_mel(jnp.asarray(wav16),
+                               dataclasses.replace(WhisperEncConfig(),
+                                                   n_mels=80))
+            return w2v_bert_encode(params, wcfg, stack_fbanks(mels))
+
+        return feat_fn
 
     @staticmethod
     def generate_audio(pipe: IndexTTS2Pipeline, merged: Dict[str, Any],

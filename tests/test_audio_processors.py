@@ -19,7 +19,7 @@ def _clip(path, t=8, fps=4):
 def test_registry_and_custom_soundtrack(tmp_path):
     ap.reset_registry()
     assert [m for _, m in ap.method_choices(ap.SOUNDTRACK)] == \
-        ["custom", "mmaudio"]
+        ["prismaudio", "custom", "mmaudio"]
     assert ap.find_processor("remove_background") is not None
     assert ap.find_processor("nope") is None
     vid = str(tmp_path / "v.avi")

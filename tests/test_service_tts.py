@@ -63,3 +63,21 @@ def test_index_tts2_service(svc):
         "duration_seconds": 0.4, "num_inference_steps": 2,
         "audio_guide": ref, "seed": 4})
     assert np.isfinite(wav).all()
+
+
+def test_dramabox_service(svc):
+    wav, sr = _run(svc, {
+        "model_type": "dramabox_audio",
+        "prompt": 'Speaker 1: "Quick check." He nods.',
+        "duration_seconds": 0, "num_inference_steps": 2,
+        "guidance_scale": 2.5, "seed": 5})
+    assert wav.shape[0] > 0
+
+
+def test_scenema_service(svc):
+    wav, sr = _run(svc, {
+        "model_type": "scenema_audio",
+        "prompt": 'Speaker 1 {voice="calm"}: Quick check.',
+        "duration_seconds": 2, "num_inference_steps": 2,
+        "guidance_scale": 1.0, "seed": 6})
+    assert wav.shape[0] > 0

@@ -30,6 +30,7 @@ from .tts_stable_audio3 import StableAudio3FamilyHandler
 from .tts_kugelaudio import KugelAudioFamilyHandler
 from .tts_ace15 import AceStep15FamilyHandler
 from .tts_index2 import IndexTTS2FamilyHandler
+from .ltx2_audio import LTXAudioTTSFamilyHandler
 
 _HANDLER_CLASSES = [WanFamilyHandler, FluxFamilyHandler,
                     HunyuanFamilyHandler, LTXVFamilyHandler,
@@ -42,7 +43,8 @@ _HANDLER_CLASSES = [WanFamilyHandler, FluxFamilyHandler,
                     HeartMulaFamilyHandler, OmniVoiceFamilyHandler,
                     ChatterboxFamilyHandler, YuEFamilyHandler,
                     StableAudio3FamilyHandler, KugelAudioFamilyHandler,
-                    AceStep15FamilyHandler, IndexTTS2FamilyHandler]
+                    AceStep15FamilyHandler, IndexTTS2FamilyHandler,
+                    LTXAudioTTSFamilyHandler]
 
 
 def build_handler_map():

@@ -256,3 +256,87 @@ def test_longcat_avatar_pipeline_e2e():
         return_latents=True)
     assert lat.shape == (1, 16, lat_t, 8, 8)
     assert np.isfinite(np.asarray(lat)).all()
+
+
+def test_longcat_avatar_multi_speaker_routing():
+    """Avatar Multi (longcat_main.py:866-873): two speakers' audio
+    contexts concatenated per frame; region tokens attend only their
+    speaker's half, so changing speaker 2's audio must not affect
+    speaker-1-owned tokens in the audio cross output."""
+    import math
+    from wan2gp_tpu.models.longcat.dit import (LongCatConfig,
+                                               _audio_cross, _ln)
+    from wan2gp_tpu.models.longcat.pipeline import build_speaker_owner
+    cfg = LongCatConfig(dim=32, n_layers=1, n_heads=2, adaln_dim=16,
+                        caption_dim=24, avatar=True,
+                        compute_dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    d = cfg.dim
+    p = {"q": {"w": jnp.asarray(rng.normal(size=(d, d)) * 0.1,
+                                jnp.float32),
+               "b": jnp.zeros((d,), jnp.float32)},
+         "kv": {"w": jnp.asarray(rng.normal(size=(768, 2 * d)) * 0.1,
+                                 jnp.float32),
+                "b": jnp.zeros((2 * d,), jnp.float32)},
+         "proj": {"w": jnp.asarray(rng.normal(size=(d, d)) * 0.1,
+                                   jnp.float32),
+                  "b": jnp.zeros((d,), jnp.float32)},
+         "q_norm": jnp.ones((cfg.head_dim,), jnp.float32),
+         "k_norm": jnp.ones((cfg.head_dim,), jnp.float32)}
+    nt, hw = 2, 16
+    x = jnp.asarray(rng.normal(size=(1, nt * hw, d)), jnp.float32)
+    a1 = rng.normal(size=(1, nt, 8, 768)).astype(np.float32)
+    a2 = rng.normal(size=(1, nt, 8, 768)).astype(np.float32)
+    a2b = rng.normal(size=(1, nt, 8, 768)).astype(np.float32)
+    owner = build_speaker_owner(4, 4)          # 16 tokens, 4x4 grid
+    ctx = jnp.concatenate([jnp.asarray(a1), jnp.asarray(a2)], axis=2)
+    ctxb = jnp.concatenate([jnp.asarray(a1), jnp.asarray(a2b)], axis=2)
+    o1 = np.asarray(_audio_cross(p, cfg, x, ctx, nt, "xla",
+                                 speaker_owner=owner))
+    o2 = np.asarray(_audio_cross(p, cfg, x, ctxb, nt, "xla",
+                                 speaker_owner=owner))
+    own = np.asarray(owner)
+    o1t = o1.reshape(1, nt, hw, d)
+    o2t = o2.reshape(1, nt, hw, d)
+    sp1 = own == 0
+    np.testing.assert_allclose(o1t[:, :, sp1], o2t[:, :, sp1],
+                               atol=1e-6)
+    assert not np.allclose(o1t[:, :, own != 0], o2t[:, :, own != 0])
+
+
+def test_longcat_avatar_multi_service_e2e():
+    from wan2gp_tpu.families.longcat import (LongCatFamilyHandler,
+                                             LongCatSamplingConfig)
+    from wan2gp_tpu.models.longcat.dit import LongCatConfig, init_longcat
+    from wan2gp_tpu.models.longcat.pipeline import LongCatPipeline
+    from wan2gp_tpu.models.wan.multitalk import init_audio_proj
+    cfg = LongCatConfig(dim=64, n_layers=2, n_heads=4, adaln_dim=32,
+                        caption_dim=48, avatar=True,
+                        compute_dtype=jnp.float32)
+    params = init_longcat(jax.random.key(0), cfg, jnp.float32)
+    params["audio_proj"] = init_audio_proj(jax.random.key(2))
+
+    def text_fn(prompts):
+        return (jax.random.normal(jax.random.key(1),
+                                  (1, 6, cfg.caption_dim), jnp.float32),
+                jnp.ones((1, 6), jnp.int32))
+
+    pipe = LongCatPipeline(params, cfg, text_encode_fn=text_fn,
+                           attn_backend="xla")
+    pipe.wav2vec = None
+    pipe.multi_speakers_only = True
+    sr = 16000
+    a1 = np.sin(np.linspace(0, 700, sr)).astype(np.float32)
+    a2 = np.cos(np.linspace(0, 300, sr)).astype(np.float32)
+    out = LongCatFamilyHandler._generate_avatar_video(
+        pipe, {"prompt": "two people", "audio_guide": a1,
+               "audio_guide2": a2}, 64, 64, 9, 0,
+        LongCatSamplingConfig(steps=2, guidance=1.0))
+    v = np.asarray(out["video"])
+    assert v.shape == (1, 16, 3, 8, 8) and np.isfinite(v).all()
+    # multi_speakers_only without a second guide is an error
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        LongCatFamilyHandler._generate_avatar_video(
+            pipe, {"prompt": "x", "audio_guide": a1}, 64, 64, 9, 0,
+            LongCatSamplingConfig(steps=2, guidance=1.0))

@@ -43,11 +43,16 @@ class LongCatFamilyHandler:
     @staticmethod
     def query_model_def(base_model_type, model_def):
         avatar = "avatar" in base_model_type
-        return {"group": "longcat",
-                "avatar_class": avatar,
-                "image_prompt_types_allowed":
-                    "TSV" if base_model_type == "longcat_video_i2v"
-                    or avatar else ""}
+        out = {"group": "longcat",
+               "avatar_class": avatar,
+               "image_prompt_types_allowed":
+                   "TSV" if base_model_type == "longcat_video_i2v"
+                   or avatar else ""}
+        if avatar:
+            out["audio_guide_label"] = "Speaker Audio"
+            if model_def.get("multi_speakers_only"):
+                out["audio_guide2_label"] = "Second Speaker Audio"
+        return out
 
     @staticmethod
     def default_settings(base_model_type: str) -> Dict[str, Any]:
@@ -60,10 +65,14 @@ class LongCatFamilyHandler:
     def query_model_files(base_model_type, model_def):
         base = "https://huggingface.co/DeepBeepMeep/LongCat/resolve/main/"
         wan = "https://huggingface.co/DeepBeepMeep/Wan2.1/resolve/main/"
-        return [{"role": "transformer", "urls": model_def.get("URLs", [])},
-                {"role": "vae", "urls": [base + "longcat_vae.safetensors"]},
-                {"role": "text_encoder", "urls": [
-                    wan + "models_t5_umt5-xxl-enc-bf16.safetensors"]}]
+        files = [{"role": "transformer", "urls": model_def.get("URLs", [])},
+                 {"role": "vae", "urls": [base + "longcat_vae.safetensors"]},
+                 {"role": "text_encoder", "urls": [
+                     wan + "models_t5_umt5-xxl-enc-bf16.safetensors"]}]
+        if "avatar" in base_model_type:
+            files.append({"role": "wav2vec", "urls": [
+                wan + "chinese-wav2vec2-base/model.safetensors"]})
+        return files
 
     @classmethod
     def load_model(cls, base_model_type, model_def, checkpoints=None,
@@ -96,11 +105,25 @@ class LongCatFamilyHandler:
                                                  dtype)
             if checkpoints.get("vae"):
                 vae_dec, vae_enc = cls._load_vae(checkpoints)
-        return LongCatPipeline(params, cfg, text_encode_fn=text_fn,
+        wav2vec = None
+        if cfg.avatar and not init_random and checkpoints \
+                and checkpoints.get("wav2vec"):
+            from ..io.safetensors_reader import load_weights
+            from ..models.wan.multitalk import (Wav2Vec2Config,
+                                                load_wav2vec2_params)
+            w2v_cfg = Wav2Vec2Config()
+            w2v, _ = load_wav2vec2_params(
+                load_weights(checkpoints["wav2vec"]), w2v_cfg)
+            wav2vec = (w2v, w2v_cfg)
+        pipe = LongCatPipeline(params, cfg, text_encode_fn=text_fn,
                                vae_decode_fn=vae_dec, vae_encode_fn=vae_enc,
                                latents_mean=LATENTS_MEAN,
                                latents_std=LATENTS_STD,
                                attn_backend=attn_backend)
+        pipe.wav2vec = wav2vec
+        pipe.multi_speakers_only = bool(
+            model_def.get("multi_speakers_only"))
+        return pipe
 
     @staticmethod
     def _load_text_encoder(checkpoints, tokenizer, dtype):
@@ -147,6 +170,10 @@ class LongCatFamilyHandler:
             solver=str(merged.get("sample_solver", "auto") or "auto"),
             cfg_star=bool(merged.get("cfg_star_switch", False)),
             cfg_zero_step=int(merged.get("cfg_zero_step", -1)))
+        if pipe.cfg.avatar and (merged.get("audio_guide") is not None
+                                or merged.get("_audio_windows")):
+            return LongCatFamilyHandler._generate_avatar_video(
+                pipe, merged, width, height, frame_num, seed, sampling)
         return pipe.generate(
             prompt=merged.get("prompt", ""),
             negative_prompt=merged.get("negative_prompt", ""),
@@ -157,3 +184,85 @@ class LongCatFamilyHandler:
             video_cond=merged.get("_video_cond"),
             num_cond_frames=int(merged.get("_num_cond_frames", 0)),
             seed=seed)
+
+    @staticmethod
+    def _audio_features(pipe, audio, frame_num: int):
+        """Audio guide (path or array) -> ([T_frames, blocks, 768]
+        wav2vec features, waveform, sr).  Without a wav2vec checkpoint
+        (random-weight runs) a deterministic per-frame energy embedding
+        stands in so the avatar path stays exercisable
+        (longcat_main.py:528-548 _build_audio_windows)."""
+        import numpy as np
+        from ..utils import media
+        if isinstance(audio, str):
+            wave, sr = media.read_wav(audio)
+        else:
+            wave, sr = np.asarray(audio), 16000
+        mono = wave.astype(np.float32)
+        if mono.ndim == 2:
+            mono = mono.mean(axis=1)
+        if mono.dtype == np.int16 or np.abs(mono).max() > 4.0:
+            mono = mono / 32767.0
+        if getattr(pipe, "wav2vec", None) is not None:
+            from ..models.wan.multitalk import wav2vec2_extract
+            w2v, w2v_cfg = pipe.wav2vec
+            norm = (mono - mono.mean()) / (mono.std() + 1e-7)
+            emb = np.asarray(wav2vec2_extract(
+                w2v, w2v_cfg, jnp.asarray(norm[None]), frame_num)[0])
+        else:
+            spf = max(1, len(mono) // frame_num)
+            frames = np.resize(mono, frame_num * spf).reshape(
+                frame_num, spf)
+            rms = np.sqrt((frames ** 2).mean(axis=1, keepdims=True))
+            phase = np.linspace(0, 1, 768, dtype=np.float32)[None]
+            emb = np.repeat((rms * np.cos(2 * np.pi * rms * phase))
+                            [:, None], 12, axis=1)
+        return emb, wave, sr
+
+    @staticmethod
+    def _generate_avatar_video(pipe, merged, width, height, frame_num,
+                               seed, sampling):
+        """LongCat Avatar service route (longcat_main.py:857-878):
+        wav2vec windows per speaker, dual-speaker concat + region
+        routing for Avatar Multi, reference image pinned."""
+        import numpy as np
+        from ..models.wan.multitalk import get_window_audio_embeddings
+        if frame_num % 4 != 1:
+            frame_num = max(frame_num // 4 * 4 + 1, 1)
+        emb, wave, sr = LongCatFamilyHandler._audio_features(
+            pipe, merged["audio_guide"], frame_num)
+        windows = get_window_audio_embeddings(emb,
+                                              clip_length=frame_num)
+        windows2 = None
+        second = merged.get("audio_guide2")
+        if second is None and getattr(pipe, "multi_speakers_only",
+                                      False):
+            raise ValueError("LongCat Avatar Multi requires a second "
+                             "audio guide")
+        if second is not None:
+            emb2, _, _ = LongCatFamilyHandler._audio_features(
+                pipe, second, frame_num)
+            windows2 = get_window_audio_embeddings(
+                emb2, clip_length=frame_num)
+        ref = merged.get("_image_start")
+        if ref is None:
+            refs = merged.get("_image_refs") or merged.get("image_refs")
+            ref = refs[0] if refs else None
+        ref_image = None
+        if ref is not None and pipe.vae_encode_fn is not None:
+            arr = np.asarray(ref)
+            if arr.dtype == np.uint8:
+                arr = arr.astype(np.float32) / 127.5 - 1.0
+            ref_image = jnp.asarray(arr.transpose(2, 0, 1)[None])
+        video = pipe.generate_avatar(
+            prompt=merged.get("prompt", ""),
+            negative_prompt=merged.get("negative_prompt", ""),
+            audio_windows=windows, audio_windows2=windows2,
+            audio_proj_params=pipe.params.get("audio_proj"),
+            ref_image=ref_image, height=height, width=width,
+            frame_num=frame_num, sampling=sampling, seed=seed,
+            speakers_bboxes=merged.get("speakers_locations")
+            or merged.get("speakers_bboxes"))
+        return {"video": video, "audio": wave,
+                "audio_sample_rate": sr,
+                "fps": int(merged.get("fps", 25) or 25)}

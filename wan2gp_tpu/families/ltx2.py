@@ -27,6 +27,10 @@ _TYPES = {
     "ltx2_distilled": ("ltx2_19B", True),
     "ltx2_22B": ("ltx2_22B", False),
     "ltx2_22B_distilled": ("ltx2_22B", True),
+    # EditAnything reference V2V (models/ltx2/editanything.py): base 22B
+    # weights + LoRA'd ref_attn sidecar module
+    "ltx2_22B_edit_anything": ("ltx2_22B", False),
+    "ltx2_22B_distilled_edit_anything": ("ltx2_22B", True),
 }
 
 
@@ -44,10 +48,18 @@ class LTX2FamilyHandler:
     @staticmethod
     def query_model_def(base_model_type, model_def):
         arch, distilled = _TYPES[base_model_type]
-        return {"image_outputs": False, "group": "ltx2",
-                "vae_stride": (8, 32, 32), "audio_outputs": True,
-                "distilled": distilled,
-                "fps": 24}
+        out = {"image_outputs": False, "group": "ltx2",
+               "vae_stride": (8, 32, 32), "audio_outputs": True,
+               "distilled": distilled,
+               "fps": 24}
+        if "edit_anything" in base_model_type:
+            # reference V2V: one reference image drives ref_attn tokens
+            # + appended reference latent (ltx2_handler.py:46-50)
+            out["image_ref_choices"] = {
+                "choices": [("Reference Image", "I")],
+                "letters_filter": "I"}
+            out["video_guide_outpainting"] = False
+        return out
 
     @staticmethod
     def default_settings(base_model_type: str) -> Dict[str, Any]:
@@ -63,7 +75,11 @@ class LTX2FamilyHandler:
     def query_model_files(base_model_type, model_def):
         base = "https://huggingface.co/DeepBeepMeep/LTX-2/resolve/main/"
         pre = "ltx-2.3-22b" if "22B" in base_model_type else "ltx-2-19b"
-        return [
+        files = []
+        if "edit_anything" in base_model_type:
+            files.append({"role": "module",
+                          "urls": model_def.get("modules", [])})
+        return files + [
             {"role": "transformer", "urls": model_def.get("URLs", [])},
             {"role": "video_vae", "urls": [base + f"{pre}_vae.safetensors"]},
             {"role": "audio_vae",
@@ -98,10 +114,17 @@ class LTX2FamilyHandler:
             audio_guide_scale=float(merged.get("audio_guidance_scale",
                                                1.0) or 1.0),
             fps=fps)
+        ref_latent = None
+        if "editanything" in pipe.params:
+            refs = merged.get("_image_refs") or merged.get("image_refs")
+            if refs:
+                ref_latent = cls._image_to_ref_latent(
+                    pipe, refs[0], grid[1], grid[2])
         out = pipe.generate(
             prompt=merged.get("prompt", ""),
             negative_prompt=merged.get("negative_prompt", ""),
             latent_grid=grid, audio_tokens=audio_tokens, seed=seed,
+            ref_video_latent=ref_latent,
             sampling=sampling, fps=fps)
         video = out.get("video")
         if video is None:
@@ -111,6 +134,35 @@ class LTX2FamilyHandler:
             result.update(audio=np.asarray(out["audio"]),
                           audio_sample_rate=16000)
         return result
+
+    @staticmethod
+    def _image_to_ref_latent(pipe, image, h_lat, w_lat):
+        """EditAnything reference image -> [1, C, 1, h, w] latent
+        (editanything.py build_editanything_reference_conditioning:
+        resized to the generation size and VAE-encoded).  Without an
+        attached encoder (random-weight runs) the RGB image is
+        average-pooled into the latent grid and tiled across channels —
+        a deterministic stand-in that keeps the ref path exercisable."""
+        import numpy as np
+        arr = np.asarray(image)
+        if arr.dtype == np.uint8:
+            arr = arr.astype(np.float32) / 127.5 - 1.0
+        if arr.ndim == 2:
+            arr = arr[..., None]
+        if getattr(pipe, "vae_encode", None) is not None:
+            return pipe.vae_encode(arr[None])
+        h, w, c = arr.shape
+        ys = np.linspace(0, h, h_lat + 1).astype(int)
+        xs = np.linspace(0, w, w_lat + 1).astype(int)
+        pooled = np.stack(
+            [[arr[ys[i]:max(ys[i + 1], ys[i] + 1),
+                  xs[j]:max(xs[j + 1], xs[j] + 1)].mean(axis=(0, 1))
+              for j in range(w_lat)] for i in range(h_lat)])
+        lat_c = pipe.cfg.in_channels
+        reps = (lat_c + c - 1) // c
+        lat = np.tile(pooled, (1, 1, reps))[:, :, :lat_c]
+        return jnp.asarray(lat.transpose(2, 0, 1)[None, :, None],
+                           jnp.float32)
 
     @classmethod
     def load_model(cls, base_model_type: str, model_def: Dict[str, Any],
@@ -131,6 +183,27 @@ class LTX2FamilyHandler:
             core = [k for k in leftover if "transformer_blocks" in k]
             if core:
                 raise ValueError(f"unmapped transformer keys: {core[:8]}")
+        if "edit_anything" in base_model_type:
+            from ..models.ltx2.editanything import (
+                init_editanything, install_editanything,
+                load_editanything_module)
+            if init_random or not (checkpoints
+                                   and checkpoints.get("module")):
+                ea = init_editanything(
+                    jax.random.key(seed + 3), cfg,
+                    rank=int(model_def.get("editanything_rank", 8)))
+            else:
+                from ..io.safetensors_reader import load_state_dict
+                ea, _ = load_editanything_module(
+                    load_state_dict(checkpoints["module"]), cfg)
+            params = install_editanything(
+                params, ea, cfg,
+                start_block=int(model_def.get(
+                    "ltx2_edit_anything_ref_start_block", 12)),
+                end_block=int(model_def.get(
+                    "ltx2_edit_anything_ref_end_block", 35)),
+                context_scale=float(model_def.get(
+                    "ltx2_edit_anything_ref_context_scale", 0.01)))
         vae_decode = cls._load_video_vae(arch_name, checkpoints)
         audio_decode, vocoder = cls._load_audio_vae(checkpoints)
         if text_fn is None and checkpoints \

@@ -19,7 +19,7 @@ from ..models.tts.kugelaudio import (KugelConfig, init_kugelaudio,
                                      assemble_audio)
 from ..models.tts.kugel_tokenizer import KugelTokenizerConfig
 
-_TYPES = ["kugelaudio"]
+_TYPES = ["kugelaudio", "kugelaudio_0_open"]
 
 # kugelaudio_processor.py:168
 SYSTEM_PROMPT = (" Transform the text provided by various speakers "

@@ -17,7 +17,7 @@ from ..models.zimage.dit import ZImageConfig, init_zimage
 from ..models.zimage.pipeline import ZImagePipeline, ZImageSamplingConfig
 
 _TYPES = ["z_image", "z_image_base", "z_image_control",
-          "z_image_control2"]
+          "z_image_control2", "z_image_control2_1"]
 
 
 class ZImageFamilyHandler:
@@ -60,10 +60,15 @@ class ZImageFamilyHandler:
                    dtype=jnp.bfloat16, attn_backend="auto",
                    init_random=False, tokenizer=None, seed=0):
         if "control" in base_model_type:
+            # v2/v2.1 share the compute graph (reference
+            # z_image_handler.py:70 models_eqv_map maps control2_1 ->
+            # control2); v2.1 ships use_separate_control_refiner=true,
+            # i.e. the dedicated control_noise_refiner stack our
+            # implementation always uses (dit.py control path).
             cfg = ZImageConfig(
                 compute_dtype=dtype, control=True,
-                control_in_dim=33 if base_model_type == "z_image_control2"
-                else 16)
+                control_in_dim=16 if base_model_type == "z_image_control"
+                else 33)
         else:
             cfg = ZImageConfig(compute_dtype=dtype)
         text_fn = vae_fn = None

@@ -146,10 +146,15 @@ def _cross_attn(p, cfg: LongCatConfig, x, ctx, ctx_mask, attn_backend):
 
 
 def _audio_cross(p, cfg: LongCatConfig, x_noise, audio_ctx, nt_noise,
-                 attn_backend):
-    """SingleStreamAttention (avatar/attention.py:291-338 single-human
-    path): per-frame cross-attn — q from the frame's video tokens,
-    kv from that frame's audio context tokens."""
+                 attn_backend, speaker_owner=None):
+    """SingleStreamAttention (avatar/attention.py:291-338): per-frame
+    cross-attn — q from the frame's video tokens, kv from that frame's
+    audio context tokens.  Multi-speaker (Avatar Multi): audio_ctx holds
+    both speakers' tokens concatenated per frame and ``speaker_owner``
+    [hw] assigns each spatial token to speaker 0 / 1 / 2 (background);
+    a token attends only its own speaker's half (background attends
+    both), mirroring the speaker_token_masks attention mask
+    (avatar/attention.py:408-415)."""
     b, n, c = x_noise.shape
     hw = n // nt_noise
     nh, hd = cfg.n_heads, cfg.head_dim
@@ -163,14 +168,22 @@ def _audio_cross(p, cfg: LongCatConfig, x_noise, audio_ctx, nt_noise,
     k = _rms(k.reshape(b, nt_noise, a, nh, hd), p["k_norm"])
     v = v.reshape(b, nt_noise, a, nh, hd)
     att = jnp.einsum("btqnd,btknd->btnqk", q, k) / math.sqrt(hd)
-    att = jax.nn.softmax(att.astype(jnp.float32), axis=-1
-                         ).astype(x_noise.dtype)
+    att = att.astype(jnp.float32)
+    if speaker_owner is not None:
+        split = a // 2
+        owner = jnp.asarray(speaker_owner)                  # [hw]
+        is_first = jnp.arange(a) < split                    # [A]
+        blocked = (is_first[None, :] & (owner[:, None] == 1)) | \
+            (~is_first[None, :] & (owner[:, None] == 0))    # [hw, A]
+        att = jnp.where(blocked[None, None, None], -1e9, att)
+    att = jax.nn.softmax(att, axis=-1).astype(x_noise.dtype)
     o = jnp.einsum("btnqk,btknd->btqnd", att, v).reshape(b, n, c)
     return jnp.dot(o, p["proj"]["w"]) + p["proj"]["b"]
 
 
 def _block(p, cfg: LongCatConfig, x, ctx, ctx_mask, t_emb, cos, sin,
-           ncl: int, grid, attn_backend, audio_ctx=None):
+           ncl: int, grid, attn_backend, audio_ctx=None,
+           speaker_owner=None):
     """x: [B, N, C]; t_emb: [B, T, adaln]; per-frame 6-way modulation."""
     b, n, c = x.shape
     nt = grid[0]
@@ -214,7 +227,7 @@ def _block(p, cfg: LongCatConfig, x, ctx, ctx_mask, t_emb, cos, sin,
                   w=p["pre_audio_norm"]["w"],
                   b=p["pre_audio_norm"]["b"])
         ao = _audio_cross(p["audio_cross"], cfg, vin, ain, nt_noise,
-                          attn_backend)
+                          attn_backend, speaker_owner=speaker_owner)
         aot = ao.reshape(b, nt_noise, hw, c)
         aom = (_ln(aot) * (a_sc + 1.0) + a_sh)
         xt = x.reshape(b, nt, hw, c).astype(jnp.float32)
@@ -234,7 +247,8 @@ def _block(p, cfg: LongCatConfig, x, ctx, ctx_mask, t_emb, cos, sin,
 
 def longcat_forward(params, cfg: LongCatConfig, latents, t, context,
                     context_mask=None, num_cond_latents: int = 0,
-                    attn_backend: str = "auto", audio_ctx=None):
+                    attn_backend: str = "auto", audio_ctx=None,
+                    speaker_owner=None):
     """latents: [B, C, T, H, W]; t: [B] or [B, T] per-frame timesteps
     (0..1000 scale); context: [B, L, caption_dim]; context_mask: [B, L].
     Returns velocity [B, out, T, H, W] fp32."""
@@ -270,7 +284,8 @@ def longcat_forward(params, cfg: LongCatConfig, latents, t, context,
     def body(h_, lp):
         return _block(lp, cfg, h_, ctx, kv_mask, t_emb, cos, sin,
                       num_cond_latents, grid, attn_backend,
-                      audio_ctx=audio_ctx), None
+                      audio_ctx=audio_ctx,
+                      speaker_owner=speaker_owner), None
     x, _ = jax.lax.scan(body, x, params["blocks"])
 
     fl = params["final"]

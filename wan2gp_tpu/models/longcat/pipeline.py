@@ -84,11 +84,39 @@ class LongCatSamplingConfig:
     num_distill_steps: int = 50
 
 
+def build_speaker_owner(lat_h: int, lat_w: int, speakers_bboxes=None):
+    """Per-latent-token speaker ownership for Avatar Multi
+    (longcat_main.py:550-570 _build_ref_target_masks): percent bboxes
+    [y_min, x_min, y_max, x_max] clamped to [5, 95], default left/right
+    halves; returns [lat_h*lat_w] int32 with 0/1 = speaker, 2 =
+    background."""
+    import numpy as np
+    if not speakers_bboxes:
+        speakers_bboxes = {"person1": [5, 10, 45, 90],
+                           "person2": [55, 10, 95, 90]}
+    masks = []
+    for bbox in list(speakers_bboxes.values())[:2]:
+        y_min, x_min, y_max, x_max = bbox
+        x_min, y_min = max(x_min, 5), max(y_min, 5)
+        x_max, y_max = min(x_max, 95), min(y_max, 95)
+        r0 = int(lat_h * x_min / 100)
+        r1 = int(lat_h * x_max / 100)
+        c0 = int(lat_w * y_min / 100)
+        c1 = int(lat_w * y_max / 100)
+        m = np.zeros((lat_h, lat_w), np.float32)
+        m[r0:r1, c0:c1] = 1.0
+        masks.append(m)
+    bg = np.where(masks[0] + masks[1] > 0, 0.0, 1.0)
+    owner = np.argmax(np.stack(masks + [bg]), axis=0).astype(np.int32)
+    return jnp.asarray(owner.reshape(-1))
+
+
 def longcat_denoise_scan(params, cfg: LongCatConfig, latents, context,
                          context_mask, context_neg, context_neg_mask,
                          plan, guidance: float, num_cond_latents: int = 0,
                          cfg_star: bool = False, cfg_zero_step: int = -1,
-                         attn_backend: str = "auto", audio_ctx=None):
+                         attn_backend: str = "auto", audio_ctx=None,
+                         speaker_owner=None):
     """latents: [1, C, T, H, W] fp32 (cond frames already written in).
     One lax.scan over steps; CFG batches cond/uncond in one forward."""
     nt = latents.shape[2]
@@ -117,7 +145,8 @@ def longcat_denoise_scan(params, cfg: LongCatConfig, latents, context,
               else audio_ctx)
         v = longcat_forward(params, cfg, xin, tin, ctx, msk,
                             num_cond_latents=num_cond_latents,
-                            attn_backend=attn_backend, audio_ctx=ab)
+                            attn_backend=attn_backend, audio_ctx=ab,
+                            speaker_owner=speaker_owner)
         if use_cfg:
             pos, neg = v[:1], v[1:]
             if cfg_star:
@@ -236,7 +265,8 @@ class LongCatPipeline:
                         negative_prompt: str = "", height: int = 480,
                         width: int = 832, frame_num: int = 93,
                         sampling: Optional[LongCatSamplingConfig] = None,
-                        seed: int = 0, return_latents: bool = False):
+                        seed: int = 0, return_latents: bool = False,
+                        audio_windows2=None, speakers_bboxes=None):
         """LongCat Avatar (modules/avatar/): audio_windows =
         (first [1, 1, 5, blocks, 768], latter [1, T_lat-1, 8, blocks,
         768]) wav2vec windows (the multitalk AudioProjModel layout),
@@ -260,6 +290,19 @@ class LongCatPipeline:
         audio_ctx = audio_proj_forward(
             audio_proj_params, AudioProjConfig(), jnp.asarray(first),
             jnp.asarray(latter))                 # [1, T, 32, 768]
+        speaker_owner = None
+        if audio_windows2 is not None:
+            # Avatar Multi (longcat_main.py:866-873): both speakers'
+            # contexts concatenated per frame + speaker-region routing
+            f2, l2 = audio_windows2
+            audio_ctx2 = audio_proj_forward(
+                audio_proj_params, AudioProjConfig(), jnp.asarray(f2),
+                jnp.asarray(l2))
+            audio_ctx = jnp.concatenate([audio_ctx, audio_ctx2], axis=2)
+            # ownership lives on the patchified token grid
+            _, ph, pw = cfg.patch_size
+            speaker_owner = build_speaker_owner(lat_h // ph, lat_w // pw,
+                                                speakers_bboxes)
         key = jax.random.key(seed)
         latents = jax.random.normal(
             key, (1, cfg.in_channels, lat_t, lat_h, lat_w), jnp.float32)
@@ -277,7 +320,8 @@ class LongCatPipeline:
             sampling.guidance, num_cond_latents=ncl,
             cfg_star=sampling.cfg_star,
             cfg_zero_step=sampling.cfg_zero_step,
-            attn_backend=self.attn_backend, audio_ctx=audio_ctx)
+            attn_backend=self.attn_backend, audio_ctx=audio_ctx,
+            speaker_owner=speaker_owner)
         if return_latents or self.vae_decode_fn is None:
             return latents
         return self.vae_decode_fn(self._denormalize(latents))

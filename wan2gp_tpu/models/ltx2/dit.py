@@ -293,12 +293,42 @@ def _text_cross(p_attn, sst, prompt_sst, x, context, context_mask, timestep,
     return _gate(o.astype(jnp.float32), q_gate).astype(o.dtype)
 
 
+def _ref_attn(bp, vx, ref_ctx, cfg, attn_backend):
+    """EditAnything ref_attn (editanything.py:47-77): LoRA over the
+    text-cross weights, video stream cross-attends the 32 reference
+    tokens; no rope, and (matching the reference, which discards the
+    q_norm/k_norm results) no qk-norm."""
+    cdt = cfg.compute_dtype
+    ra, base = bp["ref_attn"], bp["attn2"]
+    y = rms_norm(vx.astype(jnp.float32), eps=cfg.eps).astype(cdt)
+    c = ref_ctx.astype(cdt)
+
+    def lora(x, bw, lp):
+        out = _dense(x, bw, cdt)
+        lo = jnp.dot(jnp.dot(x, lp["a"].astype(cdt)),
+                     lp["b"].astype(cdt))
+        return out + lo.astype(out.dtype)
+
+    q = lora(y, base["to_q"], ra["to_q"])
+    k = lora(c, base["to_k"], ra["to_k"])
+    v = lora(c, base["to_v"], ra["to_v"])
+    heads = cfg.num_heads
+    hd = q.shape[-1] // heads
+    q = q.reshape(*q.shape[:2], heads, hd)
+    k = k.reshape(*k.shape[:2], heads, hd)
+    v = v.reshape(*v.shape[:2], heads, hd)
+    o = attention(q, k, v, backend=attn_backend)
+    o = o.reshape(*y.shape[:2], -1)
+    return lora(o, base["to_out"], ra["to_out"])
+
+
 def _block(bp, cfg: LTX2Config, vx, ax, mods, ropes, masks, attn_backend):
     """BasicAVTransformerBlock.forward (transformer.py:229)."""
     rdt = cfg.residual_dtype
     (v_t, a_t, v_css, v_cg, a_css, a_cg, v_pt, a_pt) = mods
     (v_rope, a_rope, v_xrope, a_xrope) = ropes
-    (v_ctx, a_ctx, v_ctx_mask, a_ctx_mask) = masks
+    (v_ctx, a_ctx, v_ctx_mask, a_ctx_mask, *rest) = masks
+    ref_ctx = rest[0] if rest else None
     b = vx.shape[0] if vx is not None else ax.shape[0]
     n = cfg.n_ada
 
@@ -321,6 +351,11 @@ def _block(bp, cfg: LTX2Config, vx, ax, mods, ropes, masks, attn_backend):
                         v_ctx_mask, v_t, v_pt, cfg.num_heads, cfg,
                         attn_backend)
         vx = vx + o.astype(rdt)
+        if ref_ctx is not None and "ref_attn" in bp:
+            # EditAnything reference tokens (transformer.py:284-292):
+            # blocks outside [start, end] carry ref_scale 0
+            o = _ref_attn(bp, vx, ref_ctx, cfg, attn_backend)
+            vx = vx + bp["ref_scale"] * o.astype(rdt)
 
     if run_a:
         sh, sc, g = ada(bp["audio_scale_shift_table"], a_t, (0, 1, 2),
@@ -387,6 +422,7 @@ def ltx2_dit_forward(params, cfg: LTX2Config,
                      audio_tokens=None, t_audio=None,
                      audio_rope=None, audio_cross_rope=None,
                      context_mask=None,
+                     ref_context=None, ref_adaln=None,
                      attn_backend: str = "auto"):
     """Denoiser forward over patchified token streams.
 
@@ -414,12 +450,21 @@ def ltx2_dit_forward(params, cfg: LTX2Config,
         v_ctx = caption(params["caption_projection"], context, cfg.dim)
         ts = t_video * cfg.timestep_scale
         v_t, v_emb = adaln_embed(params["adaln_single"], ts)
+        if ref_adaln is not None:
+            # EditAnything adaLN offset added to the mod vector
+            # (transformer_args.py:474-478)
+            v_t = v_t + ref_adaln.astype(jnp.float32)[:, None, :]
         tavs = t_video * cfg.av_ca_timestep_scale
         v_css, _ = adaln_embed(params["av_ca_video_ss"], tavs)
         v_cg, _ = adaln_embed(params["av_ca_a2v_gate"], tavs)
         v_pt = None
         if cfg.cross_attention_adaln:
-            v_pt, _ = adaln_embed(params["prompt_adaln_single"], ts)
+            # prompt modulation uses the scalar denoise sigma (the max
+            # over groups: conditioned groups carry 0), one group for
+            # the whole caption (transformer_args.py prompt timestep
+            # from modality.sigma)
+            v_pt, _ = adaln_embed(params["prompt_adaln_single"],
+                                  jnp.max(ts, axis=1, keepdims=True))
     if run_a:
         ax = _dense(audio_tokens.astype(jnp.float32),
                     params["audio_patchify_proj"], jnp.float32).astype(rdt)
@@ -432,7 +477,8 @@ def ltx2_dit_forward(params, cfg: LTX2Config,
         a_cg, _ = adaln_embed(params["av_ca_v2a_gate"], tava)
         a_pt = None
         if cfg.cross_attention_adaln:
-            a_pt, _ = adaln_embed(params["audio_prompt_adaln_single"], tsa)
+            a_pt, _ = adaln_embed(params["audio_prompt_adaln_single"],
+                                  jnp.max(tsa, axis=1, keepdims=True))
 
     mods = (v_t if vx is not None else None,
             a_t if run_a else None,
@@ -444,7 +490,8 @@ def ltx2_dit_forward(params, cfg: LTX2Config,
             a_pt if run_a else None)
     ropes = (video_rope, audio_rope, video_cross_rope, audio_cross_rope)
     masks = (v_ctx if vx is not None else None,
-             a_ctx if run_a else None, context_mask, context_mask)
+             a_ctx if run_a else None, context_mask, context_mask,
+             ref_context)
 
     def body(carry, bp):
         vx, ax = carry

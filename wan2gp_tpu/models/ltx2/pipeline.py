@@ -107,6 +107,7 @@ def ltx2_denoise_scan(params, cfg: LTX2Config, sampling: LTX2SamplingConfig,
                       video_rope, audio: Optional[LTX2Conditioning] = None,
                       audio_rope=None, video_cross_rope=None,
                       audio_cross_rope=None, context_mask=None, key=None,
+                      ref_context=None, ref_adaln=None,
                       attn_backend: str = "auto"):
     """Run the full LTX-2 denoise loop.  Returns (video_tokens,
     audio_tokens|None) at sigma 0.
@@ -148,6 +149,11 @@ def ltx2_denoise_scan(params, cfg: LTX2Config, sampling: LTX2SamplingConfig,
         cmask = (jnp.concatenate([context_mask] * nb, axis=0) if use_cfg
                  else context_mask)
 
+    rctx = (None if ref_context is None
+            else jnp.tile(ref_context, (nb, 1, 1)))
+    rada = (None if ref_adaln is None
+            else jnp.tile(ref_adaln, (nb, 1)))
+
     def forward(vx, ax, sigma):
         t_v = sigma * jnp.tile(video.mask.astype(jnp.float32), (nb, 1))
         vxx = jnp.tile(vx, (nb, 1, 1))
@@ -159,6 +165,7 @@ def ltx2_denoise_scan(params, cfg: LTX2Config, sampling: LTX2SamplingConfig,
             params, cfg, vxx, t_v, ctx, video_rope, video_cross_rope,
             audio_tokens=axx, t_audio=t_a, audio_rope=audio_rope,
             audio_cross_rope=audio_cross_rope, context_mask=cmask,
+            ref_context=rctx, ref_adaln=rada,
             attn_backend=attn_backend)
         return vel_v, vel_a
 
@@ -250,9 +257,15 @@ class LTX2Pipeline:
 
     def generate(self, prompt: str = "", negative_prompt: str = "",
                  latent_grid=(3, 8, 8), audio_tokens: int = 0,
-                 image_latent=None, seed: int = 0,
+                 image_latent=None, ref_video_latent=None, seed: int = 0,
                  sampling: Optional[LTX2SamplingConfig] = None,
                  fps: float = 24.0):
+        """ref_video_latent: optional [B, C, Fr, h, w] EditAnything
+        reference latent (spatial dims must match the grid) — appended
+        at temporal position 0 with denoise mask 0
+        (VideoConditionByReferenceLatent, reference_video_cond.py) and,
+        when the EditAnything module is installed, also projected to
+        cross-attended reference tokens + an adaLN offset."""
         sampling = sampling or self.sampling
         cfg = self.cfg
         f, h, w = latent_grid
@@ -272,10 +285,41 @@ class LTX2Pipeline:
             toks = patchify_video(image_latent)
             clean_v = clean_v.at[:, :h * w].set(toks[:, :h * w])
             mask_v = mask_v.at[:, 0].set(0.0)
+        ref_context = ref_adaln = None
+        n_ref_groups = 0
+        if ref_video_latent is not None:
+            rl = jnp.asarray(ref_video_latent, jnp.float32)
+            fr, hr, wr = rl.shape[2], rl.shape[3], rl.shape[4]
+            if (hr, wr) != (h, w):
+                raise ValueError("EditAnything reference latent spatial "
+                                 f"dims {(hr, wr)} != grid {(h, w)}")
+            ref_toks = patchify_video(rl)
+            clean_v = jnp.concatenate([clean_v, ref_toks], axis=1)
+            mask_v = jnp.concatenate(
+                [mask_v, jnp.zeros((1, fr), jnp.float32)], axis=1)
+            n_ref_groups = fr
+            ea = self.params.get("editanything")
+            if ea is not None:
+                from .editanything import ref_visual_tokens, ref_adaln_vec
+                ref_context = ref_visual_tokens(ea, rl)
+                ref_adaln = ref_adaln_vec(ea, rl)
         video = LTX2Conditioning(clean=clean_v, mask=mask_v)
         audio = None
         v_rope, a_rope, v_xrope, a_xrope = build_ltx2_ropes(
             cfg, latent_grid, audio_tokens, fps=fps)
+        if n_ref_groups:
+            # ref tokens ride at temporal position 0 (frame_idx=0)
+            rpos = video_token_positions((n_ref_groups, h, w), fps=fps)
+            pos = np.concatenate(
+                [video_token_positions(latent_grid, fps=fps), rpos],
+                axis=1)
+            v_rope = build_ltx_rope(pos, cfg.dim, cfg.num_heads,
+                                    cfg.max_pos, theta=cfg.rope_theta,
+                                    rope_type=cfg.rope_type)
+            v_xrope = build_ltx_rope(pos[:1], cfg.audio_dim,
+                                     cfg.audio_num_heads, cfg.max_pos[:1],
+                                     theta=cfg.rope_theta,
+                                     rope_type=cfg.rope_type)
         if audio_tokens > 0:
             audio = LTX2Conditioning(
                 clean=jnp.zeros((1, audio_tokens, cfg.audio_in_channels),
@@ -285,8 +329,9 @@ class LTX2Pipeline:
             self.params, cfg, sampling, video, ctx, ctx_n, v_rope,
             audio=audio, audio_rope=a_rope, video_cross_rope=v_xrope,
             audio_cross_rope=a_xrope, key=jax.random.key(seed),
+            ref_context=ref_context, ref_adaln=ref_adaln,
             attn_backend=self.attn_backend)
-        video_latent = unpatchify_video(vx, latent_grid)
+        video_latent = unpatchify_video(vx[:, :tv], latent_grid)
         out: Dict[str, Any] = {"video_latent": video_latent}
         if axx is not None:
             out["audio_latent"] = axx

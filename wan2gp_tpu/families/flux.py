@@ -21,6 +21,9 @@ _ARCH: Dict[str, Dict[str, Any]] = {
     "flux2_klein_4b": dict(flux2="FLUX2_KLEIN_4B"),
     "flux2_klein_9b": dict(flux2="FLUX2_KLEIN_9B"),
     "flux2_dev": dict(flux2="FLUX2_DEV"),
+    # pi-FLUX.2: flux2_dev + GM velocity heads, 4-step analytic
+    # policy-rollout sampler (flux_handler.py:220-221, piflow=True)
+    "pi_flux2": dict(flux2="FLUX2_DEV", piflow=True),
     # Chroma 8.9B: schnell geometry, modulation distilled into a 5-layer
     # guidance MLP, T5-only text (flux_handler.py:75-88, model.py:129)
     "flux_chroma": dict(chroma=True, shift=False),
@@ -49,12 +52,15 @@ class FluxFamilyHandler:
 
     @staticmethod
     def default_settings(base_model_type: str) -> Dict[str, Any]:
-        if base_model_type.startswith("flux2"):
-            # klein: 4-step distilled, guidance 1 (defaults/flux2_klein_*)
+        if base_model_type.startswith("flux2") \
+                or base_model_type == "pi_flux2":
+            # klein / pi_flux2: 4-step distilled (defaults/flux2_klein_*,
+            # defaults/pi_flux2.json)
             dev = base_model_type == "flux2_dev"
             return {"prompt": "", "resolution": "1024x1024",
                     "num_inference_steps": 50 if dev else 4, "seed": -1,
-                    "embedded_guidance_scale": 4 if dev else 1,
+                    "embedded_guidance_scale": 4 if dev
+                    or base_model_type == "pi_flux2" else 1,
                     "batch_size": 1}
         steps = 4 if base_model_type == "flux_schnell" else 25
         return {"prompt": "", "resolution": "1280x720",
@@ -80,13 +86,20 @@ class FluxFamilyHandler:
     @staticmethod
     def query_model_files(base_model_type, model_def):
         base = "https://huggingface.co/DeepBeepMeep/Flux/resolve/main/"
-        if base_model_type.startswith("flux2"):
+        if base_model_type.startswith("flux2") \
+                or base_model_type == "pi_flux2":
             b2 = "https://huggingface.co/DeepBeepMeep/Flux2/resolve/main/"
-            return [{"role": "transformer",
-                     "urls": model_def.get("URLs", [])},
-                    {"role": "vae", "urls": [b2 + "flux2_vae.safetensors"]},
-                    {"role": "text_encoder",
-                     "urls": [b2 + "qwen3_4b_bf16.safetensors"]}]
+            files = [{"role": "transformer",
+                      "urls": model_def.get("URLs", [])},
+                     {"role": "vae",
+                      "urls": [b2 + "flux2_vae.safetensors"]},
+                     {"role": "text_encoder",
+                      "urls": [b2 + "qwen3_4b_bf16.safetensors"]}]
+            if base_model_type == "pi_flux2":
+                files.append({"role": "module", "urls": model_def.get(
+                    "modules", [[b2 + "pi_flux2_heads_bf16"
+                                 ".safetensors"]])})
+            return files
         if base_model_type.startswith("flux_chroma"):
             # T5-only conditioning (flux_handler.py:88)
             return [{"role": "transformer",
@@ -147,10 +160,22 @@ class FluxFamilyHandler:
                     vae_params, _ = load_flux_vae_params(vae_sd, vae_cfg)
                 t5_fn, clip_fn = cls._load_text_encoders(
                     base_model_type, checkpoints, tokenizer, dtype)
-        return FluxPipeline(dit_params, dit_cfg, vae_params, vae_cfg,
+        pipe = FluxPipeline(dit_params, dit_cfg, vae_params, vae_cfg,
                             t5_encode_fn=t5_fn, clip_encode_fn=clip_fn,
                             attn_backend=attn_backend,
                             vae_decode_fn=vae_decode_fn)
+        if _ARCH[base_model_type].get("piflow"):
+            from ..models.flux.piflow import (init_piflow_heads,
+                                              load_piflow_heads)
+            if init_random or not (checkpoints
+                                   and checkpoints.get("module")):
+                pipe.piflow_heads = init_piflow_heads(
+                    jax.random.key(seed + 5), dit_cfg)
+            else:
+                heads, _ = load_piflow_heads(
+                    load_safetensors(checkpoints["module"]))
+                pipe.piflow_heads = heads
+        return pipe
 
     @staticmethod
     def _load_flux2_vae(checkpoints):

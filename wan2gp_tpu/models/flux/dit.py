@@ -413,7 +413,7 @@ def _single_block(bp, x, vec, cos, sin, cfg, attn_backend, mods=None):
 def flux_forward(params, cfg: FluxConfig, img, txt, vec_y, t,
                  rope_cos, rope_sin, guidance=None,
                  attn_backend: str = "auto", style_tokens=None,
-                 radiance_grid_hw=None):
+                 radiance_grid_hw=None, piflow_heads=None):
     """img: [B, L_img, in_channels] packed 2x2 latent patches;
     txt: [B, L_txt, context_in_dim]; vec_y: [B, vec_in_dim] CLIP pooled;
     t: [B] in [0, 1]; rope tables cover (style+)txt+img sequence.
@@ -529,6 +529,11 @@ def flux_forward(params, cfg: FluxConfig, img, txt, vec_y, t,
     fm = _dense(jax.nn.silu(vec), params["final"]["mod"], jnp.float32)
     shift, scale = jnp.split(fm[:, None, :], 2, axis=-1)
     x = layer_norm(x) * (1 + scale) + shift
+    if piflow_heads is not None:
+        # pi-Flow GM velocity heads replace the final projection
+        # (model.py:218-231 _apply_piflow_final_layer)
+        from .piflow import piflow_project
+        return piflow_project(piflow_heads, x, vec)
     return _dense(x, params["final"]["linear"], jnp.float32)
 
 

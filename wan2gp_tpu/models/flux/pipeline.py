@@ -122,15 +122,39 @@ class FluxPipeline:
         cos, sin = rope_from_ids(ids, self.dit_cfg.axes_dim,
                                  self.dit_cfg.theta)
 
-        sig = (sampling, img.shape, context.shape)
-        fn = self._cache.get(sig)
-        if fn is None:
-            fn = jax.jit(functools.partial(
-                flux_denoise_scan, cfg=self.dit_cfg, timesteps=ts,
-                guidance=sampling.guidance, rope_cos=cos, rope_sin=sin,
-                attn_backend=self.attn_backend))
-            self._cache[sig] = fn
-        x = fn(self.dit_params, img=img, txt=context, vec_y=vec_y)
+        if getattr(self, "piflow_heads", None) is not None:
+            # pi-FLUX.2 (sampling.py:654-792): one GM prediction per
+            # outer step + analytic policy rollout
+            from .piflow import piflow_sample
+            heads = self.piflow_heads
+            g = jnp.full((1,), sampling.guidance, jnp.float32)
+
+            @jax.jit
+            def gm_fwd(params, x, t):
+                return flux_forward(
+                    params, self.dit_cfg, x, context, vec_y,
+                    jnp.broadcast_to(t, (x.shape[0],)), cos, sin,
+                    guidance=g if self.dit_cfg.guidance_embed else None,
+                    attn_backend=self.attn_backend, piflow_heads=heads)
+
+            def forward_gm(x, i):
+                return gm_fwd(self.dit_params, x,
+                              jnp.float32(ts[i])), None
+
+            x = piflow_sample(forward_gm, img.astype(jnp.float32),
+                              ts, h_tok, w_tok,
+                              self.dit_cfg.out_channels,
+                              key=jax.random.key(seed + 1))
+        else:
+            sig = (sampling, img.shape, context.shape)
+            fn = self._cache.get(sig)
+            if fn is None:
+                fn = jax.jit(functools.partial(
+                    flux_denoise_scan, cfg=self.dit_cfg, timesteps=ts,
+                    guidance=sampling.guidance, rope_cos=cos,
+                    rope_sin=sin, attn_backend=self.attn_backend))
+                self._cache[sig] = fn
+            x = fn(self.dit_params, img=img, txt=context, vec_y=vec_y)
         z = unpack_latent(x, h_lat, w_lat)
         if return_latents:
             return z

@@ -31,6 +31,9 @@ _TYPES = {
     # weights + LoRA'd ref_attn sidecar module
     "ltx2_22B_edit_anything": ("ltx2_22B", False),
     "ltx2_22B_distilled_edit_anything": ("ltx2_22B", True),
+    # JoyAI-Echo: 22B distilled AV with multi-window memory bank
+    # (models/ltx2/joyai_echo.py; ltx2_handler.py:492-501)
+    "joyai_echo": ("ltx2_22B", True),
 }
 
 
@@ -59,6 +62,17 @@ class LTX2FamilyHandler:
                 "choices": [("Reference Image", "I")],
                 "letters_filter": "I"}
             out["video_guide_outpainting"] = False
+        if base_model_type == "joyai_echo":
+            # ltx2_handler.py:492-501
+            out.update({
+                "joyai_echo": True, "joyai_audio_memory": True,
+                "joyai_memory_max_size": 7,
+                "joyai_memory_num_fix_frames": 3,
+                "joyai_memory_downscale_factor": 1,
+                "joyai_audio_memory_window_size": 96,
+                "multi_prompts_gen_type": "PW",
+                "custom_settings": {
+                    "joyai_control_memory_positions": ""}})
         return out
 
     @staticmethod
@@ -114,6 +128,13 @@ class LTX2FamilyHandler:
             audio_guide_scale=float(merged.get("audio_guidance_scale",
                                                1.0) or 1.0),
             fps=fps)
+        base = merged.get("_model_def", {}).get("architecture") \
+            or merged.get("model_type", "")
+        if "joyai" in str(base) or "joyai" in str(
+                merged.get("model_type", "")):
+            return cls._generate_joyai_video(pipe, merged, width,
+                                             height, frame_num, seed,
+                                             sampling, fps)
         ref_latent = None
         if "editanything" in pipe.params:
             refs = merged.get("_image_refs") or merged.get("image_refs")
@@ -133,6 +154,146 @@ class LTX2FamilyHandler:
         if out.get("audio") is not None:
             result.update(audio=np.asarray(out["audio"]),
                           audio_sample_rate=16000)
+        return result
+
+    @classmethod
+    def _generate_joyai_video(cls, pipe, merged, width, height,
+                              frame_num, seed, sampling, fps):
+        """JoyAI-Echo multi-window story loop (joyai_echo.py
+        prepare_joyai_echo_context / record_joyai_echo_memory +
+        ltx2.py:1202-1216, 1776-1778): one window per prompt paragraph;
+        active memory slots are appended as reference latents (video
+        pinned at t=0, audio appended with mask 0); /store_mem samples
+        new slots from the window's result; /load_mem, /drop_mem edit
+        the bank.  Windows continue via latent-prefix pinning unless
+        /new_shot."""
+        import numpy as np
+        import dataclasses as _dc
+        from ..models.ltx2.joyai_echo import (
+            JoyAIEchoMemoryBank, parse_joyai_window_commands,
+            duration_to_frames, parse_control_memory_positions,
+            CONTROL_MEMORY_SETTING)
+        model_def = merged.get("_model_def") or {}
+        cs = merged.get("custom_settings") or {}
+        bank = JoyAIEchoMemoryBank(
+            max_size=int(model_def.get("joyai_memory_max_size", 7)),
+            num_fix_frames=int(model_def.get(
+                "joyai_memory_num_fix_frames", 3)),
+            audio_window_size=int(model_def.get(
+                "joyai_audio_memory_window_size", 96)))
+        h_lat, w_lat = height // 32, width // 32
+        # control-video memory pre-seed (build_control_video_memory):
+        # frames at the parsed positions become video slots; without a
+        # VAE encoder the pooled-RGB fallback stands in
+        control = merged.get("_control_video")
+        if control is not None:
+            positions = parse_control_memory_positions(
+                str(cs.get(CONTROL_MEMORY_SETTING, "") or ""), fps)
+            frames = np.asarray(control)
+            if not positions:
+                positions = [(None, frames.shape[0] // 2)]
+            slots, names = [], []
+            for name, fidx in positions:
+                fidx = min(max(0, fidx), frames.shape[0] - 1)
+                slots.append(np.asarray(cls._image_to_ref_latent(
+                    pipe, frames[fidx], h_lat, w_lat)))
+                names.append(name)
+            bank.add_artificial_memory(
+                {"video": np.concatenate(slots, axis=2),
+                 "audio": [], "names": names})
+        # window plan: one window per paragraph (PW), blank-line split
+        paragraphs = [p.strip() for p in
+                      str(merged.get("prompt", "")).split("\n\n")
+                      if p.strip()] or [""]
+        windows = [parse_joyai_window_commands(p) for p in paragraphs]
+        default_frames = max(1, frame_num // len(windows))
+        overlap_default = 9
+        audio_latents_ps = 25.0
+        vids, auds = [], []
+        prev_latent = None
+        z_mel = None
+        for wi, (text, opts) in enumerate(windows):
+            wf = duration_to_frames(opts.get("duration", ""), fps,
+                                    frame_num, default_frames)
+            wf = max(9, (wf - 1) // 8 * 8 + 1)
+            f_lat = (wf - 1) // 8 + 1
+            if opts.get("drop_mem"):
+                bank.drop(opts["drop_mem"])
+            if "load_mem" in opts:
+                bank.load(opts["load_mem"])
+            ref_v = bank.video_latent()
+            ref_a_lat = bank.audio_latent()
+            ref_a_tokens = None
+            if ref_a_lat is not None:
+                b, z, t_a, m = ref_a_lat.shape
+                ref_a_tokens = ref_a_lat.transpose(0, 2, 1, 3).reshape(
+                    b, t_a, z * m)
+                if ref_a_tokens.shape[2] != pipe.cfg.audio_in_channels:
+                    ref_a_tokens = None          # layout mismatch guard
+            ov = 0
+            prefix = None
+            if wi > 0 and not opts.get("new_shot") \
+                    and prev_latent is not None:
+                ov = min(int(opts.get("overlap") or overlap_default),
+                         wf - 1)
+                lat_ov = max(1, (ov - 1) // 8 + 1) if ov > 0 else 0
+                if lat_ov > 0:
+                    prefix = prev_latent[:, :, -lat_ov:]
+            audio_tokens = max(1, int(wf / fps * audio_latents_ps))
+            out = pipe.generate(
+                prompt=text,
+                negative_prompt=merged.get("negative_prompt", ""),
+                latent_grid=(f_lat, h_lat, w_lat),
+                audio_tokens=audio_tokens, seed=seed + wi * 101,
+                sampling=sampling, fps=fps,
+                ref_video_latent=None if ref_v is None
+                else jnp.asarray(ref_v),
+                ref_audio_tokens=None if ref_a_tokens is None
+                else jnp.asarray(ref_a_tokens),
+                prefix_latent=prefix)
+            vl = np.asarray(out["video_latent"])
+            al = out.get("audio_latent")
+            al_np = None if al is None else np.asarray(al)
+            # audio latent in bank layout [1, z, T, m']
+            a_mem = None
+            if al_np is not None:
+                t_a = al_np.shape[1]
+                if z_mel is None:
+                    # (z, m') split of the token channels; the audio
+                    # VAE default is z=8 — any consistent factorization
+                    # round-trips through the bank
+                    ch = al_np.shape[2]
+                    zz = 8 if ch % 8 == 0 else 1
+                    z_mel = (zz, ch // zz)
+                z, m = z_mel
+                a_mem = al_np.reshape(1, t_a, z, m).transpose(0, 2, 1, 3)
+            if opts.get("store_mem"):
+                bank.add_generation(
+                    vl, a_mem, store_selectors=opts["store_mem"],
+                    audio_cfg=None)
+            lat_trim = 0
+            if ov > 0:
+                lat_trim = max(1, (ov - 1) // 8 + 1)
+            vids.append(vl[:, :, lat_trim:] if lat_trim else vl)
+            if al_np is not None:
+                a_trim = int(lat_trim * 8 / fps * audio_latents_ps)
+                auds.append(al_np[:, a_trim:] if a_trim else al_np)
+            prev_latent = vl
+        video_latent = np.concatenate(vids, axis=2)
+        result = {"video_latent": video_latent, "fps": int(fps)}
+        if pipe.vae_decode is not None:
+            result["video"] = np.asarray(
+                pipe.vae_decode(jnp.asarray(video_latent)))
+        else:
+            result["video"] = video_latent
+        if auds:
+            al = jnp.asarray(np.concatenate(auds, axis=1))
+            if pipe.audio_vae_decode is not None:
+                mel = pipe.audio_vae_decode(al)
+                if pipe.vocoder is not None:
+                    result["audio"] = np.asarray(pipe.vocoder(mel))
+                    result["audio_sample_rate"] = 16000
+        result["memory_labels"] = bank.labels()
         return result
 
     @staticmethod

@@ -259,13 +259,24 @@ class LTX2Pipeline:
                  latent_grid=(3, 8, 8), audio_tokens: int = 0,
                  image_latent=None, ref_video_latent=None, seed: int = 0,
                  sampling: Optional[LTX2SamplingConfig] = None,
-                 fps: float = 24.0):
-        """ref_video_latent: optional [B, C, Fr, h, w] EditAnything
-        reference latent (spatial dims must match the grid) — appended
-        at temporal position 0 with denoise mask 0
+                 fps: float = 24.0, ref_audio_tokens=None,
+                 prefix_latent=None):
+        """ref_video_latent: optional [B, C, Fr, h, w] reference latent
+        (spatial dims must match the grid) — appended at temporal
+        position 0 with denoise mask 0
         (VideoConditionByReferenceLatent, reference_video_cond.py) and,
         when the EditAnything module is installed, also projected to
-        cross-attended reference tokens + an adaLN offset."""
+        cross-attended reference tokens + an adaLN offset.  JoyAI-Echo
+        memory slots ride the same path.
+
+        ref_audio_tokens: optional [B, Tr, audio_in_channels] audio
+        reference tokens appended to the audio stream with mask 0
+        (AudioConditionByAppendedReferenceLatent — JoyAI-Echo audio
+        memory / voice cloning).
+
+        prefix_latent: optional [B, C, Fp, h, w] latent whose frames
+        pin the FIRST Fp latent-frame groups (sliding-window overlap
+        continuation)."""
         sampling = sampling or self.sampling
         cfg = self.cfg
         f, h, w = latent_grid
@@ -285,6 +296,12 @@ class LTX2Pipeline:
             toks = patchify_video(image_latent)
             clean_v = clean_v.at[:, :h * w].set(toks[:, :h * w])
             mask_v = mask_v.at[:, 0].set(0.0)
+        if prefix_latent is not None:
+            pl = jnp.asarray(prefix_latent, jnp.float32)
+            fp = min(pl.shape[2], f)
+            toks = patchify_video(pl[:, :, :fp])
+            clean_v = clean_v.at[:, :fp * h * w].set(toks)
+            mask_v = mask_v.at[:, :fp].set(0.0)
         ref_context = ref_adaln = None
         n_ref_groups = 0
         if ref_video_latent is not None:
@@ -321,10 +338,19 @@ class LTX2Pipeline:
                                      theta=cfg.rope_theta,
                                      rope_type=cfg.rope_type)
         if audio_tokens > 0:
-            audio = LTX2Conditioning(
-                clean=jnp.zeros((1, audio_tokens, cfg.audio_in_channels),
-                                jnp.float32),
-                mask=jnp.ones((1, audio_tokens), jnp.float32))
+            clean_a = jnp.zeros((1, audio_tokens, cfg.audio_in_channels),
+                                jnp.float32)
+            mask_a = jnp.ones((1, audio_tokens), jnp.float32)
+            if ref_audio_tokens is not None:
+                ra = jnp.asarray(ref_audio_tokens, jnp.float32)
+                clean_a = jnp.concatenate([clean_a, ra], axis=1)
+                mask_a = jnp.concatenate(
+                    [mask_a, jnp.zeros((1, ra.shape[1]), jnp.float32)],
+                    axis=1)
+                _v, a_rope, _vx, a_xrope = build_ltx2_ropes(
+                    cfg, latent_grid, audio_tokens + ra.shape[1],
+                    fps=fps)
+            audio = LTX2Conditioning(clean=clean_a, mask=mask_a)
         vx, axx = ltx2_denoise_scan(
             self.params, cfg, sampling, video, ctx, ctx_n, v_rope,
             audio=audio, audio_rope=a_rope, video_cross_rope=v_xrope,
@@ -334,6 +360,7 @@ class LTX2Pipeline:
         video_latent = unpatchify_video(vx[:, :tv], latent_grid)
         out: Dict[str, Any] = {"video_latent": video_latent}
         if axx is not None:
+            axx = axx[:, :audio_tokens]
             out["audio_latent"] = axx
         if self.vae_decode is not None:
             out["video"] = self.vae_decode(video_latent)

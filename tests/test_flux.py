@@ -700,3 +700,40 @@ def test_chroma_radiance_forward():
                        radiance_grid_hw=(gh, gw))
     assert out.shape == (1, 4, 48)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_uso_service_route():
+    """Service-level USO (flux_main.py:490-500): a def carrying the
+    flux_dev_uso module attaches the SigLIP tower + projector and
+    routes multi-ref generate_image through generate_uso."""
+    from wan2gp_tpu.families.flux import FluxFamilyHandler
+    from wan2gp_tpu.models.flux.dit import FluxConfig
+    orig = FluxFamilyHandler.dit_config
+
+    def tiny_cfg(base, dtype=None):
+        return FluxConfig(in_channels=64, out_channels=64, vec_in_dim=8,
+                          context_in_dim=32, hidden_size=64,
+                          mlp_ratio=2.0, num_heads=4, depth=1,
+                          depth_single_blocks=2, axes_dim=(4, 6, 6),
+                          guidance_embed=True,
+                          compute_dtype=jnp.float32)
+
+    FluxFamilyHandler.dit_config = staticmethod(tiny_cfg)
+    try:
+        pipe = FluxFamilyHandler.load_model(
+            "flux_dev_kontext",
+            {"tiny": True, "loras": "flux_dev_uso"},
+            init_random=True, attn_backend="xla")
+        assert pipe.uso is not None
+        rng = np.random.default_rng(0)
+        subj = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        style = (rng.random((56, 56, 3)) * 255).astype(np.uint8)
+        out = FluxFamilyHandler.generate_image(
+            pipe, {"prompt": "a man in a hat",
+                   "_image_refs": [subj, style],
+                   "num_inference_steps": 2,
+                   "embedded_guidance_scale": 4}, 64, 64, 0)
+        a = np.asarray(out)
+        assert a.shape == (64, 64, 3) and np.isfinite(a).all()
+    finally:
+        FluxFamilyHandler.dit_config = orig

@@ -107,12 +107,20 @@ class FluxFamilyHandler:
                     {"role": "vae", "urls": [base + "flux_vae.safetensors"]},
                     {"role": "text_encoder", "urls": [
                         base + "T5_xxl_1.1_enc_bf16.safetensors"]}]
-        return [{"role": "transformer", "urls": model_def.get("URLs", [])},
-                {"role": "vae", "urls": [base + "flux_vae.safetensors"]},
-                {"role": "text_encoder", "urls": [
-                    base + "T5_xxl_1.1_enc_bf16.safetensors"]},
-                {"role": "clip", "urls": [
-                    base + "clip_vit_large_patch14.safetensors"]}]
+        files = [{"role": "transformer",
+                  "urls": model_def.get("URLs", [])},
+                 {"role": "vae", "urls": [base + "flux_vae.safetensors"]},
+                 {"role": "text_encoder", "urls": [
+                     base + "T5_xxl_1.1_enc_bf16.safetensors"]},
+                 {"role": "clip", "urls": [
+                     base + "clip_vit_large_patch14.safetensors"]}]
+        if any("uso" in str(model_def.get(k, "")).lower()
+               for k in ("modules", "loras", "name")):
+            files += [{"role": "siglip", "urls": [
+                base + "siglip-so400m-patch14-384.safetensors"]},
+                {"role": "module",
+                 "urls": model_def.get("modules", [])}]
+        return files
 
     # T5 v1.1 XXL encoder (HFEmbedder "google/t5-v1_1-xxl",
     # models/flux/modules/conditioner.py): shared rel-pos table, vocab 32128
@@ -164,6 +172,31 @@ class FluxFamilyHandler:
                             t5_encode_fn=t5_fn, clip_encode_fn=clip_fn,
                             attn_backend=attn_backend,
                             vae_decode_fn=vae_decode_fn)
+        uso = any("uso" in str(model_def.get(k, "")).lower()
+                  for k in ("modules", "loras", "name", "architecture")) \
+            or "uso" in str(model_def.get("model", {})).lower()
+        if uso:
+            # USO style tower: SigLIP-so400m multi-level features +
+            # the 768-token projector (flux_main.py:490-500)
+            from ..models.flux.siglip import (
+                SiglipVisionConfig, init_siglip, init_uso_projector,
+                load_siglip_params, load_uso_projector)
+            if model_def.get("tiny") or init_random:
+                sig_cfg = SiglipVisionConfig(
+                    hidden_size=64, num_layers=4, num_heads=4,
+                    mlp_dim=128, image_size=56)
+                sig_p = init_siglip(jax.random.key(seed + 11), sig_cfg)
+                proj_p = init_uso_projector(
+                    jax.random.key(seed + 12),
+                    siglip_tokens=sig_cfg.tokens,
+                    siglip_dim=sig_cfg.hidden_size,
+                    hidden_size=dit_cfg.hidden_size)
+            else:
+                sig_sd = load_safetensors(checkpoints["siglip"])
+                sig_p, sig_cfg = load_siglip_params(sig_sd)
+                proj_p = load_uso_projector(
+                    load_safetensors(checkpoints["module"]))
+            pipe.uso = (sig_p, sig_cfg, proj_p)
         if _ARCH[base_model_type].get("piflow"):
             from ..models.flux.piflow import (init_piflow_heads,
                                               load_piflow_heads)
@@ -236,6 +269,21 @@ class FluxFamilyHandler:
                 if arr.dtype == np.uint8:
                     arr = arr.astype(np.float32) / 127.5 - 1.0
                 imgs.append(arr)
+            if getattr(pipe, "uso", None) is not None:
+                # USO style transfer (flux_main.py:490-500): first ref
+                # is the subject when more than one is given; the rest
+                # (or the single ref) are SigLIP style images
+                sig_p, sig_cfg, proj_p = pipe.uso
+                styles = imgs[1:] if len(imgs) > 1 else imgs
+                subject = imgs[:1] if len(imgs) > 1 else []
+                return pipe.generate_uso(
+                    prompt=merged.get("prompt", ""),
+                    style_images=styles, siglip_params=sig_p,
+                    siglip_cfg=sig_cfg, uso_proj_params=proj_p,
+                    cond_images=subject, width=width, height=height,
+                    sampling=sampling, seed=seed,
+                    context=merged.get("_context"),
+                    vec_y=merged.get("_vec_y"))
             return pipe.generate_kontext(
                 prompt=merged.get("prompt", ""), cond_images=imgs,
                 width=width, height=height, sampling=sampling, seed=seed,

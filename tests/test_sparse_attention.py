@@ -270,3 +270,74 @@ def test_pipeline_resolved_backend():
     assert pipe.resolved_backend((1, 16, 4, 16, 16)) == "radial:4:64"
     pipe.attn_backend = "xla"
     assert pipe.resolved_backend((1, 16, 4, 16, 16)) == "xla"
+
+
+def test_chipmunk_schedule():
+    from wan2gp_tpu.ops.sparse_attention import chipmunk_schedule
+    s = chipmunk_schedule(10, 4)
+    assert s.tolist() == [True, False, False, False, True, False,
+                          False, False, True, False]
+
+
+def test_chipmunk_delta_caching_policy():
+    """Dense steps are exact; sparse steps add the cached dense-sparse
+    residual, so with static q/k/v they reproduce the dense output
+    exactly (the SparseDiffAttn delta-caching identity)."""
+    from wan2gp_tpu.ops.attention import attention
+    from wan2gp_tpu.ops.sparse_attention import (init_chipmunk_state,
+                                                 chipmunk_step)
+    rng = np.random.default_rng(0)
+    b, l, n, d = 1, 64, 2, 16
+    q = jnp.asarray(rng.normal(size=(b, l, n, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, l, n, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, l, n, d)), jnp.float32)
+    dense = np.asarray(attention(q, k, v, backend="xla"))
+    state = init_chipmunk_state(b, l, n, d, topk=2, block_q=16,
+                                block_kv=16)
+    o0, state = chipmunk_step(q, k, v, state, True, topk=2,
+                              block_q=16, block_kv=16, backend="xla")
+    np.testing.assert_allclose(np.asarray(o0), dense, atol=1e-5)
+    # sparse step with unchanged inputs == dense (delta closes the gap)
+    o1, state = chipmunk_step(q, k, v, state, False, topk=2,
+                              block_q=16, block_kv=16, backend="xla")
+    np.testing.assert_allclose(np.asarray(o1), dense, atol=1e-5)
+    # perturbed inputs: sparse+delta stays close to the new dense
+    q2 = q + 0.01 * jnp.asarray(rng.normal(size=q.shape), jnp.float32)
+    dense2 = np.asarray(attention(q2, k, v, backend="xla"))
+    o2, _ = chipmunk_step(q2, k, v, state, False, topk=2,
+                          block_q=16, block_kv=16, backend="xla")
+    err_policy = np.abs(np.asarray(o2) - dense2).max()
+    # pure sparse without delta is much worse
+    from wan2gp_tpu.ops.sparse_attention import chipmunk_attention
+    o_raw = chipmunk_attention(q2, k, v, state["kv_idx"],
+                               state["counts"], 16, 16, backend="xla")
+    err_raw = np.abs(np.asarray(o_raw) - dense2).max()
+    assert err_policy < err_raw
+
+
+def test_chipmunk_step_in_scan():
+    """The policy threads through lax.scan with a traced dense flag."""
+    from wan2gp_tpu.ops.sparse_attention import (init_chipmunk_state,
+                                                 chipmunk_step,
+                                                 chipmunk_schedule)
+    rng = np.random.default_rng(1)
+    b, l, n, d = 1, 32, 2, 8
+    qs = jnp.asarray(rng.normal(size=(4, b, l, n, d)), jnp.float32)
+    plan = jnp.asarray(chipmunk_schedule(4, 2))
+    state = init_chipmunk_state(b, l, n, d, topk=1, block_q=16,
+                                block_kv=16)
+
+    @jax.jit
+    def run(qs, state):
+        def body(st, xs):
+            qq, dense = xs
+            o, st = chipmunk_step(qq, qq, qq, st, dense, topk=1,
+                                  block_q=16, block_kv=16,
+                                  backend="xla")
+            return st, o
+
+        return jax.lax.scan(body, state, (qs, plan))
+
+    _, outs = run(qs, state)
+    assert outs.shape == (4, b, l, n, d)
+    assert np.isfinite(np.asarray(outs)).all()

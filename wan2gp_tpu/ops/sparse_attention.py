@@ -447,3 +447,78 @@ def chipmunk_attention(q, k, v, kv_idx, counts, block_q: int = 128,
     out = _sparse_flash(q_p, k_p, v_p, kv_idx, counts, scale, block_q,
                         block_kv, interpret=interpret)
     return out[:, :l]
+
+
+# ---------------------------------------------------------------------------
+# Chipmunk delta-caching step policy (the dynamic half of the chipmunk
+# package's SparseDiffAttn consumed by reference models/wan/modules/
+# model.py:886-905: a dense "calibration" step every `full_step_every`
+# steps refreshes the top-k block tables AND caches the residual between
+# the dense and sparse outputs; intermediate steps run only the sparse
+# kernel and add the cached residual back)
+# ---------------------------------------------------------------------------
+
+def chipmunk_schedule(num_steps: int, full_step_every: int = 4
+                      ) -> np.ndarray:
+    """Host-side dense/sparse plan: step 0 and every `full_step_every`th
+    step run dense (True)."""
+    steps = np.arange(max(1, int(num_steps)))
+    return (steps % max(1, int(full_step_every))) == 0
+
+
+def init_chipmunk_state(batch: int, seq: int, heads: int, head_dim: int,
+                        topk: int, block_q: int = 128,
+                        block_kv: int = 128, dtype=jnp.float32):
+    """Zero state pytree with static shapes for scan carries: index
+    tables select block 0 until the first dense step refreshes them."""
+    nqb = -(-seq // block_q)
+    return {
+        "kv_idx": jnp.zeros((nqb, topk), jnp.int32),
+        "counts": jnp.full((nqb,), topk, jnp.int32),
+        "delta": jnp.zeros((batch, seq, heads, head_dim), dtype),
+    }
+
+
+def chipmunk_step(q, k, v, state, is_dense, topk: int,
+                  block_q: int = 128, block_kv: int = 128,
+                  scale: float | None = None, backend: str = "auto",
+                  interpret: bool = False):
+    """One attention step under the chipmunk policy.
+
+    is_dense may be a Python bool (host loop) or a traced scalar (the
+    branch runs through `lax.cond`; both branches have static shapes).
+    Returns (output [B, L, N, D], new_state)."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+
+    def dense_branch(_):
+        from .attention import attention
+        o_d = attention(q, k, v, backend="xla" if interpret
+                        else backend)
+        kv_idx, counts = chipmunk_block_topk(q, k, block_q, block_kv,
+                                             topk, scale)
+        # pad tables to the static top-k width (small grids clamp)
+        pad = topk - kv_idx.shape[1]
+        if pad > 0:
+            kv_idx_p = jnp.pad(kv_idx, ((0, 0), (0, pad)))
+        else:
+            kv_idx_p = kv_idx
+        o_s = chipmunk_attention(q, k, v, kv_idx, counts, block_q,
+                                 block_kv, scale, backend=backend,
+                                 interpret=interpret)
+        new = {"kv_idx": kv_idx_p.astype(jnp.int32),
+               "counts": jnp.minimum(counts, kv_idx.shape[1]
+                                     ).astype(jnp.int32),
+               "delta": (o_d - o_s).astype(state["delta"].dtype)}
+        return o_d, new
+
+    def sparse_branch(_):
+        o_s = chipmunk_attention(q, k, v, state["kv_idx"],
+                                 state["counts"], block_q, block_kv,
+                                 scale, backend=backend,
+                                 interpret=interpret)
+        return o_s + state["delta"].astype(o_s.dtype), state
+
+    if isinstance(is_dense, (bool, np.bool_)):
+        return dense_branch(None) if is_dense else sparse_branch(None)
+    return jax.lax.cond(is_dense, dense_branch, sparse_branch, None)

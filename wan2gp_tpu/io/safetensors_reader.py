@@ -97,6 +97,15 @@ def normalize_scaled_fp8(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
 
 
 def load_safetensors(path: str) -> Dict[str, np.ndarray]:
+    import os
+    try:
+        if os.path.getsize(path) > (256 << 20):
+            # cold-cache page-in at full NVMe bandwidth (native
+            # threaded pread); mmap reads below then hit RAM
+            from .. import native
+            native.prefetch_file(path)
+    except OSError:
+        pass
     f = SafetensorsFile(path)
     return {k: f.read(k) for k in f.keys()}
 

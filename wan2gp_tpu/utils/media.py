@@ -33,6 +33,11 @@ def to_uint8(frames: np.ndarray) -> np.ndarray:
     models/wan/modules/vae.py:18)."""
     if frames.dtype == np.uint8:
         return frames
+    from .. import native
+    if native.available():
+        # threaded clamp+quantize (native/fastio.cc wg_f32_to_u8); the
+        # kernel clamps to [0, 255] so the [-1, 1] pre-clip is implied
+        return native.f32_to_u8(np.asarray(frames, np.float32))
     f = np.clip(np.asarray(frames, dtype=np.float32), -1.0, 1.0)
     return np.clip(np.round((f + 1.0) * 127.5), 0, 255).astype(np.uint8)
 

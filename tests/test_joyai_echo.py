@@ -201,3 +201,49 @@ def test_joyai_handler_multi_window(monkeypatch):
                "guidance_scale": 1.0}, 64, 64, 49, 0)
     assert not np.allclose(v[:, :, -2:],
                            np.asarray(out2["video"])[:, :, -2:])
+
+
+def test_paired_tail_cross_mask():
+    from wan2gp_tpu.models.ltx2.joyai_echo import (
+        build_paired_tail_cross_mask, build_paired_av_masks)
+    m = build_paired_tail_cross_mask(4, 6, 3, 8, 2,
+                                     kv_seg_lengths=(5, 3))
+    assert m.shape == (10, 11)
+    assert m[:4, :3].all()               # target <-> target
+    assert not m[:4, 3:].any()           # target x memory blocked
+    assert not m[4:, :3].any()
+    # slot 0: video rows 4..7 (6 tokens / 2 slots), audio cols 3..8
+    assert m[4:7, 3:8].all() and not m[4:7, 8:].any()
+    assert m[7:10, 8:11].all() and not m[7:10, 3:8].any()
+    vm, am = build_paired_av_masks(4, 6, 3, 8, 2,
+                                   audio_segment_lengths=(5, 3))
+    np.testing.assert_array_equal(am, vm.T)
+
+
+def test_paired_memory_masks_in_generate(monkeypatch):
+    """With paired memory the a2v/v2a attention is masked; the output
+    differs from the unmasked run on the same inputs."""
+    from wan2gp_tpu.families.ltx2 import LTX2FamilyHandler, _ARCH
+    monkeypatch.setitem(
+        _ARCH, "ltx2_22B",
+        dict(num_layers=2, num_heads=2, head_dim=16, in_channels=8,
+             out_channels=8, caption_dim=12, audio_num_heads=2,
+             audio_head_dim=8, audio_in_channels=8,
+             audio_out_channels=8, gated_attention=True,
+             cross_attention_adaln=True))
+    pipe = LTX2FamilyHandler.load_model("joyai_echo", {},
+                                        init_random=True,
+                                        attn_backend="xla")
+    rng = np.random.default_rng(0)
+    ref_v = jnp.asarray(rng.normal(size=(1, 8, 2, 2, 2)), jnp.float32)
+    ref_a = jnp.asarray(rng.normal(size=(1, 12, 8)), jnp.float32)
+    kw = dict(latent_grid=(2, 2, 2), audio_tokens=6, seed=3,
+              ref_video_latent=ref_v, ref_audio_tokens=ref_a)
+    base = pipe.generate(prompt="x", **kw)
+    paired = pipe.generate(prompt="x", paired_memory={
+        "num_slots": 2, "audio_segment_lengths": (6, 6)}, **kw)
+    a = np.asarray(base["video_latent"])
+    b = np.asarray(paired["video_latent"])
+    assert a.shape == b.shape
+    assert not np.allclose(a, b)
+    assert np.isfinite(b).all()

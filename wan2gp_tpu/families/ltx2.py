@@ -223,6 +223,13 @@ class LTX2FamilyHandler:
                 bank.load(opts["load_mem"])
             ref_v = bank.video_latent()
             ref_a_lat = bank.audio_latent()
+            paired = None
+            if ref_v is not None and ref_a_lat is not None \
+                    and bank.paired_audio_memory() \
+                    and model_def.get("joyai_audio_memory", True):
+                paired = {"num_slots": ref_v.shape[2],
+                          "audio_segment_lengths":
+                              bank.audio_segment_lengths()}
             ref_a_tokens = None
             if ref_a_lat is not None:
                 b, z, t_a, m = ref_a_lat.shape
@@ -250,7 +257,9 @@ class LTX2FamilyHandler:
                 else jnp.asarray(ref_v),
                 ref_audio_tokens=None if ref_a_tokens is None
                 else jnp.asarray(ref_a_tokens),
-                prefix_latent=prefix)
+                prefix_latent=prefix,
+                paired_memory=paired if ref_a_tokens is not None
+                else None)
             vl = np.asarray(out["video_latent"])
             al = out.get("audio_latent")
             al_np = None if al is None else np.asarray(al)

@@ -240,9 +240,13 @@ def _gate(x, gate):
 
 
 def _attention(p, x, context, heads, cfg, rope=None, k_rope=None,
-               kv_mask=None, attn_backend="auto", extra_scale_shift=None):
+               kv_mask=None, attn_backend="auto", extra_scale_shift=None,
+               pair_mask=None):
     """One LTX Attention (attention.py:160): qk-RMSNorm on the flat inner
-    dim, optional rope, optional per-head sigmoid gate."""
+    dim, optional rope, optional per-head sigmoid gate.  pair_mask:
+    optional [Lq, Lkv] bool (True = attend) for the JoyAI paired-memory
+    a2v/v2a masks (helpers.py _build_paired_tail_cross_mask) — runs the
+    dense XLA path with an additive bias."""
     cdt = cfg.compute_dtype
     xc = x.astype(cdt)
     ctx = context.astype(cdt)
@@ -257,7 +261,15 @@ def _attention(p, x, context, heads, cfg, rope=None, k_rope=None,
         q = apply_ltx_rope(q, rope[0], rope[1], cfg.rope_type)
         kr = rope if k_rope is None else k_rope
         k = apply_ltx_rope(k, kr[0], kr[1], cfg.rope_type)
-    o = attention(q, k, v, backend=attn_backend, kv_mask=kv_mask)
+    if pair_mask is not None:
+        sc = jnp.einsum("blnd,bsnd->bnls", q, k,
+                        preferred_element_type=jnp.float32) \
+            / math.sqrt(hd)
+        sc = jnp.where(pair_mask[None, None], sc, -1e9)
+        pr = jax.nn.softmax(sc, axis=-1).astype(q.dtype)
+        o = jnp.einsum("bnls,bsnd->blnd", pr, v)
+    else:
+        o = attention(q, k, v, backend=attn_backend, kv_mask=kv_mask)
     if p.get("to_gate_logits") is not None:
         logits = _dense(xc, p["to_gate_logits"], cdt)
         gates = 2.0 * jax.nn.sigmoid(logits.astype(jnp.float32))
@@ -329,6 +341,8 @@ def _block(bp, cfg: LTX2Config, vx, ax, mods, ropes, masks, attn_backend):
     (v_rope, a_rope, v_xrope, a_xrope) = ropes
     (v_ctx, a_ctx, v_ctx_mask, a_ctx_mask, *rest) = masks
     ref_ctx = rest[0] if rest else None
+    av_mask_v = rest[1] if len(rest) > 1 else None
+    av_mask_a = rest[2] if len(rest) > 2 else None
     b = vx.shape[0] if vx is not None else ax.shape[0]
     n = cfg.n_ada
 
@@ -389,11 +403,13 @@ def _block(bp, cfg: LTX2Config, vx, ax, mods, ropes, masks, attn_backend):
 
         o = _attention(bp["audio_to_video_attn"], _mod(vn, v_s_a2v, v_sh_a2v),
                        _mod(an, a_s_a2v, a_sh_a2v), cfg.audio_num_heads, cfg,
-                       rope=v_xrope, k_rope=a_xrope, attn_backend=attn_backend)
+                       rope=v_xrope, k_rope=a_xrope, attn_backend=attn_backend,
+                       pair_mask=av_mask_v)
         vx = vx + _gate(o.astype(jnp.float32), g_a2v).astype(rdt)
         o = _attention(bp["video_to_audio_attn"], _mod(an, a_s_v2a, a_sh_v2a),
                        _mod(vn, v_s_v2a, v_sh_v2a), cfg.audio_num_heads, cfg,
-                       rope=a_xrope, k_rope=v_xrope, attn_backend=attn_backend)
+                       rope=a_xrope, k_rope=v_xrope, attn_backend=attn_backend,
+                       pair_mask=av_mask_a)
         ax = ax + _gate(o.astype(jnp.float32), g_v2a).astype(rdt)
 
     def ffn(p, y, cdt):
@@ -423,6 +439,7 @@ def ltx2_dit_forward(params, cfg: LTX2Config,
                      audio_rope=None, audio_cross_rope=None,
                      context_mask=None,
                      ref_context=None, ref_adaln=None,
+                     av_mask_v=None, av_mask_a=None,
                      attn_backend: str = "auto"):
     """Denoiser forward over patchified token streams.
 
@@ -491,7 +508,7 @@ def ltx2_dit_forward(params, cfg: LTX2Config,
     ropes = (video_rope, audio_rope, video_cross_rope, audio_cross_rope)
     masks = (v_ctx if vx is not None else None,
              a_ctx if run_a else None, context_mask, context_mask,
-             ref_context)
+             ref_context, av_mask_v, av_mask_a)
 
     def body(carry, bp):
         vx, ax = carry

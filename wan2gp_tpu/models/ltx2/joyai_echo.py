@@ -512,3 +512,70 @@ class JoyAIEchoMemoryBank:
         a = sum(1 for e in self.entries.values()
                 if e.get("audio") is not None)
         return v > 0 and v == a
+
+
+# ---------------------------------------------------------------------------
+# paired-memory a2v/v2a cross-attention masks
+# (ltx_pipelines/utils/helpers.py:353-442)
+# ---------------------------------------------------------------------------
+
+def _slot_ranges(total: int, num_slots: int) -> List[Tuple[int, int]]:
+    base = total // num_slots
+    rem = total % num_slots
+    ranges, start = [], 0
+    for i in range(num_slots):
+        end = start + base + (1 if i < rem else 0)
+        if end > start:
+            ranges.append((start, end))
+        start = end
+    return ranges
+
+
+def _slot_ranges_from_lengths(lengths, total: int, num_slots: int
+                              ) -> List[Tuple[int, int]]:
+    if not lengths or len(lengths) != num_slots:
+        return _slot_ranges(total, num_slots)
+    ranges, start = [], 0
+    for raw in lengths:
+        end = min(start + max(0, int(raw)), total)
+        if end > start:
+            ranges.append((start, end))
+        start = end
+    if start != total:
+        return _slot_ranges(total, num_slots)
+    return ranges
+
+
+def build_paired_tail_cross_mask(q_prefix: int, q_mem: int,
+                                 kv_prefix: int, kv_mem: int,
+                                 num_slots: int, q_seg_lengths=None,
+                                 kv_seg_lengths=None) -> np.ndarray:
+    """[Q, K] bool: target queries attend target keys; memory slot i's
+    queries attend ONLY memory slot i's keys (target<->memory blocked)
+    — helpers.py:369-393 _build_paired_tail_cross_mask."""
+    mask = np.zeros((q_prefix + q_mem, kv_prefix + kv_mem), bool)
+    if q_prefix > 0 and kv_prefix > 0:
+        mask[:q_prefix, :kv_prefix] = True
+    q_ranges = _slot_ranges_from_lengths(q_seg_lengths, q_mem, num_slots)
+    kv_ranges = _slot_ranges_from_lengths(kv_seg_lengths, kv_mem,
+                                          num_slots)
+    for (q0, q1), (k0, k1) in zip(q_ranges, kv_ranges):
+        mask[q_prefix + q0:q_prefix + q1,
+             kv_prefix + k0:kv_prefix + k1] = True
+    return mask
+
+
+def build_paired_av_masks(video_prefix: int, video_mem: int,
+                          audio_prefix: int, audio_mem: int,
+                          num_slots: int, audio_segment_lengths=None
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+    """(video-query [Lv, La], audio-query [La, Lv]) masks for the
+    bidirectional a2v/v2a attention when the memory carries paired
+    audio (helpers.py:396-442)."""
+    v_mask = build_paired_tail_cross_mask(
+        video_prefix, video_mem, audio_prefix, audio_mem, num_slots,
+        kv_seg_lengths=audio_segment_lengths)
+    a_mask = build_paired_tail_cross_mask(
+        audio_prefix, audio_mem, video_prefix, video_mem, num_slots,
+        q_seg_lengths=audio_segment_lengths)
+    return v_mask, a_mask

@@ -108,6 +108,7 @@ def ltx2_denoise_scan(params, cfg: LTX2Config, sampling: LTX2SamplingConfig,
                       audio_rope=None, video_cross_rope=None,
                       audio_cross_rope=None, context_mask=None, key=None,
                       ref_context=None, ref_adaln=None,
+                      av_mask_v=None, av_mask_a=None,
                       attn_backend: str = "auto"):
     """Run the full LTX-2 denoise loop.  Returns (video_tokens,
     audio_tokens|None) at sigma 0.
@@ -166,6 +167,7 @@ def ltx2_denoise_scan(params, cfg: LTX2Config, sampling: LTX2SamplingConfig,
             audio_tokens=axx, t_audio=t_a, audio_rope=audio_rope,
             audio_cross_rope=audio_cross_rope, context_mask=cmask,
             ref_context=rctx, ref_adaln=rada,
+            av_mask_v=av_mask_v, av_mask_a=av_mask_a,
             attn_backend=attn_backend)
         return vel_v, vel_a
 
@@ -260,7 +262,7 @@ class LTX2Pipeline:
                  image_latent=None, ref_video_latent=None, seed: int = 0,
                  sampling: Optional[LTX2SamplingConfig] = None,
                  fps: float = 24.0, ref_audio_tokens=None,
-                 prefix_latent=None):
+                 prefix_latent=None, paired_memory=None):
         """ref_video_latent: optional [B, C, Fr, h, w] reference latent
         (spatial dims must match the grid) — appended at temporal
         position 0 with denoise mask 0
@@ -276,7 +278,14 @@ class LTX2Pipeline:
 
         prefix_latent: optional [B, C, Fp, h, w] latent whose frames
         pin the FIRST Fp latent-frame groups (sliding-window overlap
-        continuation)."""
+        continuation).
+
+        paired_memory: optional {"num_slots": int,
+        "audio_segment_lengths": tuple|None} — when the appended
+        video/audio references are JoyAI paired memory slots, the
+        bidirectional a2v/v2a attention is masked so slot i's video
+        tokens exchange only with slot i's audio segment
+        (helpers.py:396-442 paired tail cross-attention masks)."""
         sampling = sampling or self.sampling
         cfg = self.cfg
         f, h, w = latent_grid
@@ -351,11 +360,23 @@ class LTX2Pipeline:
                     cfg, latent_grid, audio_tokens + ra.shape[1],
                     fps=fps)
             audio = LTX2Conditioning(clean=clean_a, mask=mask_a)
+        av_mask_v = av_mask_a = None
+        if paired_memory and n_ref_groups and audio is not None \
+                and ref_audio_tokens is not None:
+            from .joyai_echo import build_paired_av_masks
+            v_mask, a_mask = build_paired_av_masks(
+                tv, n_ref_groups * h * w, audio_tokens,
+                int(ref_audio_tokens.shape[1]),
+                int(paired_memory.get("num_slots", n_ref_groups)),
+                paired_memory.get("audio_segment_lengths"))
+            av_mask_v = jnp.asarray(v_mask)
+            av_mask_a = jnp.asarray(a_mask)
         vx, axx = ltx2_denoise_scan(
             self.params, cfg, sampling, video, ctx, ctx_n, v_rope,
             audio=audio, audio_rope=a_rope, video_cross_rope=v_xrope,
             audio_cross_rope=a_xrope, key=jax.random.key(seed),
             ref_context=ref_context, ref_adaln=ref_adaln,
+            av_mask_v=av_mask_v, av_mask_a=av_mask_a,
             attn_backend=self.attn_backend)
         video_latent = unpatchify_video(vx[:, :tv], latent_grid)
         out: Dict[str, Any] = {"video_latent": video_latent}

@@ -17,6 +17,13 @@ Covered:
   unipc_trace.npz    — FlowUniPC sigma table + 8-step trajectory, orders
                        2 and 3 (shared/utils/fm_solvers_unipc.py)
   t5_relpos.npz      — UMT5 relative-position buckets (modules/t5.py)
+  flux_double_block.npz / flux_single_block.npz — Flux MMDiT blocks
+  hyvideo_double_block.npz — Hunyuan dual-stream block
+  dpm_trace.npz / lcm_trace.npz — DPM++ and LCM solver trajectories
+  vae_tile_blend.npz — Wan VAE tile seam blending
+  ltx2_av_block.npz  — LTX-2 BasicAVTransformerBlock (self/text/a2v/v2a
+                       attention + 5-slot AV tables, split rope;
+                       ltx_core/model/transformer/transformer.py:228-470)
 """
 import math
 import os
@@ -658,3 +665,168 @@ def gen_vae_tile_blend():
 
     save("vae_tile_blend.npz", top=top, left=left, tile=tile,
          extent=extent, out_v=tv, out_h=th)
+
+
+# ---------------------------------------------------------------------------
+# 10. LTX-2 BasicAVTransformerBlock (models/ltx2/ltx_core/model/transformer/
+#     transformer.py:228-470): per-modality self-attn (DBMRMSNorm-QK, split
+#     rope), text cross-attn, bidirectional a2v/v2a cross-attn with 5-slot
+#     scale-shift tables, GELU-tanh FFN; per-frame timestep-token adaLN.
+# ---------------------------------------------------------------------------
+
+def gen_ltx2_av_block():
+    g = torch.Generator().manual_seed(16)
+    dv, hv = 32, 2          # video dim / heads (head_dim 16)
+    da, ha = 16, 2          # audio dim / heads (head_dim 8)
+    B, Lv, La, Lc = 1, 8, 4, 3
+    tmv, tma = 2, 2         # timestep tokens per modality
+    n_ada, eps = 6, 1e-6
+
+    def rn(*shape, s=1.0):
+        return torch.randn(*shape, generator=g, dtype=torch.float64) * s
+
+    def lin(i, o):
+        return {"w": rn(i, o, s=0.08), "b": rn(o, s=0.02)}
+
+    def attnp(dq, dkv, inner):
+        return {"to_q": lin(dq, inner), "to_k": lin(dkv, inner),
+                "to_v": lin(dkv, inner), "to_out": lin(inner, dq),
+                "q_norm": 0.75 + 0.5 * torch.rand(inner, generator=g,
+                                                  dtype=torch.float64),
+                "k_norm": 0.75 + 0.5 * torch.rand(inner, generator=g,
+                                                  dtype=torch.float64)}
+
+    def rms(x, w=None):
+        y = x * torch.rsqrt(x.pow(2).mean(-1, keepdim=True) + eps)
+        return y * w if w is not None else y
+
+    def rope_tab(L, H, half):
+        theta = rn(L, H, half)
+        return torch.cos(theta), torch.sin(theta)
+
+    def rope_split(x, cs):
+        cos, sin = cs
+        half = cos.shape[-1]
+        x0, x1 = x[..., :half], x[..., half:]
+        return torch.cat([x0 * cos - x1 * sin, x1 * cos + x0 * sin], -1)
+
+    def attn_fwd(p, x, ctx, heads, q_pe=None, k_pe=None):
+        q = rms(x @ p["to_q"]["w"] + p["to_q"]["b"], p["q_norm"])
+        k = rms(ctx @ p["to_k"]["w"] + p["to_k"]["b"], p["k_norm"])
+        v = ctx @ p["to_v"]["w"] + p["to_v"]["b"]
+        hd = q.shape[-1] // heads
+        q = q.view(*q.shape[:2], heads, hd)
+        k = k.view(*k.shape[:2], heads, hd)
+        v = v.view(*v.shape[:2], heads, hd)
+        if q_pe is not None:
+            q = rope_split(q, q_pe)
+            k = rope_split(k, q_pe if k_pe is None else k_pe)
+        s = torch.einsum("blnd,bsnd->bnls", q, k) / math.sqrt(hd)
+        o = torch.einsum("bnls,bsnd->blnd", torch.softmax(s, -1), v)
+        return o.reshape(*x.shape[:2], -1) @ p["to_out"]["w"] \
+            + p["to_out"]["b"]
+
+    def ada(table, t, idx, dim):
+        tt = t.view(B, t.shape[1], -1, dim)
+        return [table[None, None, i] + tt[:, :, i] for i in idx]
+
+    def mod(x, scale, shift):
+        tm = scale.shape[1]
+        xr = x.view(B, tm, x.shape[1] // tm, x.shape[-1])
+        return (xr * (1 + scale.unsqueeze(2))
+                + shift.unsqueeze(2)).view_as(x)
+
+    def gate(x, gt):
+        tm = gt.shape[1]
+        xr = x.view(B, tm, x.shape[1] // tm, x.shape[-1])
+        return (xr * gt.unsqueeze(2)).view_as(x)
+
+    p = {
+        "attn1": attnp(dv, dv, dv), "attn2": attnp(dv, dv, dv),
+        "ff": {"fc1": lin(dv, 4 * dv), "fc2": lin(4 * dv, dv)},
+        "sst_v": rn(n_ada, dv, s=0.2),
+        "audio_attn1": attnp(da, da, da), "audio_attn2": attnp(da, da, da),
+        "audio_ff": {"fc1": lin(da, 4 * da), "fc2": lin(4 * da, da)},
+        "sst_a": rn(n_ada, da, s=0.2),
+        "a2v": attnp(dv, da, da), "v2a": attnp(da, dv, da),
+        "sst_av_a": rn(5, da, s=0.2), "sst_av_v": rn(5, dv, s=0.2),
+    }
+    vx0 = rn(B, Lv, dv)
+    ax0 = rn(B, La, da)
+    vx, ax = vx0.clone(), ax0.clone()
+    v_ctx = rn(B, Lc, dv)
+    a_ctx = rn(B, Lc, da)
+    v_t = rn(B, tmv, n_ada * dv, s=0.3)
+    a_t = rn(B, tma, n_ada * da, s=0.3)
+    v_css = rn(B, tmv, 4 * dv, s=0.3)
+    v_cg = rn(B, tmv, dv, s=0.3)
+    a_css = rn(B, tma, 4 * da, s=0.3)
+    a_cg = rn(B, tma, da, s=0.3)
+    v_pe = rope_tab(Lv, hv, dv // hv // 2)
+    a_pe = rope_tab(La, ha, da // ha // 2)
+    v_xpe = rope_tab(Lv, ha, da // ha // 2)   # av cross: audio-sized heads
+    a_xpe = rope_tab(La, ha, da // ha // 2)
+
+    # --- video self + text cross (transformer.py:253-282) ---
+    sh, sc, gt = ada(p["sst_v"], v_t, (0, 1, 2), dv)
+    y = mod(rms(vx), sc, sh)
+    vx = vx + gate(attn_fwd(p["attn1"], y, y, hv, q_pe=v_pe), gt)
+    vx = vx + attn_fwd(p["attn2"], rms(vx), v_ctx, hv)
+
+    # --- audio self + text cross (:297-330) ---
+    sh, sc, gt = ada(p["sst_a"], a_t, (0, 1, 2), da)
+    y = mod(rms(ax), sc, sh)
+    ax = ax + gate(attn_fwd(p["audio_attn1"], y, y, ha, q_pe=a_pe), gt)
+    ax = ax + attn_fwd(p["audio_attn2"], rms(ax), a_ctx, ha)
+
+    # --- a2v / v2a cross (:333-424) ---
+    vn, an = rms(vx), rms(ax)
+    a_s_a2v, a_sh_a2v, a_s_v2a, a_sh_v2a = ada(
+        p["sst_av_a"][:4], a_css, range(4), da)
+    g_v2a = p["sst_av_a"][None, None, 4] + a_cg
+    v_s_a2v, v_sh_a2v, v_s_v2a, v_sh_v2a = ada(
+        p["sst_av_v"][:4], v_css, range(4), dv)
+    g_a2v = p["sst_av_v"][None, None, 4] + v_cg
+    o = attn_fwd(p["a2v"], mod(vn, v_s_a2v, v_sh_a2v),
+                 mod(an, a_s_a2v, a_sh_a2v), ha, q_pe=v_xpe, k_pe=a_xpe)
+    vx = vx + gate(o, g_a2v)
+    o = attn_fwd(p["v2a"], mod(an, a_s_v2a, a_sh_v2a),
+                 mod(vn, v_s_v2a, v_sh_v2a), ha, q_pe=a_xpe, k_pe=v_xpe)
+    ax = ax + gate(o, g_v2a)
+
+    # --- FFN (:436-467) ---
+    def ffn(fp, y):
+        h = y @ fp["fc1"]["w"] + fp["fc1"]["b"]
+        return F.gelu(h, approximate="tanh") @ fp["fc2"]["w"] \
+            + fp["fc2"]["b"]
+
+    sh, sc, gt = ada(p["sst_v"], v_t, (3, 4, 5), dv)
+    vx = vx + gate(ffn(p["ff"], mod(rms(vx), sc, sh)), gt)
+    sh, sc, gt = ada(p["sst_a"], a_t, (3, 4, 5), da)
+    ax = ax + gate(ffn(p["audio_ff"], mod(rms(ax), sc, sh)), gt)
+
+    flat = {}
+    for name, sub in p.items():
+        if isinstance(sub, dict):
+            for k2, v2 in sub.items():
+                if isinstance(v2, dict):
+                    flat[f"{name}.{k2}.w"] = v2["w"]
+                    flat[f"{name}.{k2}.b"] = v2["b"]
+                else:
+                    flat[f"{name}.{k2}"] = v2
+        else:
+            flat[name] = sub
+    tensors = dict(flat, vx=vx0, ax=ax0, v_ctx=v_ctx, a_ctx=a_ctx,
+                   v_t=v_t, a_t=a_t, v_css=v_css, v_cg=v_cg,
+                   a_css=a_css, a_cg=a_cg,
+                   v_pe_cos=v_pe[0], v_pe_sin=v_pe[1],
+                   a_pe_cos=a_pe[0], a_pe_sin=a_pe[1],
+                   v_xpe_cos=v_xpe[0], v_xpe_sin=v_xpe[1],
+                   a_xpe_cos=a_xpe[0], a_xpe_sin=a_xpe[1],
+                   out_vx=vx, out_ax=ax)
+    save("ltx2_av_block.npz",
+         **{k: v.to(torch.float32) for k, v in tensors.items()})
+
+
+if __name__ == "__main__" and os.environ.get("GOLDEN_ONLY") == "ltx2":
+    gen_ltx2_av_block()

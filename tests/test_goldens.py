@@ -267,3 +267,63 @@ def test_golden_vae_tile_blend():
     np.testing.assert_allclose(np.asarray(out_h),
                                g["out_h"].transpose(0, 2, 3, 4, 1),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_golden_ltx2_av_block():
+    """LTX-2 BasicAVTransformerBlock vs the reference formulas
+    (models/ltx2/ltx_core/model/transformer/transformer.py:228-470)."""
+    from wan2gp_tpu.models.ltx2.dit import _block, LTX2Config
+    g = _load("ltx2_av_block.npz")
+
+    cfg = LTX2Config(num_layers=1, num_heads=2, head_dim=16,
+                     audio_num_heads=2, audio_head_dim=8,
+                     rope_type="split",
+                     compute_dtype=jnp.float32,
+                     residual_dtype=jnp.float32)
+
+    def attnp(name):
+        return {
+            "to_q": {"w": jnp.asarray(g[f"{name}.to_q.w"]),
+                     "b": jnp.asarray(g[f"{name}.to_q.b"])},
+            "to_k": {"w": jnp.asarray(g[f"{name}.to_k.w"]),
+                     "b": jnp.asarray(g[f"{name}.to_k.b"])},
+            "to_v": {"w": jnp.asarray(g[f"{name}.to_v.w"]),
+                     "b": jnp.asarray(g[f"{name}.to_v.b"])},
+            "to_out": {"w": jnp.asarray(g[f"{name}.to_out.w"]),
+                       "b": jnp.asarray(g[f"{name}.to_out.b"])},
+            "q_norm": jnp.asarray(g[f"{name}.q_norm"]),
+            "k_norm": jnp.asarray(g[f"{name}.k_norm"]),
+        }
+
+    def ff(name):
+        return {"fc1": {"w": jnp.asarray(g[f"{name}.fc1.w"]),
+                        "b": jnp.asarray(g[f"{name}.fc1.b"])},
+                "fc2": {"w": jnp.asarray(g[f"{name}.fc2.w"]),
+                        "b": jnp.asarray(g[f"{name}.fc2.b"])}}
+
+    bp = {
+        "attn1": attnp("attn1"), "attn2": attnp("attn2"), "ff": ff("ff"),
+        "scale_shift_table": jnp.asarray(g["sst_v"]),
+        "audio_attn1": attnp("audio_attn1"),
+        "audio_attn2": attnp("audio_attn2"), "audio_ff": ff("audio_ff"),
+        "audio_scale_shift_table": jnp.asarray(g["sst_a"]),
+        "audio_to_video_attn": attnp("a2v"),
+        "video_to_audio_attn": attnp("v2a"),
+        "sst_av_audio": jnp.asarray(g["sst_av_a"]),
+        "sst_av_video": jnp.asarray(g["sst_av_v"]),
+    }
+    mods = (jnp.asarray(g["v_t"]), jnp.asarray(g["a_t"]),
+            jnp.asarray(g["v_css"]), jnp.asarray(g["v_cg"]),
+            jnp.asarray(g["a_css"]), jnp.asarray(g["a_cg"]), None, None)
+    ropes = ((jnp.asarray(g["v_pe_cos"]), jnp.asarray(g["v_pe_sin"])),
+             (jnp.asarray(g["a_pe_cos"]), jnp.asarray(g["a_pe_sin"])),
+             (jnp.asarray(g["v_xpe_cos"]), jnp.asarray(g["v_xpe_sin"])),
+             (jnp.asarray(g["a_xpe_cos"]), jnp.asarray(g["a_xpe_sin"])))
+    masks = (jnp.asarray(g["v_ctx"]), jnp.asarray(g["a_ctx"]), None, None)
+
+    vx, ax = _block(bp, cfg, jnp.asarray(g["vx"]), jnp.asarray(g["ax"]),
+                    mods, ropes, masks, "xla")
+    np.testing.assert_allclose(np.asarray(vx), g["out_vx"],
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(ax), g["out_ax"],
+                               rtol=2e-4, atol=2e-4)

@@ -188,7 +188,11 @@ def bench_vae(lat_f, lat_h, lat_w):
     vae_cfg = WanVAEConfig()
     vae_params = init_wan_vae(jax.random.key(1), vae_cfg)
     z = jnp.zeros((1, lat_f, lat_h, lat_w, 16), jnp.float32)
-    dec = jax.jit(lambda p, z: vae_decode_chunked(p, vae_cfg, z).sum())
+    # bf16 conv tower = the reference's default vae_precision "16" policy
+    # (decode is HBM-bound on v5e: bf16 buys ~6%; the bigger lever is the
+    # cp-sharded decode, vae_scan.py vae_decode_sharded)
+    dec = jax.jit(lambda p, z: vae_decode_chunked(
+        p, vae_cfg, z, dtype=jnp.bfloat16).sum())
     float(dec(vae_params, z))  # compile + sync via host fetch
     start = time.perf_counter()
     float(dec(vae_params, z))

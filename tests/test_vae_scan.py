@@ -92,3 +92,30 @@ def test_sharded_decode_indivisible_width(setup):
     full = vae_decode(params, TINY, z)
     np.testing.assert_allclose(np.asarray(out), np.asarray(full),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_bf16_decode_close_to_fp32(setup):
+    """dtype=bf16 (reference vae_precision '16' policy) stays within a
+    reduced-precision tolerance of the fp32 decode and returns fp32."""
+    from wan2gp_tpu.models.wan.vae_scan import vae_decode_chunked
+    params, _ = setup
+    rng = np.random.default_rng(3)
+    z = jnp.asarray(rng.standard_normal((1, 3, 6, 6, 16)) * 0.5,
+                    jnp.float32)
+    full = np.asarray(vae_decode_chunked(params, TINY, z))
+    half = vae_decode_chunked(params, TINY, z, dtype=jnp.bfloat16)
+    assert half.dtype == jnp.float32
+    half = np.asarray(half)
+    assert half.shape == full.shape
+    # bf16 has ~3 decimal digits; pixel range is [-1, 1] (random-init
+    # weights are a worst case vs a trained VAE's smooth activations)
+    assert np.abs(half - full).mean() < 2e-2
+    assert np.abs(half - full).max() < 1e-1
+
+    from wan2gp_tpu.models.wan.vae import vae_decode as vd
+    half2 = vd(params, TINY, z, dtype=jnp.bfloat16)
+    assert half2.dtype == jnp.float32
+    # chunked and full-sequence accumulate in different orders; in bf16
+    # that costs a couple of ulps per conv
+    assert np.abs(np.asarray(half2) - half).max() < 1e-1
+    assert np.abs(np.asarray(half2) - half).mean() < 2e-2

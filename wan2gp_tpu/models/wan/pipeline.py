@@ -855,7 +855,15 @@ class WanPipeline:
         self.clip_params = clip_params
         self.clip_cfg = clip_cfg
         self.mesh = None
+        # VAE compute precision (reference server_config vae_precision
+        # "16"/"32", wgp.py:2534-2580): None = fp32, jnp.bfloat16 = the
+        # TPU-native reduced-precision decode (~2x MXU conv throughput)
+        self.vae_dtype = None
         self._denoise_cache: Dict[Any, Any] = {}
+
+    def set_vae_precision(self, precision: str):
+        """"16" -> bf16 conv tower, "32" -> full fp32."""
+        self.vae_dtype = jnp.bfloat16 if str(precision) == "16" else None
 
     # -- multi-chip ---------------------------------------------------------
 
@@ -2579,8 +2587,10 @@ class WanPipeline:
             return vae_decode_sharded(self.vae_params, self.vae_cfg, z,
                                       mesh)
         if mode == "chunked" or (mode == "auto" and z.shape[1] > 4):
-            return vae_decode_chunked(self.vae_params, self.vae_cfg, z)
-        return vae_decode(self.vae_params, self.vae_cfg, z)
+            return vae_decode_chunked(self.vae_params, self.vae_cfg, z,
+                                      dtype=self.vae_dtype)
+        return vae_decode(self.vae_params, self.vae_cfg, z,
+                          dtype=self.vae_dtype)
 
     # -- end-to-end ---------------------------------------------------------
 

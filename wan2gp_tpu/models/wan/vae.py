@@ -319,10 +319,26 @@ def vae_encode(params, cfg: WanVAEConfig, video):
     return (mu - VAE_MEAN) / VAE_STD
 
 
-def vae_decode(params, cfg: WanVAEConfig, latents):
+def cast_vae_params(params, dtype):
+    """Reduced-precision VAE compute (the reference's vae_precision "16"
+    server policy, wgp.py:2534-2580 — fp16 on CUDA, bf16 here: MXU convs
+    run at 2x bf16 throughput while conv accumulation stays fp32 via
+    preferred_element_type).  Floating leaves cast, everything else kept."""
+    return jax.tree.map(
+        lambda a: a.astype(dtype)
+        if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a,
+        params)
+
+
+def vae_decode(params, cfg: WanVAEConfig, latents, dtype=None):
     """latents: [B, T_lat, h, w, 16] (normalized).
-    Returns video [B, 1+4*(T_lat-1), 8h, 8w, 3] clipped to [-1, 1]."""
-    z = latents * VAE_STD + VAE_MEAN
+    Returns video [B, 1+4*(T_lat-1), 8h, 8w, 3] clipped to [-1, 1].
+    dtype: optional reduced compute precision (bf16) for the conv tower;
+    output is always fp32."""
+    if dtype is not None:
+        params = cast_vae_params(params, dtype)
+        latents = latents.astype(dtype)
+    z = (latents * VAE_STD + VAE_MEAN).astype(latents.dtype)
     z = causal_conv3d(z, params["conv2"]["w"], params["conv2"]["b"])
     dec = params["decoder"]
     x = causal_conv3d(z, dec["conv1"]["w"], dec["conv1"]["b"])
@@ -331,4 +347,4 @@ def vae_decode(params, cfg: WanVAEConfig, latents):
     x = vae_rms_norm(x, dec["head_norm"])
     x = jax.nn.silu(x)
     x = causal_conv3d(x, dec["head_conv"]["w"], dec["head_conv"]["b"])
-    return jnp.clip(x, -1.0, 1.0)
+    return jnp.clip(x.astype(jnp.float32), -1.0, 1.0)

@@ -130,18 +130,24 @@ def _init_caches(params, cfg: WanVAEConfig, b, h_lat, w_lat, dtype):
     return caches
 
 
-def vae_decode_chunked(params, cfg: WanVAEConfig, latents):
+def vae_decode_chunked(params, cfg: WanVAEConfig, latents, dtype=None):
     """latents: [B, T_lat, h, w, 16] normalized -> video
-    [B, 1+4*(T_lat-1), 8h, 8w, 3], numerically equal to vae_decode."""
+    [B, 1+4*(T_lat-1), 8h, 8w, 3], numerically equal to vae_decode.
+    dtype: optional reduced compute precision (bf16 — the reference's
+    vae_precision "16" policy); output is always fp32."""
+    if dtype is not None:
+        from .vae import cast_vae_params
+        params = cast_vae_params(params, dtype)
+        latents = latents.astype(dtype)
     b, t_lat, h_lat, w_lat, _ = latents.shape
-    z = latents * VAE_STD + VAE_MEAN
+    z = (latents * VAE_STD + VAE_MEAN).astype(latents.dtype)
     z = causal_conv3d(z, params["conv2"]["w"], params["conv2"]["b"])
 
     caches = _init_caches(params, cfg, b, h_lat, w_lat, latents.dtype)
     first_out, caches = _decode_chunk(params, cfg, z[:, :1], caches,
                                       first=True)
     if t_lat == 1:
-        return first_out
+        return first_out.astype(jnp.float32)
 
     def body(caches, z_t):
         out, caches = _decode_chunk(params, cfg, z_t[:, None], caches,
@@ -155,7 +161,7 @@ def vae_decode_chunked(params, cfg: WanVAEConfig, latents):
     t1 = outs.shape[0]
     outs = outs.transpose(1, 0, 2, 3, 4, 5).reshape(
         b, t1 * 4, *outs.shape[3:])
-    return jnp.concatenate([first_out, outs], axis=1)
+    return jnp.concatenate([first_out, outs], axis=1).astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------

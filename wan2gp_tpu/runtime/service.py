@@ -368,6 +368,10 @@ class GenerationService:
             # shared/attention.py:294: server config overridden per model):
             # "auto"|"xla"|"pallas"|"radial"|"swa:W[:S]"|"ring:cp"|...
             pipe.attn_backend = str(attention_mode)
+        vae_precision = merged.get("vae_precision")
+        if vae_precision and hasattr(pipe, "set_vae_precision"):
+            # reference server_config vae_precision "16"/"32"
+            pipe.set_vae_precision(str(vae_precision))
         os.makedirs(self.output_dir, exist_ok=True)
         stamp = time.strftime("%Y%m%d_%H%M%S")
 

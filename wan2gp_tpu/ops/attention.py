@@ -11,8 +11,10 @@ The Pallas kernel is an online-softmax flash attention, blocked over
 max / denominator / accumulator live in VMEM scratch across kv iterations.
 It consumes the model-native [B, L, N, D] layout directly (BlockSpec slices
 the head axis) — no transpose passes.  q is pre-scaled outside the kernel so
-the hot loop does no per-tile scaling.  Measured ~0.53 MFU at L=32k, D=128 on
-TPU v5e (vs 0.28 for naive 512-blocks).
+the hot loop does no per-tile scaling.  Measured 0.68 MFU at the 14B/720p
+shape (L=75,600, 40 heads, D=128) on TPU v5e with the default (2048, 1024)
+blocks — the v5e sweep: (1024,1024) 0.65, (2048,1024) 0.68, (512,1024) 0.58,
+(2048,512) 0.41; (2048,2048)+ exceeds VMEM.
 """
 from __future__ import annotations
 
@@ -76,7 +78,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
 
 def _flash_kernel_kvmask(q_ref, k_ref, v_ref, kvm_ref, o_ref,
                          m_scr, l_scr, acc_scr):
-    """Flash attention with an explicit per-key validity mask [1, BK]."""
+    """Flash attention with an explicit per-key validity mask.
+
+    kvm_ref block is [1, 8, BK] fp32 (the 8-row sublane axis exists only
+    to satisfy the TPU (8, 128) tile constraint — every row is the same
+    mask); row 0 is read."""
     kv_i = pl.program_id(2)
     n_kv = pl.num_programs(2)
 
@@ -93,7 +99,7 @@ def _flash_kernel_kvmask(q_ref, k_ref, v_ref, kvm_ref, o_ref,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    s = jnp.where(kvm_ref[0][None, :] > 0, s, _NEG_INF)
+    s = jnp.where(kvm_ref[0, 0][None, :] > 0, s, _NEG_INF)
 
     m_prev = m_scr[:, :1]
     m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -174,12 +180,21 @@ def _flash_attention(q, k, v, scale: float, block_q: int, block_kv: int,
     ]
 
     if kv_mask is not None:
-        kvm = _pad_to(kv_mask.astype(jnp.int8), 1, block_kv)
+        # [B, S] -> [B, 8, S] fp32: the TPU tile constraint wants the
+        # last two block dims (8k, 128m); a [1, S] int8 block is rejected
+        # by Mosaic (observed on v5e — CPU interpret mode accepts it, so
+        # only hardware runs caught this).  index_map uses lax.div: the
+        # python `g // n` floor-division lowers with a negative-correction
+        # select that Mosaic also rejects.
+        kvm = _pad_to(kv_mask.astype(jnp.float32), 1, block_kv)
+        kvm = jnp.broadcast_to(kvm[:, None, :], (b, 8, kvm.shape[1]))
         out = pl.pallas_call(
             _flash_kernel_kvmask,
             grid=grid,
             in_specs=qkv_specs + [
-                pl.BlockSpec((1, block_kv), lambda g, i, j, n=n: (g // n, j))],
+                pl.BlockSpec((1, 8, block_kv),
+                             lambda g, i, j, n=n: (jax.lax.div(g, n), 0,
+                                                   j))],
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct((b * n, l_pad, d), q.dtype),
             scratch_shapes=scratch,
@@ -291,7 +306,7 @@ def _structured_sparse(q, k, v, backend: str, scale: float,
 
 
 def attention(q, k, v, scale: float | None = None, backend: str = "auto",
-              block_q: int = 1024, block_kv: int = 1024, kv_mask=None):
+              block_q: int = 2048, block_kv: int = 1024, kv_mask=None):
     """Scaled dot-product attention.
 
     q: [B, L, N, D]; k, v: [B, S, N, D] (same head count).

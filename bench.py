@@ -270,6 +270,10 @@ def main():
         return
 
     which = os.environ.get("BENCH_CONFIG", "14b_720p")
+    if os.environ.get("BENCH_A8", "") == "1":
+        # W4A8: int8 activations on the MXU s8 path (2x bf16 rate)
+        from wan2gp_tpu.ops.quant import set_act_quant
+        set_act_quant("int8")
     kind = jax.devices()[0].device_kind
     peak = PEAK_BF16.get(kind, 197e12)
     distilled = which.endswith("_distilled")
@@ -298,10 +302,11 @@ def main():
             cfg, params, lat,
             dict(joint_pass=False, host_loop=True, guide_scale=guide),
             steps_timed=1, backend=backend)
-        name = ("wan2.1-14B int4 distilled-10step-CFGfree" if distilled
-                else "wan2.1-14B int4")
+        wq = ("w4a8" if os.environ.get("BENCH_A8", "") == "1" else "w4")
+        name = (f"wan2.1-14B {wq} distilled-10step-CFGfree" if distilled
+                else f"wan2.1-14B {wq}")
         cfg_mode = "CFG-free" if distilled else "sequential CFG"
-        quant = f"w4 Pallas + {cfg_mode} + {attn} attention"
+        quant = f"{wq} Pallas + {cfg_mode} + {attn} attention"
     else:
         cfg = WanDiTConfig(dim=1536, ffn_dim=8960, num_heads=12,
                            num_layers=30)

@@ -15,8 +15,19 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 # jax may already be imported (and JAX_PLATFORMS consumed) by an interpreter
 # startup hook, so set the platform through the live config too.
 jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 jax.config.update("jax_enable_x64", False)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Bound XLA:CPU compiler-state growth in long single-process runs
+    (observed segfault inside backend_compile after ~300 tests; the
+    sharded runner scripts/run_suite_sharded.sh isolates by process,
+    this bounds accumulation within one)."""
+    yield
+    jax.clear_caches()

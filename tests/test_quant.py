@@ -155,3 +155,54 @@ def test_w4_dit_forward_close_to_fp():
     err = np.abs(np.asarray(o_fp) - np.asarray(o_q)).max()
     scale = np.abs(np.asarray(o_fp)).max()
     assert err < 0.35 * scale, (err, scale)
+
+
+def test_w8a8_matches_dequant_reference():
+    """int8-activation kernel vs fp32 dequantized matmul: error bounded
+    by the per-token activation quantization step."""
+    from wan2gp_tpu.ops.quant import matmul_w8a8, quantize_int8
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((48, 320)), jnp.float32)
+    w = rng.standard_normal((320, 200)).astype(np.float32) * 0.05
+    w_q, sc = quantize_int8(w)
+    ref = np.asarray(x) @ (w_q.astype(np.float32) * sc[None, :])
+    out = np.asarray(matmul_w8a8(x, jnp.asarray(w_q), jnp.asarray(sc),
+                                 interpret=True))
+    denom = np.abs(ref).max()
+    assert np.abs(out - ref).max() / denom < 2e-2
+
+
+def test_w4a8_matches_dequant_reference():
+    from wan2gp_tpu.ops.quant import (matmul_w4a8, quantize_int4,
+                                      unpack_int4)
+    rng = np.random.default_rng(12)
+    k = 700    # not a multiple of 2*W4_BLOCK_K -> exercises K padding
+    x = jnp.asarray(rng.standard_normal((32, k)), jnp.float32)
+    w = rng.standard_normal((k, 130)).astype(np.float32) * 0.05
+    w_p, sc = quantize_int4(w)
+    wd = unpack_int4(w_p, sc, k)
+    ref = np.asarray(x) @ wd
+    out = np.asarray(matmul_w4a8(x, jnp.asarray(w_p), jnp.asarray(sc),
+                                 k_orig=k, interpret=True))
+    denom = np.abs(ref).max()
+    assert np.abs(out - ref).max() / denom < 2e-2
+
+
+def test_dense_quant_a8_policy():
+    """set_act_quant('int8') routes dense_quant through the A8 kernels."""
+    from wan2gp_tpu.ops import quant
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((2, 24, 256)), jnp.float32)
+    w = rng.standard_normal((256, 128)).astype(np.float32) * 0.05
+    w_q, sc = quant.quantize_int8(w)
+    p = {"w_q": jnp.asarray(w_q), "scale": jnp.asarray(sc),
+         "b": jnp.zeros((128,), jnp.float32)}
+    base = np.asarray(quant.dense_quant(x, p, backend="pallas_interpret"))
+    quant.set_act_quant("int8")
+    try:
+        a8 = np.asarray(quant.dense_quant(x, p,
+                                          backend="pallas_interpret"))
+    finally:
+        quant.set_act_quant("bf16")
+    assert a8.shape == base.shape
+    assert np.abs(a8 - base).max() / np.abs(base).max() < 2e-2

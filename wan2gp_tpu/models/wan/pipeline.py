@@ -912,7 +912,18 @@ class WanPipeline:
     def encode_text(self, prompts):
         """Returns [B, text_len, text_dim] with padded positions zeroed
         (matches any2video.py:585-589 truncate-then-zero-pad)."""
-        assert self.tokenizer is not None and self.t5_params is not None
+        if self.t5_params is None or self.tokenizer is None:
+            # random-weights mode (no T5 checkpoint): deterministic
+            # prompt-hash embeddings so the CLI --random-weights product
+            # path runs end to end
+            import zlib
+            outs = []
+            for p in prompts:
+                key = jax.random.key(zlib.crc32(str(p).encode()) & 0x7FFF)
+                outs.append(jax.random.normal(
+                    key, (self.dit_cfg.text_len, self.dit_cfg.text_dim),
+                    jnp.float32) * 0.02)
+            return jnp.stack(outs)
         ids, mask = self.tokenizer(prompts, self.dit_cfg.text_len)
         out = t5_encode(self.t5_params, self.t5_cfg, jnp.asarray(ids),
                         jnp.asarray(mask))

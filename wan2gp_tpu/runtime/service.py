@@ -31,12 +31,20 @@ def quantize_dit_params(params, mode: str):
     """Quantize transformer-block linears on load (reference do_quantize,
     any2video.py:191-224): every stacked/plain {"w": [.., K, N]} under a
     *blocks* subtree with K, N >= 256 becomes {"w_q"|"w_q4", "scale"};
-    embeddings, norms, modulation tables and small adapters stay float."""
-    from ..ops.quant import quantize_params_tree
+    embeddings, norms, modulation tables and small adapters stay float.
+
+    An "a8" suffix ("int4a8"/"int8a8" — the reference's W4A8 qtype,
+    shared/qtypes/asym_w4a8_int8.py) additionally switches the process
+    activation policy to dynamic per-token int8 (ops/quant.set_act_quant),
+    which runs matmuls on the MXU s8 path at 2x the bf16 rate."""
+    from ..ops.quant import quantize_params_tree, set_act_quant
+    if mode.endswith("a8"):
+        set_act_quant("int8")
+        mode = mode[:-2].rstrip("_")
     bits = {"int8": 8, "quanto_int8": 8, "int4": 4}.get(mode)
     if bits is None:
         raise ValueError(f"unknown quantization mode {mode!r} "
-                         "(use 'int8' or 'int4')")
+                         "(use 'int8', 'int4', 'int8a8' or 'int4a8')")
     return quantize_params_tree(params,
                                 predicate=lambda path: "blocks" in path,
                                 bits=bits, min_dim=256)

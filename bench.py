@@ -138,8 +138,22 @@ def rand_wan_params_w4(cfg, seed=0):
     }
 
 
+def teacache_bench_schedule(steps: int, speed_factor: float = 1.75):
+    """Representative TeaCache calc/skip schedule at a given speed factor
+    (the data-driven variant, caches.teacache_schedule, needs real
+    modulation traces; the bench uses the same calc COUNT the reference's
+    auto-threshold targets — docs/TROUBLESHOOTING.md:105 documents
+    1.5-2.0x as the typical multiplier, "Balanced" default 1.75)."""
+    calc = max(2, round(steps / speed_factor))
+    idx = np.linspace(0, steps - 1, calc).round().astype(int)
+    sched = np.zeros(steps, bool)
+    sched[idx] = True
+    sched[0] = sched[-1] = True
+    return sched
+
+
 def bench_denoise(cfg, params, lat_shape, sampling_kwargs, steps_timed=2,
-                  backend="pallas"):
+                  backend="pallas", skip_schedule=None):
     """Time the real jitted denoise path: UniPC solver + CFG included."""
     from wan2gp_tpu.models.wan.pipeline import SamplingConfig, denoise_scan
     from wan2gp_tpu.schedulers import make_schedule
@@ -158,14 +172,20 @@ def bench_denoise(cfg, params, lat_shape, sampling_kwargs, steps_timed=2,
         kw = dict(guide_scale=5.0)
         kw.update(sampling_kwargs)
         sampling = SamplingConfig(solver="unipc", steps=steps, **kw)
+        skips = (None if skip_schedule is None
+                 else np.asarray(skip_schedule[:steps], bool))
+        if skips is not None:
+            skips[0] = True
         if sampling.host_loop:
             out = denoise_scan(params, cfg, sched, latents, ctx, ctx,
-                               sampling, cos, sin, attn_backend=backend)
+                               sampling, cos, sin, attn_backend=backend,
+                               skip_schedule=skips)
         else:
             out = jax.jit(
                 lambda p, x, c: denoise_scan(p, cfg, sched, x, c, c,
                                              sampling, cos, sin,
-                                             attn_backend=backend)
+                                             attn_backend=backend,
+                                             skip_schedule=skips)
             )(params, latents, ctx)
         # scalar HOST FETCH, not block_until_ready: remote-execution relays
         # (axon) can return from block_until_ready before the computation
@@ -304,15 +324,25 @@ def main():
             pt, ph, pw = cfg.patch_size
             tpf = (lat[3] // ph) * (lat[4] // pw)
             backend = f"radial:{lat[2] // pt}:{tpf}"
+        cache = os.environ.get("BENCH_CACHE", "")
+        skips, cache_note = None, ""
+        if cache.startswith("tea"):
+            # BENCH_CACHE=tea[:factor] — time the FULL schedule so the
+            # skip steps' real cost (solver + embeddings + head) shows
+            factor = float(cache.split(":")[1]) if ":" in cache else 1.75
+            skips = teacache_bench_schedule(steps, factor)
+            cache_note = (f" + TeaCache-{factor}x schedule "
+                          f"({int(skips.sum())}/{steps} calc)")
         dt, seq = bench_denoise(
             cfg, params, lat,
             dict(joint_pass=False, host_loop=True, guide_scale=guide),
-            steps_timed=1, backend=backend)
+            steps_timed=(steps if skips is not None else 1),
+            backend=backend, skip_schedule=skips)
         wq = "w4a8" if a8 else "w4"
         name = (f"wan2.1-14B {wq} distilled-10step-CFGfree" if distilled
                 else f"wan2.1-14B {wq}")
         cfg_mode = "CFG-free" if distilled else "sequential CFG"
-        quant = f"{wq} Pallas + {cfg_mode} + {attn} attention"
+        quant = f"{wq} Pallas + {cfg_mode} + {attn} attention{cache_note}"
     else:
         cfg = WanDiTConfig(dim=1536, ffn_dim=8960, num_heads=12,
                            num_layers=30)

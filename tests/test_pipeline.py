@@ -205,3 +205,56 @@ def test_sequential_cfg_host_loop_matches_scan():
                          cos, sin, attn_backend="xla")
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_sequential_cfg_skip_schedule():
+    """TeaCache-style skip schedules now work under sequential CFG: an
+    all-calc schedule matches the no-schedule path exactly; a schedule
+    with skips reuses per-branch block-stack residuals and matches the
+    joint-pass skip path."""
+    import dataclasses
+    from wan2gp_tpu.models.wan.pipeline import SamplingConfig, denoise_scan
+    from wan2gp_tpu.schedulers import make_schedule
+    from wan2gp_tpu.ops.rope import build_rope_3d
+    cfg = DIT
+    params = init_wan_dit(jax.random.key(0), cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(13)
+    lat = jnp.asarray(rng.standard_normal((1, 16, 2, 4, 4)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, cfg.text_len, cfg.text_dim)),
+                      jnp.float32)
+    ctxn = jnp.asarray(rng.standard_normal((1, cfg.text_len, cfg.text_dim)),
+                       jnp.float32)
+    cos, sin = build_rope_3d((2, 2, 2), head_dim=cfg.head_dim)
+    sched = make_schedule("unipc", 4, shift=5.0)
+    s_seq = SamplingConfig(solver="unipc", steps=4, guide_scale=3.0,
+                           joint_pass=False)
+
+    base = denoise_scan(params, cfg, sched, lat, ctx, ctxn, s_seq,
+                        cos, sin, attn_backend="xla")
+    all_calc = np.array([True, True, True, True])
+    out_all = denoise_scan(params, cfg, sched, lat, ctx, ctxn, s_seq,
+                           cos, sin, attn_backend="xla",
+                           skip_schedule=all_calc)
+    np.testing.assert_allclose(np.asarray(out_all), np.asarray(base),
+                               rtol=1e-4, atol=1e-5)
+
+    skips = np.array([True, False, True, False])
+    out_seq = denoise_scan(params, cfg, sched, lat, ctx, ctxn, s_seq,
+                           cos, sin, attn_backend="xla",
+                           skip_schedule=skips)
+    s_joint = dataclasses.replace(s_seq, joint_pass=True)
+    out_joint = denoise_scan(params, cfg, sched, lat, ctx, ctxn, s_joint,
+                             cos, sin, attn_backend="xla",
+                             skip_schedule=skips)
+    assert np.isfinite(np.asarray(out_seq)).all()
+    # bf16 residual store vs the joint path's fp32 residuals
+    np.testing.assert_allclose(np.asarray(out_seq), np.asarray(out_joint),
+                               rtol=5e-2, atol=5e-2)
+
+    # host-loop driver agrees with the scan driver under skips
+    s_host = dataclasses.replace(s_seq, host_loop=True)
+    out_host = denoise_scan(params, cfg, sched, lat, ctx, ctxn, s_host,
+                            cos, sin, attn_backend="xla",
+                            skip_schedule=skips)
+    np.testing.assert_allclose(np.asarray(out_host), np.asarray(out_seq),
+                               rtol=1e-4, atol=1e-5)

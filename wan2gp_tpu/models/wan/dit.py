@@ -986,11 +986,15 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
     else:
         # TeaCache/MagCache skip: reuse the cached block-stack residual
         # (model.py:1917-1921); decision precomputed per step (caches.py).
+        # The stored residual keeps the CALLER'S dtype (bf16 at 14B scale
+        # — a fp32 [B, 75600, 5120] copy costs 1.5 GB of the 16 GB chip).
         should_calc, prev_residual = skip_state
         x0 = x
         x = jax.lax.cond(should_calc, run_blocks,
                          lambda x: x + prev_residual.astype(x.dtype), x)
-        new_residual = jnp.where(should_calc, x - x0, prev_residual)
+        new_residual = jnp.where(should_calc,
+                                 (x - x0).astype(prev_residual.dtype),
+                                 prev_residual)
 
     if shotplan_keep is not None:
         x = x[:, shotplan_keep]

@@ -170,12 +170,14 @@ def denoise_segment(dit_params, dit_cfg: WanDiTConfig, schedule: Schedule,
 
     seq_cfg = any_guidance and not sampling.joint_pass
     if seq_cfg:
-        if use_skip or use_fbc:
-            raise ValueError("sequential CFG does not support skip caches")
+        if use_fbc:
+            raise ValueError("sequential CFG does not support the "
+                             "first-block cache")
         return _denoise_segment_seqcfg(
             dit_params, dit_cfg, schedule, carry, context, context_null,
             sampling, g, rope_cos, rope_sin, step_start, step_end,
             y=y, clip_fea=clip_fea, attn_backend=attn_backend,
+            skip_schedule=skip_schedule,
             overlap_latents=overlap_latents,
             overlap_sigma_scale=overlap_sigma_scale, noise_key=noise_key,
             vace_context=vace_context, vace_scale=vace_scale,
@@ -265,8 +267,8 @@ def _seqcfg_body(dit_params, dit_cfg, schedule, carry, xs, aux, st):
     """One sequential-CFG micro-step (shared by the scan and host-loop
     drivers).  carry = (x, solver_state, apg_buf, v_pending); xs = per-micro
     slices; aux = array closures (rope, y, ...); st = hashable statics."""
-    x, sstate, apg_buf, v_pend = carry
-    ctx_i, t, coeffs_i, alpha_i, i, solver_i, key = xs
+    x, sstate, apg_buf, v_pend, res2 = carry
+    ctx_i, t, coeffs_i, alpha_i, i, solver_i, key, sc_i = xs
     b = x.shape[0]
     if st.use_overlap:
         ov = aux["overlap_latents"].shape[2]
@@ -276,13 +278,26 @@ def _seqcfg_body(dit_params, dit_cfg, schedule, carry, xs, aux, st):
         pinned = aux["overlap_latents"] * (1.0 - sigma) + noise * sigma
         x = jnp.where(solver_i, x, x.at[:, :, :ov].set(pinned))
     tb = jnp.broadcast_to(t, (b,))
-    v = wan_dit_forward(dit_params, dit_cfg, x, tb, ctx_i,
-                        aux["rope_cos"], aux["rope_sin"],
-                        clip_fea=aux["clip_fea"], y=aux["y"],
-                        attn_backend=st.attn_backend,
-                        context_neg=aux["context_neg"], nag=st.nag,
-                        vace_context=aux["vace_context"],
-                        vace_scale=st.vace_scale)
+    skip_state = None
+    if st.use_skip:
+        # even micro-step = cond branch (slot 0), odd = uncond (slot 1)
+        branch = solver_i.astype(jnp.int32)
+        prev_res = jax.lax.dynamic_index_in_dim(res2, branch, 0,
+                                                keepdims=False)
+        skip_state = (sc_i, prev_res)
+    out = wan_dit_forward(dit_params, dit_cfg, x, tb, ctx_i,
+                          aux["rope_cos"], aux["rope_sin"],
+                          clip_fea=aux["clip_fea"], y=aux["y"],
+                          attn_backend=st.attn_backend,
+                          context_neg=aux["context_neg"], nag=st.nag,
+                          vace_context=aux["vace_context"],
+                          vace_scale=st.vace_scale, skip_state=skip_state)
+    if st.use_skip:
+        v, new_res = out              # already bf16 (residual keeps the
+        res2 = jax.lax.dynamic_update_index_in_dim(  # stored dtype)
+            res2, new_res, branch, 0)
+    else:
+        v = out
     # guidance combine + solver step (selected on odd micro-steps; the
     # even-step computation is latent-space-cheap and discarded)
     if st.apg_switch:
@@ -300,7 +315,7 @@ def _seqcfg_body(dit_params, dit_cfg, schedule, carry, xs, aux, st):
             lambda a_new, a_old: jnp.where(solver_i, a_new, a_old), new, old)
 
     return (sel(x2, x), sel(s2, sstate), sel(apg_new, apg_buf),
-            jnp.where(solver_i, v_pend, v))
+            jnp.where(solver_i, v_pend, v), res2)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -314,6 +329,7 @@ class _SeqCfgStatics:
     use_overlap: bool
     ov_scale: float
     vace_scale: float
+    use_skip: bool = False
 
 
 @functools.partial(jax.jit, static_argnames=("dit_cfg", "st"))
@@ -326,7 +342,8 @@ def _denoise_segment_seqcfg(dit_params, dit_cfg: WanDiTConfig,
                             sampling: SamplingConfig, guide_scale: float,
                             rope_cos, rope_sin, step_start: int,
                             step_end: int, y=None, clip_fea=None,
-                            attn_backend: str = "auto", overlap_latents=None,
+                            attn_backend: str = "auto",
+                            skip_schedule=None, overlap_latents=None,
                             overlap_sigma_scale: float = 1.0, noise_key=None,
                             vace_context=None, vace_scale: float = 1.0,
                             use_alpha=None, nag=None):
@@ -363,13 +380,30 @@ def _denoise_segment_seqcfg(dit_params, dit_cfg: WanDiTConfig,
         [jnp.stack([context, context_null])] * n_seg, axis=0)
     is_solver = jnp.asarray([False, True] * n_seg)
 
+    use_skip = skip_schedule is not None
+    if use_skip:
+        # TeaCache/MagCache under sequential CFG: each branch keeps its
+        # own block-stack residual (reference model.py:1917-1921 keeps a
+        # per-x_id cache); the calc/skip decision is the shared host
+        # schedule.  Residuals stored bf16 — 2x [B, L, dim] fp32 would
+        # cost ~3 GB at 14B/720p.
+        pt, ph, pw = dit_cfg.patch_size
+        n_tok = (x0.shape[2] // pt) * (x0.shape[3] // ph) \
+            * (x0.shape[4] // pw)
+        res0 = jnp.zeros((2, x0.shape[0], n_tok, dit_cfg.dim),
+                         jnp.bfloat16)
+        sc_micro = rep2(jnp.asarray(skip_schedule[seg], jnp.bool_))
+    else:
+        res0 = jnp.zeros((2, 1, 1, 1), jnp.bfloat16)
+        sc_micro = jnp.ones((2 * n_seg,), jnp.bool_)
+
     carry0 = (x0.astype(jnp.float32), sstate0, apg0,
-              jnp.zeros_like(x0, jnp.float32))
+              jnp.zeros_like(x0, jnp.float32), res0)
     xs = (ctx_micro, rep2(schedule.timesteps[seg]),
           {k: rep2(v[seg]) for k, v in schedule.coeffs.items()},
           rep2(use_alpha),
           rep2(jnp.arange(step_start, step_end, dtype=jnp.int32)),
-          is_solver, keys)
+          is_solver, keys, sc_micro)
     aux = {"rope_cos": rope_cos, "rope_sin": rope_sin, "y": y,
            "clip_fea": clip_fea, "context_neg": ctx_neg,
            "vace_context": vace_context, "overlap_latents": overlap_latents}
@@ -378,7 +412,7 @@ def _denoise_segment_seqcfg(dit_params, dit_cfg: WanDiTConfig,
         apg_momentum=sampling.apg_momentum,
         apg_norm_threshold=sampling.apg_norm_threshold, nag=nag,
         use_overlap=use_overlap, ov_scale=overlap_sigma_scale,
-        vace_scale=vace_scale)
+        vace_scale=vace_scale, use_skip=use_skip)
 
     if sampling.host_loop:
         c = carry0
@@ -392,7 +426,7 @@ def _denoise_segment_seqcfg(dit_params, dit_cfg: WanDiTConfig,
         return _seqcfg_body(dit_params, dit_cfg, schedule, c, xs_m,
                             aux, st), None
 
-    (x, sstate, apg_buf, _), _ = jax.lax.scan(body, carry0, xs)
+    (x, sstate, apg_buf, _, _), _ = jax.lax.scan(body, carry0, xs)
     return (x, sstate, apg_buf)
 
 

@@ -361,12 +361,35 @@ class GenerationService:
         defaults = self.registry.default_settings(model_type)
         merged = {**defaults, **s}
         model_def = self.registry.get(model_type)
+        config_selection = merged.get("config")
+        if config_selection:
+            # selectable sub-configs inside one model def (reference
+            # shared/config_groups.py + wgp.py load_models:3917-3921)
+            from ..config.groups import apply_config_selection
+            model_def = apply_config_selection(model_def, config_selection)
         image_outputs = bool(model_def.get("image_outputs"))
+
+        # declarative custom settings: merge custom_setting_N slots +
+        # id->value dict, validate types, clamp slider bounds (reference
+        # collect_custom_settings_from_inputs, wgp.py:911)
+        from ..config.custom_settings import collect_custom_settings
+        custom_values, cs_error = collect_custom_settings(model_def, merged,
+                                                          strict=False)
+        if custom_values is not None:
+            merged["custom_settings"] = custom_values
 
         seed = int(merged.get("seed", -1))
         if seed < 0:
             seed = random.randint(0, 2 ** 31 - 1)
             merged["seed"] = seed
+        # resolution governance: snap onto the model's declared buckets /
+        # block alignment so shapes stay inside the compile cache
+        # (config/resolutions.py; reference resolve_resolution_choices)
+        from ..config.resolutions import resolve_resolution
+        requested_res = merged.get("resolution", "832x480")
+        snapped = resolve_resolution(model_def, requested_res)
+        if snapped and snapped != requested_res:
+            merged["resolution"] = snapped
         width, height = parse_resolution(merged.get("resolution", "832x480"))
 
         pipe = self.get_pipeline(model_type)

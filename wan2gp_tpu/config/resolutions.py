@@ -113,7 +113,12 @@ def load_custom_choices(path: str = RESOLUTION_FILE) -> List[Choice]:
     except Exception:
         return []
     normalized = normalize_choices(raw, path)
-    _custom_resolutions = normalized or []
+    if normalized is None:
+        # don't cache a rejected file: the user can fix resolutions.json
+        # and have it re-read in-process (reference leaves the cache
+        # unset on failure and retries)
+        return []
+    _custom_resolutions = normalized
     return _custom_resolutions
 
 
@@ -286,7 +291,12 @@ def resolve_resolution(model_def: dict, requested: Optional[str],
         return requested
     if requested is None:
         return None
-    block = (model_def.get("vae_block_size", 0)
+    # models that declare no buckets still get block alignment (reference
+    # shared/resolutions.py:322 defaults block_size=16): unaligned
+    # requests (e.g. 850x478) must never reach the VAE/patchify, or every
+    # odd size becomes a fresh XLA compile.  Tests that need passthrough
+    # pass block_size=1 explicitly.
+    block = (model_def.get("vae_block_size", 16)
              if block_size is None else block_size)
     return align_resolution(requested, int(block)) if block else requested
 

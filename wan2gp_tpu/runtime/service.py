@@ -281,10 +281,17 @@ class GenerationService:
                 family = ""
         return discover_loras(self.lora_root, model_type, family)
 
-    def get_pipeline(self, model_type: str):
-        pipe = self._pipelines.get(model_type)
+    def get_pipeline(self, model_type: str, model_def: Optional[dict] = None,
+                     config_selection: str = ""):
+        """model_def: pre-resolved def (config-group overrides applied);
+        config_selection keys the cache so switching sub-configs reloads
+        (the reference tracks loaded_config in load_models)."""
+        cache_key = (f"{model_type}@{config_selection}" if config_selection
+                     else model_type)
+        pipe = self._pipelines.get(cache_key)
         if pipe is None:
-            model_def = self.registry.get(model_type)
+            if model_def is None:
+                model_def = self.registry.get(model_type)
             handler = self.registry.handler_for(model_type)
             base = self.registry.base_model_type(model_type)
             ckpts = None
@@ -308,14 +315,17 @@ class GenerationService:
             mesh = self.mesh
             if mesh is not None and hasattr(pipe, "apply_mesh"):
                 pipe.apply_mesh(mesh)
-            self._pipelines[model_type] = pipe
+            self._pipelines[cache_key] = pipe
         return pipe
 
     def release_model(self, model_type: Optional[str] = None):
         if model_type is None:
             self._pipelines.clear()
         else:
-            self._pipelines.pop(model_type, None)
+            for key in [k for k in self._pipelines
+                        if k == model_type
+                        or k.startswith(model_type + "@")]:
+                self._pipelines.pop(key, None)
 
     # -- generation -------------------------------------------------------
 
@@ -359,22 +369,44 @@ class GenerationService:
             s = apply_lset(s, lset)
         model_type = s.get("model_type") or "t2v_1.3B"
         defaults = self.registry.default_settings(model_type)
-        merged = {**defaults, **s}
         model_def = self.registry.get(model_type)
-        config_selection = merged.get("config")
+        # config-group selection applies BEFORE the settings merge and
+        # before the pipeline loads, like the reference's load_models
+        # (wgp.py:3917-3921 updates model_def pre-weight-loading): load-
+        # time overrides (e.g. ltx2 system_configs swapping VAE files)
+        # must reach load_model, and settings-like override keys (e.g.
+        # num_inference_steps) must land in merged — below explicit task
+        # settings, above model defaults.
+        config_selection = s.get("config", defaults.get("config"))
+        config_overrides: Dict[str, Any] = {}
         if config_selection:
-            # selectable sub-configs inside one model def (reference
-            # shared/config_groups.py + wgp.py load_models:3917-3921)
-            from ..config.groups import apply_config_selection
+            from ..config.groups import (apply_config_selection,
+                                         model_config_groups,
+                                         selected_configs)
+            for _, _, cdef in selected_configs(
+                    model_config_groups(model_def), config_selection):
+                config_overrides.update(cdef)
             model_def = apply_config_selection(model_def, config_selection)
+        setting_overrides = {
+            k: v for k, v in config_overrides.items()
+            if k in defaults or k == "settings"}
+        nested = setting_overrides.pop("settings", None)
+        if isinstance(nested, dict):
+            setting_overrides.update(nested)
+        merged = {**defaults, **setting_overrides, **s}
         image_outputs = bool(model_def.get("image_outputs"))
 
         # declarative custom settings: merge custom_setting_N slots +
         # id->value dict, validate types, clamp slider bounds (reference
-        # collect_custom_settings_from_inputs, wgp.py:911)
+        # collect_custom_settings_from_inputs, wgp.py:911).  strict at the
+        # service boundary: a malformed typed value is a clear upfront
+        # error, not raw text passed into generation (reference wgp.py:1014
+        # validates with strict=True).
         from ..config.custom_settings import collect_custom_settings
         custom_values, cs_error = collect_custom_settings(model_def, merged,
-                                                          strict=False)
+                                                          strict=True)
+        if cs_error:
+            raise ValueError(f"invalid custom settings: {cs_error}")
         if custom_values is not None:
             merged["custom_settings"] = custom_values
 
@@ -392,7 +424,8 @@ class GenerationService:
             merged["resolution"] = snapped
         width, height = parse_resolution(merged.get("resolution", "832x480"))
 
-        pipe = self.get_pipeline(model_type)
+        pipe = self.get_pipeline(model_type, model_def=model_def,
+                                 config_selection=str(config_selection or ""))
         attention_mode = merged.get("attention_mode")
         if attention_mode and hasattr(pipe, "attn_backend"):
             # per-task attention mode (reference resolve_attention_mode,

@@ -362,11 +362,37 @@ def _cross_attention(p, x, context, context_img, cfg, attn_backend,
     return _dense(o, p["o"], cdt)
 
 
-def _ffn(p, y, cfg):
-    cdt = cfg.compute_dtype
+# above this many fc1-intermediate elements the FFN runs in sequence
+# chunks: at Wan-14B/720p (75,600 x 13,824) the unchunked intermediate is
+# 1.95 GB bf16 (+ ~1 GB for its int8 copy on the a8 path) — chunking
+# bounds it while each chunk's matmuls stay MXU-sized (>= ~9k rows)
+_FFN_CHUNK_ELEMS = 256 * 1024 * 1024
+
+
+def _ffn_once(p, y, cfg, cdt):
     h = _dense(y.astype(cdt), p["fc1"], cdt)
     h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(cdt)
     return _dense(h, p["fc2"], cdt)
+
+
+def _ffn(p, y, cfg):
+    cdt = cfg.compute_dtype
+    b, l, c = y.shape
+    want = -(-(b * l * cfg.ffn_dim) // _FFN_CHUNK_ELEMS)
+    if want <= 1:
+        return _ffn_once(p, y, cfg, cdt)
+    n = next((k for k in range(want, l + 1) if l % k == 0), 1)
+    if n <= 1:
+        return _ffn_once(p, y, cfg, cdt)
+    lc = l // n
+
+    def body(i, out):
+        ys = jax.lax.dynamic_slice_in_dim(y, i * lc, lc, axis=1)
+        return jax.lax.dynamic_update_slice_in_dim(
+            out, _ffn_once(p, ys, cfg, cdt), i * lc, axis=1)
+
+    return jax.lax.fori_loop(
+        0, n, body, jnp.empty((b, l, c), cdt))
 
 
 def _audio_cross_attention(ap, x, audio_ctx, n_frames, cfg, attn_backend):
@@ -990,11 +1016,22 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
         # — a fp32 [B, 75600, 5120] copy costs 1.5 GB of the 16 GB chip).
         should_calc, prev_residual = skip_state
         x0 = x
-        x = jax.lax.cond(should_calc, run_blocks,
-                         lambda x: x + prev_residual.astype(x.dtype), x)
-        new_residual = jnp.where(should_calc,
-                                 (x - x0).astype(prev_residual.dtype),
-                                 prev_residual)
+        if isinstance(should_calc, bool):
+            # host-planned schedule baked in statically (host-loop driver):
+            # no lax.cond barrier — the calc program keeps XLA's whole-
+            # program buffer optimization and the skip program is tiny
+            if should_calc:
+                x = run_blocks(x)
+                new_residual = (x - x0).astype(prev_residual.dtype)
+            else:
+                x = x + prev_residual.astype(x.dtype)
+                new_residual = prev_residual
+        else:
+            x = jax.lax.cond(should_calc, run_blocks,
+                             lambda x: x + prev_residual.astype(x.dtype), x)
+            new_residual = jnp.where(should_calc,
+                                     (x - x0).astype(prev_residual.dtype),
+                                     prev_residual)
 
     if shotplan_keep is not None:
         x = x[:, shotplan_keep]

@@ -270,21 +270,33 @@ def _seqcfg_body(dit_params, dit_cfg, schedule, carry, xs, aux, st):
     x, sstate, apg_buf, v_pend, res2 = carry
     ctx_i, t, coeffs_i, alpha_i, i, solver_i, key, sc_i = xs
     b = x.shape[0]
+    # host-loop mode bakes the micro-step parity in statically
+    # (st.branch): the residual-slot select/update become static slices
+    # (no 738 MB gather copy at 14B/720p) and the even step skips the
+    # solver math entirely instead of where-discarding it
+    static_branch = st.branch
     if st.use_overlap:
         ov = aux["overlap_latents"].shape[2]
         sigma = t / 1000.0 * st.ov_scale
         noise = jax.random.normal(key, aux["overlap_latents"].shape,
                                   jnp.float32)
         pinned = aux["overlap_latents"] * (1.0 - sigma) + noise * sigma
-        x = jnp.where(solver_i, x, x.at[:, :, :ov].set(pinned))
+        x_pinned = x.at[:, :, :ov].set(pinned)
+        if static_branch is None:
+            x = jnp.where(solver_i, x, x_pinned)
+        elif static_branch == 0:
+            x = x_pinned
     tb = jnp.broadcast_to(t, (b,))
     skip_state = None
     if st.use_skip:
         # even micro-step = cond branch (slot 0), odd = uncond (slot 1)
-        branch = solver_i.astype(jnp.int32)
-        prev_res = jax.lax.dynamic_index_in_dim(res2, branch, 0,
-                                                keepdims=False)
-        skip_state = (sc_i, prev_res)
+        if static_branch is None:
+            branch = solver_i.astype(jnp.int32)
+            prev_res = jax.lax.dynamic_index_in_dim(res2, branch, 0,
+                                                    keepdims=False)
+        else:
+            prev_res = res2[static_branch]
+        skip_state = (sc_i if st.calc is None else st.calc, prev_res)
     out = wan_dit_forward(dit_params, dit_cfg, x, tb, ctx_i,
                           aux["rope_cos"], aux["rope_sin"],
                           clip_fea=aux["clip_fea"], y=aux["y"],
@@ -294,12 +306,18 @@ def _seqcfg_body(dit_params, dit_cfg, schedule, carry, xs, aux, st):
                           vace_scale=st.vace_scale, skip_state=skip_state)
     if st.use_skip:
         v, new_res = out              # already bf16 (residual keeps the
-        res2 = jax.lax.dynamic_update_index_in_dim(  # stored dtype)
-            res2, new_res, branch, 0)
+        if static_branch is None:     # stored dtype)
+            res2 = jax.lax.dynamic_update_index_in_dim(
+                res2, new_res, solver_i.astype(jnp.int32), 0)
+        else:
+            res2 = res2.at[static_branch].set(new_res)
     else:
         v = out
-    # guidance combine + solver step (selected on odd micro-steps; the
-    # even-step computation is latent-space-cheap and discarded)
+    if static_branch == 0:
+        # even micro-step (cond branch): just stash the pending prediction
+        return (x, sstate, apg_buf, v, res2)
+    # guidance combine + solver step (selected on odd micro-steps; in
+    # dynamic mode the even-step computation is latent-cheap + discarded)
     if st.apg_switch:
         guidance, apg_new = apg_update(
             v_pend - v, v_pend, apg_buf,
@@ -309,6 +327,8 @@ def _seqcfg_body(dit_params, dit_cfg, schedule, carry, xs, aux, st):
         pred = cfg_combine(v_pend, v, st.g, alpha_i)
         apg_new = apg_buf
     x2, s2 = solver_step(schedule, i, coeffs_i, pred, x, sstate)
+    if static_branch == 1:
+        return (x2, s2, apg_new, v_pend, res2)
 
     def sel(new, old):
         return jax.tree.map(
@@ -330,10 +350,20 @@ class _SeqCfgStatics:
     ov_scale: float
     vace_scale: float
     use_skip: bool = False
+    # None = dynamic parity (scan driver); 0/1 = static micro-step parity
+    # (host-loop driver: even = cond branch, odd = uncond + solver)
+    branch: Optional[int] = None
+    # None = calc/skip decided in-compile (lax.cond); True/False = the
+    # host-planned TeaCache/MagCache schedule baked in statically
+    calc: Optional[bool] = None
 
 
-@functools.partial(jax.jit, static_argnames=("dit_cfg", "st"))
+@functools.partial(jax.jit, static_argnames=("dit_cfg", "st"),
+                   donate_argnames=("carry",))
 def _seqcfg_micro_jit(dit_params, dit_cfg, schedule, carry, xs, aux, st):
+    # carry is donated: the host loop immediately rebinds it, and aliasing
+    # the TeaCache residual slots (2x [B, L, dim] at 14B/720p) into the
+    # outputs saves ~1.6 GB of double-buffered HBM on a 16 GB v5e
     return _seqcfg_body(dit_params, dit_cfg, schedule, carry, xs, aux, st)
 
 
@@ -376,8 +406,10 @@ def _denoise_segment_seqcfg(dit_params, dit_cfg: WanDiTConfig,
     def rep2(a):
         return jnp.repeat(a, 2, axis=0)
 
-    ctx_micro = jnp.concatenate(
-        [jnp.stack([context, context_null])] * n_seg, axis=0)
+    # [2, ...] cond/uncond stack; the scan path tiles it to 2n micro-steps,
+    # the host loop indexes m % 2 directly (materializing the tiled stack
+    # costs n_seg * 16 MB of HBM at 14B text_len 512 for identical data)
+    ctx2 = jnp.stack([context, context_null])
     is_solver = jnp.asarray([False, True] * n_seg)
 
     use_skip = skip_schedule is not None
@@ -399,11 +431,11 @@ def _denoise_segment_seqcfg(dit_params, dit_cfg: WanDiTConfig,
 
     carry0 = (x0.astype(jnp.float32), sstate0, apg0,
               jnp.zeros_like(x0, jnp.float32), res0)
-    xs = (ctx_micro, rep2(schedule.timesteps[seg]),
-          {k: rep2(v[seg]) for k, v in schedule.coeffs.items()},
-          rep2(use_alpha),
-          rep2(jnp.arange(step_start, step_end, dtype=jnp.int32)),
-          is_solver, keys, sc_micro)
+    xs_tail = (rep2(schedule.timesteps[seg]),
+               {k: rep2(v[seg]) for k, v in schedule.coeffs.items()},
+               rep2(use_alpha),
+               rep2(jnp.arange(step_start, step_end, dtype=jnp.int32)),
+               is_solver, keys, sc_micro)
     aux = {"rope_cos": rope_cos, "rope_sin": rope_sin, "y": y,
            "clip_fea": clip_fea, "context_neg": ctx_neg,
            "vace_context": vace_context, "overlap_latents": overlap_latents}
@@ -415,18 +447,41 @@ def _denoise_segment_seqcfg(dit_params, dit_cfg: WanDiTConfig,
         vace_scale=vace_scale, use_skip=use_skip)
 
     if sampling.host_loop:
-        c = carry0
+        # the micro-jit donates its carry; a leaf appearing twice in the
+        # initial carry (e.g. the solver state aliasing the latents after
+        # a no-op astype) would be donated twice — copy duplicates once
+        seen: set = set()
+
+        def _unalias(leaf):
+            if id(leaf) in seen:
+                return jnp.copy(leaf)
+            seen.add(id(leaf))
+            return leaf
+
+        c = jax.tree.map(_unalias, carry0)
+        # TeaCache/MagCache schedules are host-planned (caches.py): bake
+        # the calc/skip decision in statically — the skip micro-program
+        # compiles to a cheap residual-add instead of a lax.cond carrying
+        # the full block stack's buffer pressure
+        sc_host = (np.repeat(np.asarray(skip_schedule[seg], bool), 2)
+                   if use_skip else None)
         for m in range(2 * n_seg):
-            xs_m = jax.tree.map(lambda a: a[m], xs)
+            stm = dataclasses.replace(
+                st, branch=m % 2,
+                calc=None if sc_host is None else bool(sc_host[m]))
+            xs_m = (ctx2[m % 2],) + jax.tree.map(lambda a: a[m], xs_tail)
             c = _seqcfg_micro_jit(dit_params, dit_cfg, schedule, c, xs_m,
-                                  aux, st)
+                                  aux, stm)
         return c[:3]
+
+    ctx_micro = jnp.concatenate([ctx2] * n_seg, axis=0)
 
     def body(c, xs_m):
         return _seqcfg_body(dit_params, dit_cfg, schedule, c, xs_m,
                             aux, st), None
 
-    (x, sstate, apg_buf, _, _), _ = jax.lax.scan(body, carry0, xs)
+    (x, sstate, apg_buf, _, _), _ = jax.lax.scan(
+        body, carry0, (ctx_micro,) + xs_tail)
     return (x, sstate, apg_buf)
 
 

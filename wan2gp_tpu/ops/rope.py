@@ -20,6 +20,7 @@ a layout Pallas kernels can consume directly.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -77,6 +78,13 @@ def build_rope_3d(grid_fhw, head_dim: int = 128, theta: float = 10000.0,
             jnp.asarray(np.sin(full), dtype=dtype))
 
 
+# above this many elements the fp32 intermediates of one rope application
+# (~6x the bf16 input) get chunked over the sequence axis: at Wan-14B/720p
+# dims ([1, 75600, 40, 64]) the unchunked temps are 2x 1.44 GB fp32, which
+# is what pushed the TeaCache bench over a 16 GB v5e's HBM
+_ROPE_CHUNK_ELEMS = 64 * 1024 * 1024
+
+
 def apply_rope(x, cos, sin):
     """Apply interleaved-pair RoPE.
 
@@ -85,8 +93,43 @@ def apply_rope(x, cos, sin):
          (sub-parallel windows use different frame offsets per window)
 
     Computation in fp32 (matches reference USE_FP32_ROPE_FREQS=True path,
-    posemb_layers.py:262-270), output cast back to x.dtype.
+    posemb_layers.py:262-270), output cast back to x.dtype.  Large inputs
+    are processed in sequence chunks (bit-identical math) to bound the
+    fp32 intermediates.
     """
+    if x.size > _ROPE_CHUNK_ELEMS and x.ndim >= 3:
+        return _apply_rope_chunked(x, cos, sin)
+    return _apply_rope_full(x, cos, sin)
+
+
+def _seq_chunks(length: int, want: int) -> int:
+    """Smallest chunk count >= want that divides length evenly (so every
+    chunk is the same static shape); 1 when length has no such divisor."""
+    for c in range(max(2, want), length + 1):
+        if length % c == 0:
+            return c
+    return 1
+
+
+def _apply_rope_chunked(x, cos, sin):
+    n = _seq_chunks(x.shape[1], -(-x.size // _ROPE_CHUNK_ELEMS))
+    if n <= 1:
+        return _apply_rope_full(x, cos, sin)
+    lc = x.shape[1] // n
+    ax = 1 if cos.ndim == 3 else 0
+
+    def body(i, out):
+        start = i * lc
+        xs = jax.lax.dynamic_slice_in_dim(x, start, lc, axis=1)
+        cs = jax.lax.dynamic_slice_in_dim(cos, start, lc, axis=ax)
+        ss = jax.lax.dynamic_slice_in_dim(sin, start, lc, axis=ax)
+        return jax.lax.dynamic_update_slice_in_dim(
+            out, _apply_rope_full(xs, cs, ss), start, axis=1)
+
+    return jax.lax.fori_loop(0, n, body, jnp.empty_like(x))
+
+
+def _apply_rope_full(x, cos, sin):
     dtype = x.dtype
     xf = x.astype(jnp.float32)
     x_pairs = xf.reshape(*xf.shape[:-1], -1, 2)

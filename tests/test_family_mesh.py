@@ -1,0 +1,129 @@
+"""Multi-chip parity for the non-Wan BASELINE families: Flux, Hunyuan
+Video, LTX-2 pipelines sharded over the 8-device virtual mesh via
+apply_mesh() produce the same latents as single-device (VERDICT r3 item 4
+— the reference's dormant TP inventory, kandinsky parallelize.py:12,
+activated as GSPMD NamedShardings in parallel/sharding.py)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from wan2gp_tpu.parallel import make_mesh
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+MESH_AXES = {"dp": 2, "cp": 2, "tp": 2}
+
+
+def _mesh():
+    return make_mesh(MESH_AXES, devices=jax.devices()[:8])
+
+
+def test_flux_mesh_parity():
+    from wan2gp_tpu.models.flux.dit import FluxConfig, init_flux
+    from wan2gp_tpu.models.flux.pipeline import (FluxPipeline,
+                                                 FluxSamplingConfig)
+    cfg = FluxConfig(in_channels=64, out_channels=64, vec_in_dim=16,
+                     context_in_dim=32, hidden_size=64, mlp_ratio=2.0,
+                     num_heads=4, depth=2, depth_single_blocks=2,
+                     axes_dim=(4, 6, 6))
+    rng = np.random.default_rng(0)
+    ctx = jnp.asarray(rng.standard_normal((1, 8, 32)), jnp.float32)
+    vec = jnp.asarray(rng.standard_normal((1, 16)), jnp.float32)
+    sampling = FluxSamplingConfig(steps=2)
+
+    def run(mesh):
+        pipe = FluxPipeline(init_flux(jax.random.key(0), cfg), cfg,
+                            attn_backend="xla")
+        if mesh is not None:
+            pipe.apply_mesh(mesh)
+        return np.asarray(pipe.generate(
+            width=64, height=64, sampling=sampling, seed=3, context=ctx,
+            vec_y=vec, return_latents=True))
+
+    ref = run(None)
+    got = run(_mesh())
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_hunyuan_mesh_parity():
+    from wan2gp_tpu.models.hyvideo.dit import HunyuanConfig, init_hunyuan
+    from wan2gp_tpu.models.hyvideo.pipeline import (HunyuanPipeline,
+                                                    HunyuanSamplingConfig)
+    cfg = HunyuanConfig(hidden_size=64, heads_num=4,
+                        mm_double_blocks_depth=2, mm_single_blocks_depth=2,
+                        rope_dim_list=(4, 6, 6), text_states_dim=32,
+                        text_states_dim_2=16, guidance_embed=True)
+    rng = np.random.default_rng(1)
+    states = jnp.asarray(rng.standard_normal((1, 6, 32)), jnp.float32)
+    mask = jnp.asarray([[1, 1, 1, 1, 0, 0]], jnp.int32)
+    pooled = jnp.asarray(rng.standard_normal((1, 16)), jnp.float32)
+    sampling = HunyuanSamplingConfig(steps=2, guide_scale=1.0)
+
+    def run(mesh):
+        pipe = HunyuanPipeline(init_hunyuan(jax.random.key(0), cfg), cfg,
+                               attn_backend="xla")
+        if mesh is not None:
+            pipe.apply_mesh(mesh)
+        return np.asarray(pipe.generate(
+            width=32, height=32, frame_num=5, seed=5, sampling=sampling,
+            text_states=states, text_mask=mask, text_pooled=pooled,
+            return_latents=True))
+
+    ref = run(None)
+    got = run(_mesh())
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_ltx2_mesh_parity():
+    from wan2gp_tpu.models.ltx2.dit import LTX2Config, init_ltx2_dit
+    from wan2gp_tpu.models.ltx2.pipeline import (LTX2Pipeline,
+                                                 LTX2SamplingConfig)
+    cfg = LTX2Config(num_layers=2, num_heads=2, head_dim=16,
+                     in_channels=8, out_channels=8, caption_dim=12,
+                     audio_num_heads=2, audio_head_dim=8,
+                     audio_in_channels=4, audio_out_channels=4)
+    sampling = LTX2SamplingConfig(sigmas=(1.0, 0.5, 0.0))
+
+    def run(mesh):
+        pipe = LTX2Pipeline(
+            init_ltx2_dit(jax.random.key(0), cfg, dtype=jnp.float32), cfg,
+            sampling=sampling, attn_backend="xla")
+        if mesh is not None:
+            pipe.apply_mesh(mesh)
+        out = pipe.generate(latent_grid=(2, 2, 2), audio_tokens=4, seed=7)
+        return (np.asarray(out["video_latent"]),
+                np.asarray(out["audio_latent"]))
+
+    ref_v, ref_a = run(None)
+    got_v, got_a = run(_mesh())
+    assert np.isfinite(got_v).all() and np.isfinite(got_a).all()
+    np.testing.assert_allclose(got_v, ref_v, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(got_a, ref_a, rtol=2e-3, atol=2e-3)
+
+
+def test_rule_specs_shard_and_guard():
+    """Rules shard divisible dims over tp and leave indivisible ones
+    replicated (LTX-2 audio streams at odd dims)."""
+    from wan2gp_tpu.parallel import rule_param_specs, LTX2_BLOCK_RULES
+    from jax.sharding import PartitionSpec as P
+    params = {"blocks": {
+        "attn1": {"to_q": {"w": jnp.zeros((2, 32, 32))},
+                  "to_out": {"w": jnp.zeros((2, 32, 32))}},
+        "ff": {"fc1": {"w": jnp.zeros((2, 32, 128)),
+                       "b": jnp.zeros((2, 128))},
+               "fc2": {"w": jnp.zeros((2, 128, 32))}},
+        "odd": {"to_q": {"w": jnp.zeros((2, 32, 31))}},  # 31 % 2 != 0
+    }}
+    mesh = _mesh()
+    specs = rule_param_specs(params, LTX2_BLOCK_RULES, mesh)
+    b = specs["blocks"]
+    assert b["attn1"]["to_q"]["w"] == P(None, None, "tp")
+    assert b["attn1"]["to_out"]["w"] == P(None, "tp", None)
+    assert b["ff"]["fc1"]["w"] == P(None, None, "tp")
+    assert b["ff"]["fc1"]["b"] == P(None, "tp")
+    assert b["ff"]["fc2"]["w"] == P(None, "tp", None)
+    assert b["odd"]["to_q"]["w"] == P()

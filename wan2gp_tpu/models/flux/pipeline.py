@@ -82,7 +82,21 @@ class FluxPipeline:
         self.clip_encode_fn = clip_encode_fn   # prompts -> [B, 768]
         self.vae_decode_fn = vae_decode_fn     # flux2: z=32 VAE override
         self.attn_backend = attn_backend
+        self.mesh = None
         self._cache: Dict[Any, Any] = {}
+
+    def apply_mesh(self, mesh):
+        """Shard the Flux DiT over a device mesh (production multi-chip
+        path, same contract as WanPipeline.apply_mesh): double/single-block
+        MLPs go Megatron column/row tensor-parallel over 'tp' (the fused
+        qkv stays replicated — parallel/sharding.py FUSED_QKV_BLOCK_RULES);
+        activations shard over 'dp'/'cp' by XLA propagation."""
+        from ...parallel import shard_params_with_rules, \
+            FUSED_QKV_BLOCK_RULES
+        self.mesh = mesh
+        self.dit_params = shard_params_with_rules(
+            self.dit_params, mesh, FUSED_QKV_BLOCK_RULES)
+        self._cache.clear()
 
     def generate(self, prompt: str = "", width: int = 1280, height: int = 720,
                  sampling: FluxSamplingConfig = FluxSamplingConfig(),

@@ -171,7 +171,20 @@ class HunyuanPipeline:
         self.byt5_encode_fn = byt5_encode_fn
         self.vae_stride = vae_stride
         self.attn_backend = attn_backend
+        self.mesh = None
         self._cache: Dict[Any, Any] = {}
+
+    def apply_mesh(self, mesh):
+        """Shard the MMDiT over a device mesh (same contract as
+        WanPipeline.apply_mesh): double/single-block MLPs + row-parallel
+        projections go tensor-parallel over 'tp' (the fused qkv stays
+        replicated — parallel/sharding.py FUSED_QKV_BLOCK_RULES)."""
+        from ...parallel import shard_params_with_rules, \
+            FUSED_QKV_BLOCK_RULES
+        self.mesh = mesh
+        self.dit_params = shard_params_with_rules(
+            self.dit_params, mesh, FUSED_QKV_BLOCK_RULES)
+        self._cache.clear()
 
     def generate_upsample(self, video_latents, prompt: str = "",
                           sr_params=None, sr_cfg=None,

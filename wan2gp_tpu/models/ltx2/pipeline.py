@@ -256,6 +256,18 @@ class LTX2Pipeline:
         self.vocoder = vocoder
         self.sampling = sampling or LTX2SamplingConfig()
         self.attn_backend = attn_backend
+        self.mesh = None
+
+    def apply_mesh(self, mesh):
+        """Shard the LTX-2 DiT over a device mesh (same contract as
+        WanPipeline.apply_mesh): unfused to_q/k/v + to_out and fc1/fc2 go
+        full Megatron column/row tensor-parallel over 'tp' for both the
+        video and audio streams (parallel/sharding.py LTX2_BLOCK_RULES;
+        audio dims that do not divide 'tp' stay replicated)."""
+        from ...parallel import shard_params_with_rules, LTX2_BLOCK_RULES
+        self.mesh = mesh
+        self.params = shard_params_with_rules(
+            self.params, mesh, LTX2_BLOCK_RULES)
 
     def generate(self, prompt: str = "", negative_prompt: str = "",
                  latent_grid=(3, 8, 8), audio_tokens: int = 0,

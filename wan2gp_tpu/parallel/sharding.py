@@ -74,3 +74,66 @@ def dit_data_shardings(mesh: Mesh):
         NamedSharding(mesh, P("dp")),                          # t
         NamedSharding(mesh, P("dp", None, None)),              # context
     )
+
+
+# ---------------------------------------------------------------------------
+# Generic per-family tensor-parallel rules (SURVEY §2.7 P2: the reference's
+# dormant DTensor col/row parallelize.py, kandinsky parallelize.py:12,
+# expressed as NamedShardings — XLA inserts the psum on row-parallel
+# outputs).  A rule maps a param-path suffix inside a block stack to a
+# PartitionSpec; anything unmatched (and any dim that does not divide the
+# mesh axis) stays replicated.
+# ---------------------------------------------------------------------------
+
+# LTX-2 (models/ltx2/dit.py): unfused to_q/k/v + to_out, fc1/fc2 — full
+# Megatron column/row split, both video and audio streams.
+LTX2_BLOCK_RULES = (
+    (("to_q/w", "to_k/w", "to_v/w", "fc1/w", "to_gate_logits/w"),
+     P(None, None, "tp")),
+    (("to_q/b", "to_k/b", "to_v/b", "fc1/b", "to_gate_logits/b"),
+     P(None, "tp")),
+    (("to_out/w", "fc2/w"), P(None, "tp", None)),
+)
+
+# HunyuanVideo / Flux (models/hyvideo/dit.py, models/flux/dit.py): the
+# attention qkv is a FUSED [h, 3h] linear whose column split does not align
+# with the (3, heads, head_dim) decomposition, so it stays replicated; the
+# MLP (2/3 of the linear FLOPs) and the row-parallel projections shard.
+FUSED_QKV_BLOCK_RULES = (
+    (("mlp1/w",), P(None, None, "tp")),
+    (("mlp1/b",), P(None, "tp")),
+    (("mlp2/w", "linear2/w", "proj/w"), P(None, "tp", None)),
+)
+
+_BLOCK_CONTAINERS = ("blocks/", "double_blocks/", "single_blocks/")
+
+
+def rule_param_specs(params, rules, mesh: Mesh | None = None,
+                     containers=_BLOCK_CONTAINERS):
+    """PartitionSpec pytree from suffix rules; dims that do not divide
+    their mesh axis fall back to replicated (small audio streams etc.)."""
+    axis_sizes = dict(mesh.shape) if mesh is not None else {}
+
+    def spec_for(path, leaf):
+        ps = _path_str(path)
+        if not any(c in ps for c in containers):
+            return P()
+        for suffixes, spec in rules:
+            if ps.endswith(suffixes):
+                for dim, name in enumerate(spec):
+                    if name is None:
+                        continue
+                    size = axis_sizes.get(name, 1)
+                    if dim >= leaf.ndim or leaf.shape[dim] % size != 0:
+                        return P()
+                return spec
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def shard_params_with_rules(params, mesh: Mesh, rules):
+    specs = rule_param_specs(params, rules, mesh)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, specs)

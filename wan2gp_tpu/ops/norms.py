@@ -13,9 +13,34 @@ import jax
 import jax.numpy as jnp
 
 
+# above this many elements one rms_norm's fp32 upcast gets chunked over the
+# token axis (1.44 GB at Wan-14B/720p QK-norm dims [1, 75600, 5120]);
+# bit-identical math, fp32 temps become loop-local
+_NORM_CHUNK_ELEMS = 64 * 1024 * 1024
+
+
 def rms_norm(x, weight=None, eps: float = 1e-5):
     """RMS norm with fp32 accumulation: x * rsqrt(mean(x^2) + eps) * weight.
-    weight=None -> plain normalization (LTX-2 shared/utils rms_norm)."""
+    weight=None -> plain normalization (LTX-2 shared/utils rms_norm).
+    Large inputs are processed in token chunks to bound fp32 temps."""
+    if (x.ndim >= 3 and x.size > _NORM_CHUNK_ELEMS
+            and x.dtype != jnp.float32):
+        want = -(-x.size // _NORM_CHUNK_ELEMS)
+        l = x.shape[1]
+        n = next((k for k in range(max(2, want), l + 1) if l % k == 0), 1)
+        if n > 1:
+            lc = l // n
+
+            def body(i, out):
+                xs = jax.lax.dynamic_slice_in_dim(x, i * lc, lc, axis=1)
+                return jax.lax.dynamic_update_slice_in_dim(
+                    out, _rms_norm_full(xs, weight, eps), i * lc, axis=1)
+
+            return jax.lax.fori_loop(0, n, body, jnp.empty_like(x))
+    return _rms_norm_full(x, weight, eps)
+
+
+def _rms_norm_full(x, weight, eps):
     dtype = x.dtype
     y = x.astype(jnp.float32)
     var = jnp.mean(y * y, axis=-1, keepdims=True)

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...ops.attention import attention
-from ...ops.norms import rms_norm, layer_norm
+from ...ops.norms import rms_norm, layer_norm, modulated_layer_norm
 from ...ops.rope import apply_rope
 
 
@@ -476,9 +476,12 @@ def _block(bp, x, e6, context, context_img, rope_cos, rope_sin, cfg,
             lynx_ref = (lp, ref_feats, ref_scale)
         lynx_ip = (lp, ip_embeds, ip_scale)
 
-    # self-attention with adaLN-zero
-    y = layer_norm(xr.astype(jnp.float32), eps=cfg.eps)
-    y = (y * (1.0 + emod(1)) + emod(0)).reshape(b, l, c)
+    # self-attention with adaLN-zero (fused norm+modulate+cast: the qkv
+    # denses cast to compute_dtype anyway, so emitting bf16 here is
+    # bit-identical and halves the materialized buffer — ops/norms.py)
+    cdt = cfg.compute_dtype
+    y = modulated_layer_norm(xr.astype(jnp.float32), emod(0), emod(1),
+                             eps=cfg.eps, out_dtype=cdt).reshape(b, l, c)
     if recam is not None:
         # ReCamMaster (model.py:634-642): per-block camera-pose tokens
         # added to the MODULATED self-attn input.  cam_map=None means
@@ -499,9 +502,10 @@ def _block(bp, x, e6, context, context_img, rope_cos, rope_sin, cfg,
     x = (xr + y.astype(jnp.float32).reshape(b, t_mod, -1, c) * emod(2))
     x = x.reshape(b, l, c)
 
-    # cross-attention (norm3 has affine params; cross_attn_norm=True)
+    # cross-attention (norm3 has affine params; cross_attn_norm=True);
+    # out_dtype=cdt is bit-identical (the q dense casts to cdt first)
     y = layer_norm(x.astype(jnp.float32), bp["norm3"]["w"], bp["norm3"]["b"],
-                   eps=cfg.eps)
+                   eps=cfg.eps, out_dtype=cdt)
     x = x + _cross_attention(bp["cross_attn"], y, context, context_img, cfg,
                              attn_backend, context_neg=context_neg,
                              nag=nag, fantasy=fantasy,
@@ -512,10 +516,10 @@ def _block(bp, x, e6, context, context_img, rope_cos, rope_sin, cfg,
         x = x + _audio_cross_attention(ap, x, audio_ctx, n_frames, cfg,
                                        attn_backend).astype(jnp.float32)
 
-    # FFN with adaLN-zero
+    # FFN with adaLN-zero (same fused bf16 emission as the self-attn norm)
     xr = x.reshape(b, t_mod, l // t_mod, c)
-    y = layer_norm(xr.astype(jnp.float32), eps=cfg.eps)
-    y = (y * (1.0 + emod(4)) + emod(3)).reshape(b, l, c)
+    y = modulated_layer_norm(xr.astype(jnp.float32), emod(3), emod(4),
+                             eps=cfg.eps, out_dtype=cdt).reshape(b, l, c)
     y = _ffn(bp["ffn"], y, cfg)
     x = (xr + y.astype(jnp.float32).reshape(b, t_mod, -1, c) * emod(5))
     return x.reshape(b, l, c).astype(rdt)

@@ -50,9 +50,70 @@ def _rms_norm_full(x, weight, eps):
     return y.astype(dtype)
 
 
-def layer_norm(x, weight=None, bias=None, eps: float = 1e-6):
-    """LayerNorm with fp32 accumulation; affine params optional."""
-    dtype = x.dtype
+def layer_norm(x, weight=None, bias=None, eps: float = 1e-6,
+               out_dtype=None):
+    """LayerNorm with fp32 accumulation; affine params optional.
+    out_dtype: output cast (default x.dtype) — pass the consumer's compute
+    dtype when the consumer casts anyway (bit-identical, halves the
+    buffer).  Large inputs chunk over axis 1 (exact: stats are
+    per-last-dim) so the centered fp32 temp stays loop-local."""
+    out_dtype = out_dtype or x.dtype
+    if x.ndim >= 3 and x.size > _NORM_CHUNK_ELEMS:
+        n, lc = _axis1_chunks(x)
+        if n > 1:
+            def body(i, out):
+                xs = jax.lax.dynamic_slice_in_dim(x, i * lc, lc, axis=1)
+                return jax.lax.dynamic_update_slice_in_dim(
+                    out, _layer_norm_full(xs, weight, bias, eps, out_dtype),
+                    i * lc, axis=1)
+
+            return jax.lax.fori_loop(
+                0, n, body, jnp.empty(x.shape, out_dtype))
+    return _layer_norm_full(x, weight, bias, eps, out_dtype)
+
+
+def modulated_layer_norm(x, shift, scale, eps: float = 1e-6,
+                         out_dtype=None):
+    """Fused adaLN: layer_norm(x) * (1 + scale) + shift, cast to out_dtype,
+    chunked over axis 1 for large inputs.
+
+    Bit-identical to the unfused norm -> modulate -> astype chain when the
+    consumer casts to out_dtype anyway (the q/k/v and FFN denses do), but
+    the fp32 intermediates stay loop-local and the materialized buffer is
+    out_dtype-sized (738 MB bf16 instead of 2x 1.44 GB fp32 at
+    Wan-14B/720p).  shift/scale: broadcastable over x (e.g. [B, T, 1, C])."""
+    out_dtype = out_dtype or x.dtype
+
+    def one(xs, i0):
+        y = _layer_norm_full(xs, None, None, eps, jnp.float32)
+        sh = shift if shift.shape[1] == 1 else \
+            jax.lax.dynamic_slice_in_dim(shift, i0, xs.shape[1], axis=1)
+        sc = scale if scale.shape[1] == 1 else \
+            jax.lax.dynamic_slice_in_dim(scale, i0, xs.shape[1], axis=1)
+        return (y * (1.0 + sc) + sh).astype(out_dtype)
+
+    if x.ndim >= 3 and x.size > _NORM_CHUNK_ELEMS:
+        n, lc = _axis1_chunks(x)
+        if n > 1:
+            def body(i, out):
+                xs = jax.lax.dynamic_slice_in_dim(x, i * lc, lc, axis=1)
+                return jax.lax.dynamic_update_slice_in_dim(
+                    out, one(xs, i * lc), i * lc, axis=1)
+
+            return jax.lax.fori_loop(
+                0, n, body, jnp.empty(x.shape, out_dtype))
+    return one(x, 0)
+
+
+def _axis1_chunks(x):
+    want = -(-x.size // _NORM_CHUNK_ELEMS)
+    l = x.shape[1]
+    n = next((k for k in range(max(2, want), l + 1) if l % k == 0), 1)
+    return n, (l // n if n > 1 else l)
+
+
+def _layer_norm_full(x, weight, bias, eps, out_dtype=None):
+    out_dtype = out_dtype or x.dtype
     y = x.astype(jnp.float32)
     mean = jnp.mean(y, axis=-1, keepdims=True)
     y = y - mean
@@ -62,7 +123,7 @@ def layer_norm(x, weight=None, bias=None, eps: float = 1e-6):
         y = y * weight.astype(jnp.float32)
     if bias is not None:
         y = y + bias.astype(jnp.float32)
-    return y.astype(dtype)
+    return y.astype(out_dtype)
 
 
 def modulate(x, shift, scale):

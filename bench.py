@@ -81,7 +81,17 @@ def flops_per_step(cfg, batch, seq, text_len, self_attn_density=1.0):
 
 
 def radial_density(backend: str, seq: int) -> float:
-    """Block-mask density of a "radial:f:tpf" backend spec (1.0 = dense)."""
+    """Self-attention compute density of a sparse backend spec (1.0 =
+    dense).  radial/swa: measured block-mask density.  sol: the kernel
+    computes exactly W = ceil(budget * nKb) blocks per q row (the
+    data decides WHICH; the centroid fallback adds ~1/block_kv)."""
+    if backend.startswith("sol"):
+        import math as _m
+        from wan2gp_tpu.ops.sol_attention import parse_sol_backend
+        budget = parse_sol_backend(backend).get("budget", 0.35)
+        nkb = -(-seq // 256)
+        w = max(1, min(nkb, int(_m.ceil(budget * nkb))))
+        return w / nkb + 1.0 / 256
     if not backend.startswith(("radial", "swa")):
         return 1.0
     from wan2gp_tpu.ops.attention import _structured_block_mask
@@ -338,6 +348,9 @@ def main():
             pt, ph, pw = cfg.patch_size
             tpf = (lat[3] // ph) * (lat[4] // pw)
             backend = f"radial:{lat[2] // pt}:{tpf}"
+        elif attn.startswith("sol"):
+            # data-dependent Sol-Attn (BENCH_ATTN=sol[:tau[:budget]])
+            backend = attn
         cache = os.environ.get("BENCH_CACHE", "")
         skips, cache_note = None, ""
         if cache.startswith("tea"):

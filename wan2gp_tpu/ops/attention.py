@@ -320,13 +320,24 @@ def attention(q, k, v, scale: float | None = None, backend: str = "auto",
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     if backend.startswith(("radial", "swa")):
-        # structured block-sparse self-attention (Sol-Attn/radial analog);
+        # structured block-sparse self-attention (radial analog);
         # non-matching shapes (cross-attention, extra-kv variants) and
         # masked calls fall back to the dense default
         if kv_mask is None:
             out = _structured_sparse(q, k, v, backend, scale)
             if out is not None:
                 return out
+        backend = "auto"
+    if backend.startswith("sol"):
+        # data-dependent Sol-Attn: QK-stat threshold routing + centroid
+        # fallback (reference shared/sol_attn/, interface.py:69);
+        # "sol[:tau[:budget[:thresh_type]]]" — self-attention only,
+        # cross/masked calls fall back to dense
+        if kv_mask is None and q.shape[1] == k.shape[1] \
+                and q.shape[1] >= 1024:
+            from .sol_attention import sol_attention, parse_sol_backend
+            return sol_attention(q, k, v, scale=scale,
+                                 **parse_sol_backend(backend))
         backend = "auto"
     if backend.startswith("ring"):
         # context-parallel ring attention inside shard_map; backend

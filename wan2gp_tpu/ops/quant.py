@@ -221,11 +221,17 @@ def set_act_quant(mode: str):
 
 def quantize_act_int8(x):
     """x: [M, K] float -> (x_q int8 [M, K], sx fp32 [M, 1]) per-row
-    symmetric (SmoothQuant-style dynamic per-token scales).  Written as
-    one elementwise chain so XLA fuses it without a fp32 copy of x."""
-    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True).astype(jnp.float32)
+    symmetric (SmoothQuant-style dynamic per-token scales).
+
+    The absmax reduce and the divide chain run over a bf16 view of x:
+    int8 rounding dominates the error budget, and reducing over a fp32
+    copy of a [75600, 5120] activation materializes 1.4 GB twice (the
+    reduce operand + a layout copy) — measured OOM at 14B/720p with the
+    TeaCache residual stacks resident (bench_tea r04)."""
+    xb = x if x.dtype == jnp.bfloat16 else x.astype(jnp.bfloat16)
+    absmax = jnp.max(jnp.abs(xb), axis=-1, keepdims=True).astype(jnp.float32)
     sx = jnp.maximum(absmax, 1e-8) / 127.0
-    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
+    xq = jnp.clip(jnp.round(xb.astype(jnp.float32) / sx),
                   -127, 127).astype(jnp.int8)
     return xq, sx
 

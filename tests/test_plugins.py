@@ -93,3 +93,81 @@ def register(api):
     ui = WebUI(session=sess, save_path=str(tmp_path))
     status, _, body = ui.handle("GET", "/api/custom")
     assert status == 200 and body == b"custom!"
+
+
+# ---------------------------------------------------------------------------
+# lifecycle: catalog / install / update / uninstall (reference
+# shared/utils/plugins.py:351-1725)
+# ---------------------------------------------------------------------------
+
+def test_catalog_parsing(tmp_path):
+    import json
+    from wan2gp_tpu.plugins import load_catalog
+    cat = [{"name": "Gallery", "url": "https://example.com/g.git",
+            "version": "1.0"},
+           {"name": "broken"},               # no url -> filtered
+           "junk"]
+    p = tmp_path / "plugins.json"
+    p.write_text(json.dumps(cat))
+    entries = load_catalog(str(p))
+    assert [e["name"] for e in entries] == ["Gallery"]
+
+
+def test_install_update_uninstall_local(tmp_path):
+    from wan2gp_tpu.plugins import (install_plugin, update_plugin,
+                                    uninstall_plugin, list_installed,
+                                    PluginManager)
+    src = tmp_path / "src_plugin"
+    src.mkdir()
+    (src / "__init__.py").write_text(
+        "def register(api):\n    api.register_tool('ping', lambda: 'v1')\n")
+    (src / "requirements.txt").write_text(
+        "numpy\nnonexistent-package-xyz>=1.0\n")
+    pdir = tmp_path / "plugins"
+
+    info = install_plugin(str(src), str(pdir))
+    assert info["name"] == "src_plugin"
+    assert info["missing_requirements"] == ["nonexistent-package-xyz>=1.0"]
+
+    m = PluginManager()
+    assert m.load_directory(str(pdir)) == ["src_plugin"]
+    assert m.tools["ping"]() == "v1"
+
+    # update from the recorded local source
+    (src / "__init__.py").write_text(
+        "def register(api):\n    api.register_tool('ping', lambda: 'v2')\n")
+    update_plugin("src_plugin", str(pdir))
+    m2 = PluginManager()
+    m2.load_directory(str(pdir))
+    assert m2.tools["ping"]() == "v2"
+
+    names = [e["name"] for e in list_installed(str(pdir))]
+    assert names == ["src_plugin"]
+    assert list_installed(str(pdir))[0]["source"] == str(src)
+
+    uninstall_plugin("src_plugin", str(pdir))
+    assert list_installed(str(pdir)) == []
+
+
+def test_install_refused_in_safe_mode(tmp_path, monkeypatch):
+    import pytest
+    from wan2gp_tpu.plugins import install_plugin, update_plugin
+    monkeypatch.setenv("WAN2GP_SAFE_MODE", "1")
+    with pytest.raises(RuntimeError, match="SAFE MODE"):
+        install_plugin(str(tmp_path), str(tmp_path / "plugins"))
+    with pytest.raises(RuntimeError, match="SAFE MODE"):
+        update_plugin("x", str(tmp_path / "plugins"))
+
+
+def test_install_duplicate_and_bad_source(tmp_path):
+    import pytest
+    from wan2gp_tpu.plugins import install_plugin
+    src = tmp_path / "p"
+    src.mkdir()
+    (src / "__init__.py").write_text("def register(api):\n    pass\n")
+    pdir = tmp_path / "plugins"
+    install_plugin(str(src), str(pdir))
+    with pytest.raises(FileExistsError):
+        install_plugin(str(src), str(pdir))
+    with pytest.raises(ValueError):
+        install_plugin("ftp://weird", str(pdir))

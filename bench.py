@@ -115,7 +115,9 @@ def rand_w4_linear(key, d_in, d_out, bias=True):
 
 def rand_wan_params_w4(cfg, seed=0):
     """Random Wan DiT params with all block linears in packed int4."""
-    keys = iter(jax.random.split(jax.random.key(seed), 1024))
+    base = jax.random.key(seed)
+    counter = iter(range(1, 1 << 30))
+    keys = iter(jax.random.fold_in(base, i) for i in counter)
     d = cfg.dim
     pt, ph, pw = cfg.patch_size
 
@@ -245,6 +247,115 @@ def bench_vae(lat_f, lat_h, lat_w):
     return vae_dt, frames / vae_dt
 
 
+def hlo_collective_bytes(compiled_text: str):
+    """Sum the payload bytes of every collective in a compiled HLO dump.
+
+    Grounds the multi-chip projection: instead of assuming free
+    collectives ("equal MFU on 8 chips"), the ACTUAL sharded program's
+    all-gather/reduce-scatter/all-reduce/all-to-all/collective-permute
+    volumes are divided by the ICI bandwidth."""
+    import re
+    dtype_bytes = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
+                   "s8": 1, "u8": 1, "pred": 1, "f64": 8, "s64": 8}
+    totals = {}
+    pat = re.compile(
+        r"=\s*(?:\(([^)]*)\)|(\w+)\[([\d,]*)\][^ ]*)\s*"
+        r"(all-reduce|all-gather|reduce-scatter|all-to-all|"
+        r"collective-permute)(?:-start)?\(")
+    for m in pat.finditer(compiled_text):
+        tup, dt, dims, kind = m.groups()
+        shapes = []
+        if tup is not None:
+            shapes = re.findall(r"(\w+)\[([\d,]*)\]", tup)
+        elif dt is not None:
+            shapes = [(dt, dims)]
+        nbytes = 0
+        for d, ds in shapes:
+            if d not in dtype_bytes:
+                continue
+            n = 1
+            for x in ds.split(","):
+                if x:
+                    n *= int(x)
+            nbytes += n * dtype_bytes[d]
+        totals[kind] = totals.get(kind, 0) + nbytes
+    return totals
+
+
+def bench_mesh_14b(spec: str, mesh):
+    """Sharded WAN 14B-dims step on the virtual mesh: measures the real
+    partitioned program (2-layer trick — identical per-layer shardings,
+    see __graft_entry__._dryrun_14b) and reports its collective byte
+    volume so the v5p-8 projection uses measured-overhead arithmetic."""
+    from wan2gp_tpu.models.wan.dit import WanDiTConfig
+    from wan2gp_tpu.models.wan.pipeline import SamplingConfig, denoise_scan
+    from wan2gp_tpu.schedulers import make_schedule
+    from wan2gp_tpu.ops.rope import build_rope_3d
+    from wan2gp_tpu.parallel import dit_data_shardings
+    from __graft_entry__ import _rand_wan14b_params
+
+    cfg = WanDiTConfig(dim=5120, ffn_dim=13824, num_heads=40, num_layers=2,
+                       text_len=64)
+    params = _rand_wan14b_params(cfg, mesh)
+    jax.block_until_ready(params)
+    rng = np.random.default_rng(1)
+    sched = make_schedule("euler", 2, shift=5.0)
+    sampling = SamplingConfig(solver="euler", steps=2, guide_scale=5.0)
+    lat_s, _, ctx_s = dit_data_shardings(mesh)
+    ctx = jax.device_put(jnp.asarray(
+        rng.standard_normal((2, cfg.text_len, cfg.text_dim)), jnp.float32),
+        ctx_s)
+
+    def probe(lat_f, lat_h, lat_w):
+        latents = jax.device_put(jnp.asarray(
+            rng.standard_normal((2, cfg.in_dim, lat_f, lat_h, lat_w)),
+            jnp.float32), lat_s)
+        cos, sin = build_rope_3d((lat_f, lat_h // 2, lat_w // 2),
+                                 head_dim=cfg.head_dim)
+        fn = jax.jit(lambda p, x, c: denoise_scan(
+            p, cfg, sched, x, c, c, sampling, cos, sin,
+            attn_backend="xla"))
+        compiled = fn.lower(params, latents, ctx).compile()
+        coll = hlo_collective_bytes(compiled.as_text())
+        s = float(jnp.sum(compiled(params, latents, ctx)))
+        assert np.isfinite(s)
+        t0 = time.perf_counter()
+        s = float(jnp.sum(compiled(params, latents, ctx)))
+        dt = (time.perf_counter() - t0) / sampling.steps
+        assert np.isfinite(s)
+        seq = lat_f * (lat_h // 2) * (lat_w // 2)
+        per_step = {k: v // sampling.steps for k, v in coll.items()}
+        return seq, sum(per_step.values()), per_step, dt
+
+    # two sequence lengths -> linear fit bytes(seq) = a + b*seq separates
+    # the seq-proportional collectives (sharded activations) from the
+    # fixed ones (weight gathers), so the projection to the judged 75,600
+    # tokens is measured arithmetic, not an assumption
+    seq1, tot1, kinds1, _ = probe(2, 16, 8)
+    seq2, tot2, kinds2, dt = probe(2, 32, 16)
+    b_per_tok = max(0.0, (tot2 - tot1) / (seq2 - seq1))
+    a_fixed = max(0.0, tot1 - b_per_tok * seq1)
+    seq_full = 75600
+    total_2l = a_fixed + b_per_tok * seq_full
+    total_40l = total_2l * 20       # identical per-layer shardings
+    # v5p ICI: 3D torus, ~100 GB/s effective per chip (conservative)
+    ici_s = total_40l / 100e9
+    print(json.dumps({
+        "metric": (f"wan2.1-14B-dims sharded step over mesh {spec} "
+                   f"(2-layer probe, virtual CPU mesh; collective bytes "
+                   f"fit a+b*seq: a={a_fixed / 1e6:.1f}MB, "
+                   f"b={b_per_tok:.0f}B/token over probes seq={seq1},"
+                   f"{seq2} -> {total_40l / 1e9:.2f}GB/step at 40L/75.6k "
+                   f"tokens => ~{ici_s * 1e3:.0f} ms on v5p ICI at "
+                   f"100 GB/s/chip; probe kinds: "
+                   + ", ".join(f"{k}={v}" for k, v in sorted(
+                       kinds2.items())) + ")"),
+        "value": round(1.0 / dt, 4),
+        "unit": "steps/sec",
+        "vs_baseline": 1.0,
+    }))
+
+
 def bench_mesh(spec: str):
     """Sharded-denoise validation mode: 1.3B over a dp/cp/tp mesh."""
     from wan2gp_tpu.models.wan.dit import WanDiTConfig, init_wan_dit
@@ -279,6 +390,8 @@ def bench_mesh(spec: str):
         raise RuntimeError(f"BENCH_MESH {spec!r} needs {n} devices; have "
                            f"{jax.device_count()}")
     mesh = make_mesh(sizes, devices=jax.devices()[:n])
+    if os.environ.get("BENCH_MESH_CONFIG", "") == "14b":
+        return bench_mesh_14b(spec, mesh)
     cfg = WanDiTConfig(dim=1536, ffn_dim=8960, num_heads=12, num_layers=30)
     pipe = WanPipeline(init_wan_dit(jax.random.key(0), cfg), cfg,
                        attn_backend="xla")
@@ -305,6 +418,375 @@ def bench_mesh(spec: str):
     }))
 
 
+def rand_params_w4_like(init_fn, seed=0, min_dim: int = 256,
+                        predicate=None):
+    """Random params shaped like init_fn() with every large linear under
+    a *blocks* subtree as packed int4 — generated ON DEVICE from the
+    eval_shape skeleton, so a 12B bf16 tree (24 GB) is never materialized
+    on the 16 GB chip.  Mirrors service.quantize_dit_params' selection."""
+    from wan2gp_tpu.ops.quant import W4_BLOCK_K
+    skel = jax.eval_shape(init_fn)
+    # host-side key derivation: iterating a device array of split keys
+    # blocks on a transfer per next() (minutes for 50+ block towers)
+    counter = iter(range(1, 1 << 30))
+    base = jax.random.key(seed)
+    next_key = lambda: jax.random.fold_in(base, next(counter))
+    if predicate is None:
+        predicate = lambda path: "blocks" in path
+
+    def rand_leaf(s):
+        if s is None:        # optional submodules absent in this config
+            return None
+        if not hasattr(s, "dtype") or not jnp.issubdtype(s.dtype,
+                                                         jnp.floating):
+            return jnp.zeros(s.shape, s.dtype)
+        if s.ndim <= 1:      # norm gammas / biases: near identity
+            return jnp.ones(s.shape, s.dtype)
+        return (jax.random.normal(next_key(), s.shape, jnp.float32)
+                * 0.02).astype(s.dtype)
+
+    def walk(node, path=""):
+        if isinstance(node, dict):
+            w = node.get("w")
+            if (w is not None and hasattr(w, "ndim") and w.ndim >= 2
+                    and min(w.shape[-2:]) >= min_dim and predicate(path)):
+                lead, kd, nd = w.shape[:-2], w.shape[-2], w.shape[-1]
+                kp = -(-kd // (2 * W4_BLOCK_K)) * (2 * W4_BLOCK_K)
+                out = {k: walk(v, f"{path}/{k}") for k, v in node.items()
+                       if k != "w"}
+                out["w_q4"] = jax.random.randint(
+                    next_key(), (*lead, kp // 2, nd), -127, 128,
+                    dtype=jnp.int8)
+                out["scale"] = jnp.full((*lead, nd), 0.25 / kd, jnp.float32)
+                return out
+            return {k: walk(v, f"{path}/{k}") for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v, f"{path}/{i}")
+                              for i, v in enumerate(node))
+        return rand_leaf(node)
+
+    return walk(skel)
+
+
+def _emit(name, res, quant, kind, dt, steps, fl, peak, vae_dt=None,
+          vae_note="", density=1.0, fl_real=None):
+    """Shared JSON emitter for the per-family BASELINE configs."""
+    mfu = fl / dt / peak
+    mfu_real = (fl_real if fl_real is not None else fl) / dt / peak
+    scale = (PEAK_BF16["TPU v5p"] / peak) * 8
+    decode = vae_dt or 0.0
+    e2e = steps * dt + decode
+    e2e_v5p8 = steps * dt / scale + decode
+    print(json.dumps({
+        "metric": (f"{name} {res} denoise steps/sec/chip ({quant}, {kind},"
+                   f" dense-equiv MFU={mfu:.3f}, real-compute MFU="
+                   f"{mfu_real:.3f} at density {density:.3f};{vae_note}"
+                   f" e2e {steps} steps+decode ~{e2e:.0f}s on ONE chip;"
+                   f" projected v5p-8 at equal MFU ~{e2e_v5p8:.0f}s)"),
+        "value": round(1.0 / dt, 4),
+        "unit": "steps/sec",
+        "vs_baseline": round(mfu / 0.40, 4),
+    }))
+
+
+def bench_flux_schnell(peak, kind):
+    """BASELINE config 2: Flux.1 schnell 1280x720, 10 steps, CFG-free
+    (defaults/flux_schnell.json).  12B rectified-flow image DiT in w4."""
+    from wan2gp_tpu.models.flux.dit import (FluxConfig, make_img_ids,
+                                            rope_from_ids)
+    from wan2gp_tpu.models.flux.dit import init_flux
+    from wan2gp_tpu.models.flux.pipeline import flux_denoise_scan
+    from wan2gp_tpu.models.flux.vae import (FluxVAEConfig, init_flux_vae,
+                                            flux_vae_decode)
+
+    tiny = os.environ.get("BENCH_TINY") == "1"   # CPU smoke of the path
+    cfg = (FluxConfig(hidden_size=128, num_heads=4, depth=1,
+                      depth_single_blocks=2, axes_dim=(8, 12, 12))
+           if tiny else FluxConfig())            # schnell: 3072/19/38
+    params = rand_params_w4_like(lambda: init_flux(jax.random.key(0), cfg))
+    jax.block_until_ready(params)
+    h_lat, w_lat = (8, 8) if tiny else (720 // 16, 1280 // 16)
+    s_img, s_txt = h_lat * w_lat, 16 if tiny else 512
+    img = jnp.zeros((1, s_img, 64), jnp.float32)
+    txt = jnp.zeros((1, s_txt, cfg.context_in_dim), jnp.bfloat16)
+    vec = jnp.zeros((1, cfg.vec_in_dim), jnp.float32)
+    ids = np.concatenate([np.zeros((s_txt, 3)),
+                          make_img_ids(h_lat, w_lat)], axis=0)
+    cos, sin = rope_from_ids(ids, cfg.axes_dim, cfg.theta)
+    steps = 10
+    ts = np.linspace(1.0, 0.0, steps + 1)
+
+    fn = jax.jit(lambda p, x, t_, v: flux_denoise_scan(
+        p, cfg, x, t_, v, ts, 0.0, cos, sin))
+    assert np.isfinite(float(jnp.sum(fn(params, img, txt, vec))))
+    t0 = time.perf_counter()
+    assert np.isfinite(float(jnp.sum(fn(params, img, txt, vec))))
+    dt = (time.perf_counter() - t0) / steps
+
+    # FLOPs per step (single branch): double blocks (img+txt streams:
+    # qkv+proj + mlp each) + joint attention + single blocks (fused)
+    s_all = s_img + s_txt
+    hs, mlp = cfg.hidden_size, cfg.mlp_hidden
+    dbl = (2 * (s_all * hs * (3 * hs) + s_all * hs * hs)   # qkv + proj
+           + 2 * 2 * s_all * hs * mlp                      # mlp fc1+fc2
+           + 4 * s_all * s_all * hs)
+    lin1_out = 3 * hs + cfg.lin1_mlp
+    sgl = (2 * s_all * hs * lin1_out
+           + 2 * s_all * (hs + cfg.lin1_mlp) * hs
+           + 4 * s_all * s_all * hs)
+    fl = cfg.depth * dbl + cfg.depth_single_blocks * sgl
+
+    vae_cfg = FluxVAEConfig()
+    vae_p = init_flux_vae(jax.random.key(1), vae_cfg)
+    z = jnp.zeros((1, 16 if tiny else 720 // 8,
+                   16 if tiny else 1280 // 8, 16), jnp.float32)
+    dec = jax.jit(lambda p, z: flux_vae_decode(p, vae_cfg, z).sum())
+    float(dec(vae_p, z))
+    t0 = time.perf_counter()
+    float(dec(vae_p, z))
+    vae_dt = time.perf_counter() - t0
+    _emit("flux.1-schnell w4", "1280x720 10-step CFG-free", "w4 Pallas",
+          kind, dt, steps, fl, peak, vae_dt,
+          f" VAE decode {vae_dt:.1f}s/image;")
+
+
+def bench_ti2v_5b(peak, kind):
+    """BASELINE config 3: Wan2.2 TI2V 5B, 1280x720 121f, 50 steps CFG
+    (defaults/ti2v_2_2.json: dim 3072, ffn 14336, 24h/30L, in_dim 48,
+    vae_stride (4,16,16))."""
+    from wan2gp_tpu.models.wan.dit import WanDiTConfig
+    from wan2gp_tpu.models.wan.vae2_2 import (Wan22VAEConfig,
+                                              init_wan22_vae,
+                                              wan22_vae_decode)
+    tiny = os.environ.get("BENCH_TINY") == "1"
+    cfg = (WanDiTConfig(dim=256, ffn_dim=512, num_heads=4, num_layers=2,
+                        in_dim=48, out_dim=48, text_len=16) if tiny else
+           WanDiTConfig(dim=3072, ffn_dim=14336, num_heads=24,
+                        num_layers=30, in_dim=48, out_dim=48))
+    params = rand_wan_params_w4(cfg)
+    jax.block_until_ready(params)
+    # 121f 720p, stride (4,16,16): latent (31, 45->46, 80), patch (1,2,2)
+    lat = (1, 48, 2, 8, 8) if tiny else (1, 48, 31, 46, 80)
+    steps = 2 if tiny else 50
+    dt, seq = bench_denoise(
+        cfg, params, lat,
+        dict(joint_pass=False, host_loop=True, guide_scale=5.0),
+        steps_timed=2, backend="auto")
+    fl = flops_per_step(cfg, 1, seq, cfg.text_len)
+
+    vae_cfg = Wan22VAEConfig()
+    vae_p = init_wan22_vae(jax.random.key(1))
+    z = jnp.zeros((1, 3, 6, 8, vae_cfg.z_dim) if tiny else
+                  (1, 31, 45, 80, vae_cfg.z_dim), jnp.float32)
+    dec = jax.jit(lambda p, z: wan22_vae_decode(p, vae_cfg, z).sum())
+    try:
+        float(dec(vae_p, z))
+        t0 = time.perf_counter()
+        float(dec(vae_p, z))
+        vae_dt = time.perf_counter() - t0
+        note = f" VAE decode {121 / vae_dt:.1f} fps;"
+    except Exception as exc:   # noqa: BLE001 — decode shape mismatch
+        vae_dt, note = None, f" VAE decode skipped ({type(exc).__name__});"
+    _emit("wan2.2-ti2v-5B w4a8", "1280x720x121f 50-step seq-CFG",
+          "w4a8 Pallas + sequential CFG", kind, dt, steps, fl, peak,
+          vae_dt, note)
+
+
+def bench_hv15(peak, kind):
+    """BASELINE config 4: Hunyuan Video 1.5 480p T2V — 97f 832x480,
+    30 steps, true CFG (defaults/hunyuan_1_5_480_t2v.json; arch
+    models.py HYVideo-1_5: 54 double blocks, hidden 2048)."""
+    from wan2gp_tpu.models.hyvideo.dit import (make_hunyuan_config,
+                                               init_hunyuan)
+    from wan2gp_tpu.models.hyvideo.pipeline import (hunyuan_denoise_scan,
+                                                    HunyuanSamplingConfig)
+    from wan2gp_tpu.models.hyvideo.vae15 import (Hunyuan15VAEConfig,
+                                                 init_hunyuan15_vae,
+                                                 hunyuan15_vae_decode)
+    tiny = os.environ.get("BENCH_TINY") == "1"
+    cfg = make_hunyuan_config(
+        "hunyuan_1_5_t2v",
+        **(dict(hidden_size=128, heads_num=4, mm_double_blocks_depth=2,
+                rope_dim_list=(8, 12, 12)) if tiny else {}))
+    params = rand_params_w4_like(
+        lambda: init_hunyuan(jax.random.key(0), cfg))
+    jax.block_until_ready(params)
+    lat_f, lat_h, lat_w = ((3, 6, 8) if tiny else
+                           (25, 30, 52))      # (97-1)/4+1, 480/16, 832/16
+    latents = jnp.zeros((1, cfg.in_channels, lat_f, lat_h, lat_w),
+                        jnp.float32)
+    txt_len = 16 if tiny else 256
+    txt = jnp.zeros((1, txt_len, cfg.text_states_dim), jnp.bfloat16)
+    msk = jnp.ones((1, txt_len), bool)
+    steps = 2 if tiny else 30
+    sampling = HunyuanSamplingConfig(steps=steps, guide_scale=6.0)
+    fn = jax.jit(lambda p, x, c, m: hunyuan_denoise_scan(
+        p, cfg, x, c, m, text_states_null=c, text_mask_null=m,
+        sampling=sampling))
+    assert np.isfinite(float(jnp.sum(fn(params, latents, txt, msk))))
+    t0 = time.perf_counter()
+    assert np.isfinite(float(jnp.sum(fn(params, latents, txt, msk))))
+    dt = (time.perf_counter() - t0) / steps
+
+    s_img = lat_f * (lat_h // 2) * (lat_w // 2)
+    s_all = s_img + txt_len
+    hs, mlp = cfg.hidden_size, cfg.mlp_hidden
+    b = 2                                     # true CFG: cond + uncond
+    dbl = b * (2 * (s_all * hs * 3 * hs + s_all * hs * hs)
+               + 2 * 2 * s_all * hs * mlp
+               + 4 * s_all * s_all * hs)
+    fl = cfg.mm_double_blocks_depth * dbl
+
+    vae_cfg = (Hunyuan15VAEConfig(block_out_channels=(16, 16, 16, 16, 16),
+                                  latent_channels=8, layers_per_block=1)
+               if tiny else Hunyuan15VAEConfig())
+    vae_p = init_hunyuan15_vae(jax.random.key(1), vae_cfg)
+    z = jnp.zeros((1, vae_cfg.latent_channels, lat_f, lat_h, lat_w),
+                  jnp.float32)
+    dec = jax.jit(lambda p, z: hunyuan15_vae_decode(p, vae_cfg, z).sum())
+    try:
+        float(dec(vae_p, z))
+        t0 = time.perf_counter()
+        float(dec(vae_p, z))
+        vae_dt = time.perf_counter() - t0
+        note = f" VAE decode {97 / vae_dt:.1f} fps;"
+    except Exception as exc:   # noqa: BLE001
+        vae_dt, note = None, f" VAE decode skipped ({type(exc).__name__});"
+    _emit("hunyuan-video-1.5 w4a8", "832x480x97f 30-step CFG",
+          "w4a8 Pallas + joint CFG", kind, dt, steps, fl, peak,
+          vae_dt, note)
+
+
+def bench_vace_multitalk(peak, kind):
+    """BASELINE config 5: Wan VACE Multitalk 14B FusioniX profile —
+    832x480 81f, 10 steps CFG-free (defaults/vace_multitalk_14B.json:
+    t2v 14B + VACE branch + per-block multitalk audio cross-attn,
+    configs/vace_multitalk_14B.json: vace_in_dim 96, audio dim 768)."""
+    from wan2gp_tpu.models.wan.dit import WanDiTConfig, init_wan_dit
+    from wan2gp_tpu.models.wan.pipeline import multitalk_denoise_scan
+    from wan2gp_tpu.schedulers import make_schedule
+    from wan2gp_tpu.ops.rope import build_rope_3d
+
+    tiny = os.environ.get("BENCH_TINY") == "1"
+    cfg = (WanDiTConfig(dim=256, ffn_dim=512, num_heads=4, num_layers=2,
+                        vace=True, text_len=16) if tiny else
+           WanDiTConfig(dim=5120, ffn_dim=13824, num_heads=40,
+                        num_layers=40, vace=True))
+    params = rand_params_w4_like(
+        lambda: init_wan_dit(jax.random.key(0), cfg))
+    # per-block multitalk audio cross-attn (multitalk/attention.py
+    # SingleStreamAttention): norm_x + q [d,d] + kv [768, 2d] + o [d,d]
+    d, da, na = cfg.dim, 768, 4 if tiny else 32
+    keys = iter(jax.random.fold_in(jax.random.key(7), i)
+                for i in range(1, 256))
+
+    def audio_block(k):
+        ks = iter(jax.random.split(k, 4))
+        mk = lambda din, dout: {
+            "w_q4": jax.random.randint(
+                next(ks), (-(-din // 256) * 256 // 2, dout), -127, 128,
+                dtype=jnp.int8),
+            "scale": jnp.full((dout,), 0.25 / din, jnp.float32),
+            "b": jnp.zeros((dout,), jnp.bfloat16)}
+        return {"norm_x": {"w": jnp.ones((d,), jnp.float32),
+                           "b": jnp.zeros((d,), jnp.float32)},
+                "q": mk(d, d), "kv": mk(da, 2 * d), "o": mk(d, d)}
+
+    params["audio_attn_blocks"] = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[audio_block(next(keys)) for _ in range(cfg.num_layers)])
+    jax.block_until_ready(params)
+
+    lat = (1, 16, 2, 8, 8) if tiny else (1, 16, 21, 60, 104)  # 832x480x81f
+    grid = (lat[2], lat[3] // 2, lat[4] // 2)
+    seq = grid[0] * grid[1] * grid[2]
+    latents = jnp.zeros(lat, jnp.float32)
+    ctx = jnp.zeros((1, cfg.text_len, cfg.text_dim), jnp.bfloat16)
+    vace_ctx = jnp.zeros((1, cfg.vace_in_dim, *lat[2:]), jnp.float32)
+    audio = jnp.zeros((1, grid[0], na, da), jnp.bfloat16)
+    cos, sin = build_rope_3d(grid, head_dim=cfg.head_dim)
+    steps = 2 if tiny else 10
+    sched = make_schedule("unipc", steps, shift=5.0)
+    tpf = grid[1] * grid[2]
+    backend = f"radial:{grid[0]}:{tpf}"
+
+    # FusioniX profile: guide_scale 1 -> the 2-branch audio-CFG path
+    # [cond(text,audio), drop_audio(text,silence)] (any2video.py:1652)
+    fn = jax.jit(lambda p, x, c, a, az: multitalk_denoise_scan(
+        p, cfg, sched, x, c, c, a, az, 1.0, 4.0, cos, sin,
+        vace_context=vace_ctx, attn_backend=backend))
+
+    def run():
+        return float(jnp.sum(fn(params, latents, ctx, audio,
+                                jnp.zeros_like(audio))))
+    assert np.isfinite(run())
+    t0 = time.perf_counter()
+    assert np.isfinite(run())
+    dt = (time.perf_counter() - t0) / steps
+
+    # 2 branches (cond + drop_audio) + VACE branch (here at
+    # every-2nd-layer density: 20 parallel blocks vs the reference def's
+    # 8 — vace compute is OVERSTATED, conservative) + per-block audio attn
+    fl = flops_per_step(cfg, 1, seq, cfg.text_len)
+    vace_fl = (fl // cfg.num_layers) * len(cfg.vace_layers)
+    audio_fl = 2 * cfg.num_layers * (        # x2: both CFG branches
+        4 * seq * d * d + 4 * grid[0] * na * da * 2 * d
+        + 4 * seq * na * d)
+    fl_total = fl + vace_fl + audio_fl
+
+    vae_dt, fps = bench_vae(lat[2], lat[3], lat[4])
+    density = radial_density(backend, seq)
+    _emit("wan2.1-vace-multitalk-14B w4a8 FusioniX",
+          "832x480x81f 10-step CFG-free", "w4a8 Pallas + radial + VACE "
+          "(every-2nd-layer branch) + multitalk audio", kind, dt, steps,
+          fl_total, peak, vae_dt, f" VAE decode {fps:.1f} fps;",
+          density=density,
+          fl_real=(fl * density + vace_fl * density + audio_fl))
+
+
+def bench_qwen_lm(peak, kind):
+    """Prompt-enhancer / agent LLM decode throughput (the nanovllm role:
+    batched prefill + batched KV decode + samplers).  Qwen3-4B dims,
+    bf16, batch 4 ragged prompts, 128 new tokens."""
+    from wan2gp_tpu.models.qwen.text_encoder import (QwenLMConfig,
+                                                     QWEN3_4B,
+                                                     init_qwen_lm,
+                                                     qwen_lm_generate)
+    tiny = os.environ.get("BENCH_TINY") == "1"
+    cfg = (QwenLMConfig(dim=128, n_layers=2, n_heads=4, n_kv_heads=2,
+                        head_dim=32, ffn_dim=256, vocab_size=512)
+           if tiny else QwenLMConfig(**QWEN3_4B))
+    params = init_qwen_lm(jax.random.key(0), cfg)
+    jax.block_until_ready(params)
+    b, l_prompt, new = (2, 16, 8) if tiny else (4, 256, 128)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1, cfg.vocab_size, (b, l_prompt)),
+                      jnp.int32)
+    lens = np.linspace(l_prompt // 2, l_prompt, b).astype(int)
+    mask = jnp.asarray(np.arange(l_prompt)[None] < lens[:, None],
+                       jnp.int32)
+
+    def run(key):
+        toks = qwen_lm_generate(params, cfg, ids, mask,
+                                max_new_tokens=new, temperature=0.7,
+                                top_p=0.9, sample_key=key)
+        return float(jnp.sum(toks))
+    assert np.isfinite(run(jax.random.key(1)))      # compile + warm
+    t0 = time.perf_counter()
+    assert np.isfinite(run(jax.random.key(2)))
+    dt = time.perf_counter() - t0
+    tok_s = b * new / dt
+    print(json.dumps({
+        "metric": (f"qwen3-4b enhancer decode tokens/sec ({kind}, bf16, "
+                   f"batch {b} ragged prompts <= {l_prompt} tokens, "
+                   f"{new} new tokens, temperature+top-p sampling, "
+                   f"batched KV decode)"),
+        "value": round(tok_s, 2),
+        "unit": "tokens/sec",
+        "vs_baseline": 1.0,
+    }))
+
+
 def main():
     from wan2gp_tpu.models.wan.dit import WanDiTConfig, init_wan_dit
 
@@ -314,8 +796,9 @@ def main():
         return
 
     which = os.environ.get("BENCH_CONFIG", "14b_720p")
-    a8 = os.environ.get("BENCH_A8", "1" if which.startswith("14b")
-                        else "0") == "1"
+    a8_default = which.startswith("14b") or which in (
+        "ti2v_5b", "hv15_480p", "vace_multitalk")
+    a8 = os.environ.get("BENCH_A8", "1" if a8_default else "0") == "1"
     if a8:
         # W4A8 (default for the 14B configs): dynamic per-token int8
         # activations on the MXU s8 path (2x bf16 rate) — the reference's
@@ -326,13 +809,28 @@ def main():
         set_act_quant("int8")
     kind = jax.devices()[0].device_kind
     peak = PEAK_BF16.get(kind, 197e12)
+    family = {"flux_schnell": bench_flux_schnell,
+              "ti2v_5b": bench_ti2v_5b,
+              "hv15_480p": bench_hv15,
+              "vace_multitalk": bench_vace_multitalk,
+              "qwen_lm": bench_qwen_lm}
+    if which in family:
+        family[which](peak, kind)
+        return
     distilled = which.endswith("_distilled")
     attn = os.environ.get("BENCH_ATTN",
                           "radial" if which.startswith("14b") else "dense")
 
     if which.startswith("14b"):
+        # BENCH_RESID=bf16 carries the residual stream in bf16 — the
+        # reference's own model dtype (torch bf16 end-to-end); the repo
+        # default fp32 stream is a quality upgrade that, WITH the
+        # TeaCache residual stacks resident, exceeds the 16 GB chip by
+        # ~185 MB (bench_tea r04 OOM), so the tea row runs bf16.
+        resid = (jnp.bfloat16 if os.environ.get("BENCH_RESID", "") == "bf16"
+                 else jnp.float32)
         cfg = WanDiTConfig(dim=5120, ffn_dim=13824, num_heads=40,
-                           num_layers=40)
+                           num_layers=40, residual_dtype=resid)
         params = rand_wan_params_w4(cfg)
         jax.block_until_ready(params)
         if which.startswith("14b_720p"):
@@ -369,7 +867,10 @@ def main():
         name = (f"wan2.1-14B {wq} distilled-10step-CFGfree" if distilled
                 else f"wan2.1-14B {wq}")
         cfg_mode = "CFG-free" if distilled else "sequential CFG"
-        quant = f"{wq} Pallas + {cfg_mode} + {attn} attention{cache_note}"
+        resid_note = (" + bf16 residual (reference model dtype)"
+                      if resid == jnp.bfloat16 else "")
+        quant = (f"{wq} Pallas + {cfg_mode} + {attn} attention"
+                 f"{cache_note}{resid_note}")
     else:
         cfg = WanDiTConfig(dim=1536, ffn_dim=8960, num_heads=12,
                            num_layers=30)

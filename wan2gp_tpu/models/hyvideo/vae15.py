@@ -235,15 +235,12 @@ def init_hunyuan15_vae(key, cfg: Hunyuan15VAEConfig = Hunyuan15VAEConfig(),
             factor = (2 if tm else 1) * 4
             blk["down"] = _conv_p(next(keys), cout, nxt // factor,
                                   dtype=dtype)
-            blk["down_out"] = nxt
-            blk["temporal"] = tm
             c = nxt
         enc["levels"].append(blk)
         cin = c
     enc["mid"] = _mid_p(next(keys), cin, dtype)
     enc["norm_out"] = _norm_p(cin)
     enc["conv_out"] = _conv_p(next(keys), cin, 2 * z, dtype=dtype)
-    enc["final_ch"] = cin
 
     # decoder runs over block_out_channels in CONFIG ORDER (vae15
     # Decoder: conv_in z -> bo[0], upsample to bo[i+1]; channels widen
@@ -261,8 +258,6 @@ def init_hunyuan15_vae(key, cfg: Hunyuan15VAEConfig = Hunyuan15VAEConfig(),
             nxt = bo[i + 1]
             factor = (2 if tm else 1) * 4
             blk["up"] = _conv_p(next(keys), cout, nxt * factor, dtype=dtype)
-            blk["up_out"] = nxt
-            blk["temporal"] = tm
             c = nxt
         dec["levels"].append(blk)
         cin = c
@@ -278,14 +273,22 @@ def hunyuan15_vae_encode(params, cfg: Hunyuan15VAEConfig, video):
     x = video.transpose(0, 2, 3, 4, 1).astype(cfg.compute_dtype)
     enc = params["encoder"]
     x = _causal_conv3d(x, enc["conv_in"]["w"], enc["conv_in"]["b"])
-    for blk in enc["levels"]:
+    # static per-level geometry comes from the config plan, NOT the
+    # params tree — under jit every params leaf is a tracer, unusable
+    # in `if temporal:` control flow
+    bo = cfg.block_out_channels
+    final_ch = bo[0]
+    for blk, (i, (cout, sp, tm)) in zip(enc["levels"],
+                                        enumerate(_plan(cfg, False))):
         for rp in blk["res"]:
             x = _res(rp, x)
         if "down" in blk:
-            x = _downsample(blk["down"], x, blk["down_out"],
-                            blk["temporal"])
+            x = _downsample(blk["down"], x, bo[i + 1], tm)
+            final_ch = bo[i + 1]
+        else:
+            final_ch = cout
     x = _mid(enc["mid"], x)
-    group = enc["final_ch"] // (2 * cfg.latent_channels)
+    group = final_ch // (2 * cfg.latent_channels)
     b, t, h, w, c = x.shape
     short = x.reshape(b, t, h, w, c // group, group).mean(-1)
     y = jax.nn.silu(_rms_ch(x, enc["norm_out"]).astype(jnp.float32)
@@ -306,11 +309,13 @@ def hunyuan15_vae_decode(params, cfg: Hunyuan15VAEConfig, latents):
     x = _causal_conv3d(z, dec["conv_in"]["w"], dec["conv_in"]["b"]) \
         + jnp.repeat(z, repeats, axis=-1)
     x = _mid(dec["mid"], x)
-    for blk in dec["levels"]:
+    bo = cfg.block_out_channels
+    for blk, (i, (cout, sp, tm)) in zip(dec["levels"],
+                                        enumerate(_plan(cfg, True))):
         for rp in blk["res"]:
             x = _res(rp, x)
         if "up" in blk:
-            x = _upsample(blk["up"], x, blk["up_out"], blk["temporal"])
+            x = _upsample(blk["up"], x, bo[i + 1], tm)
     x = jax.nn.silu(_rms_ch(x, dec["norm_out"]).astype(jnp.float32)
                     ).astype(x.dtype)
     x = _causal_conv3d(x, dec["conv_out"]["w"], dec["conv_out"]["b"])
@@ -368,13 +373,10 @@ def load_hunyuan15_vae_params(sd: Dict[str, Any],
                        for j in range(cfg.layers_per_block)]}
         if sp or tm:
             blk["down"] = conv(f"encoder.down.{i}.downsample.conv.conv")
-            blk["down_out"] = bo[i + 1]
-            blk["temporal"] = tm
         enc["levels"].append(blk)
     enc["mid"] = mid("encoder.mid")
     enc["norm_out"] = norm("encoder.norm_out")
     enc["conv_out"] = conv("encoder.conv_out.conv")
-    enc["final_ch"] = bo[-1]
 
     dec = {"conv_in": conv("decoder.conv_in.conv"),
            "mid": mid("decoder.mid"), "levels": []}
@@ -383,8 +385,6 @@ def load_hunyuan15_vae_params(sd: Dict[str, Any],
                        for j in range(cfg.layers_per_block + 1)]}
         if sp or tm:
             blk["up"] = conv(f"decoder.up.{i}.upsample.conv.conv")
-            blk["up_out"] = bo[i + 1]
-            blk["temporal"] = tm
         dec["levels"].append(blk)
     dec["norm_out"] = norm("decoder.norm_out")
     dec["conv_out"] = conv("decoder.conv_out.conv")

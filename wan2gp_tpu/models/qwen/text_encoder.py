@@ -291,11 +291,36 @@ def make_qwen_text_encode_fn(params, cfg: QwenLMConfig, tokenizer,
 # greedy decoding (prompt enhancer / agent runtimes)
 # ---------------------------------------------------------------------------
 
+def sample_logits(logits, key, temperature: float = 0.0,
+                  top_p: float = 1.0):
+    """Sample next tokens from [B, V] fp32 logits.
+
+    temperature<=0 -> greedy argmax.  top_p<1 keeps the smallest prefix
+    of the sorted distribution whose mass reaches top_p (nucleus) —
+    the reference's local-LLM sampler options
+    (shared/llm_engines/nanovllm sampler; deepy temperature/top_p)."""
+    if temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / jnp.float32(max(temperature, 1e-5))
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep tokens while the cumulative mass BEFORE them is < top_p
+        keep_mass = cum - probs < top_p
+        cutoff = jnp.min(jnp.where(keep_mass, sorted_logits, jnp.inf),
+                         axis=-1, keepdims=True)
+        logits = jnp.where(logits >= cutoff, logits, -jnp.inf)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
 def qwen_lm_generate(params, cfg: QwenLMConfig, ids, mask,
                      max_new_tokens: int = 128,
                      eos_token_id: Optional[int] = None,
-                     lm_head=None, prefix_embeds=None):
-    """Greedy decode with a KV cache under lax.scan.
+                     lm_head=None, prefix_embeds=None,
+                     temperature: float = 0.0, top_p: float = 1.0,
+                     sample_key=None, length_bucket: int = 64):
+    """Batched decode with a KV cache under lax.scan.
 
     ids/mask: [B, L] right-padded prompts.  Returns [B, max_new_tokens]
     int32 (padded with eos after the first eos when eos_token_id is set).
@@ -305,14 +330,27 @@ def qwen_lm_generate(params, cfg: QwenLMConfig, ids, mask,
     tower's merged image features) prepended before the text tokens —
     the multimodal path of the VL prompt enhancer
     (shared/prompt_enhancer/qwen35_vl.py).
+    temperature/top_p/sample_key: sampler options (greedy when
+    temperature<=0) — the nanovllm sampler analog.
+
+    TPU-native "paged KV": the cache length is bucketed to a multiple of
+    `length_bucket` so different prompt lengths share compiled programs
+    (static shapes stand in for nanovllm's dynamic page tables, which
+    have no efficient XLA analog); rows track their own positions, so a
+    ragged batch decodes correctly in one program (batched prefill +
+    batched decode — the throughput role of nanovllm's batching).
     """
     cdt = cfg.compute_dtype
     b, l_txt = ids.shape
     n_prefix = 0 if prefix_embeds is None else prefix_embeds.shape[1]
     l0 = l_txt + n_prefix
     total = l0 + max_new_tokens
+    if length_bucket > 1:
+        total = -(-total // length_bucket) * length_bucket
     n, nkv, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     head = (params["embed_tokens"].T if lm_head is None else lm_head)
+    if sample_key is None:
+        sample_key = jax.random.key(0)
 
     cos_all, sin_all = _neox_rope_tables(total, hd, cfg.rope_theta)
 
@@ -354,7 +392,7 @@ def qwen_lm_generate(params, cfg: QwenLMConfig, ids, mask,
         p_attn = jax.nn.softmax(s + bias, axis=-1).astype(cdt)
         o = jnp.einsum("bnls,bsnd->blnd", p_attn, vv).reshape(b, l0, n * hd)
         x = mlp(lp, x + _dense(o, lp["o"]))
-        pad = jnp.zeros((b, max_new_tokens, nkv, hd), k.dtype)
+        pad = jnp.zeros((b, total - l0, nkv, hd), k.dtype)
         return x, (jnp.concatenate([k, pad], axis=1),
                    jnp.concatenate([v, pad], axis=1))
 
@@ -365,16 +403,26 @@ def qwen_lm_generate(params, cfg: QwenLMConfig, ids, mask,
     h_last = jnp.take_along_axis(final, last[:, None, None], axis=1)[:, 0]
     logits = jnp.dot(h_last.astype(jnp.float32),
                      head.astype(jnp.float32))
-    tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    tok0 = sample_logits(logits, sample_key, temperature, top_p)
 
-    # ---- decode: one token per step, cache written at `pos` ------------
-    def step(carry, _):
+    # ---- decode: one token per step, per-ROW cache position -------------
+    rows = jnp.arange(b)
+
+    def step(carry, key):
         tok, pos, k_cache, v_cache, done = carry
         x = params["embed_tokens"][tok][:, None].astype(cdt)  # [B,1,D]
-        cos = jax.lax.dynamic_slice_in_dim(cos_all, 0, total, 0)
         key_valid = jnp.arange(total)[None] <= pos[:, None]   # [B, total]
         kbias = jnp.where(key_valid[:, None, None, :], 0.0,
                           jnp.finfo(jnp.float32).min)
+        # per-row rope tables at each row's own position (ragged batch)
+        c = cos_all[pos][:, None, None].astype(jnp.float32)   # [B,1,1,hd]
+        s_ = sin_all[pos][:, None, None].astype(jnp.float32)
+
+        def rope_row(x):
+            d2 = x.shape[-1] // 2
+            rot = jnp.concatenate([-x[..., d2:], x[..., :d2]], axis=-1)
+            return (x.astype(jnp.float32) * c
+                    + rot.astype(jnp.float32) * s_).astype(x.dtype)
 
         def layer(carry, xs):
             x = carry
@@ -386,13 +434,10 @@ def qwen_lm_generate(params, cfg: QwenLMConfig, ids, mask,
             if cfg.qk_norm:
                 q = _rms(q, lp["q_norm"], cfg.norm_eps)
                 k = _rms(k, lp["k_norm"], cfg.norm_eps)
-            # rope at position `pos` (same for the whole batch here)
-            c = jax.lax.dynamic_slice_in_dim(cos_all, pos[0], 1, 0)
-            s_ = jax.lax.dynamic_slice_in_dim(sin_all, pos[0], 1, 0)
-            q = _apply_neox_rope(q, c, s_)
-            k = _apply_neox_rope(k, c, s_)
-            kc = jax.lax.dynamic_update_slice_in_dim(kc, k, pos[0], 1)
-            vc = jax.lax.dynamic_update_slice_in_dim(vc, v, pos[0], 1)
+            q = rope_row(q)
+            k = rope_row(k)
+            kc = kc.at[rows, pos].set(k[:, 0])
+            vc = vc.at[rows, pos].set(v[:, 0])
             kk = jnp.repeat(kc, n // nkv, axis=2) if nkv != n else kc
             vv = jnp.repeat(vc, n // nkv, axis=2) if nkv != n else vc
             s = jnp.einsum("blnd,bsnd->bnls", q, kk,
@@ -408,7 +453,7 @@ def qwen_lm_generate(params, cfg: QwenLMConfig, ids, mask,
             layer, x, (params["layers"], k_cache, v_cache))
         h = _rms(x[:, 0], params["norm"], cfg.norm_eps)
         logits = jnp.dot(h.astype(jnp.float32), head.astype(jnp.float32))
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = sample_logits(logits, key, temperature, top_p)
         if eos_token_id is not None:
             nxt = jnp.where(done, eos_token_id, nxt)
             done = done | (nxt == eos_token_id)
@@ -417,7 +462,8 @@ def qwen_lm_generate(params, cfg: QwenLMConfig, ids, mask,
     done0 = jnp.zeros((b,), bool)
     if eos_token_id is not None:
         done0 = tok0 == eos_token_id
+    step_keys = jax.random.split(sample_key, max_new_tokens)
     (_, _, _, _, _), toks = jax.lax.scan(
-        step, (tok0, last + 1, k_cache, v_cache, done0),
-        None, length=max_new_tokens)
+        step, (tok0, last + 1, k_cache, v_cache, done0), step_keys,
+        length=max_new_tokens)
     return toks.transpose(1, 0)     # [B, max_new_tokens]

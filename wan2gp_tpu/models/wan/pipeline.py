@@ -447,10 +447,15 @@ def _denoise_segment_seqcfg(dit_params, dit_cfg: WanDiTConfig,
         vace_scale=vace_scale, use_skip=use_skip)
 
     if sampling.host_loop:
-        # the micro-jit donates its carry; a leaf appearing twice in the
-        # initial carry (e.g. the solver state aliasing the latents after
-        # a no-op astype) would be donated twice — copy duplicates once
-        seen: set = set()
+        # the micro-jit donates its carry.  The latents leaf is the
+        # CALLER'S array — copy it so the first micro-step doesn't delete
+        # it under the caller's feet (everything else in the carry is
+        # created above and safe to donate; copying the WHOLE carry would
+        # pin a second copy of the TeaCache residual stacks, +1.6 GB at
+        # 14B/720p — measured runtime OOM).  A leaf aliased twice in the
+        # carry (solver state aliasing latents after a no-op astype)
+        # would be donated twice — copy duplicates once.
+        seen = {id(carry0[0])}        # tail aliases of x get copied too
 
         def _unalias(leaf):
             if id(leaf) in seen:
@@ -458,7 +463,8 @@ def _denoise_segment_seqcfg(dit_params, dit_cfg: WanDiTConfig,
             seen.add(id(leaf))
             return leaf
 
-        c = jax.tree.map(_unalias, carry0)
+        c = (jnp.copy(carry0[0]),) + tuple(
+            jax.tree.map(_unalias, leaf) for leaf in carry0[1:])
         # TeaCache/MagCache schedules are host-planned (caches.py): bake
         # the calc/skip decision in statically — the skip micro-program
         # compiles to a cheap residual-add instead of a lax.cond carrying

@@ -1,19 +1,36 @@
 """MCP server: expose model listing / job submission over the Model Context
-Protocol (stdio JSON-RPC 2.0).
+Protocol — stdio JSON-RPC 2.0 plus the two HTTP transports.
 
 Mirrors the reference's FastMCP tool surface (shared/mcp_server.py:219
 build_server — wangp_list_models:250, wangp_get_model:262, job submit /
-status / events over a _JobStore:188) without external dependencies: a
-minimal MCP implementation good for `initialize`, `tools/list`,
-`tools/call`.
+status / events over a _JobStore:188) and its transport menu
+(shared/mcp_server.py:28-45 stdio | sse | streamable-http) without
+external dependencies:
+
+  * stdio        — newline-delimited JSON-RPC on stdin/stdout.
+  * streamable-http — POST /mcp with a JSON-RPC message; the response is
+    a plain `application/json` body (permitted by the 2025-03-26 spec in
+    place of an SSE stream).  An `Mcp-Session-Id` header is issued on
+    `initialize` and echoed by clients.
+  * sse (legacy) — GET /sse opens a text/event-stream whose first event
+    is `endpoint` naming `/messages?session_id=...`; the client POSTs
+    JSON-RPC there (202 Accepted) and reads responses as `message`
+    events on the stream.
+
+Both HTTP transports mount onto the web UI's ThreadingHTTPServer
+(runtime/webui.py `WebUI(mcp=...)`) so one port serves UI + API + MCP,
+or run standalone via `--transport http`.
 
 Run: python -m wan2gp_tpu.runtime.mcp_server [--random-weights]
+         [--transport stdio|http] [--port 7870]
 """
 from __future__ import annotations
 
 import json
+import queue
 import sys
 import threading
+import uuid
 from typing import Any, Dict, List, Optional
 
 from .api import Session, GenerationResult, ProgressUpdate
@@ -154,14 +171,233 @@ class McpServer:
                 stdout.flush()
 
 
+class McpHttp:
+    """HTTP transports for an McpServer: streamable-http + legacy SSE.
+
+    Stateless w.r.t. the tool layer; sessions only carry transport state
+    (the SSE event queue, the streamable-http session id).  Designed to
+    be mounted on any (method, path, headers, body) -> response router —
+    the web UI's handler calls `route()` first (webui.py) and a
+    standalone server is available via `serve()`.
+    """
+
+    ROUTES = ("/mcp", "/sse", "/messages")
+
+    def __init__(self, server: McpServer):
+        self.server = server
+        self._sse_sessions: Dict[str, "queue.Queue[Optional[dict]]"] = {}
+        self._http_sessions: set = set()
+        self._lock = threading.Lock()
+
+    # -- streamable-http ---------------------------------------------------
+
+    def post_mcp(self, body: bytes, session_id: Optional[str]):
+        """POST /mcp: one JSON-RPC message (or a batch) per request."""
+        try:
+            msg = json.loads(body.decode("utf-8"))
+        except (json.JSONDecodeError, UnicodeDecodeError):
+            return (400, {"Content-Type": "application/json"},
+                    json.dumps({"jsonrpc": "2.0", "id": None,
+                                "error": {"code": -32700,
+                                          "message": "parse error"}})
+                    .encode())
+        headers = {"Content-Type": "application/json"}
+        if isinstance(msg, dict) and msg.get("method") == "initialize":
+            session_id = uuid.uuid4().hex
+            with self._lock:
+                self._http_sessions.add(session_id)
+        if session_id:
+            headers["Mcp-Session-Id"] = session_id
+        msgs = msg if isinstance(msg, list) else [msg]
+        resps = [r for r in (self.server.handle(m) for m in msgs
+                             if isinstance(m, dict)) if r is not None]
+        if not resps:          # notification(s) only
+            return 202, headers, b""
+        out = resps[0] if not isinstance(msg, list) else resps
+        return 200, headers, json.dumps(out).encode()
+
+    def delete_mcp(self, session_id: Optional[str]):
+        with self._lock:
+            self._http_sessions.discard(session_id)
+        return 200, {"Content-Type": "application/json"}, b"{}"
+
+    # -- legacy SSE ----------------------------------------------------------
+
+    def open_sse(self):
+        """Register an SSE session; returns (session_id, event_queue).
+
+        The caller streams: first an `endpoint` event pointing at
+        /messages?session_id=..., then `message` events as they arrive
+        on the queue (None terminates the stream)."""
+        sid = uuid.uuid4().hex
+        q: "queue.Queue[Optional[dict]]" = queue.Queue()
+        with self._lock:
+            self._sse_sessions[sid] = q
+        return sid, q
+
+    def close_sse(self, session_id: str):
+        with self._lock:
+            q = self._sse_sessions.pop(session_id, None)
+        if q is not None:
+            q.put(None)
+
+    def post_message(self, session_id: str, body: bytes):
+        """POST /messages?session_id=...: enqueue the response onto the
+        session's SSE stream and acknowledge with 202."""
+        with self._lock:
+            q = self._sse_sessions.get(session_id)
+        if q is None:
+            return (404, {"Content-Type": "application/json"},
+                    b'{"error": "unknown session"}')
+        try:
+            msg = json.loads(body.decode("utf-8"))
+        except (json.JSONDecodeError, UnicodeDecodeError):
+            return (400, {"Content-Type": "application/json"},
+                    b'{"error": "parse error"}')
+        resp = self.server.handle(msg)
+        if resp is not None:
+            q.put(resp)
+        return 202, {"Content-Type": "application/json"}, b"{}"
+
+    # -- generic router (non-streaming part) ---------------------------------
+
+    def route(self, method: str, route: str, headers, body: bytes):
+        """Handle /mcp and /messages (plain request/response).  Returns
+        (status, headers_dict, bytes) or None if not an MCP route.
+        GET /sse must be handled by the HTTP layer itself (it streams) —
+        see `write_sse_stream`."""
+        if route == "/mcp":
+            sid = headers.get("Mcp-Session-Id") if headers else None
+            if method == "POST":
+                return self.post_mcp(body, sid)
+            if method == "DELETE":
+                return self.delete_mcp(sid)
+            if method == "GET":
+                # no server-initiated messages: 405 per spec
+                return (405, {"Content-Type": "application/json"},
+                        b'{"error": "SSE GET stream not offered"}')
+        if route == "/messages" and method == "POST":
+            import urllib.parse
+            # session id arrives in the query string
+            qs = urllib.parse.parse_qs(headers.get("_query", "")
+                                       if headers else "")
+            sid = (qs.get("session_id") or [""])[0]
+            return self.post_message(sid, body)
+        return None
+
+    def write_sse_stream(self, wfile, host_prefix: str = ""):
+        """Drive a legacy-SSE connection over an open socket file.
+
+        Blocks until the session is closed (client disconnect surfaces
+        as a write error and tears the session down)."""
+        sid, q = self.open_sse()
+        try:
+            endpoint = f"{host_prefix}/messages?session_id={sid}"
+            wfile.write(f"event: endpoint\ndata: {endpoint}\n\n"
+                        .encode())
+            wfile.flush()
+            while True:
+                try:
+                    item = q.get(timeout=15.0)
+                except queue.Empty:
+                    wfile.write(b": keepalive\n\n")
+                    wfile.flush()
+                    continue
+                if item is None:
+                    break
+                wfile.write(b"event: message\ndata: "
+                            + json.dumps(item).encode() + b"\n\n")
+                wfile.flush()
+        except (BrokenPipeError, ConnectionResetError, OSError):
+            pass
+        finally:
+            self.close_sse(sid)
+
+    # -- standalone server -----------------------------------------------
+
+    def serve(self, host: str = "127.0.0.1", port: int = 7870,
+              background: bool = False):
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+        import urllib.parse
+        mcp = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):
+                pass
+
+            def _dispatch(self, method):
+                url = urllib.parse.urlparse(self.path)
+                route = url.path.rstrip("/") or "/"
+                if route == "/sse" and method == "GET":
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/event-stream")
+                    self.send_header("Cache-Control", "no-cache")
+                    self.end_headers()
+                    mcp.write_sse_stream(self.wfile)
+                    return
+                n = int(self.headers.get("Content-Length") or 0)
+                body = self.rfile.read(n) if n else b""
+                hdrs = dict(self.headers)
+                hdrs["_query"] = url.query
+                resp = mcp.route(method, route, hdrs, body)
+                if resp is None:
+                    resp = (404, {"Content-Type": "text/plain"},
+                            b"not found")
+                status, rhdrs, data = resp
+                self.send_response(status)
+                for k, v in rhdrs.items():
+                    self.send_header(k, v)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                self._dispatch("GET")
+
+            def do_POST(self):
+                self._dispatch("POST")
+
+            def do_DELETE(self):
+                self._dispatch("DELETE")
+
+        srv = ThreadingHTTPServer((host, port), Handler)
+        self._server = srv
+        if background:
+            threading.Thread(target=srv.serve_forever, daemon=True).start()
+            return srv.server_address
+        print(f"wan2gp-tpu MCP (streamable-http /mcp, sse /sse) on "
+              f"http://{host}:{port}")
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            pass
+
+    def shutdown(self):
+        srv = getattr(self, "_server", None)
+        if srv is not None:
+            srv.shutdown()
+            srv.server_close()
+            self._server = None
+
+
 def main(argv=None):
     import argparse
     p = argparse.ArgumentParser("wan2gp_tpu-mcp")
     p.add_argument("--random-weights", action="store_true")
     p.add_argument("--output-dir", default="outputs")
+    p.add_argument("--transport", choices=["stdio", "http"],
+                   default="stdio")
+    p.add_argument("--listen", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=7870)
     args = p.parse_args(argv)
-    McpServer(init_random_weights=args.random_weights,
-              output_dir=args.output_dir).serve_stdio()
+    server = McpServer(init_random_weights=args.random_weights,
+                       output_dir=args.output_dir)
+    if args.transport == "http":
+        McpHttp(server).serve(args.listen, args.port)
+    else:
+        server.serve_stdio()
 
 
 if __name__ == "__main__":

@@ -132,12 +132,19 @@ _MEDIA_TYPES = {".png": "image/png", ".jpg": "image/jpeg",
 
 class WebUI:
     def __init__(self, session: Optional[Session] = None,
-                 save_path: str = "outputs", **session_kwargs):
+                 save_path: str = "outputs", mcp: bool = False,
+                 **session_kwargs):
         self.session = session or Session(**session_kwargs)
         self.save_path = save_path
         self._server: Optional[ThreadingHTTPServer] = None
         from .mask_editor import MaskBackend
         self.mask_backend = MaskBackend(save_path=save_path)
+        # MCP over the same HTTP server (reference shared/mcp_server.py
+        # sse/streamable-http transports): /mcp, /sse, /messages
+        self.mcp = None
+        if mcp:
+            from .mcp_server import McpServer, McpHttp
+            self.mcp = McpHttp(McpServer(self.session))
 
     # -- request handling (returns (status, content_type, bytes)) ----------
 
@@ -337,6 +344,31 @@ class WebUI:
                 pass
 
             def _dispatch(self, method):
+                url = urllib.parse.urlparse(self.path)
+                route = url.path.rstrip("/") or "/"
+                if ui.mcp is not None and route in ui.mcp.ROUTES:
+                    if route == "/sse" and method == "GET":
+                        self.send_response(200)
+                        self.send_header("Content-Type",
+                                         "text/event-stream")
+                        self.send_header("Cache-Control", "no-cache")
+                        self.end_headers()
+                        ui.mcp.write_sse_stream(self.wfile)
+                        return
+                    n = int(self.headers.get("Content-Length") or 0)
+                    body = self.rfile.read(n) if n else b""
+                    hdrs = dict(self.headers)
+                    hdrs["_query"] = url.query
+                    resp = ui.mcp.route(method, route, hdrs, body)
+                    if resp is not None:
+                        status, rhdrs, data = resp
+                        self.send_response(status)
+                        for k, v in rhdrs.items():
+                            self.send_header(k, v)
+                        self.send_header("Content-Length", str(len(data)))
+                        self.end_headers()
+                        self.wfile.write(data)
+                        return
                 n = int(self.headers.get("Content-Length") or 0)
                 body = self.rfile.read(n) if n else b""
                 status, ctype, data = ui.handle(method, self.path, body)
@@ -351,6 +383,9 @@ class WebUI:
 
             def do_POST(self):
                 self._dispatch("POST")
+
+            def do_DELETE(self):
+                self._dispatch("DELETE")
 
         self._server = ThreadingHTTPServer((host, port), Handler)
         if background:
@@ -376,8 +411,12 @@ def main(argv=None):
     ap.add_argument("--listen", default="127.0.0.1")
     ap.add_argument("--server-port", type=int, default=7860)
     ap.add_argument("--save-path", default="outputs")
+    ap.add_argument("--mcp", action="store_true",
+                    help="also serve MCP at /mcp (streamable-http) and "
+                         "/sse (legacy SSE)")
     args = ap.parse_args(argv)
-    WebUI(save_path=args.save_path).serve(args.listen, args.server_port)
+    WebUI(save_path=args.save_path, mcp=args.mcp).serve(args.listen,
+                                                        args.server_port)
 
 
 if __name__ == "__main__":

@@ -318,6 +318,30 @@ def gen_wan_block_ref():
          **{k.replace(".", "__"): v for k, v in sd.items()})
 
 
+def gen_hdr_ref():
+    """hdr_ref.npz — shared/utils/hdr.py LogC3 compress/decompress,
+    linear->sRGB tonemap, and the vae-range carriers, executed from the
+    reference module itself (torch-only, no shims needed)."""
+    import importlib
+    hdr = importlib.import_module("shared.utils.hdr")
+    torch.manual_seed(0)
+    x = torch.rand(2, 7, 5, 3) * 4.0          # linear HDR up to 4x white
+    logc = hdr.LogC3().compress(x)
+    rt = hdr.LogC3().decompress(logc)
+    vae = hdr.hdr_linear_to_vae_range(x)
+    # the reference mutates its input in place (hdr.py:64 add_/mul_) —
+    # hand it a clone so the saved `vae` golden stays intact
+    back = hdr.vae_range_to_hdr_linear(vae.clone())
+    tm = hdr.tonemap_hdr_tensor_to_uint8(
+        x.permute(3, 0, 1, 2), exposure=-1.0)   # [C,F,H,W] layout
+    save("hdr_ref.npz", x=x.numpy(), logc=logc.numpy(), rt=rt.numpy(),
+         vae=vae.numpy(), back=back.numpy(),
+         tonemap=tm.permute(1, 2, 3, 0).numpy(),
+         consts=np.array([hdr.HDR_REFERENCE_WHITE_NITS]),
+         zscale=np.frombuffer(hdr.hdr10_zscale_filter().encode(), np.uint8),
+         x265=np.frombuffer(hdr.hdr10_x265_params().encode(), np.uint8))
+
+
 if __name__ == "__main__":
     sys.path.insert(0, REF)
     install_shims()
@@ -325,3 +349,4 @@ if __name__ == "__main__":
     gen_dpm_ref()
     gen_flowmatch_ref()
     gen_wan_block_ref()
+    gen_hdr_ref()

@@ -127,7 +127,14 @@ class TaskQueue:
             return self.load_zip(path)
         with open(path) as f:
             data = json.load(f)
-        tasks = data["tasks"] if isinstance(data, dict) else data
+        if isinstance(data, dict) and "tasks" in data:
+            tasks = data["tasks"]
+        elif isinstance(data, dict):
+            # a bare settings dict is a one-task queue (reference
+            # wgp.py:1915 settings-json branch of --process)
+            tasks = [data]
+        else:
+            tasks = data
         with self._lock:
             for d in tasks:
                 if "params" in d and "settings" not in d:

@@ -30,6 +30,11 @@ DEFAULTS: Dict[str, Any] = {
     "max_frames_multiplier": 1,
     "temporal_upsampling": "",
     "spatial_upsampling": "",
+    # output codec policy (wgp.py:3289 video_output_codec default;
+    # shared/utils/video_codecs.py tables).  Container "" keeps the
+    # ffmpeg-free MJPEG-AVI writer.
+    "video_output_codec": "libx264_8",
+    "video_container": "",
     # TPU runtime additions
     "attn_backend": "auto",
     "plugins_dir": "",
@@ -77,6 +82,8 @@ def apply_server_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
         "mesh": cfg.get("mesh") or None,
         "quantize": _QUANT_MAP.get(
             str(cfg.get("transformer_quantization", "")), ""),
+        "video_codec": cfg.get("video_output_codec") or None,
+        "video_container": cfg.get("video_container") or None,
     }
 
 

@@ -216,9 +216,15 @@ class GenerationService:
                  checkpoints_resolver: Optional[Callable] = None,
                  plugins_dir: Optional[str] = None,
                  lora_root: str = "loras", mesh=None,
-                 quantize: str = ""):
+                 quantize: str = "", video_codec: Optional[str] = None,
+                 video_container: Optional[str] = None):
         self.registry = registry or ModelRegistry(build_handler_map())
         self.output_dir = output_dir
+        # output codec policy (reference server_config video_output_codec /
+        # video_container, wgp.py:3289,:7967; shared/utils/video_codecs.py).
+        # None -> container-free MJPEG-AVI (no ffmpeg needed).
+        self.video_codec = video_codec
+        self.video_container = video_container
         self.lora_root = lora_root
         self.attn_backend = attn_backend
         self.init_random_weights = init_random_weights
@@ -551,11 +557,21 @@ class GenerationService:
             video, fps = _apply_temporal_upsampling(video, merged, fps)
         path = os.path.join(self.output_dir,
                             f"{model_type}_{stamp}_{seed}.avi")
-        media.save_video(np.asarray(video), path, fps=fps,
-                         metadata=_clean_settings(merged),
-                         audio=(None if audio is None
-                                else np.asarray(audio)),
-                         audio_sample_rate=audio_sr)
+        # HDR: a pipeline that returns {"hdr": True} carries LINEAR float
+        # frames -> tagged 10-bit HEVC HDR10 (reference wgp.py:7761-7965
+        # sample_is_hdr -> save_hdr_video); SDR honors the configured
+        # codec/container (server_config video_output_codec).
+        is_hdr = bool(isinstance(result, dict) and result.get("hdr"))
+        path = media.save_video(np.asarray(video), path, fps=fps,
+                                metadata=_clean_settings(merged),
+                                audio=(None if audio is None
+                                       else np.asarray(audio)),
+                                audio_sample_rate=audio_sr,
+                                codec_type=merged.get("video_output_codec",
+                                                      self.video_codec),
+                                container=merged.get("video_container",
+                                                     self.video_container),
+                                hdr=is_hdr)
         outputs.append(path)
         if audio is not None:
             outputs.append(media.save_audio(

@@ -156,9 +156,32 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
 def save_video(frames: np.ndarray, path: str, fps: int = 16,
                metadata: Optional[Dict[str, Any]] = None,
                quality: int = 92, audio: Optional[np.ndarray] = None,
-               audio_sample_rate: int = 16000):
+               audio_sample_rate: int = 16000,
+               codec_type: Optional[str] = None,
+               container: Optional[str] = None,
+               hdr: bool = False):
     """frames: [T, H, W, 3] uint8 or [-1,1] float.  audio: optional
-    waveform ([T], [T, C] or [C, T]) muxed as an interleaved PCM16 track."""
+    waveform ([T], [T, C] or [C, T]) muxed as an interleaved PCM16 track.
+
+    codec_type/container select the encoder per the reference's codec
+    table (shared/utils/video_codecs.py; server_config keys
+    video_output_codec / video_container, wgp.py:7967).  hdr=True treats
+    `frames` as LINEAR float HDR and writes a tagged 10-bit HEVC HDR10
+    file (audio_video.py:754 save_hdr_video)."""
+    if hdr:
+        from .video_codecs import save_hdr_video
+        return save_hdr_video(frames, path, fps=fps, codec_type=codec_type,
+                              container=container, audio=audio,
+                              audio_sample_rate=audio_sample_rate,
+                              metadata=metadata)
+    if container and not path.lower().endswith(".gif"):
+        # the container choice governs the output extension (reference
+        # get_video_container_extension); falls back to MJPEG-AVI below
+        # when no ffmpeg is present
+        from .video_codecs import get_video_container_extension
+        ext = get_video_container_extension(container)
+        if not path.lower().endswith(ext):
+            path = os.path.splitext(path)[0] + ext
     frames = to_uint8(np.asarray(frames))
     if path.lower().endswith(".gif"):
         from PIL import Image
@@ -170,11 +193,12 @@ def save_video(frames: np.ndarray, path: str, fps: int = 16,
                          audio=audio, audio_rate=audio_sample_rate,
                          metadata=metadata)
     elif path.lower().endswith((".mp4", ".mkv", ".mov")):
-        # H.264 containers need an external encoder (reference
+        # Encoded containers need an external encoder (reference
         # shared/utils/video_codecs.py uses ffmpeg); opt-in when the
         # binary exists, otherwise fall back to MJPEG-AVI next to it.
         if not _write_video_ffmpeg(frames, path, fps, audio,
-                                   audio_sample_rate):
+                                   audio_sample_rate, codec_type,
+                                   container, metadata):
             alt = os.path.splitext(path)[0] + ".avi"
             _write_mjpeg_avi(frames, alt, fps, quality, audio=audio,
                              audio_rate=audio_sample_rate,
@@ -189,16 +213,22 @@ def save_video(frames: np.ndarray, path: str, fps: int = 16,
 
 def _write_video_ffmpeg(frames: np.ndarray, path: str, fps: int,
                         audio: Optional[np.ndarray],
-                        audio_rate: int) -> bool:
-    """Encode H.264 via an external ffmpeg when available
-    (shared/utils/video_codecs.py save_video equivalents).  Returns
+                        audio_rate: int,
+                        codec_type: Optional[str] = None,
+                        container: Optional[str] = None,
+                        metadata: Optional[Dict[str, Any]] = None) -> bool:
+    """Encode via an external ffmpeg when available, with the codec/
+    container selection table of shared/utils/video_codecs.py.  Returns
     False when ffmpeg is not installed."""
     import shutil
     import subprocess
     import tempfile
+    from .video_codecs import get_video_encode_args
     ffmpeg = shutil.which("ffmpeg")
     if ffmpeg is None:
         return False
+    if container is None:
+        container = os.path.splitext(path)[1].lstrip(".")
     t, h, w, _ = frames.shape
     cmd = [ffmpeg, "-y", "-loglevel", "error",
            "-f", "rawvideo", "-pix_fmt", "rgb24",
@@ -213,8 +243,11 @@ def _write_video_ffmpeg(frames: np.ndarray, path: str, fps: int,
             os.close(fd)
             save_audio(a, wav_tmp, sample_rate=audio_rate)
             cmd += ["-i", wav_tmp, "-c:a", "aac", "-shortest"]
-        cmd += ["-c:v", "libx264", "-pix_fmt", "yuv420p",
-                "-crf", "18", path]
+        cmd += get_video_encode_args(codec_type, container)
+        if metadata is not None:
+            cmd += ["-metadata",
+                    "comment=" + json.dumps({METADATA_KEY: metadata})]
+        cmd += [path]
         proc = subprocess.run(cmd, input=frames.tobytes(),
                               capture_output=True)
         return proc.returncode == 0 and os.path.exists(path)

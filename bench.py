@@ -557,7 +557,8 @@ def bench_ti2v_5b(peak, kind):
     from wan2gp_tpu.models.wan.dit import WanDiTConfig
     from wan2gp_tpu.models.wan.vae2_2 import (Wan22VAEConfig,
                                               init_wan22_vae,
-                                              wan22_vae_decode)
+                                              wan22_vae_decode,
+                                              wan22_vae_decode_tiled)
     tiny = os.environ.get("BENCH_TINY") == "1"
     cfg = (WanDiTConfig(dim=256, ffn_dim=512, num_heads=4, num_layers=2,
                         in_dim=48, out_dim=48, text_len=16) if tiny else
@@ -578,13 +579,18 @@ def bench_ti2v_5b(peak, kind):
     vae_p = init_wan22_vae(jax.random.key(1))
     z = jnp.zeros((1, 3, 6, 8, vae_cfg.z_dim) if tiny else
                   (1, 31, 45, 80, vae_cfg.z_dim), jnp.float32)
-    dec = jax.jit(lambda p, z: wan22_vae_decode(p, vae_cfg, z).sum())
+    # full-clip 2.2 decode at 720p/121f blows 16 GB HBM (16x spatial
+    # stride); the reference's answer is spatial tiling
+    # (vae2_2.py:894) — measure the tiled path
+    dec = ((lambda p, z: float(jnp.sum(wan22_vae_decode_tiled(
+               p, vae_cfg, z, tile_size=256)))) if not tiny else
+           (lambda p, z: float(jnp.sum(wan22_vae_decode(p, vae_cfg, z)))))
     try:
-        float(dec(vae_p, z))
+        dec(vae_p, z)
         t0 = time.perf_counter()
-        float(dec(vae_p, z))
+        dec(vae_p, z)
         vae_dt = time.perf_counter() - t0
-        note = f" VAE decode {121 / vae_dt:.1f} fps;"
+        note = f" VAE decode (tiled 256) {121 / vae_dt:.1f} fps;"
     except Exception as exc:   # noqa: BLE001 — decode shape mismatch
         vae_dt, note = None, f" VAE decode skipped ({type(exc).__name__});"
     _emit("wan2.2-ti2v-5B w4a8", "1280x720x121f 50-step seq-CFG",
@@ -619,10 +625,16 @@ def bench_hv15(peak, kind):
     txt = jnp.zeros((1, txt_len, cfg.text_states_dim), jnp.bfloat16)
     msk = jnp.ones((1, txt_len), bool)
     steps = 2 if tiny else 30
-    sampling = HunyuanSamplingConfig(steps=steps, guide_scale=6.0)
-    fn = jax.jit(lambda p, x, c, m: hunyuan_denoise_scan(
+    # host_loop: one jitted step re-used across the loop — the 8.3B
+    # 30-step whole-scan program exceeded the ~300 s compile watchdog on
+    # the tunnel (observed r05: "TPU worker process crashed")
+    sampling = HunyuanSamplingConfig(steps=steps, guide_scale=6.0,
+                                     host_loop=not tiny)
+    fn = (lambda p, x, c, m: hunyuan_denoise_scan(
         p, cfg, x, c, m, text_states_null=c, text_mask_null=m,
         sampling=sampling))
+    if tiny:
+        fn = jax.jit(fn)
     assert np.isfinite(float(jnp.sum(fn(params, latents, txt, msk))))
     t0 = time.perf_counter()
     assert np.isfinite(float(jnp.sum(fn(params, latents, txt, msk))))
@@ -711,10 +723,14 @@ def bench_vace_multitalk(peak, kind):
     backend = f"radial:{grid[0]}:{tpf}"
 
     # FusioniX profile: guide_scale 1 -> the 2-branch audio-CFG path
-    # [cond(text,audio), drop_audio(text,silence)] (any2video.py:1652)
-    fn = jax.jit(lambda p, x, c, a, az: multitalk_denoise_scan(
+    # [cond(text,audio), drop_audio(text,silence)] (any2video.py:1652).
+    # host_loop at 14B: one jitted step, looped — the whole-scan program
+    # exceeds the tunnel's ~300 s compile watchdog.
+    fn = (lambda p, x, c, a, az: multitalk_denoise_scan(
         p, cfg, sched, x, c, c, a, az, 1.0, 4.0, cos, sin,
-        vace_context=vace_ctx, attn_backend=backend))
+        vace_context=vace_ctx, attn_backend=backend, host_loop=not tiny))
+    if tiny:
+        fn = jax.jit(fn)
 
     def run():
         return float(jnp.sum(fn(params, latents, ctx, audio,

@@ -620,3 +620,30 @@ def test_hunyuan_custom_pipeline_e2e():
         return_latents=True)
     assert lat.shape == (1, 16, 2, 8, 8)
     assert np.isfinite(np.asarray(lat)).all()
+
+
+def test_hunyuan_host_loop_matches_scan():
+    """HunyuanSamplingConfig.host_loop (one jitted step, host loop —
+    the 8.3B bench path that avoids whole-scan compiles) must be
+    numerically identical to the lax.scan path."""
+    import numpy as np
+    params = init_hunyuan(jax.random.key(6), TINY15)
+    lat = jax.random.normal(jax.random.key(7),
+                            (1, TINY15.in_channels, 3, 8, 8), jnp.float32)
+    txt = jax.random.normal(jax.random.key(8),
+                            (1, 6, TINY15.text_states_dim), jnp.float32)
+    msk = jnp.ones((1, 6), jnp.int32)
+    a = hunyuan_denoise_scan(
+        params, TINY15, lat, txt, msk, text_states_null=txt,
+        text_mask_null=msk,
+        sampling=HunyuanSamplingConfig(steps=3, guide_scale=6.0))
+    b = hunyuan_denoise_scan(
+        params, TINY15, lat, txt, msk, text_states_null=txt,
+        text_mask_null=msk,
+        sampling=HunyuanSamplingConfig(steps=3, guide_scale=6.0,
+                                       host_loop=True))
+    # bf16 forward: scan vs per-step jit compile to different fusion
+    # orders, and guide_scale 6 amplifies the bf16 rounding deltas —
+    # loose tolerance, identical math
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=0.05, atol=0.05)

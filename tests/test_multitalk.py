@@ -314,3 +314,31 @@ def test_service_multitalk_end_to_end(tmp_path, monkeypatch):
     assert paths and paths[0].endswith(".avi")
     audio = read_avi_audio(paths[0])
     assert audio is not None and audio[1] == sr
+
+
+def test_multitalk_host_loop_matches_scan():
+    """host_loop=True (one jitted step looped on host — the 14B bench
+    path that avoids whole-scan compiles) is numerically identical to
+    the lax.scan path."""
+    from wan2gp_tpu.models.wan.pipeline import multitalk_denoise_scan
+    from wan2gp_tpu.schedulers import make_schedule
+    from wan2gp_tpu.ops.rope import build_rope_3d
+    cfg, params = _tiny_wan()
+    params = dict(params)
+    params["audio_attn_blocks"] = init_multitalk_audio_attn(
+        jax.random.key(1), cfg, cfg.num_layers, audio_dim=6)
+    sched = make_schedule("unipc", 3, shift=5.0)
+    lat = jax.random.normal(jax.random.key(2), (1, cfg.in_dim, 3, 8, 8),
+                            jnp.float32)
+    ctx = jnp.zeros((1, cfg.text_len, cfg.text_dim), jnp.float32)
+    cos, sin = build_rope_3d((3, 4, 4), head_dim=cfg.head_dim)
+    audio = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (1, 3, 2, 6)), jnp.float32)
+    kw = dict(guide_scale=1.0, audio_guide_scale=3.0, rope_cos=cos,
+              rope_sin=sin, attn_backend="xla")
+    a = multitalk_denoise_scan(params, cfg, sched, lat, ctx, ctx, audio,
+                               jnp.zeros_like(audio), **kw)
+    b = multitalk_denoise_scan(params, cfg, sched, lat, ctx, ctx, audio,
+                               jnp.zeros_like(audio), host_loop=True, **kw)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-5, atol=2e-5)

@@ -73,3 +73,43 @@ def test_encoder_causality():
     z2 = wan22_vae_encode(params, TINY, v2)
     np.testing.assert_allclose(np.asarray(z1[:, :2]), np.asarray(z2[:, :2]),
                                atol=1e-5)
+
+
+def test_tiled_decode_matches_full():
+    """The tile grid / crop / blend orchestration must reproduce the
+    full decode exactly when the decoder is spatially local (a 16x
+    nearest upsample stand-in) — this pins the stitch math of the
+    reference's spatial_tiled_decode (vae2_2.py:894-935) without the
+    receptive-field approximation the real decoder adds at tile edges."""
+    from wan2gp_tpu.models.wan.vae2_2 import wan22_vae_decode_tiled
+
+    def fake_decode(z):
+        # [B,T,h,w,48] -> [B,T,16h,16w,3]: local, so tiles are exact
+        x = jnp.repeat(jnp.repeat(z[..., :3], 16, axis=2), 16, axis=3)
+        return x
+
+    z = jax.random.normal(jax.random.key(4), (1, 2, 6, 8, 48)) * 0.5
+    full = fake_decode(z)
+    # tile_size 64 -> latent tile 4, so the 6x8 grid genuinely tiles
+    tiled = wan22_vae_decode_tiled(None, TINY, z, tile_size=64,
+                                   decode_fn=fake_decode)
+    assert tiled.shape == full.shape
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(full),
+                               atol=1e-6)
+
+
+def test_tiled_decode_real_seams_bounded():
+    """With the real (random-weight) decoder the tiled output must stay
+    continuous: the inter-tile seam jump in the tiled output must not
+    exceed ~2x the typical local gradient of the full decode."""
+    from wan2gp_tpu.models.wan.vae2_2 import wan22_vae_decode_tiled
+    params = init_wan22_vae(jax.random.key(3), TINY)
+    z = jax.random.normal(jax.random.key(4), (1, 2, 6, 8, 48)) * 0.5
+    tiled = np.asarray(wan22_vae_decode_tiled(params, TINY, z,
+                                              tile_size=64))
+    full = np.asarray(wan22_vae_decode(params, TINY, z))
+    assert tiled.shape == full.shape
+    # seam after crop: first tile contributes row_limit=48 pixel rows
+    seam = np.abs(np.diff(tiled, axis=2))[:, :, 46:49].max()
+    grad = np.abs(np.diff(full, axis=2)).max()
+    assert seam <= 2.0 * grad + 1e-3

@@ -38,6 +38,11 @@ class HunyuanSamplingConfig:
     guide_scale: float = 1.0           # true CFG (HV1.5)
     embedded_guidance: float = 6.0     # HV1 distilled guidance
     cfg_star_switch: bool = False
+    # compile ONE step and loop on host instead of scanning all steps in
+    # a single program — keeps per-jit compile small for big configs
+    # (the 8.3B HV1.5 30-step scan exceeds compile watchdogs; same
+    # rationale as Wan's SamplingConfig.host_loop)
+    host_loop: bool = False
 
 
 def hunyuan_denoise_scan(params, cfg: HunyuanConfig, latents, text_states,
@@ -109,8 +114,8 @@ def hunyuan_denoise_scan(params, cfg: HunyuanConfig, latents, text_states,
             [jnp.ones_like(latents[:, :1, :1]),
              jnp.zeros_like(latents[:, :1, 1:])], axis=2)
 
-    def body(x, i):
-        t = jnp.broadcast_to(sigmas[i] * 1000.0,
+    def step_sig(x, sig, dsig):
+        t = jnp.broadcast_to(sig * 1000.0,
                              (2 * b if any_guidance else b,))
         if token_replace:
             x_in = jnp.concatenate(
@@ -145,16 +150,24 @@ def hunyuan_denoise_scan(params, cfg: HunyuanConfig, latents, text_states,
             pred = v
         # Euler flow step toward sigma=0 (scheduler step: x += v * dsigma)
         if token_replace:
-            stepped = x[:, :, 1:] + pred[:, :, 1:] * (sigmas[i + 1]
-                                                      - sigmas[i])
+            stepped = x[:, :, 1:] + pred[:, :, 1:] * dsig
             return jnp.concatenate(
-                [img_latents.astype(jnp.float32), stepped], axis=2), None
-        return x + pred * (sigmas[i + 1] - sigmas[i]), None
+                [img_latents.astype(jnp.float32), stepped], axis=2)
+        return x + pred * dsig
+
+    def body(x, i):
+        return step_sig(x, sigmas[i], sigmas[i + 1] - sigmas[i]), None
 
     x0 = latents.astype(jnp.float32)
     if token_replace:
         x0 = jnp.concatenate([img_latents.astype(jnp.float32),
                               x0[:, :, 1:]], axis=2)
+    if sampling.host_loop:
+        step_jit = jax.jit(step_sig)
+        x = x0
+        for i in range(sampling.steps):
+            x = step_jit(x, sigmas[i], sigmas[i + 1] - sigmas[i])
+        return x
     x, _ = jax.lax.scan(body, x0, jnp.arange(sampling.steps))
     return x
 

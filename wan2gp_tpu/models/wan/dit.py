@@ -84,7 +84,13 @@ def _linear(key, d_in, d_out, dtype, bias=True, std=None):
 
 
 def init_wan_dit(key, cfg: WanDiTConfig, dtype=jnp.bfloat16) -> Dict[str, Any]:
-    keys = iter(jax.random.split(key, 64))
+    # split(key, n) is counter-mode: the first 64 keys are identical for
+    # any n, so growing the bound preserves every existing init stream.
+    # 40-layer VACE models consume ~70 keys (observed StopIteration at
+    # 14B vace_multitalk: 40 blocks + 20 vace blocks + fixed params).
+    n_keys = 24 + cfg.num_layers + (len(cfg.vace_layers) + 4
+                                    if cfg.vace else 0)
+    keys = iter(jax.random.split(key, max(64, n_keys)))
     d = cfg.dim
     pt, ph, pw = cfg.patch_size
     patch_in = cfg.in_dim * pt * ph * pw

@@ -557,8 +557,13 @@ def multitalk_denoise_scan(dit_params, dit_cfg: WanDiTConfig,
                            guide_scale: float, audio_guide_scale: float,
                            rope_cos, rope_sin, vace_context=None,
                            vace_scale: float = 1.0,
-                           attn_backend: str = "auto"):
+                           attn_backend: str = "auto",
+                           host_loop: bool = False):
     """Multitalk audio-CFG denoising (any2video.py:1545-1559, 1630-1655).
+
+    host_loop=True compiles ONE step and loops on host — keeps the
+    per-jit program small at 14B dims (whole-scan compiles exceed the
+    tunnel's ~300 s compile watchdog; same as SamplingConfig.host_loop).
 
     Branches:
       guide==1 (FusioniX accelerator, defaults/vace_multitalk_14B.json):
@@ -606,6 +611,15 @@ def multitalk_denoise_scan(dit_params, dit_cfg: WanDiTConfig,
 
     carry0 = (latents.astype(jnp.float32),
               init_solver_state(schedule, latents))
+    if host_loop:
+        body_jit = jax.jit(lambda c, xs: body(c, xs)[0])
+        carry = carry0
+        for i in range(schedule.num_steps):
+            xs_i = (schedule.timesteps[i],
+                    {k: v[i] for k, v in schedule.coeffs.items()},
+                    jnp.asarray(i, jnp.int32))
+            carry = body_jit(carry, xs_i)
+        return carry[0]
     xs = (schedule.timesteps,
           {k: v for k, v in schedule.coeffs.items()},
           jnp.arange(schedule.num_steps, dtype=jnp.int32))
@@ -2677,8 +2691,15 @@ class WanPipeline:
         decoding overlapping pixel tiles with seam blending (reference
         spatial_tiled_decode, models/wan/modules/vae.py:676-717)."""
         z = latents_bcfhw.transpose(0, 2, 3, 4, 1)
-        from .vae2_2 import Wan22VAEConfig, wan22_vae_decode
+        from .vae2_2 import (Wan22VAEConfig, wan22_vae_decode,
+                             wan22_vae_decode_tiled)
         if isinstance(self.vae_cfg, Wan22VAEConfig):
+            # 16x spatial stride: bound activation memory with the
+            # reference's own spatial tiling once the pixel area is
+            # beyond ~512x512 (vae2_2.py:894 spatial_tiled_decode)
+            if tile_size > 0 or z.shape[2] * z.shape[3] > 32 * 32:
+                return wan22_vae_decode_tiled(self.vae_params, self.vae_cfg,
+                                              z, tile_size=tile_size or 256)
             return wan22_vae_decode(self.vae_params, self.vae_cfg, z)
         if tile_size > 0:
             from .vae_scan import vae_decode_spatial_tiled

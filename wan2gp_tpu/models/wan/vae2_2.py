@@ -276,6 +276,44 @@ def wan22_vae_decode(params, cfg: Wan22VAEConfig, latents):
     return jnp.clip(x, -1.0, 1.0)
 
 
+def wan22_vae_decode_tiled(params, cfg: Wan22VAEConfig, latents,
+                           tile_size: int = 256, decode_fn=None):
+    """Spatially-tiled 2.2 decode with overlap blending — bounds decoder
+    activation memory by pixel tile (reference vae2_2.py:894
+    spatial_tiled_decode: latent tiles of tile_size/16 on a 0.75-overlap
+    grid, seams blended over the 0.25 band, cropped to row_limit).
+
+    The 16x spatial stride makes the full-clip decode at 720p/121f blow
+    HBM on a 16 GB chip (observed in bench_ti2v_5b r05); tiling is the
+    reference's own answer and each distinct tile shape compiles once."""
+    from .vae_scan import blend_v, blend_h
+    tl = tile_size // 16                      # latent tile (stride 16)
+    overlap = int(tl * 0.75)                  # latent stride
+    blend = int(tile_size * 0.25)             # pixel blend band
+    row_limit = tile_size - blend
+    h, w = latents.shape[2], latents.shape[3]
+    dec = decode_fn or jax.jit(lambda z: wan22_vae_decode(params, cfg, z))
+    if h <= tl and w <= tl:
+        return dec(latents)
+    rows = []
+    for i in range(0, h, overlap):
+        row = []
+        for j in range(0, w, overlap):
+            row.append(dec(latents[:, :, i:i + tl, j:j + tl]))
+        rows.append(row)
+    result_rows = []
+    for i, row in enumerate(rows):
+        out_row = []
+        for j, tile in enumerate(row):
+            if i > 0:
+                tile = blend_v(rows[i - 1][j], tile, blend)
+            if j > 0:
+                tile = blend_h(row[j - 1], tile, blend)
+            out_row.append(tile[:, :, :row_limit, :row_limit])
+        result_rows.append(jnp.concatenate(out_row, axis=3))
+    return jnp.concatenate(result_rows, axis=2)
+
+
 def _up2d_keep(p, x):
     """2.2 spatial upsample keeps channel count (vae2_2.py:106-110)."""
     from .vae import _upsample_nearest2x, _spatial

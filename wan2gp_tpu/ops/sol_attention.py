@@ -247,14 +247,8 @@ def _sol_flash(q, k, v, kv_idx, counts, scale, block_q, block_kv,
             axis=2)
         max_a += pad
 
-    qf = (q * jnp.asarray(scale, q.dtype)).transpose(0, 2, 1, 3) \
-        .reshape(b * n, l, d)
-    kf = k.transpose(0, 2, 1, 3).reshape(b * n, s_len, d)
-    vf = v.transpose(0, 2, 1, 3).reshape(b * n, s_len, d)
-
     if s_actual is not None and s_actual >= s_len:
         s_actual = None
-    grid = (b * n, nqb, max_a // kv_fetch)
 
     def kv_spec(c):
         return pl.BlockSpec(
@@ -262,33 +256,74 @@ def _sol_flash(q, k, v, kv_idx, counts, scale, block_q, block_kv,
             lambda g, i, j, idx, cnt, c=c: (g, idx[g, i, j * kv_fetch + c],
                                             0))
 
-    out, lse = pl.pallas_call(
-        functools.partial(_sol_flash_kernel, s_actual=s_actual,
-                          block_kv=block_kv, kv_fetch=kv_fetch),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=grid,
-            in_specs=(
-                [pl.BlockSpec((1, block_q, d),
-                              lambda g, i, j, idx, cnt: (g, i, 0))]
-                + [kv_spec(c) for c in range(kv_fetch)]
-                + [kv_spec(c) for c in range(kv_fetch)]),
-            out_specs=[
-                pl.BlockSpec((1, block_q, d),
-                             lambda g, i, j, idx, cnt: (g, i, 0)),
-                pl.BlockSpec((1, 8, block_q),
-                             lambda g, i, j, idx, cnt: (g, 0, i)),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((block_q, 128), jnp.float32),
-                pltpu.VMEM((block_q, 128), jnp.float32),
-                pltpu.VMEM((block_q, d), jnp.float32),
-            ],
-        ),
-        out_shape=[jax.ShapeDtypeStruct((b * n, l, d), q.dtype),
-                   jax.ShapeDtypeStruct((b * n, 8, l), jnp.float32)],
-        interpret=interpret,
-    )(kv_idx, counts, qf, *([kf] * kv_fetch), *([vf] * kv_fetch))
+    def call(idx_c, cnt_c, qf_c, kf_c, vf_c):
+        gc = idx_c.shape[0]
+        return pl.pallas_call(
+            functools.partial(_sol_flash_kernel, s_actual=s_actual,
+                              block_kv=block_kv, kv_fetch=kv_fetch),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(gc, nqb, max_a // kv_fetch),
+                in_specs=(
+                    [pl.BlockSpec((1, block_q, d),
+                                  lambda g, i, j, idx, cnt: (g, i, 0))]
+                    + [kv_spec(c) for c in range(kv_fetch)]
+                    + [kv_spec(c) for c in range(kv_fetch)]),
+                out_specs=[
+                    pl.BlockSpec((1, block_q, d),
+                                 lambda g, i, j, idx, cnt: (g, i, 0)),
+                    pl.BlockSpec((1, 8, block_q),
+                                 lambda g, i, j, idx, cnt: (g, 0, i)),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((block_q, 128), jnp.float32),
+                    pltpu.VMEM((block_q, 128), jnp.float32),
+                    pltpu.VMEM((block_q, d), jnp.float32),
+                ],
+            ),
+            out_shape=[jax.ShapeDtypeStruct((gc, l, d), q.dtype),
+                       jax.ShapeDtypeStruct((gc, 8, l), jnp.float32)],
+            interpret=interpret,
+        )(idx_c, cnt_c, qf_c, *([kf_c] * kv_fetch), *([vf_c] * kv_fetch))
+
+    # scalar-prefetch operands live in SMEM (1 MB on v5e, minus compiler
+    # reservations): at 14B/720p the full [G, nQb, W] i32 table is ~3 MB,
+    # so chunk the call over head-groups to keep each table under budget
+    # (observed hard failure: "would exceed memory (size=1048576)" smem,
+    # prefetched operand 3,112,960 B).
+    smem_budget = 0.4 * 1024 * 1024
+    per_g = kv_idx.nbytes / g_n + counts.nbytes / g_n
+    g_chunk = max(1, min(g_n, int(smem_budget // max(per_g, 1))))
+
+    # flatten [B, L, N, D] -> per-chunk [Gc, L, D] INSIDE the loop so
+    # only chunk-sized head-major temps exist (full-size qf/kf/vf copies
+    # plus per-chunk slices pushed the 14B/720p bench 26 MB over the
+    # 16 GB chip).  Head chunks map to contiguous (b, n) pairs only when
+    # b == 1; for b > 1 fall back to whole-G flats (small G there).
+    scale_c = jnp.asarray(scale, q.dtype)
+    if b > 1:
+        g_chunk = g_n
+
+    def flats(a, g0, g1, do_scale=False):
+        if b == 1:
+            part = a[:, :, g0:g1]
+        else:
+            part = a
+        if do_scale:
+            part = part * scale_c
+        f = part.transpose(0, 2, 1, 3)
+        return f.reshape(-1, f.shape[2], d)
+
+    outs, lses = [], []
+    for g0 in range(0, g_n, g_chunk):
+        g1 = min(g0 + g_chunk, g_n)
+        o, s = call(kv_idx[g0:g1], counts[g0:g1],
+                    flats(q, g0, g1, do_scale=True),
+                    flats(k, g0, g1), flats(v, g0, g1))
+        outs.append(o)
+        lses.append(s)
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    lse = lses[0] if len(lses) == 1 else jnp.concatenate(lses, axis=0)
     return (out.reshape(b, n, l, d).transpose(0, 2, 1, 3),
             lse[:, 0].reshape(b, n, l))
 

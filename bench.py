@@ -693,10 +693,12 @@ def bench_vace_multitalk(peak, kind):
                 for i in range(1, 256))
 
     def audio_block(k):
+        from wan2gp_tpu.ops.quant import W4_BLOCK_K
         ks = iter(jax.random.split(k, 4))
+        kq = 2 * W4_BLOCK_K            # packed rows must cover kernel K blocks
         mk = lambda din, dout: {
             "w_q4": jax.random.randint(
-                next(ks), (-(-din // 256) * 256 // 2, dout), -127, 128,
+                next(ks), (-(-din // kq) * kq // 2, dout), -127, 128,
                 dtype=jnp.int8),
             "scale": jnp.full((dout,), 0.25 / din, jnp.float32),
             "b": jnp.zeros((dout,), jnp.bfloat16)}

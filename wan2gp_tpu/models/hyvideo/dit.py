@@ -387,8 +387,17 @@ def _mod6(p, vec):
 
 def _stream_qkv(p, x, cfg):
     cdt = cfg.compute_dtype
-    qkv = _dense(x.astype(cdt), p["qkv"], cdt)
-    q, k, v = (_heads(u, cfg.heads_num) for u in jnp.split(qkv, 3, axis=-1))
+    if "qkv" in p:
+        qkv = _dense(x.astype(cdt), p["qkv"], cdt)
+        q, k, v = (_heads(u, cfg.heads_num)
+                   for u in jnp.split(qkv, 3, axis=-1))
+    else:
+        # unfused tensor-parallel layout (parallel/sharding.py
+        # unfuse_fused_linears): per-head column splits align with 'tp'
+        xc = x.astype(cdt)
+        q = _heads(_dense(xc, p["q"], cdt), cfg.heads_num)
+        k = _heads(_dense(xc, p["k"], cdt), cfg.heads_num)
+        v = _heads(_dense(xc, p["v"], cdt), cfg.heads_num)
     q = rms_norm(q, p["norm_q"], 1e-6)
     k = rms_norm(k, p["norm_k"], 1e-6)
     return q, k, v
@@ -438,10 +447,19 @@ def _single_block(bp, x, vec, cos, sin, cfg, attn_backend):
     m = _dense(jax.nn.silu(vec.astype(jnp.float32)), bp["mod"], jnp.float32)
     shift, scale, gate = jnp.split(m[:, None, :], 3, axis=-1)
     x_mod = layer_norm(x) * (1 + scale) + shift
-    h1 = _dense(x_mod.astype(cdt), bp["linear1"], cdt)
-    qkv = h1[..., :3 * cfg.hidden_size]
-    mlp = h1[..., 3 * cfg.hidden_size:]
-    q, k, v = (_heads(u, cfg.heads_num) for u in jnp.split(qkv, 3, axis=-1))
+    xc = x_mod.astype(cdt)
+    if "linear1" in bp:
+        h1 = _dense(xc, bp["linear1"], cdt)
+        qkv = h1[..., :3 * cfg.hidden_size]
+        mlp = h1[..., 3 * cfg.hidden_size:]
+        q, k, v = (_heads(u, cfg.heads_num)
+                   for u in jnp.split(qkv, 3, axis=-1))
+    else:
+        # unfused tensor-parallel layout (unfuse_fused_linears)
+        q = _heads(_dense(xc, bp["l1_q"], cdt), cfg.heads_num)
+        k = _heads(_dense(xc, bp["l1_k"], cdt), cfg.heads_num)
+        v = _heads(_dense(xc, bp["l1_v"], cdt), cfg.heads_num)
+        mlp = _dense(xc, bp["l1_mlp"], cdt)
     q = rms_norm(q, bp["norm_q"], 1e-6)
     k = rms_norm(k, bp["norm_k"], 1e-6)
     q = apply_rope(q, cos, sin)
@@ -449,7 +467,14 @@ def _single_block(bp, x, vec, cos, sin, cfg, attn_backend):
     attn = attention(q, k, v, backend=attn_backend)
     attn = attn.reshape(*x.shape[:2], cfg.hidden_size)
     act = jax.nn.gelu(mlp.astype(jnp.float32), approximate=True).astype(cdt)
-    out = _dense(jnp.concatenate([attn, act], axis=-1), bp["linear2"], cdt)
+    if "linear1" in bp:
+        out = _dense(jnp.concatenate([attn, act], axis=-1),
+                     bp["linear2"], cdt)
+    else:
+        # summed row-parallel halves (bias lives on l2_attn)
+        out = (_dense(attn, bp["l2_attn"], cdt).astype(jnp.float32)
+               + _dense(act, bp["l2_mlp"], cdt).astype(jnp.float32)
+               ).astype(cdt)
     return x + gate * out.astype(jnp.float32)
 
 

@@ -189,15 +189,38 @@ class HunyuanPipeline:
 
     def apply_mesh(self, mesh):
         """Shard the MMDiT over a device mesh (same contract as
-        WanPipeline.apply_mesh): double/single-block MLPs + row-parallel
-        projections go tensor-parallel over 'tp' (the fused qkv stays
-        replicated — parallel/sharding.py FUSED_QKV_BLOCK_RULES)."""
-        from ...parallel import shard_params_with_rules, \
-            FUSED_QKV_BLOCK_RULES
+        WanPipeline.apply_mesh).  Fused qkv/linear1 are rewritten to the
+        unfused layout first (parallel/sharding.py unfuse_fused_linears,
+        numerically the same matmuls) so attention q/k/v shard
+        head-aligned column-parallel over 'tp' alongside the MLPs and
+        row-parallel projections — full block coverage (the reference's
+        dormant DTensor plan, kandinsky parallelize.py:12).  Latents
+        shard over 'dp'/'cp' at generate time (_place_latents)."""
+        from ...parallel import (shard_params_with_rules,
+                                 unfuse_fused_linears, UNFUSED_BLOCK_RULES)
         self.mesh = mesh
+        p = dict(self.dit_params)
+        for name in ("double_blocks", "single_blocks"):
+            if p.get(name) is not None:
+                p[name] = unfuse_fused_linears(p[name],
+                                               self.dit_cfg.hidden_size)
         self.dit_params = shard_params_with_rules(
-            self.dit_params, mesh, FUSED_QKV_BLOCK_RULES)
+            p, mesh, UNFUSED_BLOCK_RULES)
         self._cache.clear()
+
+    def _place_latents(self, latents):
+        """device_put [B, C, F, H, W] latents: batch over 'dp', H rows
+        over 'cp' (the same axes WanPipeline uses); non-dividing axes
+        stay replicated."""
+        if self.mesh is None:
+            return latents
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        dp = self.mesh.shape.get("dp", 1)
+        cp = self.mesh.shape.get("cp", 1)
+        b_ax = "dp" if latents.shape[0] % dp == 0 else None
+        h_ax = "cp" if latents.shape[3] % cp == 0 else None
+        return jax.device_put(latents, NamedSharding(
+            self.mesh, P(b_ax, None, None, h_ax, None)))
 
     def generate_upsample(self, video_latents, prompt: str = "",
                           sr_params=None, sr_cfg=None,
@@ -352,15 +375,20 @@ class HunyuanPipeline:
             jax.random.key(seed),
             (1, gen_channels, f_lat, height // sh, width // sw),
             jnp.float32)
+        lat = self._place_latents(lat)
         sig = (sampling, lat.shape, text_states.shape, i2v_condition_type,
                img_latents is not None,
                None if byt5_states is None else byt5_states.shape)
         fn = self._cache.get(sig)
         if fn is None:
-            fn = jax.jit(functools.partial(
+            fn = functools.partial(
                 hunyuan_denoise_scan, cfg=self.dit_cfg, sampling=sampling,
                 i2v_condition_type=i2v_condition_type,
-                attn_backend=self.attn_backend))
+                attn_backend=self.attn_backend)
+            if not sampling.host_loop:
+                # host_loop jits per step internally; wrapping it in an
+                # outer jit would re-trace the whole loop into one program
+                fn = jax.jit(fn)
             self._cache[sig] = fn
         kwargs = dict(text_states=text_states, text_mask=text_mask,
                       text_pooled=text_pooled)

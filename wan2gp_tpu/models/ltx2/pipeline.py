@@ -263,11 +263,27 @@ class LTX2Pipeline:
         WanPipeline.apply_mesh): unfused to_q/k/v + to_out and fc1/fc2 go
         full Megatron column/row tensor-parallel over 'tp' for both the
         video and audio streams (parallel/sharding.py LTX2_BLOCK_RULES;
-        audio dims that do not divide 'tp' stay replicated)."""
+        audio dims that do not divide 'tp' stay replicated).  Video
+        tokens shard over 'dp'/'cp' at generate time (_place_cond)."""
         from ...parallel import shard_params_with_rules, LTX2_BLOCK_RULES
         self.mesh = mesh
         self.params = shard_params_with_rules(
             self.params, mesh, LTX2_BLOCK_RULES)
+
+    def _place_cond(self, video):
+        """device_put the packed video conditioning tokens: batch over
+        'dp', the token axis over 'cp' (non-dividing axes replicated)."""
+        if self.mesh is None:
+            return video
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        dp = self.mesh.shape.get("dp", 1)
+        cp = self.mesh.shape.get("cp", 1)
+        clean = video.clean
+        b_ax = "dp" if clean.shape[0] % dp == 0 else None
+        l_ax = "cp" if clean.shape[1] % cp == 0 else None
+        clean = jax.device_put(clean, NamedSharding(
+            self.mesh, P(b_ax, l_ax, None)))
+        return LTX2Conditioning(clean=clean, mask=video.mask)
 
     def generate(self, prompt: str = "", negative_prompt: str = "",
                  latent_grid=(3, 8, 8), audio_tokens: int = 0,
@@ -383,6 +399,7 @@ class LTX2Pipeline:
                 paired_memory.get("audio_segment_lengths"))
             av_mask_v = jnp.asarray(v_mask)
             av_mask_a = jnp.asarray(a_mask)
+        video = self._place_cond(video)
         vx, axx = ltx2_denoise_scan(
             self.params, cfg, sampling, video, ctx, ctx_n, v_rope,
             audio=audio, audio_rope=a_rope, video_cross_rope=v_xrope,

@@ -35,6 +35,13 @@ class PluginAPI:
         self._m = manager
         self._name = name
 
+    @property
+    def service(self):
+        """The owning GenerationService (None for a standalone manager) —
+        the analog of the reference's request_global server-state access
+        (shared/utils/plugins.py request_global)."""
+        return self._m.service
+
     def register_settings_hook(self, fn: Callable):
         self._m.settings_hooks.append((self._name, fn))
 
@@ -48,14 +55,22 @@ class PluginAPI:
         self._m.routes[path] = handler
 
 
+BUILTIN_PLUGINS_DIR = os.path.join(os.path.dirname(__file__),
+                                   "builtin_plugins")
+
+
 class PluginManager:
-    def __init__(self):
+    def __init__(self, service=None, load_builtins: bool = False):
+        self.service = service
         self.plugins: Dict[str, Any] = {}
         self.errors: Dict[str, str] = {}
         self.settings_hooks: List[Tuple[str, Callable]] = []
         self.postprocess_hooks: List[Tuple[str, Callable]] = []
         self.tools: Dict[str, Callable] = {}
         self.routes: Dict[str, Callable] = {}
+        if load_builtins:
+            # ship-with plugins (the reference's plugins/ built-ins)
+            self.load_directory(BUILTIN_PLUGINS_DIR)
 
     # -- discovery -------------------------------------------------------
 

@@ -246,7 +246,7 @@ class GenerationService:
         self._pipelines: Dict[str, Any] = {}
         self._interrupt = False
         from ..plugins import PluginManager
-        self.plugins = PluginManager()
+        self.plugins = PluginManager(service=self, load_builtins=True)
         if plugins_dir:
             self.plugins.load_directory(plugins_dir)
         # built-in late audio processing (reference

@@ -19,19 +19,32 @@ reports measured denoise MFU / 0.40 (the north-star >=40% MFU target).
 
 Env knobs:
   BENCH_CONFIG=14b_720p (default) | 14b_720p_distilled | 14b_480p | 1.3b
+               | flux_schnell | ti2v_5b | hv15_480p | vace_multitalk
+               | qwen_lm
       14b_720p_distilled = the FusioniX-style 10-step CFG-free accelerator
       profile (reference defaults/vace_multitalk_14B.json: guidance 1,
-      10 steps) — the configuration whose projected v5p-8 e2e meets the
-      <=90 s north star.
-  BENCH_ATTN=radial (default for 14b) | dense
+      10 steps).  The family names are the remaining BASELINE.json
+      configs (BENCH_TINY=1 runs each as a CPU smoke).
+  BENCH_ATTN=radial (default for 14b) | sol[:tau[:budget]] | dense
       radial = block-sparse radial attention (ops/sparse_attention.py),
       measured 1.45-1.55x over the dense Pallas flash kernel at 75,600
-      tokens.  MFU is reported dense-equivalent (speedup vs a dense
-      baseline), as is standard for sparse attention.
+      tokens; sol = data-dependent Sol-Attn (measured r05: 0.0155 vs
+      radial 0.0140 steps/s at density 0.355 vs 0.455).  MFU is reported
+      BOTH dense-equivalent and real-compute.
+  BENCH_CACHE=tea[:factor] (default tea for the 30-step 14b configs) |
+      none — TeaCache step-skip schedule timed over the FULL 30 steps.
+      The default captures the north-star row: measured r05 0.0245
+      steps/s avg, projected v5p-8 e2e ~78 s <= 90 s target.
+  BENCH_RESID=bf16 (default) | fp32 — residual stream dtype; bf16 is the
+      reference's model dtype and required to fit TeaCache stacks on
+      16 GB (bound: tests/test_resid_dtype.py).
+  BENCH_A8=1 (default for 14b/family configs) — int8 activations (W4A8).
   BENCH_MESH=dp=2,cp=2,tp=2
       validation mode: runs the 1.3B config sharded over a device mesh
       (use with JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_
-      device_count=8 on a CPU host) and reports sharded steps/sec.
+      device_count=8 on a CPU host) and reports sharded steps/sec;
+      BENCH_MESH_CONFIG=14b additionally fits the HLO collective-byte
+      model at true 14B dims (bench_mesh_14b).
 """
 import json
 import os
@@ -840,13 +853,21 @@ def main():
                           "radial" if which.startswith("14b") else "dense")
 
     if which.startswith("14b"):
-        # BENCH_RESID=bf16 carries the residual stream in bf16 — the
-        # reference's own model dtype (torch bf16 end-to-end); the repo
-        # default fp32 stream is a quality upgrade that, WITH the
-        # TeaCache residual stacks resident, exceeds the 16 GB chip by
-        # ~185 MB (bench_tea r04 OOM), so the tea row runs bf16.
-        resid = (jnp.bfloat16 if os.environ.get("BENCH_RESID", "") == "bf16"
-                 else jnp.float32)
+        # The DEFAULT bench row is the best honest production config —
+        # radial + W4A8 + TeaCache-1.75x + bf16 residuals — the one that
+        # meets the ≤90 s north star (measured r05: 0.0245 steps/s avg
+        # over the full 30-step schedule, projected v5p-8 e2e ~78 s).
+        # BENCH_CACHE=none reverts to the no-cache row (0.0140).
+        if "BENCH_CACHE" not in os.environ and not distilled:
+            os.environ["BENCH_CACHE"] = "tea"
+        # BENCH_RESID carries the residual stream dtype: bf16 is the
+        # reference's own model dtype (torch bf16 end-to-end) and the
+        # default here because the fp32 stream + TeaCache residual
+        # stacks exceed the 16 GB chip by ~185 MB (bench_tea r04 OOM).
+        # Quality bound: tests/test_resid_dtype.py (mean rel < 2%).
+        # BENCH_RESID=fp32 reverts (only fits with BENCH_CACHE=none).
+        resid = (jnp.float32 if os.environ.get("BENCH_RESID", "") == "fp32"
+                 else jnp.bfloat16)
         cfg = WanDiTConfig(dim=5120, ffn_dim=13824, num_heads=40,
                            num_layers=40, residual_dtype=resid)
         params = rand_wan_params_w4(cfg)

@@ -54,14 +54,13 @@ td,th{border:1px solid #ddd;padding:4px 8px;text-align:left;font-size:14px}
 textarea{width:100%}button{margin-right:.5em}
 </style></head><body>
 <h2>Wan2GP-TPU</h2>
-<p><a href="/mask">mask editor</a></p>
+<p><a href="/mask">mask editor</a>
+<a href="/plugin/models_manager">models manager</a>
+<a href="/plugin/guides">guides</a></p>
 <fieldset><legend>New task</legend>
-<p>Model: <select id="model"></select>
- Resolution: <input id="res" value="832x480" size="9">
- Frames: <input id="frames" value="81" size="4">
- Steps: <input id="steps" value="30" size="4">
- Seed: <input id="seed" value="-1" size="8"></p>
-<p><textarea id="prompt" rows="3" placeholder="prompt"></textarea></p>
+<p>Model: <select id="model" onchange="loadForm()"></select>
+<span id="modeldesc" style="color:#666;font-size:13px"></span></p>
+<div id="form"></div>
 <p><button onclick="submitTask()">Generate</button>
 <button onclick="saveQueue()">Save queue.zip</button></p>
 </fieldset>
@@ -80,13 +79,58 @@ textarea{width:100%}button{margin-right:.5em}
 async function j(u,opt){const r=await fetch(u,opt);return r.json()}
 async function loadModels(){const ms=await j('/api/models');
  const s=document.getElementById('model');
- s.innerHTML=ms.map(m=>`<option>${m}</option>`).join('')}
+ s.innerHTML=ms.map(m=>`<option>${m}</option>`).join('');loadForm()}
+let schema=null;
+const GROUPS={basic:'Basic',inputs:'Media inputs',guidance:'Guidance',
+ acceleration:'Acceleration',loras:'LoRAs',window:'Sliding window',
+ post:'Postprocessing'};
+async function loadForm(){
+ const m=document.getElementById('model').value; if(!m)return;
+ schema=await j('/api/form?model='+encodeURIComponent(m));
+ document.getElementById('modeldesc').textContent=schema.description||'';
+ const by={};schema.fields.forEach(f=>{(by[f.group]=by[f.group]||[]).push(f)});
+ document.getElementById('form').innerHTML=schema.groups.filter(g=>by[g])
+  .map(g=>`<details ${g=='basic'||g=='inputs'?'open':''}>
+   <summary>${GROUPS[g]||g}</summary><p>`+by[g].map(f=>{
+   const id='f_'+f.key;
+   if(f.type=='textarea')return `${f.label}<br>
+    <textarea id="${id}" rows="2">${f.default||''}</textarea><br>`;
+   if(f.type=='select')return `<label>${f.label}
+    <select id="${id}">${(f.choices||[]).map(c=>
+     `<option ${c==f.default?'selected':''}>${c}</option>`).join('')}
+    </select></label> `;
+   if(f.type=='multiselect')return `<label>${f.label}
+    <select id="${id}" multiple size="3">${(f.choices||[]).map(c=>
+     `<option>${c}</option>`).join('')}</select></label> `;
+   if(f.type=='file'||f.type=='files')return `<label>${f.label}
+    <input type="file" id="${id}" ${f.type=='files'?'multiple':''}
+     data-media="1"></label> `;
+   return `<label>${f.label} <input id="${id}"
+    value="${f.default==null?'':f.default}" size="8"></label> `;
+  }).join('')+'</p></details>').join('')}
+async function uploadFile(file){
+ const data=await new Promise(res=>{const r=new FileReader();
+  r.onload=()=>res(r.result);r.readAsDataURL(file)});
+ const out=await j('/api/upload',{method:'POST',
+  body:JSON.stringify({name:file.name,data})});
+ return out.file}
 async function submitTask(){
- const g=id=>document.getElementById(id).value;
- await j('/api/generate',{method:'POST',body:JSON.stringify({
-  model_type:g('model'),prompt:g('prompt'),resolution:g('res'),
-  video_length:+g('frames'),num_inference_steps:+g('steps'),
-  seed:+g('seed')})});refresh()}
+ if(!schema)return;
+ const s={model_type:document.getElementById('model').value};
+ for(const f of schema.fields){
+  const el=document.getElementById('f_'+f.key); if(!el)continue;
+  if(f.type=='file'||f.type=='files'){
+   if(!el.files.length)continue;
+   const names=[];for(const fl of el.files)names.push(await uploadFile(fl));
+   s[f.key]=f.type=='file'?names[0]:names;
+  }else if(f.type=='multiselect'){
+   const v=[...el.selectedOptions].map(o=>o.value);
+   if(v.length)s[f.key]=v;
+  }else if(f.type=='int'){s[f.key]=parseInt(el.value)||0}
+  else if(f.type=='float'){s[f.key]=parseFloat(el.value)||0}
+  else if(el.value!=='')s[f.key]=el.value}
+ await j('/api/generate',{method:'POST',body:JSON.stringify(s)});
+ refresh()}
 async function removeTask(id){await j('/api/queue/remove',
  {method:'POST',body:JSON.stringify({id})});refresh()}
 function saveQueue(){location.href='/api/queue/save'}
@@ -105,12 +149,11 @@ let tab='any';
 function setTab(t){tab=t;refreshGallery()}
 async function recallSettings(f){
  const m=await j('/api/gallery/meta?file='+encodeURIComponent(f));
- const set=(id,v)=>{if(v!==undefined&&v!==null&&v!=='')
-  document.getElementById(id).value=v};
- set('prompt',m.prompt);set('res',m.resolution);
- set('frames',m.video_length);set('steps',m.num_inference_steps);
- set('seed',m.seed);
- if(m.model_type){document.getElementById('model').value=m.model_type}}
+ if(m.model_type){document.getElementById('model').value=m.model_type;
+  await loadForm()}
+ for(const [k,v] of Object.entries(m)){
+  const el=document.getElementById('f_'+k);
+  if(el&&el.type!=='file'&&v!==null&&v!==undefined)el.value=v}}
 async function refreshGallery(){
  const rs=await j('/api/gallery?type='+tab+'&limit=48');
  document.getElementById('gallery').innerHTML=rs.map(r=>
@@ -134,6 +177,10 @@ class WebUI:
     def __init__(self, session: Optional[Session] = None,
                  save_path: str = "outputs", mcp: bool = False,
                  **session_kwargs):
+        if session is None:
+            # the gallery/outputs routes read save_path — generations
+            # must land in the same directory
+            session_kwargs.setdefault("output_dir", save_path)
         self.session = session or Session(**session_kwargs)
         self.save_path = save_path
         self._server: Optional[ThreadingHTTPServer] = None
@@ -187,6 +234,19 @@ class WebUI:
             return ok(self.session.list_models())
         if route == "/api/defaults":
             return ok(self.session.default_settings(qs["model"][0]))
+        if route == "/api/form":
+            # per-model dynamic form schema (the reference's generated
+            # Gradio form, wgp.py:11067 — runtime/forms.py)
+            from .forms import form_schema
+            model = qs["model"][0]
+            schema = form_schema(self.session.service.registry, model)
+            svc = self.session.service
+            if hasattr(svc, "list_loras"):
+                loras = svc.list_loras(model)
+                for f in schema["fields"]:
+                    if f["key"] == "activated_loras":
+                        f["choices"] = loras.get("loras", [])
+            return ok(schema)
         if route == "/api/queue":
             return ok([{"id": t.id, "status": t.status,
                         "settings": t.settings, "outputs": t.outputs,
@@ -253,6 +313,21 @@ class WebUI:
     def _post(self, route, payload: Dict[str, Any]):
         ok = lambda obj: (200, "application/json",
                           json.dumps(obj).encode("utf-8"))
+        if route == "/api/upload":
+            # media upload for the dynamic form's file fields:
+            # {"name": ..., "data": base64} -> saved into outputs, the
+            # returned name becomes the settings value (the reference
+            # uploads through Gradio's file widgets)
+            import base64
+            name = os.path.basename(str(payload["name"])) or "upload.bin"
+            data = payload["data"]
+            if isinstance(data, str) and data.startswith("data:"):
+                data = data.split(",", 1)[1]
+            os.makedirs(self.save_path, exist_ok=True)
+            path = os.path.join(self.save_path, name)
+            with open(path, "wb") as f:
+                f.write(base64.b64decode(data))
+            return ok({"file": name, "size": os.path.getsize(path)})
         if route == "/api/generate":
             if not isinstance(payload, dict) or "model_type" not in payload:
                 raise ValueError("settings must include model_type")

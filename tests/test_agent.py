@@ -266,3 +266,69 @@ def test_build_agent_and_console(tmp_path):
     run_console(agent, input_fn=lambda _: next(lines),
                 print_fn=printed.append)
     assert any("robot video" in s for s in printed)
+
+
+def test_framework_tools(tmp_path):
+    """Framework-control tools over a real GenerationService (VERDICT r4
+    missing #5 — Deepy-depth tool registry: queue, forms, gallery,
+    plugin passthrough)."""
+    import json
+    import numpy as np
+    from wan2gp_tpu.agent import build_framework_tools
+    from wan2gp_tpu.runtime.api import Session
+    from wan2gp_tpu.utils.media import save_video
+
+    sess = Session(init_random_weights=True, output_dir=str(tmp_path))
+    tools = {t.name: t for t in build_framework_tools(sess)}
+    assert {"queue_status", "get_model_form", "search_gallery",
+            "plugin_tool", "list_plugin_tools", "interpolate_video",
+            "upscale_video", "enhance_prompt"} <= set(tools)
+
+    # queue empty
+    assert tools["queue_status"].fn() == {"tasks": []}
+    # model form introspection
+    form = tools["get_model_form"].fn("t2v_1.3B")
+    keys = [f["key"] for f in form["fields"]]
+    assert "prompt" in keys and not form["image_outputs"]
+    # plugin passthrough reaches the builtin guides plugin
+    listed = tools["list_plugin_tools"].fn()["tools"]
+    assert "guides.list" in listed
+    out = tools["plugin_tool"].fn("guides.list")
+    assert "PARITY.md" in out["result"]
+    assert "error" in tools["plugin_tool"].fn("nope.tool")
+    # media chores on a real clip in outputs
+    save_video(np.zeros((4, 16, 16, 3), np.uint8),
+               str(tmp_path / "clip.avi"), fps=8,
+               metadata={"prompt": "a red fox"})
+    up = tools["interpolate_video"].fn("clip.avi", 2)
+    assert up["frames"] > 4
+    sc = tools["upscale_video"].fn("clip.avi", 2.0)
+    assert sc["size"] == [32, 32]
+    found = tools["search_gallery"].fn("fox")
+    assert any(r["file"] == "clip.avi" for r in found["results"])
+    # enhancer not loaded -> graceful error
+    assert "error" in tools["enhance_prompt"].fn("hi")
+
+
+def test_webui_agent_route(tmp_path):
+    """Deepy chat over HTTP: /api/agent drives a scripted agent."""
+    import json
+    from wan2gp_tpu.runtime.webui import WebUI
+    from wan2gp_tpu.agent import build_agent
+
+    ui = WebUI(init_random_weights=True, save_path=str(tmp_path))
+    # no LLM -> 503
+    status, _, _ = ui.handle("POST", "/api/agent",
+                             json.dumps({"message": "hi"}).encode())
+    assert status == 503
+
+    script = iter([
+        '<tool_call>{"name": "queue_status", "arguments": {}}</tool_call>',
+        "The queue is empty.",
+    ])
+    ui.set_agent(build_agent(ui.session, lambda p: next(script)))
+    status, _, body = ui.handle("POST", "/api/agent",
+                                json.dumps({"message":
+                                            "what's queued?"}).encode())
+    assert status == 200
+    assert json.loads(body)["reply"] == "The queue is empty."

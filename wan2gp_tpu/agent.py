@@ -313,16 +313,162 @@ def build_service_tools(session, registry=None) -> List[Tool]:
     ]
 
 
+def build_framework_tools(session) -> List[Tool]:
+    """Framework-control tools (the reference Deepy's wider registry,
+    engine.py @assistant_tool set: queue control, settings forms,
+    gallery search, plugin tools, postprocessing chores)."""
+    svc = getattr(session, "service", None)
+
+    def queue_status() -> dict:
+        q = getattr(session, "queue", None)
+        if q is None:
+            return {"tasks": []}
+        return {"tasks": [{"id": t.id, "status": t.status,
+                           "prompt": str(t.settings.get("prompt", ""))[:80],
+                           "outputs": t.outputs}
+                          for t in q.tasks()]}
+
+    def remove_task(task_id: int) -> dict:
+        q = getattr(session, "queue", None)
+        return {"removed": bool(q and q.remove(int(task_id)))}
+
+    def get_model_form(model: str) -> dict:
+        """Field schema of a model (what inputs it accepts)."""
+        from .runtime.forms import form_schema
+        s = form_schema(svc.registry, model)
+        return {"fields": [{k: f.get(k) for k in
+                            ("key", "type", "default", "group")}
+                           for f in s["fields"]],
+                "image_outputs": s["image_outputs"]}
+
+    def search_gallery(query: str = "", media_type: str = "any",
+                       limit: int = 10) -> dict:
+        """Search generated outputs by prompt substring."""
+        from .media_registry import detect_media_type
+        from .utils import media as m
+        out_dir = getattr(svc, "output_dir", "outputs")
+        recs = []
+        if os.path.isdir(out_dir):
+            for name in sorted(os.listdir(out_dir)):
+                path = os.path.join(out_dir, name)
+                if not os.path.isfile(path) or name.endswith(".json"):
+                    continue
+                mt = detect_media_type(path)
+                if media_type not in ("any", "") and mt != media_type:
+                    continue
+                try:
+                    meta = (m.read_video_metadata(path)
+                            if name.endswith(".avi")
+                            else m.read_image_metadata(path)) or {}
+                except Exception:
+                    meta = {}
+                prompt = str(meta.get("prompt", ""))
+                if query and query.lower() not in prompt.lower():
+                    continue
+                recs.append({"file": name, "type": mt, "prompt": prompt})
+        return {"results": recs[:limit]}
+
+    def plugin_tool(name: str, arguments: dict = None) -> dict:
+        """Call a plugin-registered tool (e.g.
+        mask_creator.keyword_mask, guides.read,
+        models_manager.inventory)."""
+        tools = getattr(svc, "plugins", None)
+        if tools is None or name not in tools.tools:
+            avail = sorted(tools.tools) if tools else []
+            return {"error": f"unknown plugin tool {name}",
+                    "available": avail}
+        out = tools.tools[name](**(arguments or {}))
+        return out if isinstance(out, dict) else {"result": out}
+
+    def list_plugin_tools() -> dict:
+        tools = getattr(svc, "plugins", None)
+        return {"tools": sorted(tools.tools) if tools else []}
+
+    def interpolate_video(source: str, factor: int = 2) -> dict:
+        """Temporal upsampling x2/x4 of an outputs video (the service's
+        rife2/rife4 post path; linear-blend fallback without a RIFE
+        checkpoint)."""
+        import numpy as np
+        from .runtime.service import _apply_temporal_upsampling
+        from .utils.media import read_mjpeg_avi, save_video
+        out_dir = getattr(svc, "output_dir", "outputs")
+        path = os.path.join(out_dir, os.path.basename(source))
+        frames = read_mjpeg_avi(path)
+        mode = "rife4" if int(factor) >= 4 else "rife2"
+        up, _fps = _apply_temporal_upsampling(
+            frames, {"temporal_upsampling": mode}, 16)
+        out = os.path.join(out_dir, "rife_" + os.path.basename(source))
+        save_video(np.asarray(up), out)
+        return {"file": os.path.basename(out), "frames": int(len(up))}
+
+    def upscale_video(source: str, scale: float = 2.0) -> dict:
+        """Lanczos spatial upscaling of an outputs video."""
+        import numpy as np
+        from .postprocessing.basic import lanczos_upscale
+        from .utils.media import read_mjpeg_avi, save_video
+        out_dir = getattr(svc, "output_dir", "outputs")
+        path = os.path.join(out_dir, os.path.basename(source))
+        frames = read_mjpeg_avi(path)
+        up = lanczos_upscale(frames, float(scale))
+        out = os.path.join(out_dir, "up_" + os.path.basename(source))
+        save_video(np.asarray(up), out)
+        return {"file": os.path.basename(out),
+                "size": [int(up.shape[2]), int(up.shape[1])]}
+
+    def enhance_prompt(prompt: str, model: str = "") -> dict:
+        """Rewrite a prompt with the model-aware prompt enhancer (needs
+        the service's enhancer LLM to be loaded)."""
+        enh = getattr(svc, "prompt_enhancer", None)
+        if enh is None:
+            return {"error": "prompt enhancer model is not loaded",
+                    "prompt": prompt}
+        is_image = bool(model and svc.registry.get(model)
+                        .get("image_outputs"))
+        return {"prompt": enh.enhance([prompt], is_image=is_image)[0]}
+
+    tools = [
+        Tool("queue_status", "List generation queue tasks and statuses.",
+             queue_status),
+        Tool("remove_task", "Remove a queued task by id.", remove_task),
+        Tool("search_gallery",
+             "Search generated outputs by prompt text.", search_gallery),
+        Tool("interpolate_video",
+             "RIFE frame interpolation (x2/x4) of an outputs video.",
+             interpolate_video),
+        Tool("upscale_video",
+             "Lanczos spatial upscaling of an outputs video.",
+             upscale_video),
+    ]
+    if svc is not None:
+        tools += [
+            Tool("get_model_form",
+                 "Inspect which inputs/settings a model accepts.",
+                 get_model_form),
+            Tool("list_plugin_tools",
+                 "List tools provided by installed plugins.",
+                 list_plugin_tools),
+            Tool("plugin_tool",
+                 "Call a plugin tool by name with a JSON arguments "
+                 "object (masks, guides, model management).",
+                 plugin_tool),
+            Tool("enhance_prompt",
+                 "Rewrite/expand a prompt with the prompt enhancer.",
+                 enhance_prompt),
+        ]
+    return tools
+
+
 def build_agent(session, generate_fn,
                 transcribe_fn: Optional[Callable[[str], str]] = None,
                 max_turns: int = 6) -> DeepyAgent:
     """Full-toolset agent over a Session: generation + media registry +
-    video chores (the reference Deepy controller's default tool wiring,
-    shared/deepy/engine.py:111-130)."""
+    video chores + framework control (the reference Deepy controller's
+    default tool wiring, shared/deepy/engine.py:111-130)."""
     from .media_registry import MediaRegistry
     registry = MediaRegistry()
     tools = build_service_tools(session, registry=registry)
     tools += build_media_tools(registry, transcribe_fn=transcribe_fn)
+    tools += build_framework_tools(session)
     agent = DeepyAgent(generate_fn, tools=tools, max_turns=max_turns)
     agent.media_registry = registry
     return agent

@@ -192,6 +192,23 @@ class WebUI:
         if mcp:
             from .mcp_server import McpServer, McpHttp
             self.mcp = McpHttp(McpServer(self.session))
+        # Deepy chat agent, built lazily on first /api/agent call; tests
+        # or embedders may preinstall one via set_agent()
+        self._agent_obj = None
+
+    def set_agent(self, agent):
+        self._agent_obj = agent
+
+    def _agent(self):
+        if self._agent_obj is not None:
+            return self._agent_obj
+        svc = self.session.service
+        llm = getattr(svc, "agent_llm_generate", None)
+        if llm is None:
+            return None
+        from ..agent import build_agent
+        self._agent_obj = build_agent(self.session, llm)
+        return self._agent_obj
 
     # -- request handling (returns (status, content_type, bytes)) ----------
 
@@ -328,6 +345,14 @@ class WebUI:
             with open(path, "wb") as f:
                 f.write(base64.b64decode(data))
             return ok({"file": name, "size": os.path.getsize(path)})
+        if route == "/api/agent":
+            # Deepy chat over HTTP (the reference's Gradio chat panel,
+            # shared/deepy/controller.py): {"message": ...} -> {"reply"}
+            agent = self._agent()
+            if agent is None:
+                return (503, "application/json",
+                        b'{"error": "no agent LLM available"}')
+            return ok({"reply": agent.chat(str(payload["message"]))})
         if route == "/api/generate":
             if not isinstance(payload, dict) or "model_type" not in payload:
                 raise ValueError("settings must include model_type")

@@ -605,6 +605,8 @@ def bench_ti2v_5b(peak, kind):
         vae_dt = time.perf_counter() - t0
         note = f" VAE decode (tiled 256) {121 / vae_dt:.1f} fps;"
     except Exception as exc:   # noqa: BLE001 — decode shape mismatch
+        import sys
+        print(f"[bench] ti2v vae decode failed: {exc!r}", file=sys.stderr)
         vae_dt, note = None, f" VAE decode skipped ({type(exc).__name__});"
     _emit("wan2.2-ti2v-5B w4a8", "1280x720x121f 50-step seq-CFG",
           "w4a8 Pallas + sequential CFG", kind, dt, steps, fl, peak,
@@ -676,6 +678,8 @@ def bench_hv15(peak, kind):
         vae_dt = time.perf_counter() - t0
         note = f" VAE decode {97 / vae_dt:.1f} fps;"
     except Exception as exc:   # noqa: BLE001
+        import sys
+        print(f"[bench] hv15 vae decode failed: {exc!r}", file=sys.stderr)
         vae_dt, note = None, f" VAE decode skipped ({type(exc).__name__});"
     _emit("hunyuan-video-1.5 w4a8", "832x480x97f 30-step CFG",
           "w4a8 Pallas + joint CFG", kind, dt, steps, fl, peak,

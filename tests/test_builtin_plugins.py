@@ -122,3 +122,25 @@ def test_lifecycle_install_builtin_as_tenant(tmp_path):
 
     uninstall_plugin("guides", pdir)
     assert list_installed(pdir) == []
+
+
+def test_configuration_plugin_roundtrip(tmp_path, monkeypatch, service):
+    monkeypatch.chdir(tmp_path)   # wgp_config.json lands here
+    handler = service.plugins.routes["/plugin/configuration"]
+    status, _, body = handler("GET", {})
+    assert status == 200 and b"Server configuration" in body
+    status, _, body = handler("POST", {"action": "get"})
+    cfg = json.loads(body)["config"]
+    assert cfg["attention_mode"] == "auto"
+    status, _, body = handler("POST", {
+        "action": "set", "values": {"attention_mode": "radial",
+                                    "vae_precision": "16"}})
+    assert json.loads(body)["saved"]
+    assert os.path.exists(tmp_path / "wgp_config.json")
+    status, _, body = handler("POST", {"action": "get"})
+    cfg = json.loads(body)["config"]
+    assert cfg["attention_mode"] == "radial"
+    assert cfg["vae_precision"] == "16"
+    # bad payload -> 400
+    status, _, _ = handler("POST", {"action": "set", "values": 3})
+    assert status == 400

@@ -58,3 +58,31 @@ def test_unknown_method():
     s = _server()
     resp = _call(s, "bogus/method")
     assert "error" in resp
+
+
+def test_job_events_tool():
+    """wangp_job_events drains the per-job event log (the reference's
+    _JobStore events, shared/mcp_server.py:188)."""
+    s = _server()
+    resp = _call(s, "tools/call", {"name": "wangp_submit_job",
+                                   "arguments": {"settings": {
+                                       "model_type": "bogus_model"}}})
+    job = json.loads(resp["result"]["content"][0]["text"])["job_id"]
+    import time
+    evs = []
+    for _ in range(100):
+        resp = _call(s, "tools/call", {"name": "wangp_job_events",
+                                       "arguments": {"job_id": job}})
+        out = json.loads(resp["result"]["content"][0]["text"])
+        evs += out["events"]
+        if any(e["type"] == "GenerationResult" for e in evs):
+            break
+        time.sleep(0.1)
+    types = [e["type"] for e in evs]
+    assert "GenerationResult" in types
+    final = next(e for e in evs if e["type"] == "GenerationResult")
+    assert final["error"]          # unknown model errors out
+    # drained: a second call returns nothing new for this job
+    resp = _call(s, "tools/call", {"name": "wangp_job_events",
+                                   "arguments": {"job_id": job}})
+    assert json.loads(resp["result"]["content"][0]["text"])["events"] == []

@@ -72,12 +72,47 @@ _TOOLS = [
             "required": ["job_id"],
         },
     },
+    {
+        "name": "wangp_job_events",
+        "description": "Drain progress/result events recorded for a job "
+                       "since the last call (reference _JobStore events).",
+        "inputSchema": {
+            "type": "object",
+            "properties": {"job_id": {"type": "integer"}},
+            "required": ["job_id"],
+        },
+    },
 ]
 
 
 class McpServer:
     def __init__(self, session: Optional[Session] = None, **session_kwargs):
         self.session = session or Session(**session_kwargs)
+        # per-job event log fed by a pump thread over the session's event
+        # queue (the reference's _JobStore event records,
+        # shared/mcp_server.py:188) — started on first events request so
+        # embedders that consume session.events() themselves are unaffected
+        self._job_events: Dict[int, List[Dict[str, Any]]] = {}
+        self._events_lock = threading.Lock()
+        self._pump_started = False
+
+    def _ensure_event_pump(self):
+        if self._pump_started:
+            return
+        self._pump_started = True
+
+        def pump():
+            while True:
+                for ev in self.session.events(timeout=1.0):
+                    rec = {"type": type(ev).__name__}
+                    rec.update({k: v for k, v in vars(ev).items()
+                                if isinstance(v, (str, int, float, bool,
+                                                  list, type(None)))})
+                    job = int(getattr(ev, "task_id", getattr(ev, "id", -1)))
+                    with self._events_lock:
+                        self._job_events.setdefault(job, []).append(rec)
+
+        threading.Thread(target=pump, daemon=True).start()
 
     # -- tool implementations ------------------------------------------
 
@@ -107,15 +142,24 @@ class McpServer:
         return {"job_id": job_id, "status": task.status,
                 "outputs": task.outputs, "error": task.error}
 
+    def job_events(self, job_id: int) -> Dict[str, Any]:
+        self._ensure_event_pump()
+        with self._events_lock:
+            evs = self._job_events.pop(job_id, [])
+        return {"job_id": job_id, "events": evs}
+
     def call_tool(self, name: str, args: Dict[str, Any]):
         if name == "wangp_list_models":
             return self.list_models()
         if name == "wangp_get_model":
             return self.get_model(args["model_type"])
         if name == "wangp_submit_job":
+            self._ensure_event_pump()
             return self.submit_job(args["settings"])
         if name == "wangp_job_status":
             return self.job_status(int(args["job_id"]))
+        if name == "wangp_job_events":
+            return self.job_events(int(args["job_id"]))
         raise ValueError(f"unknown tool {name!r}")
 
     # -- JSON-RPC plumbing ------------------------------------------------

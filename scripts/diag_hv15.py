@@ -5,7 +5,11 @@ Runs each candidate in order with a small program so the failing one is
 unambiguous in the log.
 """
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import numpy as np
 import jax

@@ -114,7 +114,11 @@ def hunyuan_denoise_scan(params, cfg: HunyuanConfig, latents, text_states,
             [jnp.ones_like(latents[:, :1, :1]),
              jnp.zeros_like(latents[:, :1, 1:])], axis=2)
 
-    def step_sig(x, sig, dsig):
+    # params threaded as an explicit argument: the host_loop path jits
+    # this step directly, and closed-over weights would be captured as
+    # lowering CONSTANTS (4.3 GB at HV1.5-8.3B w4 — observed to OOM the
+    # compile helper); as an argument they stay runtime buffers.
+    def step_sig(p, x, sig, dsig):
         t = jnp.broadcast_to(sig * 1000.0,
                              (2 * b if any_guidance else b,))
         if token_replace:
@@ -131,7 +135,7 @@ def hunyuan_denoise_scan(params, cfg: HunyuanConfig, latents, text_states,
             return (None if v_ is None else
                     jnp.concatenate([v_] * nb, axis=0) if nb > 1 else v_)
 
-        v = hunyuan_forward(params, cfg, xb, t, ctx, msk,
+        v = hunyuan_forward(p, cfg, xb, t, ctx, msk,
                             text_pooled=pooled, guidance=guidance,
                             rope_cos=cos, rope_sin=sin,
                             attn_backend=attn_backend,
@@ -156,7 +160,7 @@ def hunyuan_denoise_scan(params, cfg: HunyuanConfig, latents, text_states,
         return x + pred * dsig
 
     def body(x, i):
-        return step_sig(x, sigmas[i], sigmas[i + 1] - sigmas[i]), None
+        return step_sig(params, x, sigmas[i], sigmas[i + 1] - sigmas[i]), None
 
     x0 = latents.astype(jnp.float32)
     if token_replace:
@@ -166,7 +170,7 @@ def hunyuan_denoise_scan(params, cfg: HunyuanConfig, latents, text_states,
         step_jit = jax.jit(step_sig)
         x = x0
         for i in range(sampling.steps):
-            x = step_jit(x, sigmas[i], sigmas[i + 1] - sigmas[i])
+            x = step_jit(params, x, sigmas[i], sigmas[i + 1] - sigmas[i])
         return x
     x, _ = jax.lax.scan(body, x0, jnp.arange(sampling.steps))
     return x

@@ -590,14 +590,19 @@ def multitalk_denoise_scan(dit_params, dit_cfg: WanDiTConfig,
     vace3 = (jnp.concatenate([vace_context] * nb, axis=0)
              if vace_context is not None else None)
 
-    def body(carry, xs):
+    # params (and the other big operands) are threaded as explicit
+    # arguments: the host_loop path jits this step directly, and
+    # closed-over weights would be captured as lowering CONSTANTS
+    # (13.2 GB at 14B w4 + VACE — observed to kill the compile helper);
+    # as arguments they stay runtime buffers.
+    def step(p, ctx_, aud_, vc, cos_, sin_, carry, xs):
         x, sstate = carry
         t, coeffs_i, i = xs
         xb = jnp.concatenate([x] * nb, axis=0)
         tb = jnp.broadcast_to(t, (nb * b,))
-        v = wan_dit_forward(dit_params, dit_cfg, xb, tb, ctx,
-                            rope_cos, rope_sin, audio_tokens=aud,
-                            vace_context=vace3, vace_scale=vace_scale,
+        v = wan_dit_forward(p, dit_cfg, xb, tb, ctx_,
+                            cos_, sin_, audio_tokens=aud_,
+                            vace_context=vc, vace_scale=vace_scale,
                             attn_backend=attn_backend)
         if use_text_cfg:
             cond, drop_text, uncond = v[:b], v[b:2 * b], v[2 * b:]
@@ -607,18 +612,23 @@ def multitalk_denoise_scan(dit_params, dit_cfg: WanDiTConfig,
             cond, drop_audio = v[:b], v[b:]
             pred = drop_audio + audio_guide_scale * (cond - drop_audio)
         x, sstate = solver_step(schedule, i, coeffs_i, pred, x, sstate)
-        return (x, sstate), None
+        return (x, sstate)
+
+    def body(carry, xs):
+        return step(dit_params, ctx, aud, vace3, rope_cos, rope_sin,
+                    carry, xs), None
 
     carry0 = (latents.astype(jnp.float32),
               init_solver_state(schedule, latents))
     if host_loop:
-        body_jit = jax.jit(lambda c, xs: body(c, xs)[0])
+        step_jit = jax.jit(step)
         carry = carry0
         for i in range(schedule.num_steps):
             xs_i = (schedule.timesteps[i],
                     {k: v[i] for k, v in schedule.coeffs.items()},
                     jnp.asarray(i, jnp.int32))
-            carry = body_jit(carry, xs_i)
+            carry = step_jit(dit_params, ctx, aud, vace3,
+                             rope_cos, rope_sin, carry, xs_i)
         return carry[0]
     xs = (schedule.timesteps,
           {k: v for k, v in schedule.coeffs.items()},

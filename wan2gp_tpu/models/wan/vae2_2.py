@@ -292,7 +292,14 @@ def wan22_vae_decode_tiled(params, cfg: Wan22VAEConfig, latents,
     blend = int(tile_size * 0.25)             # pixel blend band
     row_limit = tile_size - blend
     h, w = latents.shape[2], latents.shape[3]
-    dec = decode_fn or jax.jit(lambda z: wan22_vae_decode(params, cfg, z))
+    if decode_fn is None:
+        # params as a jit ARGUMENT, not a closure — closed-over weights
+        # are captured as lowering constants (2.2 GB at the full 2.2 VAE,
+        # observed r05) and re-shipped to the compiler per tile shape
+        jdec = jax.jit(lambda p, z: wan22_vae_decode(p, cfg, z))
+        dec = lambda z: jdec(params, z)
+    else:
+        dec = decode_fn
     if h <= tl and w <= tl:
         return dec(latents)
     rows = []

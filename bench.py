@@ -594,16 +594,18 @@ def bench_ti2v_5b(peak, kind):
                   (1, 31, 45, 80, vae_cfg.z_dim), jnp.float32)
     # full-clip 2.2 decode at 720p/121f blows 16 GB HBM (16x spatial
     # stride); the reference's answer is spatial tiling
-    # (vae2_2.py:894) — measure the tiled path
+    # (vae2_2.py:894) — measure the tiled path.  128 px tiles: 256 px
+    # still ran out of HBM at 121 frames next to the resident 5B DiT
+    # (observed r05 ResourceExhausted)
     dec = ((lambda p, z: float(jnp.sum(wan22_vae_decode_tiled(
-               p, vae_cfg, z, tile_size=256)))) if not tiny else
+               p, vae_cfg, z, tile_size=128)))) if not tiny else
            (lambda p, z: float(jnp.sum(wan22_vae_decode(p, vae_cfg, z)))))
     try:
         dec(vae_p, z)
         t0 = time.perf_counter()
         dec(vae_p, z)
         vae_dt = time.perf_counter() - t0
-        note = f" VAE decode (tiled 256) {121 / vae_dt:.1f} fps;"
+        note = f" VAE decode (tiled 128) {121 / vae_dt:.1f} fps;"
     except Exception as exc:   # noqa: BLE001 — decode shape mismatch
         import sys
         print(f"[bench] ti2v vae decode failed: {exc!r}", file=sys.stderr)
@@ -623,7 +625,8 @@ def bench_hv15(peak, kind):
                                                     HunyuanSamplingConfig)
     from wan2gp_tpu.models.hyvideo.vae15 import (Hunyuan15VAEConfig,
                                                  init_hunyuan15_vae,
-                                                 hunyuan15_vae_decode)
+                                                 hunyuan15_vae_decode,
+                                                 hunyuan15_vae_decode_tiled)
     tiny = os.environ.get("BENCH_TINY") == "1"
     cfg = make_hunyuan_config(
         "hunyuan_1_5_t2v",
@@ -670,11 +673,22 @@ def bench_hv15(peak, kind):
     vae_p = init_hunyuan15_vae(jax.random.key(1), vae_cfg)
     z = jnp.zeros((1, vae_cfg.latent_channels, lat_f, lat_h, lat_w),
                   jnp.float32)
-    dec = jax.jit(lambda p, z: hunyuan15_vae_decode(p, vae_cfg, z).sum())
+    if tiny:
+        dec = (lambda p, z:
+               float(jax.jit(lambda p_, z_: hunyuan15_vae_decode(
+                   p_, vae_cfg, z_).sum())(p, z)))
+    else:
+        # full-clip 480p/97f decode allocates a 41 GB fused intermediate
+        # (observed r05) — spatial tiling is mandatory, as in the
+        # reference's tiled decode.  96 px tiles: even at 192 px the
+        # 97-frame upsample stack peaks at 19.3 GB (observed r05);
+        # 96 px brings that to ~4.8 GB next to the resident 4.2 GB DiT.
+        dec = (lambda p, z: float(jnp.sum(hunyuan15_vae_decode_tiled(
+            p, vae_cfg, z, tile_size=96))))
     try:
-        float(dec(vae_p, z))
+        dec(vae_p, z)
         t0 = time.perf_counter()
-        float(dec(vae_p, z))
+        dec(vae_p, z)
         vae_dt = time.perf_counter() - t0
         note = f" VAE decode {97 / vae_dt:.1f} fps;"
     except Exception as exc:   # noqa: BLE001
@@ -697,10 +711,17 @@ def bench_vace_multitalk(peak, kind):
     from wan2gp_tpu.ops.rope import build_rope_3d
 
     tiny = os.environ.get("BENCH_TINY") == "1"
+    # bf16 residual stream (BENCH_RESID=fp32 reverts): with the VACE
+    # stream riding the carry next to the main stream, two fp32
+    # [2, 32760, 5120] streams plus 10.7 GB of resident w4 weights
+    # (14B + 20 vace blocks + audio blocks) exceed the 16 GB chip
+    # (observed r05: 19.29/15.75 G)
+    resid = (jnp.float32 if os.environ.get("BENCH_RESID", "") == "fp32"
+             else jnp.bfloat16)
     cfg = (WanDiTConfig(dim=256, ffn_dim=512, num_heads=4, num_layers=2,
                         vace=True, text_len=16) if tiny else
            WanDiTConfig(dim=5120, ffn_dim=13824, num_heads=40,
-                        num_layers=40, vace=True))
+                        num_layers=40, vace=True, residual_dtype=resid))
     params = rand_params_w4_like(
         lambda: init_wan_dit(jax.random.key(0), cfg))
     # per-block multitalk audio cross-attn (multitalk/attention.py

@@ -49,6 +49,45 @@ def test_encode_decode_shapes():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_tiled_decode_matches_full():
+    """The tile grid / crop / blend orchestration must reproduce the
+    full decode exactly when the decoder is spatially local (a 4x
+    nearest upsample stand-in) — pins the stitch math without the
+    receptive-field approximation the real decoder adds at tile edges."""
+    from wan2gp_tpu.models.hyvideo.vae15 import hunyuan15_vae_decode_tiled
+
+    def fake_decode(z):
+        # [B, z, T, h, w] -> [B, 3, T, 4h, 4w]: local, so tiles are exact
+        return jnp.repeat(jnp.repeat(z[:, :3], 4, axis=3), 4, axis=4)
+
+    z = jax.random.normal(jax.random.key(4), (1, 4, 2, 6, 8)) * 0.5
+    full = fake_decode(z)
+    # tile_size 16 -> latent tile 4 (ffactor 4), so 6x8 genuinely tiles
+    tiled = hunyuan15_vae_decode_tiled(None, TINY, z, tile_size=16,
+                                       decode_fn=fake_decode)
+    assert tiled.shape == full.shape
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(full),
+                               atol=1e-6)
+
+
+def test_tiled_decode_real_seams_bounded():
+    """With the real (random-weight) decoder the tiled output must stay
+    continuous: the inter-tile seam jump must not exceed ~2x the typical
+    local gradient of the full decode."""
+    from wan2gp_tpu.models.hyvideo.vae15 import hunyuan15_vae_decode_tiled
+    params = init_hunyuan15_vae(jax.random.key(3), TINY)
+    z = jax.random.normal(jax.random.key(4),
+                          (1, TINY.latent_channels, 2, 6, 8)) * 0.5
+    tiled = np.asarray(hunyuan15_vae_decode_tiled(params, TINY, z,
+                                                  tile_size=16))
+    full = np.asarray(hunyuan15_vae_decode(params, TINY, z))
+    assert tiled.shape == full.shape
+    # seam after crop: first tile contributes row_limit=12 pixel rows
+    seam = np.abs(np.diff(tiled, axis=3))[:, :, :, 10:13].max()
+    grad = np.abs(np.diff(full, axis=3)).max()
+    assert seam <= 2.0 * grad + 1e-3
+
+
 def test_hv15_loader_roundtrip():
     from wan2gp_tpu.models.hyvideo.vae15 import load_hunyuan15_vae_params
     params = init_hunyuan15_vae(jax.random.key(2), TINY)

@@ -322,6 +322,66 @@ def hunyuan15_vae_decode(params, cfg: Hunyuan15VAEConfig, latents):
     return x.transpose(0, 4, 1, 2, 3)
 
 
+def _blend_axis(prev, tile, extent: int, axis: int):
+    """Linear seam blend along `axis` (same ramp as the reference's
+    spatial tiled decode, models/hyvideo/vae/hunyuanvideo_15_vae.py
+    blend_v/blend_h): the first `extent` slices of `tile` ramp from the
+    last `extent` slices of `prev`."""
+    extent = min(prev.shape[axis], tile.shape[axis], int(extent))
+    if extent <= 0:
+        return tile
+    shape = [1] * tile.ndim
+    shape[axis] = extent
+    w = (jnp.arange(extent, dtype=tile.dtype) / extent).reshape(shape)
+    head = [slice(None)] * axis + [slice(0, extent)]
+    tail = [slice(None)] * axis + [slice(-extent, None)]
+    mixed = tile[tuple(head)] * w + prev[tuple(tail)] * (1.0 - w)
+    return tile.at[tuple(head)].set(mixed)
+
+
+def hunyuan15_vae_decode_tiled(params, cfg: Hunyuan15VAEConfig, latents,
+                               tile_size: int = 256, decode_fn=None):
+    """Spatially-tiled decode with overlap blending — bounds decoder
+    activation memory by pixel tile (the reference's spatial tiled
+    decode strategy, as in vae2_2.py:894 spatial_tiled_decode: latent
+    tiles of tile_size/16 on a 0.75-overlap grid, seams blended over
+    the 0.25 band, cropped to row_limit).
+
+    The full-clip 480p/97f decode allocates a 41 GB fused intermediate
+    (f32[97,120,8,27,4096], observed r05 on the 16 GB chip); tiling is
+    mandatory at video resolutions.  latents: [B, z, T', H', W'].
+    Each distinct tile shape compiles once."""
+    if decode_fn is None:
+        # params as a jit ARGUMENT, not a closure — closed-over weights
+        # are captured as lowering constants and re-shipped per tile shape
+        jdec = jax.jit(lambda p, z: hunyuan15_vae_decode(p, cfg, z))
+        dec = lambda z: jdec(params, z)
+    else:
+        dec = decode_fn
+    tl = tile_size // cfg.ffactor_spatial       # latent tile
+    stride = int(tl * 0.75)                     # latent stride
+    blend = int(tile_size * 0.25)               # pixel blend band
+    row_limit = tile_size - blend
+    h, w = latents.shape[3], latents.shape[4]
+    if h <= tl and w <= tl:
+        return dec(latents)
+    rows = []
+    for i in range(0, h, stride):
+        rows.append([dec(latents[:, :, :, i:i + tl, j:j + tl])
+                     for j in range(0, w, stride)])
+    result_rows = []
+    for i, row in enumerate(rows):
+        out_row = []
+        for j, tile in enumerate(row):
+            if i > 0:
+                tile = _blend_axis(rows[i - 1][j], tile, blend, 3)
+            if j > 0:
+                tile = _blend_axis(row[j - 1], tile, blend, 4)
+            out_row.append(tile[:, :, :, :row_limit, :row_limit])
+        result_rows.append(jnp.concatenate(out_row, axis=4))
+    return jnp.concatenate(result_rows, axis=3)
+
+
 def load_hunyuan15_vae_params(sd: Dict[str, Any],
                               cfg: Hunyuan15VAEConfig = Hunyuan15VAEConfig(),
                               dtype=jnp.float32):

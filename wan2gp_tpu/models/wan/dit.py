@@ -786,29 +786,76 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
             # context (model.py:1644-1646 steadydancer_clip_fea_c)
             ctx_img = ctx_img + img_emb(clip_fea_extra)
 
-    # VACE control branch: run the parallel hint stack first, collect the
-    # per-layer skip additions (zeros at non-vace layers).
-    if vace_context is not None and cfg.vace:
-        c = patchify(vace_context.astype(jnp.float32), cfg.patch_size)
-        c = _dense(c, params["vace_patch_embedding"], jnp.float32)
-        c = _dense(c.astype(cfg.compute_dtype),
-                   params["vace_before_proj"]).astype(jnp.float32)
-        c = jnp.broadcast_to(c, x.shape) + x
+    # VACE control branch (vace_model.py forward_vace): each vace block
+    # emits an after_proj skip added to main layer 2i.  The hints are NOT
+    # precomputed as a stacked [num_layers, B, L, D] array — at 14B/720p
+    # CFG dims that stack is bf16[40, 2, 32760, 5120] = 26.8 GB (observed
+    # r05 OOM on the 16 GB chip).  Instead the vace activation rides the
+    # main scan's carry and each hint is produced just-in-time: the scan
+    # walks layer PAIRS (vace_layers is every 2nd layer), running vace
+    # block i then main layers 2i (+hint) and 2i+1.  O(1) hint memory.
+    vace_on = vace_context is not None and cfg.vace
+    if vace_on:
+        if cfg.num_layers % 2:
+            raise ValueError("interleaved VACE scan expects an even "
+                             "number of layers (vace on every 2nd)")
+        c_embed = patchify(vace_context.astype(jnp.float32), cfg.patch_size)
+        c_embed = _dense(c_embed, params["vace_patch_embedding"],
+                         jnp.float32)
+        c_embed = _dense(c_embed.astype(cfg.compute_dtype),
+                         params["vace_before_proj"]).astype(jnp.float32)
 
-        def vbody(c, bp):
-            blk = {k: v for k, v in bp.items() if k != "after_proj"}
+        def _vace_step(c, vbp):
+            blk = {k: v for k, v in vbp.items() if k != "after_proj"}
+            # the vace stream rides the scan carry in residual_dtype,
+            # same as the main stream (fp32 default; bf16 at 14B bench
+            # dims, where two fp32 [2, 32k, 5120] streams cost 2.7 GB)
             c = _block(blk, c, e6, ctx, ctx_img, rope_cos, rope_sin, cfg,
-                       attn_backend).astype(jnp.float32)
-            skip = _dense(c.astype(cfg.compute_dtype), bp["after_proj"])
-            return c, skip
+                       attn_backend).astype(cfg.residual_dtype)
+            skip = _dense(c.astype(cfg.compute_dtype), vbp["after_proj"])
+            return c, skip * vace_scale
 
-        _, skips = jax.lax.scan(vbody, c, params["vace_blocks"])
-        hints = jnp.zeros((cfg.num_layers, *skips.shape[1:]),
-                          cfg.compute_dtype)
-        hints = hints.at[::2].set(skips.astype(cfg.compute_dtype)
-                                  * vace_scale)
-    else:
-        hints = jnp.zeros((cfg.num_layers, 1, 1, 1), jnp.float32)
+    _zero_hint = jnp.zeros((1, 1, 1), jnp.float32)
+
+    def _make_run_blocks(body, extra_stacks=(), wrap=None, unwrap=None):
+        """Build run_blocks(x) from a per-layer body(carry, (bp, hint,
+        *extras)).  Without VACE: one scan over the stacked blocks with a
+        broadcast-zero hint.  With VACE: scan over layer pairs, threading
+        the vace activation through the carry (see note above)."""
+        wrap = wrap or (lambda x: x)
+        unwrap = unwrap or (lambda c: c)
+        if not vace_on:
+            hints = jnp.zeros((cfg.num_layers, 1, 1, 1), jnp.float32)
+
+            def run_blocks(x):
+                out, _ = jax.lax.scan(
+                    body, wrap(x), (params["blocks"], hints) + extra_stacks)
+                return unwrap(out)
+            return run_blocks
+
+        n_v = cfg.num_layers // 2
+        stacks2 = jax.tree.map(
+            lambda a: a.reshape(n_v, 2, *a.shape[1:]),
+            (params["blocks"],) + extra_stacks)
+
+        def pair_body(carry, xs):
+            bcar, c = carry
+            vbp, row = xs
+            c, skip = _vace_step(c, vbp)
+            row0 = jax.tree.map(lambda a: a[0], row)
+            row1 = jax.tree.map(lambda a: a[1], row)
+            bcar, _ = body(bcar, (row0[0], skip) + tuple(row0[1:]))
+            bcar, _ = body(bcar, (row1[0], _zero_hint) + tuple(row1[1:]))
+            return (bcar, c), None
+
+        def run_blocks(x):
+            c0 = (jnp.broadcast_to(c_embed, x.shape) + x).astype(
+                cfg.residual_dtype)
+            (out, _), _ = jax.lax.scan(
+                pair_body, (wrap(x), c0),
+                (params["vace_blocks"], stacks2))
+            return unwrap(out)
+        return run_blocks
 
     # Multitalk audio conditioning: per-layer audio cross-attn params
     # scanned alongside the blocks (multitalk_model.py:295-297).
@@ -855,11 +902,7 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
             out = out + ap["active"] * fb.astype(out.dtype)
             return out + hint.astype(out.dtype), None
 
-        def run_blocks(x):
-            out, _ = jax.lax.scan(
-                body, x, (params["blocks"], hints,
-                          params["face_adapter"]))
-            return out
+        run_blocks = _make_run_blocks(body, (params["face_adapter"],))
     elif use_lynx:
         ip_embeds, ref_buf, ip_scale, ref_scale = lynx
 
@@ -874,12 +917,10 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
                          lynx=(lp, ip_embeds, rfeats, ip_scale, ref_scale))
             return out + hint.astype(out.dtype), None
 
-        def run_blocks(x):
-            xs = (params["blocks"], hints, params["lynx_blocks"])
-            if ref_buf is not None:
-                xs = xs + (ref_buf,)
-            out, _ = jax.lax.scan(body, x, xs)
-            return out
+        lynx_stacks = (params["lynx_blocks"],)
+        if ref_buf is not None:
+            lynx_stacks = lynx_stacks + (ref_buf,)
+        run_blocks = _make_run_blocks(body, lynx_stacks)
     elif use_standin:
         # StandIn (model.py:1781-1789, 1945-1947): reference-face tokens
         # run a parallel phase-1 block stack (q/k/v LoRA, t=0 modulation,
@@ -908,11 +949,10 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
                          standin_kv=kv)
             return (out + hint.astype(out.dtype), new_sx), None
 
-        def run_blocks(x):
-            (out, _), _ = jax.lax.scan(
-                body, (x, sx.astype(cfg.residual_dtype)),
-                (params["blocks"], hints, params["standin_loras"]))
-            return out
+        run_blocks = _make_run_blocks(
+            body, (params["standin_loras"],),
+            wrap=lambda x: (x, sx.astype(cfg.residual_dtype)),
+            unwrap=lambda carry: carry[0])
     elif use_recam:
         # ReCamMaster (model.py:1196-1204): per-block zero-init camera
         # encoder + identity projector, scanned alongside the blocks.
@@ -933,11 +973,7 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
                          recam=(rp, cam, cam_map))
             return out + hint.astype(out.dtype), None
 
-        def run_blocks(x):
-            out, _ = jax.lax.scan(
-                body, x, (params["blocks"], hints,
-                          params["recam_blocks"]))
-            return out
+        run_blocks = _make_run_blocks(body, (params["recam_blocks"],))
     elif use_audio:
         audio_ctx = audio_tokens.astype(cfg.compute_dtype)
 
@@ -948,11 +984,7 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
                          audio=(ap, audio_ctx, grid[0]))
             return out + hint.astype(out.dtype), None
 
-        def run_blocks(x):
-            out, _ = jax.lax.scan(
-                body, x, (params["blocks"], hints,
-                          params["audio_attn_blocks"]))
-            return out
+        run_blocks = _make_run_blocks(body, (params["audio_attn_blocks"],))
     elif use_fantasy:
         # FantasyTalking: per-block processor k/v over the projected audio
         # windows (model.py:1210-1213, modules/model.py:479-496)
@@ -966,11 +998,8 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
                          fantasy=(fp, f_ctx, f_mask, f_scale))
             return out + hint.astype(out.dtype), None
 
-        def run_blocks(x):
-            out, _ = jax.lax.scan(
-                body, x, (params["blocks"], hints,
-                          params["fantasy_attn_blocks"]))
-            return out
+        run_blocks = _make_run_blocks(body,
+                                      (params["fantasy_attn_blocks"],))
     else:
         def body(carry, xs):
             bp, hint = xs
@@ -978,9 +1007,7 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
                          cfg, attn_backend, context_neg=ctx_neg, nag=nag)
             return out + hint.astype(out.dtype), None
 
-        def run_blocks(x):
-            out, _ = jax.lax.scan(body, x, (params["blocks"], hints))
-            return out
+        run_blocks = _make_run_blocks(body)
 
     new_residual = None
     new_fbc = None
@@ -988,17 +1015,18 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
                                   or use_lynx or use_recam):
         raise ValueError("first-block cache is not supported together "
                          "with audio/standin/lynx conditioning")
+    if fbc_state is not None and vace_on:
+        raise ValueError("first-block cache is not supported together "
+                         "with VACE")
     if fbc_state is not None:
         # First-block cache (reference models/minimax_h3/first_block_cache.py
         # :6-54): run block 0, compare its output signature to the cached
         # one; below threshold reuse the cached block-stack tail residual.
         prev_sig, tail_res, allow_skip = fbc_state
         bp0 = jax.tree.map(lambda a: a[0], params["blocks"])
-        hint0 = hints[0]
         x0_in = x
         x = _block(bp0, x, e6, ctx, ctx_img, rope_cos, rope_sin, cfg,
                    attn_backend, context_neg=ctx_neg, nag=nag)
-        x = x + hint0.astype(x.dtype)
         sig = x
         diff = jnp.abs(sig.astype(jnp.float32)
                        - prev_sig.astype(jnp.float32)).mean()
@@ -1009,7 +1037,8 @@ def wan_dit_forward(params, cfg: WanDiTConfig, latents, t, context,
 
         def run_tail(x):
             blocks_tail = jax.tree.map(lambda a: a[1:], params["blocks"])
-            out, _ = jax.lax.scan(body, x, (blocks_tail, hints[1:]))
+            zh = jnp.zeros((cfg.num_layers - 1, 1, 1, 1), jnp.float32)
+            out, _ = jax.lax.scan(body, x, (blocks_tail, zh))
             return out
 
         x_head = x

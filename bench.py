@@ -678,13 +678,14 @@ def bench_hv15(peak, kind):
                float(jax.jit(lambda p_, z_: hunyuan15_vae_decode(
                    p_, vae_cfg, z_).sum())(p, z)))
     else:
-        # full-clip 480p/97f decode allocates a 41 GB fused intermediate
-        # (observed r05) — spatial tiling is mandatory, as in the
-        # reference's tiled decode.  96 px tiles: even at 192 px the
-        # 97-frame upsample stack peaks at 19.3 GB (observed r05);
-        # 96 px brings that to ~4.8 GB next to the resident 4.2 GB DiT.
+        # full-clip 480p/97f decode peaks ~20 GB at the last (128-ch)
+        # level — spatial tiling is mandatory, as in the reference's
+        # tiled decode.  192 px tiles bound the upsample stack to ~2 GB
+        # next to the resident 4.2 GB DiT.  (The r05 OOMs at 96/192 px
+        # were the decoder channel-order bug: channels widened to 1024
+        # at full res instead of narrowing per vae15 :562.)
         dec = (lambda p, z: float(jnp.sum(hunyuan15_vae_decode_tiled(
-            p, vae_cfg, z, tile_size=96))))
+            p, vae_cfg, z, tile_size=192))))
     try:
         dec(vae_p, z)
         t0 = time.perf_counter()
@@ -766,9 +767,13 @@ def bench_vace_multitalk(peak, kind):
     # [cond(text,audio), drop_audio(text,silence)] (any2video.py:1652).
     # host_loop at 14B: one jitted step, looped — the whole-scan program
     # exceeds the tunnel's ~300 s compile watchdog.
+    # sequential branches (joint_pass=False): the joint 2-branch pass
+    # plus ~12 GB of resident w4 weights exceeded the 16 GB chip even
+    # with the interleaved VACE scan (observed r05: 19.3/15.75 G)
     fn = (lambda p, x, c, a, az: multitalk_denoise_scan(
         p, cfg, sched, x, c, c, a, az, 1.0, 4.0, cos, sin,
-        vace_context=vace_ctx, attn_backend=backend, host_loop=not tiny))
+        vace_context=vace_ctx, attn_backend=backend, host_loop=not tiny,
+        joint_pass=tiny))
     if tiny:
         fn = jax.jit(fn)
 

@@ -342,3 +342,39 @@ def test_multitalk_host_loop_matches_scan():
                                jnp.zeros_like(audio), host_loop=True, **kw)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("guide", [1.0, 4.0])
+def test_multitalk_seq_branches_match_joint(guide):
+    """joint_pass=False (sequential b=1 CFG branches — the memory trade
+    that fits VACE+Multitalk 14B on one 16 GB chip) is numerically
+    identical to the joint batched pass for both branch layouts
+    (any2video.py:1630-1655).  fp32 compute: in bf16 a batched forward
+    and a b=1 forward already differ by ~6e-3 from matmul tiling alone,
+    which would mask a real combine bug."""
+    import dataclasses
+    from wan2gp_tpu.models.wan.dit import init_wan_dit
+    from wan2gp_tpu.models.wan.pipeline import multitalk_denoise_scan
+    from wan2gp_tpu.schedulers import make_schedule
+    from wan2gp_tpu.ops.rope import build_rope_3d
+    cfg, _ = _tiny_wan()
+    cfg = dataclasses.replace(cfg, compute_dtype=jnp.float32)
+    params = dict(init_wan_dit(jax.random.key(0), cfg, dtype=jnp.float32))
+    params["audio_attn_blocks"] = init_multitalk_audio_attn(
+        jax.random.key(1), cfg, cfg.num_layers, audio_dim=6)
+    sched = make_schedule("unipc", 3, shift=5.0)
+    lat = jax.random.normal(jax.random.key(2), (1, cfg.in_dim, 3, 8, 8),
+                            jnp.float32)
+    ctx = jnp.zeros((1, cfg.text_len, cfg.text_dim), jnp.float32)
+    cos, sin = build_rope_3d((3, 4, 4), head_dim=cfg.head_dim)
+    audio = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (1, 3, 2, 6)), jnp.float32)
+    kw = dict(guide_scale=guide, audio_guide_scale=3.0, rope_cos=cos,
+              rope_sin=sin, attn_backend="xla")
+    a = multitalk_denoise_scan(params, cfg, sched, lat, ctx, ctx, audio,
+                               jnp.zeros_like(audio), **kw)
+    b = multitalk_denoise_scan(params, cfg, sched, lat, ctx, ctx, audio,
+                               jnp.zeros_like(audio), host_loop=True,
+                               joint_pass=False, **kw)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-5, atol=2e-5)

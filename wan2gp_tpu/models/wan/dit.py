@@ -485,8 +485,13 @@ def _block(bp, x, e6, context, context_img, rope_cos, rope_sin, cfg,
     # self-attention with adaLN-zero (fused norm+modulate+cast: the qkv
     # denses cast to compute_dtype anyway, so emitting bf16 here is
     # bit-identical and halves the materialized buffer — ops/norms.py)
+    # the stream (x/xr) stays in rdt between ops: the norms upcast to
+    # fp32 internally PER CHUNK (ops/norms.py), so casting at the call
+    # site is bit-identical but materializes a full-stream fp32 temp
+    # (640 MB at 14B/32.7k tokens — the r05 VACE-multitalk OOM); each
+    # accumulation computes in fp32 and emits rdt (no-op when rdt=fp32)
     cdt = cfg.compute_dtype
-    y = modulated_layer_norm(xr.astype(jnp.float32), emod(0), emod(1),
+    y = modulated_layer_norm(xr, emod(0), emod(1),
                              eps=cfg.eps, out_dtype=cdt).reshape(b, l, c)
     if recam is not None:
         # ReCamMaster (model.py:634-642): per-block camera-pose tokens
@@ -505,29 +510,36 @@ def _block(bp, x, e6, context, context_img, rope_cos, rope_sin, cfg,
         # projector on the self-attn output (model.py:650)
         y = (y.astype(jnp.float32) @ recam[0]["proj_w"]
              + recam[0]["proj_b"]).astype(y.dtype)
-    x = (xr + y.astype(jnp.float32).reshape(b, t_mod, -1, c) * emod(2))
+    x = (xr.astype(jnp.float32)
+         + y.astype(jnp.float32).reshape(b, t_mod, -1, c) * emod(2)
+         ).astype(rdt)
     x = x.reshape(b, l, c)
 
     # cross-attention (norm3 has affine params; cross_attn_norm=True);
     # out_dtype=cdt is bit-identical (the q dense casts to cdt first)
-    y = layer_norm(x.astype(jnp.float32), bp["norm3"]["w"], bp["norm3"]["b"],
+    y = layer_norm(x, bp["norm3"]["w"], bp["norm3"]["b"],
                    eps=cfg.eps, out_dtype=cdt)
-    x = x + _cross_attention(bp["cross_attn"], y, context, context_img, cfg,
-                             attn_backend, context_neg=context_neg,
-                             nag=nag, fantasy=fantasy,
-                             lynx_ip=lynx_ip).astype(jnp.float32)
+    x = (x.astype(jnp.float32)
+         + _cross_attention(bp["cross_attn"], y, context, context_img, cfg,
+                            attn_backend, context_neg=context_neg,
+                            nag=nag, fantasy=fantasy,
+                            lynx_ip=lynx_ip).astype(jnp.float32)
+         ).astype(rdt)
 
     if audio is not None:
         ap, audio_ctx, n_frames = audio
-        x = x + _audio_cross_attention(ap, x, audio_ctx, n_frames, cfg,
-                                       attn_backend).astype(jnp.float32)
+        x = (x.astype(jnp.float32)
+             + _audio_cross_attention(ap, x, audio_ctx, n_frames, cfg,
+                                      attn_backend).astype(jnp.float32)
+             ).astype(rdt)
 
     # FFN with adaLN-zero (same fused bf16 emission as the self-attn norm)
     xr = x.reshape(b, t_mod, l // t_mod, c)
-    y = modulated_layer_norm(xr.astype(jnp.float32), emod(3), emod(4),
+    y = modulated_layer_norm(xr, emod(3), emod(4),
                              eps=cfg.eps, out_dtype=cdt).reshape(b, l, c)
     y = _ffn(bp["ffn"], y, cfg)
-    x = (xr + y.astype(jnp.float32).reshape(b, t_mod, -1, c) * emod(5))
+    x = (xr.astype(jnp.float32)
+         + y.astype(jnp.float32).reshape(b, t_mod, -1, c) * emod(5))
     return x.reshape(b, l, c).astype(rdt)
 
 

@@ -558,12 +558,19 @@ def multitalk_denoise_scan(dit_params, dit_cfg: WanDiTConfig,
                            rope_cos, rope_sin, vace_context=None,
                            vace_scale: float = 1.0,
                            attn_backend: str = "auto",
-                           host_loop: bool = False):
+                           host_loop: bool = False,
+                           joint_pass: bool = True):
     """Multitalk audio-CFG denoising (any2video.py:1545-1559, 1630-1655).
 
     host_loop=True compiles ONE step and loops on host — keeps the
     per-jit program small at 14B dims (whole-scan compiles exceed the
     tunnel's ~300 s compile watchdog; same as SamplingConfig.host_loop).
+
+    joint_pass=False runs the CFG branches as SEQUENTIAL b=1 forwards
+    (same trade as SamplingConfig.joint_pass: identical math — the
+    branches are data-independent — at half the peak activation memory;
+    what lets VACE+Multitalk 14B fit next to its ~12 GB of w4 weights
+    on one 16 GB chip).  Requires host_loop.
 
     Branches:
       guide==1 (FusioniX accelerator, defaults/vace_multitalk_14B.json):
@@ -579,14 +586,24 @@ def multitalk_denoise_scan(dit_params, dit_cfg: WanDiTConfig,
     b = latents.shape[0]
     use_text_cfg = guide_scale != 1.0
     if use_text_cfg:
-        ctx = jnp.concatenate([context, context_null, context_null], axis=0)
-        aud = jnp.concatenate([audio_tokens, audio_tokens,
-                               audio_tokens_zero], axis=0)
+        branches = [(context, audio_tokens), (context_null, audio_tokens),
+                    (context_null, audio_tokens_zero)]
         nb = 3
     else:
-        ctx = jnp.concatenate([context, context], axis=0)
-        aud = jnp.concatenate([audio_tokens, audio_tokens_zero], axis=0)
+        branches = [(context, audio_tokens), (context, audio_tokens_zero)]
         nb = 2
+
+    if not joint_pass:
+        if not host_loop:
+            raise ValueError("multitalk joint_pass=False requires "
+                             "host_loop=True (micro-step driver)")
+        return _multitalk_seq_branches(
+            dit_params, dit_cfg, schedule, latents, branches, guide_scale,
+            audio_guide_scale, rope_cos, rope_sin, vace_context,
+            vace_scale, attn_backend, use_text_cfg)
+
+    ctx = jnp.concatenate([c for c, _ in branches], axis=0)
+    aud = jnp.concatenate([a for _, a in branches], axis=0)
     vace3 = (jnp.concatenate([vace_context] * nb, axis=0)
              if vace_context is not None else None)
 
@@ -635,6 +652,55 @@ def multitalk_denoise_scan(dit_params, dit_cfg: WanDiTConfig,
           jnp.arange(schedule.num_steps, dtype=jnp.int32))
     (x, _), _ = jax.lax.scan(body, carry0, xs)
     return x
+
+
+def _multitalk_seq_branches(dit_params, dit_cfg, schedule, latents,
+                            branches, guide_scale, audio_guide_scale,
+                            rope_cos, rope_sin, vace_context, vace_scale,
+                            attn_backend, use_text_cfg):
+    """Sequential-branch multitalk host loop: one b=1 DiT forward per
+    CFG branch per step (any2video.py:1630-1655 math, with
+    SamplingConfig.joint_pass=False's memory trade).  Two jitted
+    programs regardless of step count: the branch forward, and the
+    last branch fused with the guidance combine + solver step."""
+    b = latents.shape[0]
+
+    def fwd(p, ctx_, aud_, vc, cos_, sin_, x, t):
+        tb = jnp.broadcast_to(t, (b,))
+        return wan_dit_forward(p, dit_cfg, x, tb, ctx_, cos_, sin_,
+                               audio_tokens=aud_, vace_context=vc,
+                               vace_scale=vace_scale,
+                               attn_backend=attn_backend)
+
+    def last(p, ctx_, aud_, vc, cos_, sin_, carry, vbuf, xs):
+        x, sstate = carry
+        t, coeffs_i, i = xs
+        v = fwd(p, ctx_, aud_, vc, cos_, sin_, x, t)
+        if use_text_cfg:
+            cond, drop_text, uncond = vbuf[0], vbuf[1], v
+            pred = (uncond + guide_scale * (cond - drop_text)
+                    + audio_guide_scale * (drop_text - uncond))
+        else:
+            cond, drop_audio = vbuf[0], v
+            pred = drop_audio + audio_guide_scale * (cond - drop_audio)
+        x, sstate = solver_step(schedule, i, coeffs_i, pred, x, sstate)
+        return (x, sstate)
+
+    fwd_jit, last_jit = jax.jit(fwd), jax.jit(last)
+    carry = (latents.astype(jnp.float32),
+             init_solver_state(schedule, latents))
+    for i in range(schedule.num_steps):
+        xs_i = (schedule.timesteps[i],
+                {k: v[i] for k, v in schedule.coeffs.items()},
+                jnp.asarray(i, jnp.int32))
+        vbuf = jnp.stack([
+            fwd_jit(dit_params, c, a, vace_context, rope_cos, rope_sin,
+                    carry[0], xs_i[0])
+            for c, a in branches[:-1]])
+        cl, al = branches[-1]
+        carry = last_jit(dit_params, cl, al, vace_context, rope_cos,
+                         rope_sin, carry, vbuf, xs_i)
+    return carry[0]
 
 
 def fantasy_denoise_scan(dit_params, dit_cfg: WanDiTConfig,

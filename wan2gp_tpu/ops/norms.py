@@ -25,16 +25,12 @@ def rms_norm(x, weight=None, eps: float = 1e-5):
     Large inputs are processed in token chunks to bound fp32 temps."""
     if (x.ndim >= 3 and x.size > _NORM_CHUNK_ELEMS
             and x.dtype != jnp.float32):
-        want = -(-x.size // _NORM_CHUNK_ELEMS)
-        l = x.shape[1]
-        n = next((k for k in range(max(2, want), l + 1) if l % k == 0), 1)
+        ax, n, lc = _chunk_axis(x)
         if n > 1:
-            lc = l // n
-
             def body(i, out):
-                xs = jax.lax.dynamic_slice_in_dim(x, i * lc, lc, axis=1)
+                xs = jax.lax.dynamic_slice_in_dim(x, i * lc, lc, axis=ax)
                 return jax.lax.dynamic_update_slice_in_dim(
-                    out, _rms_norm_full(xs, weight, eps), i * lc, axis=1)
+                    out, _rms_norm_full(xs, weight, eps), i * lc, axis=ax)
 
             return jax.lax.fori_loop(0, n, body, jnp.empty_like(x))
     return _rms_norm_full(x, weight, eps)
@@ -55,17 +51,17 @@ def layer_norm(x, weight=None, bias=None, eps: float = 1e-6,
     """LayerNorm with fp32 accumulation; affine params optional.
     out_dtype: output cast (default x.dtype) — pass the consumer's compute
     dtype when the consumer casts anyway (bit-identical, halves the
-    buffer).  Large inputs chunk over axis 1 (exact: stats are
-    per-last-dim) so the centered fp32 temp stays loop-local."""
+    buffer).  Large inputs chunk over the longest middle axis (exact:
+    stats are per-last-dim) so the centered fp32 temp stays loop-local."""
     out_dtype = out_dtype or x.dtype
     if x.ndim >= 3 and x.size > _NORM_CHUNK_ELEMS:
-        n, lc = _axis1_chunks(x)
+        ax, n, lc = _chunk_axis(x)
         if n > 1:
             def body(i, out):
-                xs = jax.lax.dynamic_slice_in_dim(x, i * lc, lc, axis=1)
+                xs = jax.lax.dynamic_slice_in_dim(x, i * lc, lc, axis=ax)
                 return jax.lax.dynamic_update_slice_in_dim(
                     out, _layer_norm_full(xs, weight, bias, eps, out_dtype),
-                    i * lc, axis=1)
+                    i * lc, axis=ax)
 
             return jax.lax.fori_loop(
                 0, n, body, jnp.empty(x.shape, out_dtype))
@@ -84,32 +80,37 @@ def modulated_layer_norm(x, shift, scale, eps: float = 1e-6,
     Wan-14B/720p).  shift/scale: broadcastable over x (e.g. [B, T, 1, C])."""
     out_dtype = out_dtype or x.dtype
 
-    def one(xs, i0):
+    def one(xs, i0, ax):
         y = _layer_norm_full(xs, None, None, eps, jnp.float32)
-        sh = shift if shift.shape[1] == 1 else \
-            jax.lax.dynamic_slice_in_dim(shift, i0, xs.shape[1], axis=1)
-        sc = scale if scale.shape[1] == 1 else \
-            jax.lax.dynamic_slice_in_dim(scale, i0, xs.shape[1], axis=1)
+        sh = shift if shift.shape[ax] == 1 else \
+            jax.lax.dynamic_slice_in_dim(shift, i0, xs.shape[ax], axis=ax)
+        sc = scale if scale.shape[ax] == 1 else \
+            jax.lax.dynamic_slice_in_dim(scale, i0, xs.shape[ax], axis=ax)
         return (y * (1.0 + sc) + sh).astype(out_dtype)
 
     if x.ndim >= 3 and x.size > _NORM_CHUNK_ELEMS:
-        n, lc = _axis1_chunks(x)
+        ax, n, lc = _chunk_axis(x)
         if n > 1:
             def body(i, out):
-                xs = jax.lax.dynamic_slice_in_dim(x, i * lc, lc, axis=1)
+                xs = jax.lax.dynamic_slice_in_dim(x, i * lc, lc, axis=ax)
                 return jax.lax.dynamic_update_slice_in_dim(
-                    out, one(xs, i * lc), i * lc, axis=1)
+                    out, one(xs, i * lc, ax), i * lc, axis=ax)
 
             return jax.lax.fori_loop(
                 0, n, body, jnp.empty(x.shape, out_dtype))
-    return one(x, 0)
+    return one(x, 0, 1)
 
 
-def _axis1_chunks(x):
+def _chunk_axis(x):
+    """Chunk over the longest middle axis — adaLN inputs arrive as
+    [B, T_mod, L, C] with T_mod == 1, where chunking axis 1 silently
+    disabled and two full-size fp32 temps survived (observed r05:
+    2x 1.25 GB at 14B/32.7k tokens)."""
+    ax = max(range(1, x.ndim - 1), key=lambda a: x.shape[a])
     want = -(-x.size // _NORM_CHUNK_ELEMS)
-    l = x.shape[1]
+    l = x.shape[ax]
     n = next((k for k in range(max(2, want), l + 1) if l % k == 0), 1)
-    return n, (l // n if n > 1 else l)
+    return ax, n, (l // n if n > 1 else l)
 
 
 def _layer_norm_full(x, weight, bias, eps, out_dtype=None):

@@ -176,6 +176,38 @@ def install_shims():
     _module("refmodels.wan.steadydancer.mobilenetv2_dcd", DYModule=_noop)
     _module("refmodels.wan.shotplan", inject_shotplan_tokens=_noop)
 
+    # ---- hyvideo vae15 import surface (AutoencoderKLConv3D)
+    class _BaseOutput:
+        def __init__(self, **kw):
+            for k, v in kw.items():
+                setattr(self, k, v)
+
+    class _DiagGauss:
+        def __init__(self, parameters):
+            self.parameters = parameters
+            self.mean, self.logvar = torch.chunk(parameters, 2, dim=1)
+
+        def mode(self):
+            return self.mean
+
+    _module("diffusers.models.autoencoders")
+    _module("diffusers.models.autoencoders.vae", BaseOutput=_BaseOutput,
+            DiagonalGaussianDistribution=_DiagGauss)
+    _module("diffusers.models.modeling_outputs",
+            AutoencoderKLOutput=_BaseOutput)
+    if "loguru" not in sys.modules:
+        try:
+            __import__("loguru")
+        except ImportError:
+            class _Logger:
+                def __getattr__(self, name):
+                    return lambda *a, **k: None
+            _module("loguru", logger=_Logger())
+    hyv = _module("refmodels.hyvideo")
+    hyv.__path__ = [os.path.join(REF, "models", "hyvideo")]
+    hvv = _module("refmodels.hyvideo.vae")
+    hvv.__path__ = [os.path.join(REF, "models", "hyvideo", "vae")]
+
 
 # ---------------------------------------------------------------------------
 # solvers — the reference's own scheduler classes
@@ -315,6 +347,39 @@ def gen_wan_block_ref():
          rope_cos=cos.numpy().astype(np.float32),
          rope_sin=sin.numpy().astype(np.float32),
          dims=np.array([dim, n_heads, ffn_dim]),
+         **{k.replace(".", "__"): v for k, v in sd.items()})
+
+
+def gen_hv15_vae_ref():
+    """Executes the reference's AutoencoderKLConv3D encoder+decoder
+    (models/hyvideo/vae/hunyuanvideo_15_vae.py) at tiny dims.  This is
+    the oracle the loader-roundtrip test cannot be: the r05
+    decoder-channel-order bug (decoder must iterate block_out_channels
+    REVERSED, :562) self-confirmed through every structure-derived
+    test."""
+    import importlib
+    m = importlib.import_module("refmodels.hyvideo.vae.hunyuanvideo_15_vae")
+
+    torch.manual_seed(31)
+    vae = m.AutoencoderKLConv3D(
+        in_channels=3, out_channels=3, latent_channels=4,
+        block_out_channels=(8, 16, 32), layers_per_block=1,
+        ffactor_spatial=4, ffactor_temporal=2,
+        sample_size=32, sample_tsize=4).double().eval()
+
+    rng = np.random.default_rng(32)
+    x = torch.tensor(rng.standard_normal((1, 3, 5, 16, 16)) * 0.5,
+                     dtype=torch.float64)
+    z = torch.tensor(rng.standard_normal((1, 4, 3, 4, 4)) * 0.5,
+                     dtype=torch.float64)
+    with torch.no_grad():
+        moments = vae.encoder(x)            # [1, 2z, T', H', W']
+        dec = vae.decoder(z)                # [1, 3, T, H, W]
+
+    f32 = lambda t: t.numpy().astype(np.float32)
+    sd = {k: f32(v) for k, v in vae.state_dict().items()}
+    save("hv15_vae_ref.npz", x=f32(x), z=f32(z),
+         enc_mean=f32(moments[:, :4]), dec=f32(dec),
          **{k.replace(".", "__"): v for k, v in sd.items()})
 
 

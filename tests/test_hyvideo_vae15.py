@@ -144,3 +144,30 @@ def test_hv15_loader_roundtrip():
     o1 = hunyuan15_vae_decode(params, TINY, z)
     o2 = hunyuan15_vae_decode(loaded, TINY, z)
     np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), atol=1e-5)
+
+
+def test_hv15_vae_matches_reference_golden():
+    """Encode+decode vs the reference's OWN executed AutoencoderKLConv3D
+    (tests/goldens/generate_from_reference.py gen_hv15_vae_ref — float64
+    torch oracle).  The r05 decoder-channel-order bug (decoder iterates
+    block_out_channels REVERSED, hunyuanvideo_15_vae.py:562)
+    self-confirmed through every structure-derived test; this one can't."""
+    import os
+    from wan2gp_tpu.models.hyvideo.vae15 import load_hunyuan15_vae_params
+    path = os.path.join(os.path.dirname(__file__), "goldens",
+                        "hv15_vae_ref.npz")
+    g = np.load(path)
+    sd = {k.replace("__", "."): g[k] for k in g.files
+          if k.startswith(("encoder", "decoder"))}
+    cfg = Hunyuan15VAEConfig(latent_channels=4,
+                             block_out_channels=(8, 16, 32),
+                             layers_per_block=1, ffactor_spatial=4,
+                             ffactor_temporal=2)
+    params, leftover = load_hunyuan15_vae_params(sd, cfg)
+    assert leftover == []
+    mean = hunyuan15_vae_encode(params, cfg, jnp.asarray(g["x"]))
+    np.testing.assert_allclose(np.asarray(mean), g["enc_mean"],
+                               rtol=2e-4, atol=2e-4)
+    dec = hunyuan15_vae_decode(params, cfg, jnp.asarray(g["z"]))
+    np.testing.assert_allclose(np.asarray(dec), g["dec"],
+                               rtol=2e-4, atol=2e-4)

@@ -41,19 +41,24 @@ class Hunyuan15VAEConfig:
 
 def _plan(cfg: Hunyuan15VAEConfig, decode: bool):
     """Per-level (out_ch, spatial2x, temporal2x) (vae15 :376-377 enc,
-    :472-473 dec)."""
-    n = len(cfg.block_out_channels)
+    :472-473 dec).  The decoder iterates block_out_channels REVERSED
+    (vae15 :562 `block_out_channels=list(reversed(...))`): channels
+    NARROW 1024 -> 128 as it upsamples — running it forward kept 1024
+    channels at full spatial res (a 41 GB 480p/97f intermediate,
+    observed r05) and mismatched every released checkpoint."""
+    bo = (tuple(reversed(cfg.block_out_channels)) if decode
+          else cfg.block_out_channels)
     nsp = int(np.log2(cfg.ffactor_spatial))
     ntm = int(np.log2(cfg.ffactor_temporal))
     plan = []
-    for i in range(n):
+    for i in range(len(bo)):
         if decode:
             sp = i < nsp
             tm = i < ntm
         else:
             sp = i < nsp
             tm = sp and i >= (nsp - ntm)
-        plan.append((cfg.block_out_channels[i], sp, tm))
+        plan.append((bo[i], sp, tm))
     return plan
 
 
@@ -242,12 +247,14 @@ def init_hunyuan15_vae(key, cfg: Hunyuan15VAEConfig = Hunyuan15VAEConfig(),
     enc["norm_out"] = _norm_p(cin)
     enc["conv_out"] = _conv_p(next(keys), cin, 2 * z, dtype=dtype)
 
-    # decoder runs over block_out_channels in CONFIG ORDER (vae15
-    # Decoder: conv_in z -> bo[0], upsample to bo[i+1]; channels widen
-    # inside each upsample conv before the pixel shuffle divides them)
-    dec = {"conv_in": _conv_p(next(keys), z, bo[0], dtype=dtype),
-           "mid": _mid_p(next(keys), bo[0], dtype), "levels": []}
-    cin = bo[0]
+    # decoder runs over block_out_channels REVERSED (vae15 :562):
+    # conv_in z -> bo_r[0] (the widest), channels narrow to bo_r[-1]
+    # as spatial/temporal res grows, upsample conv to bo_r[i+1]*factor
+    # before the pixel shuffle divides them
+    bo_r = tuple(reversed(bo))
+    dec = {"conv_in": _conv_p(next(keys), z, bo_r[0], dtype=dtype),
+           "mid": _mid_p(next(keys), bo_r[0], dtype), "levels": []}
+    cin = bo_r[0]
     for i, (cout, sp, tm) in enumerate(_plan(cfg, decode=True)):
         blk = {"res": []}
         c = cin
@@ -255,7 +262,7 @@ def init_hunyuan15_vae(key, cfg: Hunyuan15VAEConfig = Hunyuan15VAEConfig(),
             blk["res"].append(_res_p(next(keys), c, cout, dtype))
             c = cout
         if sp or tm:
-            nxt = bo[i + 1]
+            nxt = bo_r[i + 1]
             factor = (2 if tm else 1) * 4
             blk["up"] = _conv_p(next(keys), cout, nxt * factor, dtype=dtype)
             c = nxt
@@ -305,17 +312,17 @@ def hunyuan15_vae_decode(params, cfg: Hunyuan15VAEConfig, latents):
     z = latents.transpose(0, 2, 3, 4, 1).astype(cfg.compute_dtype)
     z = z / cfg.scaling_factor + cfg.shift_factor
     dec = params["decoder"]
-    repeats = cfg.block_out_channels[0] // cfg.latent_channels
+    bo_r = tuple(reversed(cfg.block_out_channels))   # vae15 :562
+    repeats = bo_r[0] // cfg.latent_channels
     x = _causal_conv3d(z, dec["conv_in"]["w"], dec["conv_in"]["b"]) \
         + jnp.repeat(z, repeats, axis=-1)
     x = _mid(dec["mid"], x)
-    bo = cfg.block_out_channels
     for blk, (i, (cout, sp, tm)) in zip(dec["levels"],
                                         enumerate(_plan(cfg, True))):
         for rp in blk["res"]:
             x = _res(rp, x)
         if "up" in blk:
-            x = _upsample(blk["up"], x, bo[i + 1], tm)
+            x = _upsample(blk["up"], x, bo_r[i + 1], tm)
     x = jax.nn.silu(_rms_ch(x, dec["norm_out"]).astype(jnp.float32)
                     ).astype(x.dtype)
     x = _causal_conv3d(x, dec["conv_out"]["w"], dec["conv_out"]["b"])

@@ -795,12 +795,25 @@ def bench_vace_multitalk(peak, kind):
         + 4 * seq * na * d)
     fl_total = fl + vace_fl + audio_fl
 
-    vae_dt, fps = bench_vae(lat[2], lat[3], lat[4])
+    # free the ~12 GB resident w4 stack (14B + vace + audio blocks)
+    # before the VAE decode inits its own params — decode OOMed next to
+    # the live DiT (observed r05 vace3)
+    del fn, run
+    params = latents = ctx = audio = vace_ctx = None
+    import gc
+    gc.collect()
+    try:
+        vae_dt, fps = bench_vae(lat[2], lat[3], lat[4])
+        vae_note = f" VAE decode {fps:.1f} fps;"
+    except Exception as exc:   # noqa: BLE001
+        import sys
+        print(f"[bench] vace vae decode failed: {exc!r}", file=sys.stderr)
+        vae_dt, vae_note = None, f" VAE decode skipped ({type(exc).__name__});"
     density = radial_density(backend, seq)
     _emit("wan2.1-vace-multitalk-14B w4a8 FusioniX",
           "832x480x81f 10-step CFG-free", "w4a8 Pallas + radial + VACE "
           "(every-2nd-layer branch) + multitalk audio", kind, dt, steps,
-          fl_total, peak, vae_dt, f" VAE decode {fps:.1f} fps;",
+          fl_total, peak, vae_dt, vae_note,
           density=density,
           fl_real=(fl * density + vace_fl * density + audio_fl))
 

@@ -107,7 +107,8 @@ def install_shims():
     _module("diffusers.utils", deprecate=deprecate,
             is_scipy_available=lambda: False)
     _module("diffusers.utils.torch_utils", randn_tensor=randn_tensor)
-    _module("diffusers.models")
+    sys.modules["diffusers"].ModelMixin = torch.nn.Module
+    _module("diffusers.models", ModelMixin=torch.nn.Module)
     _module("diffusers.models.modeling_utils", ModelMixin=torch.nn.Module)
 
     # ---- mmgp (shared_state bus + named caches)
@@ -381,6 +382,138 @@ def gen_hv15_vae_ref():
     save("hv15_vae_ref.npz", x=f32(x), z=f32(z),
          enc_mean=f32(moments[:, :4]), dec=f32(dec),
          **{k.replace(".", "__"): v for k, v in sd.items()})
+
+
+def gen_flux_blocks_ref():
+    """Executes the reference's Flux DoubleStreamBlock/SingleStreamBlock
+    (models/flux/modules/layers.py:198/:315) with the reference's own
+    EmbedND rope, float64."""
+    import importlib
+    flux_pkg = _module("refmodels.flux")
+    flux_pkg.__path__ = [os.path.join(REF, "models", "flux")]
+    mods = _module("refmodels.flux.modules")
+    mods.__path__ = [os.path.join(REF, "models", "flux", "modules")]
+    layers = importlib.import_module("refmodels.flux.modules.layers")
+
+    def presplit(parent, attr, mapped, sizes, dim_in):
+        # the app splits fused linears post-load (layers.py
+        # get_linear_split_map via mmgp); the forwards reference the
+        # split attrs unconditionally, so replicate that here
+        fused = getattr(parent, attr)
+        off = 0
+        for name, sz in zip(mapped, sizes):
+            lin = torch.nn.Linear(dim_in, sz,
+                                  bias=fused.bias is not None).double()
+            with torch.no_grad():
+                lin.weight.copy_(fused.weight[off:off + sz])
+                if fused.bias is not None:
+                    lin.bias.copy_(fused.bias[off:off + sz])
+            setattr(parent, name, lin)
+            off += sz
+
+    torch.manual_seed(41)
+    h, n, mlp_ratio = 32, 2, 4.0
+    axes_dim = (4, 6, 6)
+    li, lt = 12, 4
+    dbl = layers.DoubleStreamBlock(h, n, mlp_ratio,
+                                   qkv_bias=True).double().eval()
+    sgl = layers.SingleStreamBlock(h, n, mlp_ratio).double().eval()
+    presplit(dbl.img_attn, "qkv", ["q", "k", "v"], [h, h, h], h)
+    presplit(dbl.txt_attn, "qkv", ["q", "k", "v"], [h, h, h], h)
+    presplit(sgl, "linear1",
+             ["linear1_attn_q", "linear1_attn_k", "linear1_attn_v",
+              "linear1_mlp"], [h, h, h, int(h * mlp_ratio)], h)
+    emb = layers.EmbedND(dim=h // n, theta=10_000,
+                         axes_dim=list(axes_dim)).double()
+
+    rng = np.random.default_rng(42)
+    img = torch.tensor(rng.standard_normal((1, li, h)), dtype=torch.float64)
+    txt = torch.tensor(rng.standard_normal((1, lt, h)), dtype=torch.float64)
+    vec = torch.tensor(rng.standard_normal((1, h)) * 0.5,
+                       dtype=torch.float64)
+    x = torch.tensor(rng.standard_normal((1, lt + li, h)),
+                     dtype=torch.float64)
+    ids = np.zeros((lt + li, 3), np.float64)
+    ids[lt:, 1] = np.arange(li) // 4
+    ids[lt:, 2] = np.arange(li) % 4
+    ids_t = torch.tensor(ids[None], dtype=torch.float64)
+
+    with torch.no_grad():
+        pe = emb(ids_t)
+        out_img, out_txt = dbl(img.clone(), txt.clone(), vec, pe)
+        out_sgl = sgl(x.clone(), vec, pe)
+
+    f32 = lambda t: t.numpy().astype(np.float32)
+    save("flux_blocks_ref.npz", img=f32(img), txt=f32(txt), vec=f32(vec),
+         x=f32(x), ids=ids.astype(np.float32),
+         out_img=f32(out_img), out_txt=f32(out_txt), out_sgl=f32(out_sgl),
+         dims=np.array([h, n, int(h * mlp_ratio)]),
+         axes_dim=np.array(axes_dim),
+         **{"dbl__" + k.replace(".", "__"): f32(v)
+            for k, v in dbl.state_dict().items()},
+         **{"sgl__" + k.replace(".", "__"): f32(v)
+            for k, v in sgl.state_dict().items()})
+
+
+def gen_hyvideo_block_ref():
+    """Executes the reference's MMDoubleStreamBlock
+    (models/hyvideo/modules/models.py:34) with the model's own
+    get_nd_rotary_pos_embed freqs (hunyuan.py:716: theta 256).
+    pre_split_qkv=True: the fused-qkv img path is dead code in the
+    reference forward (img_attn_q/k/v are referenced unconditionally —
+    the app always splits via get_linear_split_map).  The block
+    hard-casts modulated streams to bf16 (its production dtype), so the
+    golden carries bf16-grade tolerance."""
+    import importlib
+    hymods = _module("refmodels.hyvideo.modules")
+    hymods.__path__ = [os.path.join(REF, "models", "hyvideo", "modules")]
+    # byT5 pulls the real text_encoder/__init__ (transformers model zoo)
+    # — not exercised by the block golden
+    _module("refmodels.hyvideo.text_encoder")
+    _module("refmodels.hyvideo.text_encoder.byT5",
+            ByT5Mapper=type("ByT5Mapper", (), {}))
+    models = importlib.import_module("refmodels.hyvideo.modules.models")
+    posemb = importlib.import_module(
+        "refmodels.hyvideo.modules.posemb_layers")
+
+    torch.manual_seed(51)
+    h, n = 32, 2
+    grid = (2, 2, 3)
+    lt = 4
+    li = grid[0] * grid[1] * grid[2]
+    rope_dims = [4, 6, 6]
+    # bf16: the forward hard-casts modulated streams to bf16
+    # (models.py:213 `.to(torch.bfloat16)`) — its production dtype;
+    # float64 weights would dtype-mismatch.  The golden therefore
+    # carries bf16-grade tolerance.
+    blk = models.MMDoubleStreamBlock(h, n, mlp_width_ratio=2.0,
+                                     qkv_bias=True, pre_split_qkv=True,
+                                     dtype=torch.bfloat16).eval()
+
+    rng = np.random.default_rng(52)
+    img = torch.tensor(rng.standard_normal((1, li, h)),
+                       dtype=torch.bfloat16)
+    txt = torch.tensor(rng.standard_normal((1, lt, h)),
+                       dtype=torch.bfloat16)
+    vec = torch.tensor(rng.standard_normal((1, h)) * 0.5,
+                       dtype=torch.bfloat16)
+    cos, sin = posemb.get_nd_rotary_pos_embed(
+        rope_dims, list(grid), theta=256, use_real=True,
+        theta_rescale_factor=1, enable_riflex=False)
+
+    with torch.no_grad():
+        out_img, out_txt = blk(img.clone(), txt.clone(), vec,
+                               freqs_cis=(cos, sin))
+
+    f32 = lambda t: t.float().numpy().astype(np.float32)
+    save("hyvideo_block_ref.npz", img=f32(img), txt=f32(txt), vec=f32(vec),
+         out_img=f32(out_img), out_txt=f32(out_txt),
+         grid=np.array(grid), rope_dims=np.array(rope_dims),
+         dims=np.array([h, n, int(h * 2.0)]),
+         rope_cos=cos.numpy().astype(np.float32),
+         rope_sin=sin.numpy().astype(np.float32),
+         **{k.replace(".", "__"): f32(v)
+            for k, v in blk.state_dict().items()})
 
 
 def gen_hdr_ref():

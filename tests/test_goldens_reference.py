@@ -97,3 +97,107 @@ def test_ref_wan_block():
                  None, cos, sin, cfg, attn_backend="xla")
     np.testing.assert_allclose(np.asarray(out), g["out"],
                                rtol=5e-4, atol=5e-4)
+
+
+def test_ref_flux_blocks():
+    """Flux Double/SingleStreamBlock vs the reference's OWN executed
+    layers.py modules (float64 oracle, app-style pre-split linears,
+    EmbedND pe) — generate_from_reference.py gen_flux_blocks_ref."""
+    import dataclasses
+    from wan2gp_tpu.models.flux.dit import (FluxConfig, _double_block,
+                                            _single_block, rope_from_ids)
+    g = _load("flux_blocks_ref.npz")
+    h, n, mlp = (int(v) for v in g["dims"])
+    cfg = FluxConfig(hidden_size=h, num_heads=n, mlp_ratio=mlp / h,
+                     axes_dim=tuple(int(a) for a in g["axes_dim"]),
+                     depth=1, depth_single_blocks=1)
+    cfg = dataclasses.replace(cfg, compute_dtype=jnp.float32)
+
+    def lin(k):
+        return {"w": jnp.asarray(g[k + "__weight"].T),
+                "b": jnp.asarray(g[k + "__bias"])}
+
+    def stream(s):
+        return {"mod": lin(f"dbl__{s}_mod__lin"),
+                "qkv": lin(f"dbl__{s}_attn__qkv"),
+                "proj": lin(f"dbl__{s}_attn__proj"),
+                "mlp1": lin(f"dbl__{s}_mlp__0"),
+                "mlp2": lin(f"dbl__{s}_mlp__2"),
+                "norm_q": jnp.asarray(
+                    g[f"dbl__{s}_attn__norm__query_norm__scale"]),
+                "norm_k": jnp.asarray(
+                    g[f"dbl__{s}_attn__norm__key_norm__scale"])}
+
+    bp = {"img": stream("img"), "txt": stream("txt")}
+    cos, sin = rope_from_ids(jnp.asarray(g["ids"]), cfg.axes_dim, cfg.theta)
+    txt_len = g["txt"].shape[1]
+    img, txt = _double_block(bp, jnp.asarray(g["img"]),
+                             jnp.asarray(g["txt"]), jnp.asarray(g["vec"]),
+                             cos, sin, txt_len, cfg, "xla")
+    np.testing.assert_allclose(np.asarray(img), g["out_img"],
+                               rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(txt), g["out_txt"],
+                               rtol=5e-4, atol=5e-4)
+
+    sp = {"mod": lin("sgl__modulation__lin"),
+          "linear1": lin("sgl__linear1"),
+          "linear2": lin("sgl__linear2"),
+          "norm_q": jnp.asarray(g["sgl__norm__query_norm__scale"]),
+          "norm_k": jnp.asarray(g["sgl__norm__key_norm__scale"])}
+    out = _single_block(sp, jnp.asarray(g["x"]), jnp.asarray(g["vec"]),
+                        cos, sin, cfg, "xla")
+    np.testing.assert_allclose(np.asarray(out), g["out_sgl"],
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_ref_hyvideo_double_block():
+    """Hunyuan MMDoubleStreamBlock vs the reference's OWN executed
+    models.py module (its production bf16 — the forward hard-casts
+    modulated streams to bf16, so tolerance is bf16-grade) with the
+    model's own get_nd_rotary_pos_embed freqs (theta 256)."""
+    import dataclasses
+    from wan2gp_tpu.models.hyvideo.dit import (HunyuanConfig, _double_block,
+                                               build_hunyuan_rope)
+    g = _load("hyvideo_block_ref.npz")
+    h, n, mlp = (int(v) for v in g["dims"])
+    grid = tuple(int(v) for v in g["grid"])
+    cfg = HunyuanConfig(hidden_size=h, heads_num=n,
+                        rope_dim_list=tuple(int(v) for v in g["rope_dims"]),
+                        mm_double_blocks_depth=1, mm_single_blocks_depth=1)
+    cfg = dataclasses.replace(cfg, compute_dtype=jnp.float32)
+
+    def fuse(*keys):
+        return jnp.asarray(np.concatenate([g[k] for k in keys], axis=0).T)
+
+    def stream(s):
+        return {
+            "mod": {"w": jnp.asarray(g[f"{s}_mod__linear__weight"].T),
+                    "b": jnp.asarray(g[f"{s}_mod__linear__bias"])},
+            "qkv": {"w": fuse(f"{s}_attn_q__weight", f"{s}_attn_k__weight",
+                              f"{s}_attn_v__weight"),
+                    "b": jnp.asarray(np.concatenate(
+                        [g[f"{s}_attn_q__bias"], g[f"{s}_attn_k__bias"],
+                         g[f"{s}_attn_v__bias"]]))},
+            "proj": {"w": jnp.asarray(g[f"{s}_attn_proj__weight"].T),
+                     "b": jnp.asarray(g[f"{s}_attn_proj__bias"])},
+            "mlp1": {"w": jnp.asarray(g[f"{s}_mlp__fc1__weight"].T),
+                     "b": jnp.asarray(g[f"{s}_mlp__fc1__bias"])},
+            "mlp2": {"w": jnp.asarray(g[f"{s}_mlp__fc2__weight"].T),
+                     "b": jnp.asarray(g[f"{s}_mlp__fc2__bias"])},
+            "norm_q": jnp.asarray(g[f"{s}_attn_q_norm__weight"]),
+            "norm_k": jnp.asarray(g[f"{s}_attn_k_norm__weight"]),
+        }
+
+    bp = {"img": stream("img"), "txt": stream("txt")}
+    lt = g["txt"].shape[1]
+    li = g["img"].shape[1]
+    cos, sin = build_hunyuan_rope(grid, cfg.rope_dim_list, txt_len=lt,
+                                  theta=256.0)
+    img, txt = _double_block(bp, jnp.asarray(g["img"]),
+                             jnp.asarray(g["txt"]), jnp.asarray(g["vec"]),
+                             jnp.asarray(cos), jnp.asarray(sin), li, cfg,
+                             "xla")
+    np.testing.assert_allclose(np.asarray(img), g["out_img"],
+                               rtol=4e-2, atol=4e-2)
+    np.testing.assert_allclose(np.asarray(txt), g["out_txt"],
+                               rtol=4e-2, atol=4e-2)

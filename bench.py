@@ -667,6 +667,15 @@ def bench_hv15(peak, kind):
                + 4 * s_all * s_all * hs)
     fl = cfg.mm_double_blocks_depth * dbl
 
+    # free the resident 4.2 GB w4 DiT before the decode — the tiled
+    # decode's 128-ch full-res levels OOMed next to the live DiT even at
+    # 192 px tiles (observed r05 hv15_post RESOURCE_EXHAUSTED); same
+    # pattern as the vace bench above
+    if not tiny:
+        del fn, params
+        latents = txt = None
+        import gc
+        gc.collect()
     vae_cfg = (Hunyuan15VAEConfig(block_out_channels=(16, 16, 16, 16, 16),
                                   latent_channels=8, layers_per_block=1)
                if tiny else Hunyuan15VAEConfig())
@@ -892,15 +901,22 @@ def main():
         family[which](peak, kind)
         return
     distilled = which.endswith("_distilled")
+    # Sol-Attn is the 14B default as of r05: measured 0.0271 steps/s with
+    # TeaCache vs radial's 0.0245 (and 0.0155 vs 0.0140 with no cache) at
+    # a sparser, data-chosen mask (density 0.355 vs 0.455) whose non-exact
+    # blocks are centroid-approximated, not dropped (mass conserved;
+    # parity-at-budget tests in tests/test_sol_attention.py).
+    # BENCH_ATTN=radial|dense revert.
     attn = os.environ.get("BENCH_ATTN",
-                          "radial" if which.startswith("14b") else "dense")
+                          "sol" if which.startswith("14b") else "dense")
 
     if which.startswith("14b"):
         # The DEFAULT bench row is the best honest production config —
-        # radial + W4A8 + TeaCache-1.75x + bf16 residuals — the one that
-        # meets the ≤90 s north star (measured r05: 0.0245 steps/s avg
-        # over the full 30-step schedule, projected v5p-8 e2e ~78 s).
-        # BENCH_CACHE=none reverts to the no-cache row (0.0140).
+        # Sol-Attn + W4A8 + TeaCache-1.75x + bf16 residuals — the one that
+        # meets the ≤90 s north star (measured r05: 0.0271 steps/s avg
+        # over the full 30-step schedule, projected v5p-8 e2e ~72 s).
+        # BENCH_CACHE=none reverts to the no-cache row (0.0155 sol /
+        # 0.0140 radial).
         if "BENCH_CACHE" not in os.environ and not distilled:
             os.environ["BENCH_CACHE"] = "tea"
         # BENCH_RESID carries the residual stream dtype: bf16 is the
@@ -940,11 +956,34 @@ def main():
             skips = teacache_bench_schedule(steps, factor)
             cache_note = (f" + TeaCache-{factor}x schedule "
                           f"({int(skips.sum())}/{steps} calc)")
-        dt, seq = bench_denoise(
-            cfg, params, lat,
-            dict(joint_pass=False, host_loop=True, guide_scale=guide),
-            steps_timed=(steps if skips is not None else 1),
-            backend=backend, skip_schedule=skips)
+        def _denoise(bk):
+            return bench_denoise(
+                cfg, params, lat,
+                dict(joint_pass=False, host_loop=True, guide_scale=guide),
+                steps_timed=(steps if skips is not None else 1),
+                backend=bk, skip_schedule=skips)
+        try:
+            dt, seq = _denoise(backend)
+        except Exception as exc:   # noqa: BLE001
+            # Sol-Attn + TeaCache residual stacks sit near the 16 GB HBM
+            # edge and have OOMed intermittently on the shared tunnel
+            # (r05 default_head vs tea_sol: identical config, one OOM,
+            # one pass).  Fall back to the radial mask — still meets the
+            # north star (measured ~78 s projected) — rather than fail
+            # the whole bench run.
+            if not attn.startswith("sol"):
+                raise
+            import sys
+            print(f"[bench] sol denoise failed ({exc!r}); "
+                  "falling back to radial", file=sys.stderr)
+            jax.clear_caches()
+            import gc
+            gc.collect()
+            attn = "radial"
+            pt, ph, pw = cfg.patch_size
+            tpf = (lat[3] // ph) * (lat[4] // pw)
+            backend = f"radial:{lat[2] // pt}:{tpf}"
+            dt, seq = _denoise(backend)
         wq = "w4a8" if a8 else "w4"
         name = (f"wan2.1-14B {wq} distilled-10step-CFGfree" if distilled
                 else f"wan2.1-14B {wq}")

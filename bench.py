@@ -689,10 +689,13 @@ def bench_hv15(peak, kind):
     else:
         # full-clip 480p/97f decode peaks ~20 GB at the last (128-ch)
         # level — spatial tiling is mandatory, as in the reference's
-        # tiled decode.  192 px tiles bound the upsample stack to ~2 GB
-        # next to the resident 4.2 GB DiT.  (The r05 OOMs at 96/192 px
-        # were the decoder channel-order bug: channels widened to 1024
-        # at full res instead of narrowing per vae15 :562.)
+        # tiled decode.  Measured isolated on the chip (diag_hv15_vae,
+        # r05): fp32 192px OOMs, fp32 128px runs 0.19 fps, bf16 192px
+        # fits and runs 0.62 fps warm — so the bench uses the bf16
+        # conv tower (the reference's own `vae_precision "16"` default)
+        # at 192 px tiles.
+        vae_p = jax.tree.map(lambda x: x.astype(jnp.bfloat16), vae_p)
+        z = z.astype(jnp.bfloat16)
         dec = (lambda p, z: float(jnp.sum(hunyuan15_vae_decode_tiled(
             p, vae_cfg, z, tile_size=192))))
     try:

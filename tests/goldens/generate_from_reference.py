@@ -516,6 +516,112 @@ def gen_hyvideo_block_ref():
             for k, v in blk.state_dict().items()})
 
 
+def gen_ltx2_block_ref():
+    """Executes the reference's LTX-2 BasicAVTransformerBlock
+    (models/ltx2/ltx_core/model/transformer/transformer.py:58) — video +
+    audio self/text-cross/av-cross/FFN with gated attention — using the
+    module's own precompute_freqs_cis interleaved rope, float64.  The
+    ltx_core package __init__s pull the loader stack, so the package
+    modules are registered with __path__ only (same pattern as the wan/
+    flux/hyvideo goldens)."""
+    import importlib
+    for name, parts in [
+            ("refmodels.ltx2", ("ltx2",)),
+            ("refmodels.ltx2.ltx_core", ("ltx2", "ltx_core")),
+            ("refmodels.ltx2.ltx_core.guidance",
+             ("ltx2", "ltx_core", "guidance")),
+            ("refmodels.ltx2.ltx_core.model", ("ltx2", "ltx_core", "model")),
+            ("refmodels.ltx2.ltx_core.model.transformer",
+             ("ltx2", "ltx_core", "model", "transformer"))]:
+        m = _module(name)
+        m.__path__ = [os.path.join(REF, "models", *parts)]
+    tr = importlib.import_module(
+        "refmodels.ltx2.ltx_core.model.transformer.transformer")
+    targs = importlib.import_module(
+        "refmodels.ltx2.ltx_core.model.transformer.transformer_args")
+    rope = importlib.import_module(
+        "refmodels.ltx2.ltx_core.model.transformer.rope")
+
+    torch.manual_seed(61)
+    dv, hv, da, ha = 64, 4, 32, 2     # video dim/heads, audio dim/heads
+    blk = tr.BasicAVTransformerBlock(
+        idx=0,
+        video=tr.TransformerConfig(dim=dv, heads=hv, d_head=dv // hv,
+                                   context_dim=dv,
+                                   apply_gated_attention=True),
+        audio=tr.TransformerConfig(dim=da, heads=ha, d_head=da // ha,
+                                   context_dim=da,
+                                   apply_gated_attention=True),
+        rope_type=rope.LTXRopeType.INTERLEAVED,
+        attention_function=tr.AttentionFunction.PYTORCH,
+    ).float().eval()   # fp32: the reference's in-place rms_norm pins the
+    # norm accumulation to fp32 (utils.py:9), rejecting float64 inputs
+    with torch.no_grad():
+        # the scale_shift tables are allocated with torch.empty
+        for t in (blk.scale_shift_table, blk.audio_scale_shift_table,
+                  blk.scale_shift_table_a2v_ca_audio,
+                  blk.scale_shift_table_a2v_ca_video):
+            t.normal_(0.0, 0.2)
+
+    rng = np.random.default_rng(62)
+    t64 = lambda a: torch.tensor(a, dtype=torch.float32)
+    frames, per_f_v, per_f_a, lctx = 2, 4, 3, 5
+    lv, la = frames * per_f_v, frames * per_f_a
+    vx = t64(rng.standard_normal((1, lv, dv)))
+    ax = t64(rng.standard_normal((1, la, da)))
+    v_ctx = t64(rng.standard_normal((1, lctx, dv)))
+    a_ctx = t64(rng.standard_normal((1, lctx, da)))
+    v_t = t64(rng.standard_normal((1, frames, 6 * dv)) * 0.2)
+    a_t = t64(rng.standard_normal((1, frames, 6 * da)) * 0.2)
+    v_css = t64(rng.standard_normal((1, frames, 4 * dv)) * 0.2)
+    a_css = t64(rng.standard_normal((1, frames, 4 * da)) * 0.2)
+    v_cg = t64(rng.standard_normal((1, frames, dv)) * 0.2)
+    a_cg = t64(rng.standard_normal((1, frames, da)) * 0.2)
+
+    # the model's own fractional-position ropes: video (t,y,x) for self
+    # attention at the video inner dim; temporal-only at the a2v inner
+    # dim (audio-sized) for the av cross attentions
+    gv = np.stack([np.repeat(np.arange(frames), per_f_v),
+                   np.tile(np.repeat(np.arange(2), 2), frames),
+                   np.tile(np.arange(2), 2 * frames)])[None]
+    ga = np.stack([np.repeat(np.arange(frames), per_f_a)])[None]
+    gvx = gv[:, :1]
+    pe = lambda grid, dim, mp: rope.precompute_freqs_cis(
+        t64(grid), dim, torch.float32, theta=10000.0, max_pos=mp,
+        rope_type=rope.LTXRopeType.INTERLEAVED,
+        freq_grid_generator=rope.generate_freq_grid_np)
+    pe_v = pe(gv, dv, [20, 2048, 2048])
+    pe_a = pe(ga, da, [20])
+    pe_vx = pe(gvx, da, [20])
+    pe_ax = pe(ga, da, [20])
+
+    def args(x, ctx, t, pe_self, pe_cross, css, cg):
+        return targs.TransformerArgs(
+            x=x.clone(), context=ctx, context_mask=None, timesteps=t,
+            embedded_timestep=torch.zeros_like(t),
+            positional_embeddings=pe_self,
+            cross_positional_embeddings=pe_cross,
+            cross_scale_shift_timestep=css, cross_gate_timestep=cg)
+
+    with torch.no_grad():
+        out_v, out_a = blk(args(vx, v_ctx, v_t, pe_v, pe_vx, v_css, v_cg),
+                           args(ax, a_ctx, a_t, pe_a, pe_ax, a_css, a_cg))
+
+    f32 = lambda t: t.numpy().astype(np.float32)
+    save("ltx2_block_ref.npz",
+         vx=f32(vx), ax=f32(ax), v_ctx=f32(v_ctx), a_ctx=f32(a_ctx),
+         v_t=f32(v_t), a_t=f32(a_t), v_css=f32(v_css), a_css=f32(a_css),
+         v_cg=f32(v_cg), a_cg=f32(a_cg),
+         pe_v_cos=f32(pe_v[0]), pe_v_sin=f32(pe_v[1]),
+         pe_a_cos=f32(pe_a[0]), pe_a_sin=f32(pe_a[1]),
+         pe_vx_cos=f32(pe_vx[0]), pe_vx_sin=f32(pe_vx[1]),
+         pe_ax_cos=f32(pe_ax[0]), pe_ax_sin=f32(pe_ax[1]),
+         out_v=f32(out_v.x), out_a=f32(out_a.x),
+         dims=np.array([dv, hv, da, ha]),
+         **{k.replace(".", "__"): f32(v)
+            for k, v in blk.state_dict().items()})
+
+
 def gen_hdr_ref():
     """hdr_ref.npz — shared/utils/hdr.py LogC3 compress/decompress,
     linear->sRGB tonemap, and the vae-range carriers, executed from the

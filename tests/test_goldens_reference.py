@@ -201,3 +201,71 @@ def test_ref_hyvideo_double_block():
                                rtol=4e-2, atol=4e-2)
     np.testing.assert_allclose(np.asarray(txt), g["out_txt"],
                                rtol=4e-2, atol=4e-2)
+
+
+def test_ref_ltx2_block():
+    """LTX-2 BasicAVTransformerBlock (video+audio self/text-cross/
+    av-cross/FFN, gated attention) vs the reference's OWN executed
+    transformer.py module with its own precompute_freqs_cis interleaved
+    rope — generate_from_reference.py gen_ltx2_block_ref (fp32 oracle:
+    the reference's in-place rms_norm pins accumulation to fp32)."""
+    from wan2gp_tpu.models.ltx2.dit import LTX2Config, _block
+    g = _load("ltx2_block_ref.npz")
+    dv, hv, da, ha = (int(v) for v in g["dims"])
+    cfg = LTX2Config(num_layers=1, num_heads=hv, head_dim=dv // hv,
+                     audio_num_heads=ha, audio_head_dim=da // ha,
+                     gated_attention=True, cross_attention_adaln=False,
+                     rope_type="interleaved",
+                     compute_dtype=jnp.float32,
+                     residual_dtype=jnp.float32)
+
+    def lin(k):
+        return {"w": jnp.asarray(g[k + "__weight"].T),
+                "b": jnp.asarray(g[k + "__bias"])}
+
+    def attnp(s):
+        return {"to_q": lin(f"{s}__to_q"), "to_k": lin(f"{s}__to_k"),
+                "to_v": lin(f"{s}__to_v"), "to_out": lin(f"{s}__to_out__0"),
+                "q_norm": jnp.asarray(g[f"{s}__q_norm__weight"]),
+                "k_norm": jnp.asarray(g[f"{s}__k_norm__weight"]),
+                "to_gate_logits": lin(f"{s}__to_gate_logits")}
+
+    def ffp(s):
+        return {"fc1": lin(f"{s}__net__0__proj"),
+                "fc2": lin(f"{s}__net__2")}
+
+    bp = {"attn1": attnp("attn1"), "attn2": attnp("attn2"),
+          "ff": ffp("ff"),
+          "scale_shift_table": jnp.asarray(g["scale_shift_table"]),
+          "audio_attn1": attnp("audio_attn1"),
+          "audio_attn2": attnp("audio_attn2"),
+          "audio_ff": ffp("audio_ff"),
+          "audio_scale_shift_table":
+              jnp.asarray(g["audio_scale_shift_table"]),
+          "audio_to_video_attn": attnp("audio_to_video_attn"),
+          "video_to_audio_attn": attnp("video_to_audio_attn"),
+          "sst_av_audio": jnp.asarray(g["scale_shift_table_a2v_ca_audio"]),
+          "sst_av_video": jnp.asarray(g["scale_shift_table_a2v_ca_video"])}
+
+    def rp(name, heads, hd):
+        # reference interleaved freqs: [1, L, inner] with one value per
+        # adjacent pair (repeat_interleave; front pad is pair-aligned) ->
+        # ours [L, H, hd//2] (pair index p = flat//2, head = p//(hd//2))
+        cos, sin = g[f"{name}_cos"][0], g[f"{name}_sin"][0]
+        L = cos.shape[0]
+        return (jnp.asarray(cos[:, 0::2].reshape(L, heads, hd // 2)),
+                jnp.asarray(sin[:, 0::2].reshape(L, heads, hd // 2)))
+
+    ropes = (rp("pe_v", hv, dv // hv), rp("pe_a", ha, da // ha),
+             rp("pe_vx", ha, da // ha), rp("pe_ax", ha, da // ha))
+    mods = (jnp.asarray(g["v_t"]), jnp.asarray(g["a_t"]),
+            jnp.asarray(g["v_css"]), jnp.asarray(g["v_cg"]),
+            jnp.asarray(g["a_css"]), jnp.asarray(g["a_cg"]), None, None)
+    masks = (jnp.asarray(g["v_ctx"]), jnp.asarray(g["a_ctx"]), None, None)
+
+    out_v, out_a = _block(bp, cfg, jnp.asarray(g["vx"]),
+                          jnp.asarray(g["ax"]), mods, ropes, masks, "xla")
+    np.testing.assert_allclose(np.asarray(out_v), g["out_v"],
+                               rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(out_a), g["out_a"],
+                               rtol=5e-4, atol=5e-4)

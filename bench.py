@@ -873,6 +873,35 @@ def bench_qwen_lm(peak, kind):
     }))
 
 
+def _degrade_and_exec(exc, attn):
+    """Re-exec bench.py in a degraded 14B config after an HBM failure.
+
+    Degrade ladder: sol+tea -> radial+tea (~78 s projected, still meets
+    the north star) -> radial no-cache (measured 0.0140 steps/s) ->
+    re-raise.  os.execve replaces this process, which is the only
+    reliable way to hand the failed attempt's HBM back to the runtime:
+    the dead executable and traceback-held intermediates keep device
+    buffers alive in-process even after jax.clear_caches()+gc.collect()
+    (observed r05: the retry could not allocate a 19 MB latents array).
+    """
+    import sys
+    env = dict(os.environ)
+    if attn.startswith("sol"):
+        env["BENCH_ATTN"] = "radial"
+        note = "radial mask (still ~78 s projected on v5p-8)"
+    elif env.get("BENCH_CACHE", "").startswith("tea"):
+        env["BENCH_CACHE"] = "none"
+        note = "no step cache (measured 0.0140 steps/s)"
+    else:
+        raise exc
+    print(f"[bench] denoise failed ({exc!r}); re-exec degraded: {note}",
+          file=sys.stderr)
+    sys.stderr.flush()
+    sys.stdout.flush()
+    os.execve(sys.executable,
+              [sys.executable, os.path.abspath(__file__)], env)
+
+
 def main():
     from wan2gp_tpu.models.wan.dit import WanDiTConfig, init_wan_dit
 
@@ -971,22 +1000,15 @@ def main():
             # Sol-Attn + TeaCache residual stacks sit near the 16 GB HBM
             # edge and have OOMed intermittently on the shared tunnel
             # (r05 default_head vs tea_sol: identical config, one OOM,
-            # one pass).  Fall back to the radial mask — still meets the
-            # north star (measured ~78 s projected) — rather than fail
-            # the whole bench run.
-            if not attn.startswith("sol"):
-                raise
-            import sys
-            print(f"[bench] sol denoise failed ({exc!r}); "
-                  "falling back to radial", file=sys.stderr)
-            jax.clear_caches()
-            import gc
-            gc.collect()
-            attn = "radial"
-            pt, ph, pw = cfg.patch_size
-            tpf = (lat[3] // ph) * (lat[4] // pw)
-            backend = f"radial:{lat[2] // pt}:{tpf}"
-            dt, seq = _denoise(backend)
+            # one pass).  Degrade to the radial mask (still meets the
+            # north star, ~78 s projected), then to no-cache, rather
+            # than fail the whole bench run.  The degrade RE-EXECS this
+            # script: an in-process retry cannot reclaim the failed
+            # attempt's HBM (the dead executable + traceback-held
+            # intermediates keep buffers live — r05 final_default could
+            # not even allocate the latents after clear_caches+gc), so
+            # a fresh process is the only reliable reset.
+            _degrade_and_exec(exc, attn)
         wq = "w4a8" if a8 else "w4"
         name = (f"wan2.1-14B {wq} distilled-10step-CFGfree" if distilled
                 else f"wan2.1-14B {wq}")

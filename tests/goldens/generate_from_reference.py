@@ -646,6 +646,147 @@ def gen_hdr_ref():
          x265=np.frombuffer(hdr.hdr10_x265_params().encode(), np.uint8))
 
 
+def gen_qwen_block_ref():
+    """Executes the reference's QwenImageTransformerBlock and its own
+    QwenEmbedRope (models/qwen/transformer_qwenimage.py:480 / :149,
+    scale_rope=True — the production config, :770), float64 weights.
+
+    diffusers is absent in this image, so minimal shims provide the
+    module LAYOUT diffusers would (Attention with to_q/add_q_proj/
+    norm_q/to_out[0]/to_add_out, FeedForward net.0.proj/net.2, RMSNorm
+    with fp32-variance semantics) — every line of attention/modulation
+    math executed is the reference's own
+    (QwenDoubleStreamAttnProcessor2_0, _modulate_inplace,
+    apply_rotary_emb_qwen_inplace, _apply_ffn_chunked)."""
+    import importlib
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    class RMSNorm(nn.Module):
+        # diffusers.models.normalization.RMSNorm: fp32 variance, the
+        # normalized product stays in the wider dtype until the final
+        # cast back to the input dtype
+        def __init__(self, dim, eps=1e-6, elementwise_affine=True,
+                     bias=False):
+            super().__init__()
+            self.eps = eps
+            self.weight = (nn.Parameter(torch.ones(dim))
+                           if elementwise_affine else None)
+
+        def forward(self, x):
+            dt = x.dtype
+            var = x.to(torch.float32).pow(2).mean(-1, keepdim=True)
+            y = x * torch.rsqrt(var + self.eps)
+            if self.weight is not None:
+                if self.weight.dtype in (torch.float16, torch.bfloat16):
+                    y = y.to(self.weight.dtype)
+                y = y * self.weight
+            return y.to(dt)
+
+    class Attention(nn.Module):
+        # exactly the attribute layout the reference's
+        # QwenDoubleStreamAttnProcessor2_0 addresses (:374-480)
+        def __init__(self, query_dim, cross_attention_dim=None,
+                     added_kv_proj_dim=None, dim_head=64, heads=8,
+                     out_dim=None, context_pre_only=None, bias=False,
+                     processor=None, qk_norm=None, eps=1e-5, **kw):
+            super().__init__()
+            inner = out_dim if out_dim is not None else dim_head * heads
+            self.heads = (out_dim // dim_head if out_dim is not None
+                          else heads)
+            self.to_q = nn.Linear(query_dim, inner, bias=bias)
+            self.to_k = nn.Linear(query_dim, inner, bias=bias)
+            self.to_v = nn.Linear(query_dim, inner, bias=bias)
+            self.add_q_proj = nn.Linear(added_kv_proj_dim, inner, bias=True)
+            self.add_k_proj = nn.Linear(added_kv_proj_dim, inner, bias=True)
+            self.add_v_proj = nn.Linear(added_kv_proj_dim, inner, bias=True)
+            mk = ((lambda: RMSNorm(dim_head, eps=eps))
+                  if qk_norm == "rms_norm" else (lambda: None))
+            self.norm_q, self.norm_k = mk(), mk()
+            self.norm_added_q, self.norm_added_k = mk(), mk()
+            self.to_out = nn.ModuleList(
+                [nn.Linear(inner, out_dim or query_dim, bias=True),
+                 nn.Dropout(0.0)])
+            self.to_add_out = nn.Linear(inner, out_dim or query_dim,
+                                        bias=True)
+            self.processor = processor
+
+    class GELUProj(nn.Module):
+        def __init__(self, dim_in, dim_out, approximate="none", bias=True):
+            super().__init__()
+            self.proj = nn.Linear(dim_in, dim_out, bias=bias)
+            self.approximate = approximate
+
+        def forward(self, x):
+            return F.gelu(self.proj(x), approximate=self.approximate)
+
+    class FeedForward(nn.Module):
+        # diffusers "gelu-approximate" layout: net.0.proj -> net.2
+        def __init__(self, dim, dim_out=None, mult=4, dropout=0.0,
+                     activation_fn="geglu", inner_dim=None, bias=True,
+                     **kw):
+            super().__init__()
+            assert activation_fn == "gelu-approximate"
+            inner_dim = inner_dim or int(dim * mult)
+            self.net = nn.ModuleList(
+                [GELUProj(dim, inner_dim, approximate="tanh", bias=bias),
+                 nn.Dropout(dropout),
+                 nn.Linear(inner_dim, dim_out or dim, bias=bias)])
+
+        def forward(self, x):
+            for m in self.net:
+                x = m(x)
+            return x
+
+    _module("diffusers.models.attention", FeedForward=FeedForward)
+    _module("diffusers.models.attention_processor", Attention=Attention)
+    _module("diffusers.models.embeddings",
+            TimestepEmbedding=type("TimestepEmbedding", (nn.Module,), {}),
+            Timesteps=type("Timesteps", (nn.Module,), {}))
+    _module("diffusers.models.normalization",
+            AdaLayerNormContinuous=type("AdaLayerNormContinuous",
+                                        (nn.Module,), {}),
+            RMSNorm=RMSNorm)
+    mo = sys.modules.get("diffusers.models.modeling_outputs")
+    if mo is not None and not hasattr(mo, "Transformer2DModelOutput"):
+        mo.Transformer2DModelOutput = type("Transformer2DModelOutput",
+                                           (), {})
+
+    qwen = _module("refmodels.qwen")
+    qwen.__path__ = [os.path.join(REF, "models", "qwen")]
+    tq = importlib.import_module("refmodels.qwen.transformer_qwenimage")
+
+    torch.manual_seed(71)
+    d, n, hd = 32, 2, 16
+    grid, lt = (1, 4, 4), 5
+    li = grid[0] * grid[1] * grid[2]
+    blk = tq.QwenImageTransformerBlock(
+        dim=d, num_attention_heads=n, attention_head_dim=hd).double().eval()
+    rope = tq.QwenEmbedRope(theta=10_000, axes_dim=[4, 6, 6],
+                            scale_rope=True)
+    vid_freqs, txt_freqs = rope(grid, [lt], torch.device("cpu"))
+
+    rng = np.random.default_rng(72)
+    img = torch.tensor(rng.standard_normal((1, li, d)), dtype=torch.float64)
+    txt = torch.tensor(rng.standard_normal((1, lt, d)), dtype=torch.float64)
+    vec = torch.tensor(rng.standard_normal((1, d)) * 0.5,
+                       dtype=torch.float64)
+
+    with torch.no_grad():
+        # the reference forward mutates its inputs in place (addcmul_)
+        out_txt, out_img = blk(img.clone(), txt.clone(),
+                               encoder_hidden_states_mask=None, temb=vec,
+                               image_rotary_emb=(vid_freqs, txt_freqs))
+
+    f32 = lambda t: t.numpy().astype(np.float32)
+    save("qwen_block_ref.npz", img=f32(img), txt=f32(txt), vec=f32(vec),
+         out_img=f32(out_img), out_txt=f32(out_txt),
+         vid_freqs=vid_freqs.numpy(), txt_freqs=txt_freqs.numpy(),
+         dims=np.array([d, n, hd]), grid=np.array(grid),
+         **{k.replace(".", "__"): f32(v)
+            for k, v in blk.state_dict().items()})
+
+
 if __name__ == "__main__":
     sys.path.insert(0, REF)
     install_shims()
@@ -654,3 +795,4 @@ if __name__ == "__main__":
     gen_flowmatch_ref()
     gen_wan_block_ref()
     gen_hdr_ref()
+    gen_qwen_block_ref()

@@ -269,3 +269,62 @@ def test_ref_ltx2_block():
                                rtol=5e-4, atol=5e-4)
     np.testing.assert_allclose(np.asarray(out_a), g["out_a"],
                                rtol=5e-4, atol=5e-4)
+
+
+def test_ref_qwen_block():
+    """QwenImageTransformerBlock + QwenEmbedRope(scale_rope=True) vs the
+    reference's OWN executed transformer_qwenimage.py:480/:149 (float64
+    oracle behind diffusers-layout shims; the attention/modulation math
+    run is the reference processor's) — generate_from_reference.py
+    gen_qwen_block_ref."""
+    from wan2gp_tpu.models.qwen.dit import (QwenImageConfig, _block,
+                                            qwen_rope)
+    g = _load("qwen_block_ref.npz")
+    d, n, hd = (int(v) for v in g["dims"])
+    cfg = QwenImageConfig(num_layers=1, attention_head_dim=hd,
+                          num_attention_heads=n, axes_dims_rope=(4, 6, 6),
+                          compute_dtype=jnp.float32)
+    assert cfg.inner_dim == d
+
+    def lin(k):
+        return {"w": jnp.asarray(g[k + "__weight"].T),
+                "b": jnp.asarray(g[k + "__bias"])}
+
+    bp = {"img_mod": lin("img_mod__1"), "txt_mod": lin("txt_mod__1"),
+          "img_attn": {"q": lin("attn__to_q"), "k": lin("attn__to_k"),
+                       "v": lin("attn__to_v"),
+                       "norm_q": jnp.asarray(g["attn__norm_q__weight"]),
+                       "norm_k": jnp.asarray(g["attn__norm_k__weight"])},
+          "txt_attn": {"q": lin("attn__add_q_proj"),
+                       "k": lin("attn__add_k_proj"),
+                       "v": lin("attn__add_v_proj"),
+                       "norm_q": jnp.asarray(
+                           g["attn__norm_added_q__weight"]),
+                       "norm_k": jnp.asarray(
+                           g["attn__norm_added_k__weight"])},
+          "to_out": lin("attn__to_out__0"),
+          "to_add_out": lin("attn__to_add_out"),
+          "img_mlp1": lin("img_mlp__net__0__proj"),
+          "img_mlp2": lin("img_mlp__net__2"),
+          "txt_mlp1": lin("txt_mlp__net__0__proj"),
+          "txt_mlp2": lin("txt_mlp__net__2")}
+
+    f, h, w = (int(v) for v in g["grid"])
+    lt = g["txt"].shape[1]
+    cos, sin = qwen_rope((f, h, w), lt, cfg)
+    # rope parity vs the model's own QwenEmbedRope ([txt, img] order)
+    ref_cos = np.concatenate([g["txt_freqs"][..., 0],
+                              g["vid_freqs"][..., 0]])
+    ref_sin = np.concatenate([g["txt_freqs"][..., 1],
+                              g["vid_freqs"][..., 1]])
+    np.testing.assert_allclose(np.asarray(cos), ref_cos,
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sin), ref_sin,
+                               rtol=2e-5, atol=2e-5)
+
+    img, txt = _block(bp, jnp.asarray(g["img"]), jnp.asarray(g["txt"]),
+                      jnp.asarray(g["vec"]), cos, sin, lt, cfg, "xla")
+    np.testing.assert_allclose(np.asarray(img), g["out_img"],
+                               rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(txt), g["out_txt"],
+                               rtol=5e-4, atol=5e-4)

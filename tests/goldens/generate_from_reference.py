@@ -787,6 +787,36 @@ def gen_qwen_block_ref():
             for k, v in blk.state_dict().items()})
 
 
+def gen_wan_vae_ref():
+    """Executes the reference's OWN WanVAE_ (models/wan/modules/vae.py:547)
+    end-to-end in float64 at tiny dims: the real chunked encode
+    ([1, 4, ...] frames through feat caches, :586-614) and the real
+    frame-streamed decode (one latent frame at a time with the 'Rep'
+    zero-window first-frame upsample semantics, :629-662).  This is the
+    strongest check that the repo's full-sequence causal-conv form
+    (wan2gp_tpu/models/wan/vae.py) is mathematically equivalent to the
+    reference's cache-streamed form — block-level goldens cannot see a
+    streaming/chunking mismatch."""
+    import importlib
+    vae_mod = importlib.import_module("refmodels.wan.modules.vae")
+
+    torch.manual_seed(81)
+    model = vae_mod.WanVAE_(dim=8, z_dim=16, dim_mult=[1, 2],
+                            num_res_blocks=1, attn_scales=[],
+                            temperal_downsample=[True]).double().eval()
+    rng = np.random.default_rng(82)
+    x = torch.tensor(rng.standard_normal((1, 3, 5, 16, 16)) * 0.5,
+                     dtype=torch.float64)
+    with torch.no_grad():
+        mu = model.encode(x, scale=None)          # raw (unnormalized) mu
+        out = model.decode(mu.clone(), scale=None)
+
+    f32 = lambda t: t.numpy().astype(np.float32)
+    save("wan_vae_ref.npz", x=f32(x), mu=f32(mu), out=f32(out),
+         **{k.replace(".", "__"): f32(v)
+            for k, v in model.state_dict().items()})
+
+
 if __name__ == "__main__":
     sys.path.insert(0, REF)
     install_shims()
@@ -796,3 +826,4 @@ if __name__ == "__main__":
     gen_wan_block_ref()
     gen_hdr_ref()
     gen_qwen_block_ref()
+    gen_wan_vae_ref()

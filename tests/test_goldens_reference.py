@@ -328,3 +328,34 @@ def test_ref_qwen_block():
                                rtol=5e-4, atol=5e-4)
     np.testing.assert_allclose(np.asarray(txt), g["out_txt"],
                                rtol=5e-4, atol=5e-4)
+
+
+def test_ref_wan_vae_end_to_end():
+    """Full encode+decode vs the reference's OWN executed WanVAE_
+    (float64, tiny dims) — including the chunked [1,4,...] encode and
+    the frame-streamed 'Rep'-sentinel decode, which the repo implements
+    as equivalent full-sequence causal convolutions
+    (wan2gp_tpu/models/wan/vae.py docstring) —
+    generate_from_reference.py gen_wan_vae_ref."""
+    from wan2gp_tpu.models.wan.vae import (WanVAEConfig, vae_encode,
+                                           vae_decode, VAE_MEAN, VAE_STD)
+    from wan2gp_tpu.io.wan_checkpoint import load_wan_vae_params
+    g = _load("wan_vae_ref.npz")
+    sd = {k.replace("__", "."): g[k] for k in g if "__" in k}
+    cfg = WanVAEConfig(dim=8, z_dim=16, dim_mult=(1, 2),
+                       num_res_blocks=1, temporal_downsample=(True,))
+    params, left = load_wan_vae_params(sd, cfg)
+    assert left == []
+
+    video = jnp.asarray(np.transpose(g["x"], (0, 2, 3, 4, 1)))
+    lat = vae_encode(params, cfg, video)
+    mu = np.asarray(lat) * VAE_STD + VAE_MEAN      # undo normalization
+    ref_mu = np.transpose(g["mu"], (0, 2, 3, 4, 1))
+    np.testing.assert_allclose(mu, ref_mu, rtol=2e-4, atol=2e-4)
+
+    norm_lat = jnp.asarray((ref_mu - VAE_MEAN) / VAE_STD, jnp.float32)
+    out = vae_decode(params, cfg, norm_lat)
+    # vae_decode clips to [-1, 1]; clip the oracle identically
+    ref_out = np.clip(np.transpose(g["out"], (0, 2, 3, 4, 1)), -1.0, 1.0)
+    np.testing.assert_allclose(np.asarray(out), ref_out,
+                               rtol=2e-4, atol=2e-4)

@@ -817,6 +817,36 @@ def gen_wan_vae_ref():
             for k, v in model.state_dict().items()})
 
 
+def gen_wan22_vae_ref():
+    """Executes the reference's OWN Wan 2.2 VAE WanVAE_
+    (models/wan/modules/vae2_2.py:753) end-to-end in float64 at tiny
+    dims (4 stages, the production stage topology): real patchified
+    chunked encode and frame-streamed decode with the AvgDown3D/DupUp3D
+    parameter-free shortcuts and first_chunk frame-drop semantics
+    (:389-430).  Validates wan2gp_tpu/models/wan/vae2_2.py's
+    full-sequence form AND io/wan_checkpoint.py load_wan22_vae_params."""
+    import importlib
+    vae_mod = importlib.import_module("refmodels.wan.modules.vae2_2")
+
+    torch.manual_seed(91)
+    model = vae_mod.WanVAE_(dim=4, dec_dim=4, z_dim=48,
+                            dim_mult=[1, 2, 4, 4], num_res_blocks=1,
+                            attn_scales=[],
+                            temperal_downsample=[False, True, True]
+                            ).double().eval()
+    rng = np.random.default_rng(92)
+    x = torch.tensor(rng.standard_normal((1, 3, 5, 32, 32)) * 0.5,
+                     dtype=torch.float64)
+    with torch.no_grad():
+        mu = model.encode(x, scale=None)          # raw (unnormalized) mu
+        out = model.decode(mu.clone(), scale=None)
+
+    f32 = lambda t: t.numpy().astype(np.float32)
+    save("wan22_vae_ref.npz", x=f32(x), mu=f32(mu), out=f32(out),
+         **{k.replace(".", "__"): f32(v)
+            for k, v in model.state_dict().items()})
+
+
 if __name__ == "__main__":
     sys.path.insert(0, REF)
     install_shims()

@@ -359,3 +359,35 @@ def test_ref_wan_vae_end_to_end():
     ref_out = np.clip(np.transpose(g["out"], (0, 2, 3, 4, 1)), -1.0, 1.0)
     np.testing.assert_allclose(np.asarray(out), ref_out,
                                rtol=2e-4, atol=2e-4)
+
+
+def test_ref_wan22_vae_end_to_end():
+    """Wan 2.2 VAE full encode+decode vs the reference's OWN executed
+    vae2_2.py WanVAE_ (float64, tiny dims, production 4-stage topology)
+    — chunked patchified encode, frame-streamed decode, AvgDown3D/
+    DupUp3D parameter-free shortcuts with first_chunk semantics — and
+    the new io/wan_checkpoint.py load_wan22_vae_params loader —
+    generate_from_reference.py gen_wan22_vae_ref."""
+    from wan2gp_tpu.models.wan.vae2_2 import (
+        Wan22VAEConfig, wan22_vae_encode, wan22_vae_decode,
+        WAN22_MEAN, WAN22_STD)
+    from wan2gp_tpu.io.wan_checkpoint import load_wan22_vae_params
+    g = _load("wan22_vae_ref.npz")
+    sd = {k.replace("__", "."): g[k] for k in g if "__" in k}
+    cfg = Wan22VAEConfig(dim=4, dec_dim=4, z_dim=48, dim_mult=(1, 2, 4, 4),
+                         num_res_blocks=1,
+                         temporal_downsample=(False, True, True))
+    params, left = load_wan22_vae_params(sd, cfg)
+    assert left == []
+
+    video = jnp.asarray(np.transpose(g["x"], (0, 2, 3, 4, 1)))
+    lat = wan22_vae_encode(params, cfg, video)
+    mu = np.asarray(lat) * WAN22_STD + WAN22_MEAN   # undo normalization
+    ref_mu = np.transpose(g["mu"], (0, 2, 3, 4, 1))
+    np.testing.assert_allclose(mu, ref_mu, rtol=2e-4, atol=2e-4)
+
+    norm_lat = jnp.asarray((ref_mu - WAN22_MEAN) / WAN22_STD, jnp.float32)
+    out = wan22_vae_decode(params, cfg, norm_lat)
+    ref_out = np.clip(np.transpose(g["out"], (0, 2, 3, 4, 1)), -1.0, 1.0)
+    np.testing.assert_allclose(np.asarray(out), ref_out,
+                               rtol=2e-4, atol=2e-4)

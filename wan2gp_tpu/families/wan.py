@@ -581,7 +581,11 @@ class WanFamilyHandler:
             vae_params = None
             if checkpoints.get("vae"):
                 vae_sd = load_safetensors(checkpoints["vae"])
-                vae_params, _ = load_wan_vae_params(vae_sd, vae_cfg)
+                if is_22_vae:
+                    from ..io.wan_checkpoint import load_wan22_vae_params
+                    vae_params, _ = load_wan22_vae_params(vae_sd, vae_cfg)
+                else:
+                    vae_params, _ = load_wan_vae_params(vae_sd, vae_cfg)
             if arch.get("alpha") and checkpoints.get("vae_alpha"):
                 va, _ = load_wan_vae_params(
                     load_safetensors(checkpoints["vae_alpha"]), vae_cfg)

@@ -314,6 +314,53 @@ def load_wan_vae_params(sd: Dict[str, np.ndarray], cfg):
     return p, sorted(sd.keys())
 
 
+def load_wan22_vae_params(sd: Dict[str, np.ndarray], cfg):
+    """Wan 2.2 VAE (vae2_2.py key space): staged Down_/Up_ResidualBlock
+    containers (vae2_2.py:436/:476) whose inner Sequentials are named
+    `downsamples`/`upsamples`; the avg_shortcut (AvgDown3D/DupUp3D) is
+    parameter-free.  cfg: Wan22VAEConfig."""
+    sd = dict(sd)
+    n_stages = len(cfg.dim_mult)
+
+    def stage(prefix, i, nblocks, down):
+        inner = "downsamples" if down else "upsamples"
+        p = {"blocks": [_res(sd, f"{prefix}.{i}.{inner}.{j}")
+                        for j in range(nblocks)]}
+        if i != n_stages - 1:
+            rp = f"{prefix}.{i}.{inner}.{nblocks}"
+            tflags = (tuple(cfg.temporal_downsample) if down
+                      else tuple(cfg.temporal_downsample)[::-1])
+            tflag = tflags[i] if i < len(tflags) else False
+            p["resample"] = _resample(sd, rp, tflag)
+        return p
+
+    def mid(prefix):
+        return [_res(sd, f"{prefix}.0"), _attn(sd, f"{prefix}.1"),
+                _res(sd, f"{prefix}.2")]
+
+    p = {
+        "encoder": {
+            "conv1": _conv3(sd, "encoder.conv1"),
+            "down": [stage("encoder.downsamples", i, cfg.num_res_blocks,
+                           True) for i in range(n_stages)],
+            "mid": mid("encoder.middle"),
+            "head_norm": _gamma(sd, "encoder.head.0.gamma"),
+            "head_conv": _conv3(sd, "encoder.head.2"),
+        },
+        "conv1": _conv3(sd, "conv1"),
+        "conv2": _conv3(sd, "conv2"),
+        "decoder": {
+            "conv1": _conv3(sd, "decoder.conv1"),
+            "mid": mid("decoder.middle"),
+            "up": [stage("decoder.upsamples", i, cfg.num_res_blocks + 1,
+                         False) for i in range(n_stages)],
+            "head_norm": _gamma(sd, "decoder.head.0.gamma"),
+            "head_conv": _conv3(sd, "decoder.head.2"),
+        },
+    }
+    return p, sorted(sd.keys())
+
+
 def load_hf_t5_params(sd: Dict[str, np.ndarray], cfg, dtype=jnp.bfloat16):
     """HF T5 v1.1 encoder (google/t5-v1_1-xxl, used by Flux/LTXV/Hunyuan
     pipelines): encoder.block.N.layer.0.SelfAttention.{q,k,v,o} +
